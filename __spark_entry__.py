@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The inventory itself lives in ``trino_demo_spark.parity`` (one entry per
+operator ID from SURVEY.md §2, each a PySpark callable paired with its
+DuckDB oracle SQL); this module just re-exports it in driver shape.
 """
 
 from __future__ import annotations
@@ -13,26 +16,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from trino_demo_spark import parity as _parity
+from trino_demo_spark import parity_llm as _parity_llm  # noqa: F401  (registers entries)
+from trino_demo_spark.parity import PARITY
+from trino_demo_spark.session import apply_runtime_confs
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §2.3 J1 analog — join_inner_eq) on
+    /root/testdata/sf0.001: two per-day pre-aggregations joined on the
+    date key, filtered and globally sorted."""
+    apply_runtime_confs(spark)
+    return PARITY["join_inner_eq"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(name):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return PARITY[name].fn(spark, sf_dir)
+
+        run.__doc__ = PARITY[name].doc
+        return run
+
+    return {name: wrap(name) for name in PARITY}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted for engine-hash-based
+    ops → driver records rows-only checks)."""
+    return {name: p.sql for name, p in PARITY.items() if p.sql is not None}

@@ -1,0 +1,111 @@
+"""Aggregate operator library: scaler fits, error metrics, correlation.
+
+The reference fits sklearn scalers and computes error metrics client-side
+(localTrinoTest.ipynb cells 11/25, KubeflowStockPricePrediction.ipynb
+cell-11); here the *fit* is a Spark global aggregate (partial + final,
+map-side combined by HashAggregateExec) and the *transform* is pure column
+arithmetic parameterized by the fit row — joined back via a broadcast
+cross join so nothing ever collects more than one row to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tie-safe rounding epsilon for cross-engine parity of avg/quantile/corr
+# outputs (see trino_demo_spark.parity.EPS for the rationale).
+EPS = 1e-9
+
+
+def minmax_fit(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column min/max (MinMaxScaler.fit, localTrinoTest.ipynb:467-472).
+    One row out; single partial+final aggregate pass."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.agg(*aggs)
+
+
+def minmax_transform(df: DataFrame, fit: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Affine (x-min)/(max-min) per column. `fit` is a 1-row frame —
+    broadcast cross join keeps the transform shuffle-free."""
+    out = df.crossJoin(F.broadcast(fit))
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_scaled",
+            (F.col(c) - F.col(f"{c}_min")) / (F.col(f"{c}_max") - F.col(f"{c}_min")),
+        )
+    return out.drop(*[f"{c}_min" for c in cols], *[f"{c}_max" for c in cols])
+
+
+def robust_fit(df: DataFrame, cols: Sequence[str], exact: bool = True) -> DataFrame:
+    """Per-column q25/q50/q75 (RobustScaler.fit,
+    KubeflowStockPricePrediction.ipynb:272-311). exact=False switches to
+    approx_percentile — the 100 TB path (mergeable sketch, no sort)."""
+    fn = "percentile" if exact else "approx_percentile"
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.expr(f"{fn}({c}, 0.25)").alias(f"{c}_q25"),
+            F.expr(f"{fn}({c}, 0.5)").alias(f"{c}_q50"),
+            F.expr(f"{fn}({c}, 0.75)").alias(f"{c}_q75"),
+        ]
+    return df.agg(*aggs)
+
+
+def robust_transform(df: DataFrame, fit: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(x - median) / IQR per column, broadcast-parameterized."""
+    out = df.crossJoin(F.broadcast(fit))
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_scaled",
+            (F.col(c) - F.col(f"{c}_q50")) / (F.col(f"{c}_q75") - F.col(f"{c}_q25")),
+        )
+    drop = [f"{c}_{q}" for c in cols for q in ("q25", "q50", "q75")]
+    return out.drop(*drop)
+
+
+def error_metrics(
+    df: DataFrame, y_col: str, pred_col: str, round_to: int | None = 4
+) -> DataFrame:
+    """MAE / MAPE / MDAPE between truth and prediction
+    (localTrinoTest.ipynb:903-919). Single global aggregate."""
+    y, p = F.col(y_col), F.col(pred_col)
+    ape = F.abs((y - p) / y)
+    out = df.agg(
+        F.avg(F.abs(y - p)).alias("mae"),
+        (F.avg(ape) * 100).alias("mape"),
+        (F.expr(f"percentile(abs(({y_col} - {pred_col}) / {y_col}), 0.5)") * 100).alias(
+            "mdape"
+        ),
+    )
+    if round_to is not None:
+        out = out.select(
+            *[F.round(F.col(c) + F.lit(EPS), round_to).alias(c) for c in out.columns]
+        )
+    return out
+
+
+def corr_pairs(
+    df: DataFrame, pairs: Sequence[tuple[str, str]], round_to: int = 6
+) -> DataFrame:
+    """Pearson correlations for the given column pairs in ONE aggregate
+    pass (the reference computes an 8×8 matrix client-side,
+    localTrinoTest.ipynb:438-440). Rounded for cross-engine determinism."""
+    return df.agg(
+        *[
+            F.round(F.corr(a, b) + F.lit(EPS), round_to).alias(f"corr_{a}_{b}")
+            for a, b in pairs
+        ]
+    )
+
+
+def last_scalar(df: DataFrame, order_by: Sequence, value_col: str) -> DataFrame:
+    """Last value of a column in the given ordering
+    (`df1.iloc[-1,0]`, KubeflowStockPricePrediction.ipynb:570-571).
+    orderBy(desc).limit(1) → TakeOrderedAndProject, no global sort."""
+    desc_cols = [F.col(c).desc() if isinstance(c, str) else c.desc() for c in order_by]
+    return df.orderBy(*desc_cols).limit(1).select(value_col)

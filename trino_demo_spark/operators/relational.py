@@ -1,0 +1,152 @@
+"""Relational operator library: joins, set ops, dedup, as-of join.
+
+Everything here is declarative DataFrame composition — Catalyst picks the
+physical strategy (broadcast vs sort-merge, LOJ→inner rewrite, top-k), and
+each helper documents why the shape survives a 100×-scale-up.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def keep_last(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Keep the last row per key by the given ordering (descending applied
+    by caller via F.desc). Mirrors the reference's keep-last Kafka dedup:
+    sort by `timestamp`, `drop_duplicates(subset=['Date'], keep='last')`
+    (KubeflowStockPricePrediction.ipynb:547-549).
+
+    Scale: one hash-shuffle on `keys`; window row_number over small
+    per-key groups, no global sort. Skewed keys are handled by AQE.
+    """
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def tail_n(df: DataFrame, n: int, order_by: Sequence[Column | str]) -> DataFrame:
+    """Last n rows by the given (ascending) ordering, returned ascending.
+
+    Mirrors the reference's `df[-10:]` (localTrinoTest.ipynb:1194).
+    Implemented as orderBy(desc).limit(n) so Catalyst plans a
+    TakeOrderedAndProject (per-partition top-k + driver merge of k·p rows,
+    no global sort) — the only shape that survives when df is 100 TB.
+    """
+    desc_cols = [
+        c.desc() if isinstance(c, Column) else F.col(c).desc() for c in order_by
+    ]
+    asc_cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+    return df.orderBy(*desc_cols).limit(n).orderBy(*asc_cols)
+
+
+def chrono_split(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    train_fraction: float = 0.8,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag rows 'train'/'test' by chronological fraction, no shuffle of the
+    assignment logic itself. Mirrors `train_test_split(..., shuffle=False)`
+    (localTrinoTest.ipynb:535).
+
+    Scale note: row_number over a global window is a single-partition sort
+    — fine for the reference's time series (one entity), but for 100 TB
+    prefer a *date cutoff* computed from approx quantiles instead. Both are
+    provided; this helper uses percent_rank which needs the global order.
+    """
+    w = W.orderBy(*order_by)
+    return df.withColumn(
+        split_col,
+        F.when(F.percent_rank().over(w) < train_fraction, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def chrono_split_by_cutoff(
+    df: DataFrame, time_col: str, train_fraction: float = 0.8, split_col: str = "split"
+) -> tuple[DataFrame, str]:
+    """Scale-path chronological split: compute the fraction's time cutoff
+    with approx_percentile (one partial-agg pass, no global sort), then tag
+    with a plain filter — fully parallel, shuffle-free."""
+    cutoff = df.agg(
+        F.expr(f"approx_percentile({time_col}, {train_fraction})")
+    ).first()[0]
+    tagged = df.withColumn(
+        split_col,
+        F.when(F.col(time_col) <= F.lit(cutoff), "train").otherwise("test"),
+    )
+    return tagged, str(cutoff)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_value_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row with
+    ``right.on <= left.on`` (direction='backward').
+
+    Not in the reference (SURVEY.md §2.3 notes its absence); provided as a
+    first-class extension. Implemented with the union-merge trick: tag both
+    sides, union, and carry the right values forward with last(ignorenulls)
+    over an ordered window — O(n log n) per partition, ONE shuffle on
+    (partition_cols, on), no range/cross join. This is the shape that holds
+    at 100 TB; a broadcast variant is unnecessary because Catalyst will
+    already broadcast the union's small side if applicable.
+    """
+    lcols = left.columns
+    tag = F.lit(1)
+    l_tagged = left.withColumn("__side", tag).select(
+        *lcols,
+        "__side",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    keep = {on, *partition_cols}
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in keep else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (
+        W.partitionBy(*partition_cols)
+        .orderBy(order, F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def union_all(frames: Sequence[DataFrame]) -> DataFrame:
+    """unionByName over homogeneous frames (reference: pd.concat of 5
+    weather CSVs, fillMongoDB.ipynb:177-181). Narrow op — no shuffle."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -1,0 +1,1299 @@
+"""The declared query inventory (SURVEY.md §2), one entry per operator ID.
+
+Each entry pairs an idiomatic-PySpark implementation with the ANSI-SQL
+oracle DuckDB runs on the same parquet tables. Column names are aliased
+identically on both sides (the driver hashes values after sorting columns
+by name). Floating aggregates are rounded identically on both sides to
+absorb summation-order ULP differences (SURVEY.md §7).
+
+Reference provenance for each operator is cited in the Parity docstrings
+as reference-file:line (see /root/reference)."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import aggregates as agg_ops
+from .operators import relational as rel_ops
+from .operators import windows as win_ops
+from .operators.windows import business_day_snap
+from .registry import TABLE_NAMES, load_table, register_views
+
+
+@dataclass
+class Parity:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+PARITY: dict[str, Parity] = {}
+
+
+def parity(name: str, sql: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        PARITY[name] = Parity(fn=fn, sql=sql, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# Cross-engine ROUND tie-breaker: Spark rounds the shortest decimal repr of
+# a double (HALF_UP on the string) while DuckDB rounds the binary value, so
+# a value whose repr terminates in ...5 at the round position (e.g. 0.73135
+# → 0.7314 vs 0.7313) diverges. Adding a sub-grid epsilon on BOTH sides
+# before rounding breaks exact-decimal ties without moving anything else.
+# Needed only for avg/quantile/corr/ratio outputs (sums of 2-decimal data
+# rounded at 2 are already on-grid). See SURVEY.md §7 "nondeterministic
+# float reduction".
+EPS = 1e-9
+
+
+def r_(col, n: int):
+    """Tie-safe round for ratio-like doubles (mirrored in oracle SQL as
+    ROUND(x + 1e-9, n))."""
+    return F.round(col + F.lit(EPS), n)
+
+
+def _scratch(sf_dir: str) -> str:
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    d = os.path.abspath(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "scan_jdbc",
+    sql="SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+    doc="Relational-table scan through a declared schema (ref: "
+    "fill_postgresql.sql:1-10, trino/catalog/trinodemo.properties:1-4). "
+    "Testdata stand-in: parquet with registry StructType.",
+)
+def scan_jdbc(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+
+
+@parity(
+    "scan_document",
+    sql="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc="Document-collection scan with sidecar-declared schema (ref: "
+    "trino/catalog/mongodb.properties:3, fillMongoDB.ipynb:510-556).",
+)
+def scan_document(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@parity(
+    "scan_kafka_json",
+    sql="""
+    SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, value,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k
+    FROM events
+    """,
+    doc="Kafka-topic-as-table scan: JSON payload decoded per declared field "
+    "mapping incl. iso8601 date (ref: trino/kafka/stockdata.json:1-41, "
+    "kafka.properties:2,5-6). Spark: from_json on the payload column.",
+)
+def scan_kafka_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    decoded = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        "event_type",
+        "value",
+        decoded.getField("k").alias("k"),
+    )
+
+
+@parity(
+    "scan_kafka_meta",
+    sql="SELECT event_id, epoch_ns(ts)//1000000 AS ts_ms, event_type FROM events",
+    doc="Broker metadata columns exposed alongside payload (ref: "
+    "kafka.properties:4 hide-internal-columns=false; used as w._timestamp "
+    "KubeflowStockPricePrediction.ipynb:786).",
+)
+def scan_kafka_meta(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts_ns div 1000000").alias("ts_ms"), "event_type"
+    )
+
+
+@parity(
+    "scan_csv_header",
+    sql="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="CSV scan with header row + inference (ref: fillMongoDB.ipynb:176-185). "
+    "Round-trips nation through CSV (int/string only → lossless).",
+)
+def scan_csv_header(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "nation_csv")
+    _t(spark, sf_dir, "nation").write.mode("overwrite").csv(path, header=True)
+    return (
+        spark.read.csv(path, header=True, inferSchema=True)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@parity(
+    "scan_csv_typed_header",
+    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate FROM orders",
+    doc="CSV with typed header semantics: explicit StructType + dateFormat "
+    "(ref: demo_data/weather_ny_2012-2022.csv:1 header "
+    "`_id.date_ms(yyyy-MM-dd)`, vanilla_k8s...txt:248).",
+)
+def scan_csv_typed_header(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "orders_typed_csv")
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .write.mode("overwrite")
+        .csv(path, header=True)
+    )
+    return spark.read.csv(
+        path,
+        header=True,
+        schema="o_orderkey BIGINT, o_orderdate DATE",
+        dateFormat="yyyy-MM-dd",
+    )
+
+
+@parity(
+    "sink_csv",
+    sql="SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus",
+    doc="Query result → CSV artifact boundary (ref: "
+    "KubeflowStockPricePrediction.ipynb:184 df.to_csv) and back.",
+)
+def sink_csv(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "status_counts_csv")
+    (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .write.mode("overwrite")
+        .csv(path, header=True)
+    )
+    return spark.read.csv(path, header=True, schema="o_orderstatus STRING, cnt BIGINT")
+
+
+@parity(
+    "sink_kafka_json",
+    sql="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    doc="Rows → JSON messages → typed rows round trip (ref producers: "
+    "stockDataProducer.py:36-53 value_serializer=json.dumps; decode per "
+    "trino/kafka table mapping). Spark: to_json(struct(*)) ⇄ from_json.",
+)
+def sink_kafka_json(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    msg = sup.select(
+        F.to_json(F.struct("s_suppkey", "s_name", "s_nationkey", "s_acctbal")).alias("value")
+    )
+    schema = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    return msg.select(F.from_json("value", schema).alias("m")).select("m.*")
+
+
+@parity(
+    "sink_jdbc_copy",
+    sql="""
+    SELECT DISTINCT TRY_CAST(replace('$' || l_orderkey, '$', '') AS BIGINT) AS okey
+    FROM lineitem
+    """,
+    doc="Bulk CSV→relational load incl. `sed 's/\\$//g'` money cleanup "
+    "(ref: fill_postgresql.sql:12, openshift...txt:27-44). "
+    "regexp_replace + try_cast so malformed rows null out, not fail.",
+)
+def sink_jdbc_copy(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    money = F.concat(F.lit("$"), F.col("l_orderkey").cast("string"))
+    return (
+        li.select(
+            F.regexp_replace(money, r"\$", "").try_cast("bigint").alias("okey")
+        ).distinct()
+    )
+
+
+@parity(
+    "catalog_ops",
+    sql="SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}')" for t in sorted(TABLE_NAMES))
+    + ") t(table_name)",
+    doc="SHOW CATALOGS/TABLES smoke surface (ref: "
+    "vanilla_k8s_trino_demo_installation.txt:764-773). Registers all "
+    "catalog tables as views and lists them from the session catalog.",
+)
+def catalog_ops(spark, sf_dir):
+    register_views(spark, sf_dir)
+    listed = sorted(
+        t.name for t in spark.catalog.listTables() if t.name in TABLE_NAMES
+    )
+    return spark.createDataFrame([(n,) for n in listed], "table_name string")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "project_cols",
+    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
+    "o_totalprice, o_orderstatus FROM orders",
+    doc="Explicit column list (ref: localTrinoTest.ipynb:119 9-col select).",
+)
+def project_cols(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+
+
+@parity(
+    "project_drop",
+    sql="SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+    doc="Drop columns (ref: fillMongoDB.ipynb:183-185 drops TSUN/WT*).",
+)
+def project_drop(spark, sf_dir):
+    return _t(spark, sf_dir, "part").drop("p_type", "p_size")
+
+
+@parity(
+    "project_rename",
+    sql="SELECT n_nationkey AS nkey, n_name AS nname, n_regionkey AS rkey FROM nation",
+    doc="Positional rename of result columns (ref: localTrinoTest.ipynb:123 "
+    "df.columns = [...]).",
+)
+def project_rename(spark, sf_dir):
+    return _t(spark, sf_dir, "nation").toDF("nkey", "nname", "rkey")
+
+
+@parity(
+    "project_const",
+    sql="SELECT r_regionkey, r_name, CAST(0.0 AS DOUBLE) AS close_const FROM region",
+    doc="Insert constant column (ref: localTrinoTest.ipynb:1484 Close=0).",
+)
+def project_const(spark, sf_dir):
+    return _t(spark, sf_dir, "region").withColumn("close_const", F.lit(0.0))
+
+
+@parity(
+    "project_arith",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           (l_tax + l_discount) / 2.0 AS mid_rate,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+    doc="Derived arithmetic columns (ref: weatherProducer.py:24,33 "
+    "tavg=(min+max)/2; localTrinoTest.ipynb:946 residuals).",
+)
+def project_arith(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("l_tax") + F.col("l_discount")) / F.lit(2.0)).alias("mid_rate"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@parity(
+    "filter_date_lt",
+    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice "
+    "FROM orders WHERE o_orderdate < DATE '1998-01-01'",
+    doc="Date-literal `<` predicate (ref: localTrinoTest.ipynb:121 "
+    "WHERE a.Date < date '2022-09-01'). Pushed to the parquet scan.",
+)
+def filter_date_lt(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        .select(
+            "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_totalprice"
+        )
+    )
+
+
+@parity(
+    "filter_date_gt",
+    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice "
+    "FROM orders WHERE o_orderdate > DATE '2000-06-01'",
+    doc="Date-literal `>` predicate (ref: localTrinoTest.ipynb:1186,1476).",
+)
+def filter_date_gt(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") > F.lit("2000-06-01").cast("date"))
+        .select(
+            "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_totalprice"
+        )
+    )
+
+
+@parity(
+    "filter_conj",
+    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderstatus "
+    "FROM orders WHERE o_orderdate > DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'",
+    doc="Conjunction of range predicates (ref: "
+    "KubeflowStockPricePrediction.ipynb:788 a.date > X AND w.date < Y).",
+)
+def filter_conj(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") > F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .select(
+            "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderstatus"
+        )
+    )
+
+
+@parity(
+    "filter_str_eq",
+    sql="SELECT c_custkey, c_name, c_mktsegment FROM customer "
+    "WHERE c_mktsegment = 'BUILDING'",
+    doc="String equality filter (ref: fillMongoDB.ipynb:182 "
+    "NAME == 'LAGUARDIA AIRPORT, NY US').",
+)
+def filter_str_eq(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@parity(
+    "filter_notnull",
+    sql="""
+    SELECT event_id, v FROM (
+      SELECT event_id, CASE WHEN value < 1 THEN NULL ELSE value END AS v FROM events
+    ) WHERE v IS NOT NULL
+    """,
+    doc="dropna over a nullable measure (ref: localTrinoTest.ipynb:1193,1483).",
+)
+def filter_notnull(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("value"))
+    return ev.select("event_id", v.alias("v")).na.drop(subset=["v"])
+
+
+@parity(
+    "null_fill",
+    sql="""
+    SELECT event_id,
+           COALESCE(CASE WHEN value < 1 THEN NULL ELSE value END, 0.0) AS v_filled
+    FROM events
+    """,
+    doc="fillna(0) over NULL-ish values (ref: fillMongoDB.ipynb:187, "
+    "localTrinoTest.ipynb:127 'NaN'→0; string-sentinel path unit-tested in "
+    "functions.scalars.normalize_nullish).",
+)
+def null_fill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 1, F.lit(None)).otherwise(F.col("value"))
+    return ev.select("event_id", v.alias("v")).na.fill({"v": 0.0}).withColumnRenamed(
+        "v", "v_filled"
+    )
+
+
+@parity(
+    "cast_f32",
+    sql="SELECT l_orderkey, l_linenumber, CAST(l_quantity AS REAL) AS qty_f32, "
+    "CAST(l_extendedprice AS REAL) AS price_f32 FROM lineitem",
+    doc="float32 casts of measure columns (ref: localTrinoTest.ipynb:128-129).",
+)
+def cast_f32(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("float").alias("qty_f32"),
+        F.col("l_extendedprice").cast("float").alias("price_f32"),
+    )
+
+
+@parity(
+    "parse_date",
+    sql="""
+    SELECT event_date, COUNT(*) AS cnt FROM (
+      SELECT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS event_date FROM events
+    ) GROUP BY event_date
+    """,
+    doc="Parse %Y-%m-%d strings to dates (ref: localTrinoTest.ipynb:124,1190, "
+    "fillMongoDB.ipynb:357 strptime).",
+)
+def parse_date(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date(F.date_format("ts", "yyyy-MM-dd"), "yyyy-MM-dd")
+    return ev.select(d.alias("event_date")).groupBy("event_date").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@parity(
+    "bday_period",
+    sql="""
+    SELECT o_orderkey,
+           CASE WHEN dayofweek(o_orderdate) = 6 THEN CAST(o_orderdate AS DATE) + 2
+                WHEN dayofweek(o_orderdate) = 0 THEN CAST(o_orderdate AS DATE) + 1
+                ELSE CAST(o_orderdate AS DATE) END AS bday
+    FROM orders
+    """,
+    doc="pandas to_period('B') business-day snap: weekends roll FORWARD to "
+    "Monday (verified against pandas; ref: localTrinoTest.ipynb:1191,1481). "
+    "Pure date arithmetic, no UDF.",
+)
+def bday_period(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", business_day_snap(F.col("o_orderdate")).alias("bday"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+_DAILY_LI_SQL = """
+  SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_items,
+         ROUND(SUM(l_extendedprice), 2) AS ship_value
+  FROM lineitem GROUP BY 1
+"""
+_DAILY_ORD_SQL = """
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS order_value
+  FROM orders GROUP BY 1
+"""
+
+
+def _daily_lineitem(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("ship_value"),
+        )
+    )
+
+
+def _daily_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("order_value"),
+        )
+    )
+
+
+@parity(
+    "join_inner_eq",
+    sql=f"""
+    SELECT li.day, li.n_items, li.ship_value, o.n_orders, o.order_value
+    FROM ({_DAILY_LI_SQL}) li
+    JOIN ({_DAILY_ORD_SQL}) o ON li.day = o.day
+    WHERE li.day < DATE '2000-01-01'
+    ORDER BY li.day
+    """,
+    doc="FLAGSHIP (J1): cross-source inner equi-join on a date key with "
+    "timestamp⋈date coercion + filter + sort (ref: localTrinoTest.ipynb:"
+    "119-121 weatherny ⋈ applehistory ON w._id = a.Date). Here: daily "
+    "lineitem ⋈ daily orders. Both sides pre-aggregate (map-side partial "
+    "agg) before one shuffle each; the joined key space (~2.5k days) is "
+    "tiny regardless of fact-table scale — the 100 TB-safe shape.",
+    tags=("flagship",),
+)
+def join_inner_eq(spark, sf_dir):
+    li = _daily_lineitem(spark, sf_dir)
+    o = _daily_orders(spark, sf_dir)
+    return (
+        li.join(o, on="day", how="inner")
+        .filter(F.col("day") < F.lit("2000-01-01").cast("date"))
+        .select("day", "n_items", "ship_value", "n_orders", "order_value")
+        .orderBy("day")
+    )
+
+
+@parity(
+    "join_left_outer",
+    sql=f"""
+    SELECT li.day, li.n_items, o.n_orders, o.order_value
+    FROM ({_DAILY_LI_SQL}) li
+    LEFT OUTER JOIN ({_DAILY_ORD_SQL}) o ON li.day = o.day
+    """,
+    doc="LEFT OUTER JOIN over two stream-shaped tables (ref: "
+    "localTrinoTest.ipynb:1184-1186 trinoweather LEFT OUTER JOIN "
+    "trinostock). Ship-days past the last order date yield NULL right sides.",
+)
+def join_left_outer(spark, sf_dir):
+    li = _daily_lineitem(spark, sf_dir)
+    o = _daily_orders(spark, sf_dir)
+    return li.join(o, on="day", how="left_outer").select(
+        "day", "n_items", "n_orders", "order_value"
+    )
+
+
+@parity(
+    "join_null_filter",
+    sql=f"""
+    SELECT li.day, li.n_items, o.n_orders
+    FROM ({_DAILY_LI_SQL}) li
+    LEFT OUTER JOIN ({_DAILY_ORD_SQL}) o ON li.day = o.day
+    WHERE o.day > DATE '1996-01-01'
+    """,
+    doc="Semantic quirk reproduced: LOJ + WHERE on the nullable right side "
+    "discards unmatched rows ⇒ effectively inner (ref: localTrinoTest."
+    "ipynb:1186). Catalyst's EliminateOuterJoin rewrites it — asserted in "
+    "tests via the physical plan.",
+)
+def join_null_filter(spark, sf_dir):
+    li = _daily_lineitem(spark, sf_dir)
+    o = _daily_orders(spark, sf_dir).withColumnRenamed("day", "o_day")
+    return (
+        li.join(o, li["day"] == o["o_day"], "left_outer")
+        .filter(F.col("o_day") > F.lit("1996-01-01").cast("date"))
+        .select("day", "n_items", "n_orders")
+    )
+
+
+@parity(
+    "join_ci_keys",
+    sql="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, o.o_orderkey AS orderkey
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderdate < DATE '1995-03-01'
+    """,
+    doc="Case-insensitive identifier resolution across keys/tables (ref: "
+    "localTrinoTest.ipynb:1186 ON w.DATE = a.date; Spark default "
+    "spark.sql.caseSensitive=false).",
+)
+def join_ci_keys(spark, sf_dir):
+    register_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT C.C_CUSTKEY AS custkey, c.C_NAME AS name, O.o_orderkey AS orderkey
+        FROM CUSTOMER c JOIN Orders O ON c.c_CUSTKEY = o.O_CUSTKEY
+        WHERE o.O_ORDERDATE < DATE '1995-03-01'
+        """
+    )
+
+
+@parity(
+    "align_row_concat",
+    sql="""
+    SELECT a.day, a.click_avg, b.view_avg FROM
+      (SELECT CAST(ts AS DATE) AS day, ROUND(AVG(value) + 1e-9, 2) AS click_avg
+       FROM events WHERE event_type = 'click' GROUP BY 1) a
+    JOIN
+      (SELECT CAST(ts AS DATE) AS day, ROUND(AVG(value) + 1e-9, 2) AS view_avg
+       FROM events WHERE event_type = 'view' GROUP BY 1) b
+    ON a.day = b.day
+    """,
+    doc="Index-aligned concat of two frames = equi-join on the time key "
+    "(ref: localTrinoTest.ipynb:942-948 pd.concat on DatetimeIndex).",
+)
+def align_row_concat(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def daily_avg(etype, alias):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(r_(F.avg("value"), 2).alias(alias))
+        )
+
+    return daily_avg("click", "click_avg").join(
+        daily_avg("view", "view_avg"), on="day", how="inner"
+    )
+
+
+@parity(
+    "join_semi",
+    sql="SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="Left-semi join (EXISTS). Not declared by the reference; inherited "
+    "from df.join(how='left_semi') per SURVEY.md §2.3 and tested here.",
+)
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@parity(
+    "join_anti",
+    sql="SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="Left-anti join (NOT EXISTS).",
+)
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@parity(
+    "join_cross",
+    sql="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="Cross join (small dims only — broadcast nested loop).",
+)
+def join_cross(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@parity(
+    "join_full",
+    sql="""
+    SELECT cn.c_nationkey, sn.s_nationkey
+    FROM (SELECT DISTINCT c_nationkey FROM customer) cn
+    FULL OUTER JOIN (SELECT DISTINCT s_nationkey FROM supplier) sn
+    ON cn.c_nationkey = sn.s_nationkey
+    """,
+    doc="Full outer join over distinct key sets.",
+)
+def join_full(spark, sf_dir):
+    cn = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    sn = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    return cn.join(sn, cn["c_nationkey"] == sn["s_nationkey"], "full_outer").select(
+        "c_nationkey", "s_nationkey"
+    )
+
+
+@parity(
+    "join_asof",
+    sql=f"""
+    SELECT o.day, o.n_orders, li.day AS match_day, li.ship_value
+    FROM ({_DAILY_ORD_SQL}) o
+    ASOF LEFT JOIN ({_DAILY_LI_SQL}) li ON o.day >= li.day
+    """,
+    doc="As-of (nearest-earlier) join — extension operator (SURVEY.md §2.3 "
+    "notes its absence in the reference). Union-merge + last(ignorenulls) "
+    "window: ONE shuffle, no range explosion; holds at 100 TB.",
+)
+def join_asof(spark, sf_dir):
+    o = _daily_orders(spark, sf_dir).select("day", "n_orders")
+    li = _daily_lineitem(spark, sf_dir).select(
+        "day", F.col("day").alias("match_day"), "ship_value"
+    )
+    return rel_ops.asof_join(
+        o, li, on="day", right_value_cols=["match_day", "ship_value"]
+    ).select("day", "n_orders", "match_day", "ship_value")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "agg_minmax",
+    sql="""
+    SELECT MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+           MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max,
+           CAST(MIN(l_shipdate) AS DATE) AS ship_min,
+           CAST(MAX(l_shipdate) AS DATE) AS ship_max
+    FROM lineitem
+    """,
+    doc="Per-column min/max (MinMaxScaler.fit, ref: localTrinoTest.ipynb:"
+    "467-472). Exact — no rounding needed (min/max are order-insensitive).",
+)
+def agg_minmax(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+        F.to_date(F.min("l_shipdate")).alias("ship_min"),
+        F.to_date(F.max("l_shipdate")).alias("ship_max"),
+    )
+
+
+@parity(
+    "agg_quantiles",
+    sql="""
+    SELECT ROUND(quantile_cont(l_quantity, 0.25) + 1e-9, 4) AS qty_q25,
+           ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS qty_q50,
+           ROUND(quantile_cont(l_quantity, 0.75) + 1e-9, 4) AS qty_q75,
+           ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS price_q50
+    FROM lineitem
+    """,
+    doc="Median + IQR (RobustScaler.fit, ref: KubeflowStockPricePrediction."
+    "ipynb:272-311). Exact percentile here for oracle parity; "
+    "operators.aggregates.robust_fit(exact=False) is the approx_percentile "
+    "sketch path for 100 TB.",
+)
+def agg_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        r_(F.expr("percentile(l_quantity, 0.25)"), 4).alias("qty_q25"),
+        r_(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_q50"),
+        r_(F.expr("percentile(l_quantity, 0.75)"), 4).alias("qty_q75"),
+        r_(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("price_q50"),
+    )
+
+
+@parity(
+    "agg_corr",
+    sql="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_l_quantity_l_extendedprice,
+           ROUND(corr(l_extendedprice, l_discount) + 1e-9, 6) AS corr_l_extendedprice_l_discount,
+           ROUND(corr(l_quantity, l_tax) + 1e-9, 6) AS corr_l_quantity_l_tax
+    FROM lineitem
+    """,
+    doc="Pairwise Pearson correlation (ref: localTrinoTest.ipynb:438-440 "
+    "8×8 matrix) in ONE aggregate pass; rounded for cross-engine "
+    "determinism (float reduction order).",
+)
+def agg_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return agg_ops.corr_pairs(
+        li,
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_extendedprice", "l_discount"),
+            ("l_quantity", "l_tax"),
+        ],
+    )
+
+
+@parity(
+    "agg_count",
+    sql=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, COUNT(*) AS cnt FROM {t}"
+        for t in sorted(TABLE_NAMES)
+    ),
+    doc="Row-count validation per table (ref: fillMongoDB.ipynb:186, "
+    "KubeflowStockPricePrediction.ipynb:183-184).",
+)
+def agg_count(spark, sf_dir):
+    frames = [
+        _t(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count("*").alias("cnt")
+        )
+        for t in sorted(TABLE_NAMES)
+    ]
+    return rel_ops.union_all(frames)
+
+
+@parity(
+    "agg_error_metrics",
+    sql="""
+    SELECT ROUND(AVG(ABS(l_extendedprice - l_extendedprice * (1 - l_discount))) + 1e-9, 4) AS mae,
+           ROUND(AVG(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice)) * 100 + 1e-9, 4) AS mape,
+           ROUND(quantile_cont(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice), 0.5) * 100 + 1e-9, 4) AS mdape
+    FROM lineitem
+    """,
+    doc="MAE / MAPE / MDAPE between truth and prediction (ref: "
+    "localTrinoTest.ipynb:903-919); prediction stand-in = discounted price.",
+)
+def agg_error_metrics(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "pred", F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
+    return agg_ops.error_metrics(li, "l_extendedprice", "pred", round_to=4)
+
+
+@parity(
+    "agg_last_scalar",
+    sql="SELECT o_totalprice AS last_price FROM orders "
+    "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1",
+    doc="Last value of a column in time order (ref: "
+    "KubeflowStockPricePrediction.ipynb:570-571 df1.iloc[-1,0]). "
+    "TakeOrderedAndProject — no global sort.",
+)
+def agg_last_scalar(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return agg_ops.last_scalar(o, ["o_orderdate", "o_orderkey"], "o_totalprice").select(
+        F.col("o_totalprice").alias("last_price")
+    )
+
+
+@parity(
+    "agg_groupby_key",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
+           ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Keyed groupBy aggregate (TPC-H Q1 shape) — the SURVEY.md §2.4 "
+    "`agg_groupby_key` extension; partial+final HashAggregate, map-side "
+    "combine before the single shuffle. Bench headline query q1.",
+    tags=("bench",),
+)
+def agg_groupby_key(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            r_(F.avg("l_quantity"), 4).alias("avg_qty"),
+            r_(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            r_(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions & sequence ops
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "win_dedup_keeplast",
+    sql="""
+    SELECT user_id, event_type, event_id, value FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="Keep-last dedup: latest message per key wins (ref: "
+    "KubeflowStockPricePrediction.ipynb:547-549 sort by timestamp + "
+    "drop_duplicates keep='last'). row_number over desc broker time.",
+)
+def win_dedup_keeplast(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return rel_ops.keep_last(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+@parity(
+    "win_tail_n",
+    sql="""
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    ) ORDER BY ts, event_id
+    """,
+    doc="Last N rows by time order (ref: localTrinoTest.ipynb:1194 df[-10:]).",
+)
+def win_tail_n(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return rel_ops.tail_n(ev, 10, [F.col("ts"), F.col("event_id")]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@parity(
+    "win_split_chrono",
+    sql="""
+    SELECT o_orderkey,
+           CASE WHEN percent_rank() OVER (ORDER BY o_orderdate, o_orderkey) < 0.8
+                THEN 'train' ELSE 'test' END AS split
+    FROM orders
+    """,
+    doc="Chronological train/test split, no shuffle of rows (ref: "
+    "localTrinoTest.ipynb:535 train_test_split(shuffle=False)). "
+    "percent_rank for exact parity; chrono_split_by_cutoff is the "
+    "sort-free 100 TB path.",
+)
+def win_split_chrono(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return rel_ops.chrono_split(
+        o, order_by=[F.col("o_orderdate"), F.col("o_orderkey")], train_fraction=0.8
+    ).select("o_orderkey", "split")
+
+
+@parity(
+    "win_sliding_seq",
+    sql="""
+    SELECT user_id, event_id, seq, label FROM (
+      SELECT user_id, event_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq,
+             lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS label
+      FROM events
+    ) WHERE len(seq) = 3 AND label IS NOT NULL
+    """,
+    doc="Sliding sequence windows (len 3, stride 1) + next-value label "
+    "(ref: partition_dataset, localTrinoTest.ipynb:593-612; invariant "
+    "x[i][L-1] == context of y[i-1] tested in tests/test_windows.py). "
+    "collect_list over rowsBetween — no explosion, O(L) per row.",
+)
+def win_sliding_seq(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = win_ops.sliding_sequences(
+        ev,
+        order_by=[F.col("ts"), F.col("event_id")],
+        feature_cols=["value"],
+        label_col="value",
+        length=3,
+        partition_by=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("seq").getField("value").alias("seq"),
+        "label",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "sort_global_asc",
+    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice "
+    "FROM orders ORDER BY o_orderdate, o_orderkey",
+    doc="Global ORDER BY date ASC (ref: localTrinoTest.ipynb:121). "
+    "Range-partitioned total sort; kept as a final presentation op only "
+    "(SURVEY.md §7: never mid-pipeline at scale).",
+)
+def sort_global_asc(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_totalprice"
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+@parity(
+    "sort_multi",
+    sql="SELECT event_id, event_type, value FROM events "
+    "ORDER BY event_type ASC, value DESC, event_id",
+    doc="Multi-column re-sort (ref: KubeflowStockPricePrediction.ipynb:"
+    "548,552 sort by timestamp then Date).",
+)
+def sort_multi(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy(F.col("event_type").asc(), F.col("value").desc(), F.col("event_id"))
+    )
+
+
+@parity(
+    "limit_n",
+    sql="SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+    doc="LIMIT smoke query (ref: vanilla_k8s...txt:768 SELECT * LIMIT 5) "
+    "made deterministic via total order; plans TakeOrderedAndProject.",
+)
+def limit_n(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(5)
+    )
+
+
+@parity(
+    "topk_tail",
+    sql=f"""
+    SELECT day, n_orders FROM (
+      SELECT day, n_orders FROM ({_DAILY_ORD_SQL}) ORDER BY day DESC LIMIT 10
+    ) ORDER BY day
+    """,
+    doc="Top-k by recency (ref: §2.5 win_tail_n over the daily frame).",
+)
+def topk_tail(spark, sf_dir):
+    daily = _daily_orders(spark, sf_dir).select("day", "n_orders")
+    return rel_ops.tail_n(daily, 10, [F.col("day")])
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "union_all",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Concatenate homogeneous frames (ref: fillMongoDB.ipynb:177-181 "
+    "pd.concat of 5 CSVs). unionByName — narrow op, no shuffle.",
+)
+def union_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    return rel_ops.union_all(
+        [o.filter(F.col("o_orderstatus") == "O"), o.filter(F.col("o_orderstatus") == "F")]
+    )
+
+
+@parity(
+    "distinct_rows",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+    doc="SELECT DISTINCT over the projection — dedups replayed stream "
+    "messages (ref: localTrinoTest.ipynb:1184,1475).",
+)
+def distinct_rows(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@parity(
+    "dedup_full_row",
+    sql="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="Full-row drop_duplicates after fetch (ref: "
+    "KubeflowStockPricePrediction.ipynb:183).",
+)
+def dedup_full_row(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+    )
+
+
+@parity(
+    "setop_intersect",
+    sql="SELECT DISTINCT c_nationkey AS nationkey FROM customer "
+    "INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier",
+    doc="INTERSECT (SURVEY.md §2.7: free via df.intersect; declared because "
+    "implemented+tested).",
+)
+def setop_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@parity(
+    "setop_except",
+    sql="SELECT DISTINCT p_size AS size FROM part "
+    "EXCEPT SELECT DISTINCT p_size AS size FROM part WHERE p_size <= 25",
+    doc="EXCEPT (distinct set difference).",
+)
+def setop_except(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(F.col("p_size").alias("size")).distinct()
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select(F.col("p_size").alias("size"))
+        .distinct()
+    )
+    return p.exceptAll(small).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "f_date_arith",
+    sql="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) - 1 AS prev_day,
+           CAST(o_orderdate AS DATE) + 7 AS next_week,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
+    FROM orders
+    """,
+    doc="Date arithmetic: date_sub/date_add/datediff (ref: "
+    "weatherProducerHistory.py:9-11 now + timedelta(days=-1)).",
+)
+def f_date_arith(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_sub(d, 1).alias("prev_day"),
+        F.date_add(d, 7).alias("next_week"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+    )
+
+
+@parity(
+    "f_str_funcs",
+    sql="""
+    SELECT c_custkey, UPPER(c_name) AS name_upper, LENGTH(c_name) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           c_name || '/' || c_mktsegment AS name_seg
+    FROM customer
+    """,
+    doc="String scalar surface: upper/length/substring/concat (ref string "
+    "ops: openshift...txt:29, weatherProducerHistory.py:27).",
+)
+def f_str_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+    )
+
+
+@parity(
+    "f_cond",
+    sql="""
+    SELECT bucket, COUNT(*) AS cnt FROM (
+      SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'low' END AS bucket
+      FROM orders
+    ) GROUP BY bucket
+    """,
+    doc="Conditional value rewrite (ref: weatherProducer.py:36 "
+    "`0.0 if not v else v`; localTrinoTest.ipynb:964 residual coloring).",
+)
+def f_cond(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+    )
+    return o.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@parity(
+    "f_scale_affine",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           (l_quantity - mm.mn) / (mm.mx - mm.mn) AS qty_scaled
+    FROM lineitem,
+         (SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem) mm
+    """,
+    doc="Affine scale with engine-side fit (MinMaxScaler transform, ref: "
+    "localTrinoTest.ipynb:467-476): global agg → 1-row broadcast cross "
+    "join → column arithmetic. Nothing collects to the driver.",
+)
+def f_scale_affine(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fit = agg_ops.minmax_fit(li, ["l_quantity"])
+    out = agg_ops.minmax_transform(li, fit, ["l_quantity"])
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity_scaled").alias("qty_scaled")
+    )
+
+
+@parity(
+    "f_math_absdiv",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice) AS rel_err
+    FROM lineitem
+    """,
+    doc="abs((y-p)/y) elementwise — the MAPE core (ref: "
+    "localTrinoTest.ipynb:915,919).",
+)
+def f_math_absdiv(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice")
+    p = y * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey", "l_linenumber", F.abs((y - p) / y).alias("rel_err")
+    )
+
+
+@parity(
+    "f_json_serde",
+    sql="SELECT event_id, value AS value_rt FROM events",
+    doc="JSON encode→decode round trip (ref: stockDataProducer.py:38 "
+    "json.dumps producer + trino/kafka mapping decode). to_json(struct) "
+    "then from_json recovers the typed value exactly.",
+)
+def f_json_serde(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    enc = ev.select(
+        "event_id", F.to_json(F.struct("event_id", "value")).alias("msg")
+    )
+    dec = enc.select(
+        "event_id",
+        F.from_json("msg", "event_id BIGINT, value DOUBLE").getField("value").alias("value_rt"),
+    )
+    return dec
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Streaming-only semantics (batch-equivalent parity; native streaming
+# variants live in trino_demo_spark.streaming and are tested in pytest)
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "stream_ts_upper_bound",
+    sql="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE ts <= TIMESTAMP '2024-01-15 12:00:01'
+    GROUP BY event_type
+    """,
+    doc="Timestamp upper bound pushed into the unbounded-table scan (ref: "
+    "kafka.properties:7 timestamp-upper-bound-force-push-down-enabled). "
+    "On parquet the predicate reaches the scan (PushedFilters); on Kafka "
+    "the sources.kafka.bounded_scan wrapper lifts it into "
+    "startingTimestamp/endingTimestamp options.",
+)
+def stream_ts_upper_bound(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") <= F.lit("2024-01-15 12:00:01").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@parity(
+    "stream_dedup_late",
+    sql="""
+    SELECT user_id, CAST(ts AS DATE) AS day, event_id, value FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="Late/duplicate collapse: latest revision per (entity, day) wins "
+    "(ref: KubeflowStockPricePrediction.ipynb:547-549,786; streaming-native "
+    "variant = withWatermark + dropDuplicates in streaming.kafka_shape).",
+)
+def stream_dedup_late(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return rel_ops.keep_last(
+        ev, keys=["user_id", "day"], order_by=[F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "day", "event_id", "value")

@@ -1,0 +1,260 @@
+"""LLM-data-pipeline parity entries (SURVEY.md §2.10) over the
+`documents` / `embeddings` testdata tables.
+
+Oracle-backed where SQL-expressible; MinHash/SimHash/LSH candidate
+generation uses engine hashing with no DuckDB equivalent → registered
+without oracle (driver records rows-only checks, as the contract allows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .llm import dedup, multimodal, similarity, text
+from .parity import _t, parity
+
+# Shared SQL fragments so the oracle tokenization matches
+# llm.dedup.tokens_col exactly.
+_TOK = "regexp_split_to_array(trim(text), '\\s+')"
+
+_COS_SQL = """
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         (SELECT SUM(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))
+          FROM range(1, 65) r(i)) /
+         (sqrt((SELECT SUM(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
+          sqrt((SELECT SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
+  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+)
+"""
+
+
+@parity(
+    "llm_dedup_exact",
+    sql="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, sha256(text) AS content_hash
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup: hash-groupBy on content, keep smallest id. sha2-256 "
+    "emitted (identical hex across engines).",
+)
+def llm_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@parity(
+    "llm_dedup_ngram",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ng AS (SELECT DISTINCT doc_id,
+                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.1
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs (inverted-index "
+    "self-join on the shingle; integer counts → bit-identical ratios).",
+)
+def llm_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.1
+    )
+
+
+@parity(
+    "llm_dedup_minhash",
+    sql=None,  # engine-hash based; driver records rows-only check
+    doc="MinHash(32)+LSH(8 bands) near-dup candidates with "
+    "signature-estimated Jaccard ≥ 0.5. Shuffle-bounded (groupBy band "
+    "hash) — the 100 TB dedup path. Cross-checked against the exact "
+    "n-gram Jaccard op in tests/test_llm.py.",
+)
+def llm_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=32, bands=8, threshold=0.5
+    )
+
+
+@parity(
+    "llm_dedup_simhash",
+    sql=None,
+    doc="64-bit SimHash fingerprints + banded Hamming-distance near-pairs "
+    "(≤ 8 bits). Engine xxhash64 → rows-only check; invariants tested in "
+    "tests/test_llm.py.",
+)
+def llm_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@parity(
+    "llm_similarity_topk",
+    sql=_COS_SQL
+    + """
+    SELECT q_id, n_id, sim, rank FROM (
+      SELECT q_id, n_id, ROUND(cos + 1e-9, 4) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos + 1e-9, 4) DESC, n_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 3
+    """,
+    doc="Brute-force cosine top-k (k=3) for a bounded query set (vec_id < "
+    "20) against the whole corpus: broadcast queries, zip_with/aggregate "
+    "dot product in DOUBLE, row_number top-k. Rounded sims + id tiebreak "
+    "for engine-independent ranking.",
+)
+def llm_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+@parity(
+    "llm_similarity_lsh",
+    sql=None,
+    doc="Sign-LSH (8 fixed hyperplanes) bucketed approximate top-k — the "
+    "scale path: candidates join only within a bucket. Recall vs "
+    "brute-force measured in tests/test_llm.py.",
+)
+def llm_similarity_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+@parity(
+    "llm_embed_neardup",
+    sql="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+              FROM range(1, 65) r(i)) /
+             (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
+              sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
+    WHERE ROUND(cos + 1e-9, 4) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (sim ≥ 0.4). All-pairs "
+    "baseline; LSH bucket join is the scale path with the same contract.",
+)
+def llm_embed_neardup(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@parity(
+    "llm_text_tokens",
+    sql=f"""
+    SELECT doc_id,
+           len({_TOK}) AS n_tokens,
+           length(text) AS n_chars_txt,
+           ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len({_TOK}) + 1e-9, 4) AS avg_token_len,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish chars/4 estimate.",
+)
+def llm_text_tokens(spark, sf_dir):
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@parity(
+    "llm_text_quality",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_TOK}) AS n_tokens,
+             length(text) AS n_chars,
+             ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4) AS punct_ratio,
+             ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4) AS digit_ratio,
+             ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4) AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, punct_ratio, digit_ratio, stop_ratio,
+           ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) AS quality
+    FROM base
+    """,
+    doc="Heuristic quality scoring: punctuation/digit density + stopword "
+    "ratio + length saturation (C4/Gopher-style filters, simplified).",
+)
+def llm_text_quality(spark, sf_dir):
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@parity(
+    "llm_text_langid",
+    sql=f"""
+    WITH h AS (
+      SELECT doc_id, text,
+             len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS hits_en,
+             len(list_filter({_TOK}, x -> x IN ('el', 'la', 'de', 'que', 'y'))) AS hits_es,
+             len(list_filter({_TOK}, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS hits_de,
+             len(list_filter({_TOK}, x -> x IN ('le', 'la', 'et', 'les', 'des'))) AS hits_fr,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_cjk > 0 THEN 'zh'
+                WHEN greatest(hits_en, hits_es, hits_de, hits_fr) <= 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           hits_en, hits_es, hits_de, hits_fr
+    FROM h
+    """,
+    doc="Language-ID heuristic: per-language stopword hits + CJK char "
+    "check, deterministic argmax precedence.",
+)
+def llm_text_langid(spark, sf_dir):
+    return text.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@parity(
+    "llm_text_fingerprint",
+    sql="SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5 "
+    "FROM documents",
+    doc="Document fingerprint: md5 of whitespace-normalized lowercase text "
+    "(identical hex across engines; xxhash64 variant in llm.text is "
+    "engine-internal).",
+)
+def llm_text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+@parity(
+    "llm_multimodal_meta",
+    sql="SELECT doc_id, 'text/plain' AS mime, strlen(text) AS n_bytes FROM documents",
+    doc="Multimodal column plumbing: opaque BinaryType payload + typed "
+    "metadata struct (mime, byte length).",
+)
+def llm_multimodal_meta(spark, sf_dir):
+    media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@parity(
+    "llm_multimodal_features",
+    sql="""
+    SELECT d.doc_id, strlen(d.text) AS n_bytes,
+           CAST((ascii(substr(d.text, 1, 1)) + ascii(substr(d.text, 2, 1)) + ascii(substr(d.text, 3, 1)) + ascii(substr(d.text, 4, 1)) + ascii(substr(d.text, 5, 1)) + ascii(substr(d.text, 6, 1)) + ascii(substr(d.text, 7, 1)) + ascii(substr(d.text, 8, 1)) + ascii(substr(d.text, 9, 1)) + ascii(substr(d.text, 10, 1)) + ascii(substr(d.text, 11, 1)) + ascii(substr(d.text, 12, 1)) + ascii(substr(d.text, 13, 1)) + ascii(substr(d.text, 14, 1)) + ascii(substr(d.text, 15, 1)) + ascii(substr(d.text, 16, 1))) % 997 AS BIGINT) AS head_sig
+    FROM documents d
+    """,
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads "
+    "— the real multimodal decode path (media decode kernels stubbed per "
+    "contract; deterministic byte-signature stands in).",
+)
+def llm_multimodal_features(spark, sf_dir):
+    media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)

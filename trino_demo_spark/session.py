@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+configuration is designed to hold on a multi-executor cluster: AQE handles
+runtime re-planning / skew joins / partition coalescing, Arrow accelerates
+any pandas-UDF boundary, and the UTC session timezone pins date⋈timestamp
+coercion semantics (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs every entry point re-asserts (the driver may hand
+# us a session we didn't build). nanosAsLong is required because the
+# testdata `events` table stores TIMESTAMP(NANOS), which Spark's parquet
+# reader otherwise rejects (PARQUET_TYPE_ILLEGAL).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Assert engine-required confs on an externally built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — leave whatever the session has.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "trino_demo_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Shuffle partitions default to the local core count: at 100 TB on a real
+    cluster this should instead be ~2-3× total executor cores, but AQE
+    coalescing makes the initial number far less critical than in static
+    planning.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
