@@ -1297,3 +1297,105 @@ def stream_dedup_late(spark, sf_dir):
     return rel_ops.keep_last(
         ev, keys=["user_id", "day"], order_by=[F.col("ts").desc(), F.col("event_id").desc()]
     ).select("user_id", "day", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Bench-headline analytic queries (TPC-H shapes over the testdata star
+# schema). Not in the reference's declared surface — they exercise the same
+# operator inventory (multi-join + keyed agg + top-k) at bench scale and
+# feed bench.py. SURVEY.md §6.
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "tpch_q3",
+    sql="""
+    SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter (broadcast) → fact join → "
+    "keyed agg → top-k (TakeOrderedAndProject). Bench headline q3.",
+    tags=("bench",),
+)
+def tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@parity(
+    "tpch_q5",
+    sql="""
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+    doc="TPC-H Q5 shape: 6-table star join, small dims broadcast, one "
+    "shuffle-heavy fact join, keyed agg. Bench headline q5.",
+    tags=("bench",),
+)
+def tpch_q5(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dim), o["o_custkey"] == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (s["s_nationkey"] == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
