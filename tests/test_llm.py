@@ -1,0 +1,124 @@
+"""LLM-pipeline operator tests: cross-checks between the approximate
+(MinHash/SimHash/LSH) and exact (n-gram Jaccard / brute-force cosine)
+paths, plus determinism and the multimodal plumbing contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_demo_spark.llm import dedup, multimodal, similarity
+from trino_demo_spark.registry import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_SMOKE)
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd"), (4, "aa bb")], "doc_id long, text string"
+    )
+    out = {r.keep_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    """MinHash-LSH must recover the high-Jaccard pairs the exact op finds
+    (the planted near-dups have jaccard ≥ 0.5 → S-curve recall ~1)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert exact, "expected planted near-dup pairs at jaccard >= 0.5"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} true pairs"
+
+
+def test_minhash_estimate_tracks_jaccard(spark, docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    diffs = [abs(est[k] - v) for k, v in exact.items() if k in est]
+    assert diffs and sum(diffs) / len(diffs) < 0.25  # 32 perms → coarse but unbiased
+
+
+def test_simhash_properties(spark, docs):
+    s1 = {r.id: r.simhash for r in dedup.simhash(docs).collect()}
+    s2 = {r.id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert s1 == s2  # deterministic
+    # near-identical docs (the planted dups) have small hamming distance
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=12).collect()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    found = {(r.id_a, r.id_b) for r in pairs}
+    if exact:
+        assert len(exact & found) / len(exact) >= 0.5
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.n_id) for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    }
+    # LSH with few planes: buckets are coarse; measure top-1 recall
+    approx = similarity.lsh_bucketed_topk(emb, queries, k=3, num_planes=4).collect()
+    got_q = {r.q_id for r in approx}
+    assert len(got_q) >= 15  # most queries land in a non-empty bucket
+    top1_exact = {
+        (r.q_id, r.n_id)
+        for r in similarity.brute_force_topk(emb, queries, k=1).collect()
+    }
+    top_by_q = {}
+    for r in approx:
+        if r.rank == 1:
+            top_by_q[(r.q_id, r.n_id)] = r.sim
+    overlap = len(top1_exact & set(top_by_q)) / len(top1_exact)
+    # sign-LSH with 4 planes on random-ish vectors is approximate — just
+    # require it beats chance by a wide margin
+    assert overlap >= 0.2, overlap
+
+
+def test_cosine_bounds(spark, emb):
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    sims = [r.sim for r in out.collect()]
+    assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_multimodal_stub_contract(spark, docs):
+    media = multimodal.attach_payload(docs)
+    assert [f.name for f in media.schema.fields] == ["doc_id", "payload", "meta"]
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(0 <= r.head_sig < 997 for r in rows)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
+
+
+def test_ngram_empty_guard(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
+    out = dedup.ngram_shingles(df, "doc_id", "text", n=3).collect()
+    ids = {r.id for r in out}
+    assert ids == {2}  # doc 1 has < 3 tokens → no shingles, no crash

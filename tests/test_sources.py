@@ -1,0 +1,109 @@
+"""Source-adapter tests: typed-header CSV dialect, Kafka table-description
+mapping (decode tested against literal frames — no broker in container),
+bounded-scan option rewrite, sidecar schema rendering."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from trino_demo_spark.sources import csv as csv_src
+from trino_demo_spark.sources import document as doc_src
+from trino_demo_spark.sources import kafka as kafka_src
+
+# The reference's stockdata table description, abridged
+# (trino/kafka/stockdata.json:1-41).
+STOCK_DESC = {
+    "topicName": "stockdata",
+    "message": {
+        "dataFormat": "json",
+        "fields": [
+            {"name": "date", "mapping": "date", "type": "DATE", "dataFormat": "iso8601"},
+            {"name": "apple_price", "mapping": "apple_price", "type": "DOUBLE"},
+            {"name": "volume", "mapping": "volume", "type": "BIGINT"},
+            {"name": "low", "mapping": "low", "type": "DOUBLE"},
+            {"name": "high", "mapping": "high", "type": "DOUBLE"},
+            {"name": "open", "mapping": "open", "type": "DOUBLE"},
+        ],
+    },
+}
+
+
+def test_typed_header_parse():
+    schema, formats = csv_src.parse_typed_header(
+        "_id.date_ms(yyyy-MM-dd),AWND.double(),STATION.string(),WT01.double()"
+    )
+    assert [f.name for f in schema.fields] == ["_id", "AWND", "STATION", "WT01"]
+    assert isinstance(schema.fields[0].dataType, T.DateType)
+    assert isinstance(schema.fields[1].dataType, T.DoubleType)
+    assert formats == {"_id": "yyyy-MM-dd"}
+
+
+def test_typed_header_read(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "w.csv")
+    with open(p, "w") as f:
+        f.write("_id,AWND,STATION\n2022-09-01,12.5,NYC\n2022-09-02,3.25,NYC\n")
+    df = csv_src.read_typed_header_csv(
+        spark, p, "_id.date_ms(yyyy-MM-dd),AWND.double(),STATION.string()"
+    )
+    rows = df.orderBy("_id").collect()
+    assert str(rows[0]["_id"]) == "2022-09-01"
+    assert rows[1]["AWND"] == 3.25
+    assert dict(df.dtypes)["_id"] == "date"
+
+
+def test_kafka_mapping_decode(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"date": "2022-09-01", "apple_price": 155.5, "volume": 1000, "low": 150.0, "high": 156.0, "open": 151.0}',
+             datetime(2022, 9, 1, 14, 0, 0), 0, 7),
+            ('{"date": "2022-09-02", "apple_price": 156.5, "volume": 2000, "low": 151.0, "high": 157.0, "open": 152.0}',
+             datetime(2022, 9, 2, 14, 0, 0), 1, 8),
+        ],
+        "value string, timestamp timestamp, partition int, offset long",
+    )
+    out = kafka_src.decode_with_mapping(raw, STOCK_DESC)
+    assert set(out.columns) == {
+        "date", "apple_price", "volume", "low", "high", "open",
+        "_timestamp", "_partition", "_offset",
+    }
+    types = dict(out.dtypes)
+    assert types["date"] == "date" and types["volume"] == "bigint"
+    rows = out.orderBy("date").collect()
+    assert rows[0]["apple_price"] == 155.5
+    assert rows[1]["_offset"] == 8
+
+
+def test_bounded_scan_options():
+    opts = kafka_src.bounded_scan_options(
+        "stockdata", "broker:9092",
+        lower=datetime(2022, 9, 1), upper=datetime(2022, 9, 2),
+    )
+    assert opts["subscribe"] == "stockdata"
+    assert "startingTimestamp" in opts and "endingTimestamp" in opts
+    assert "startingOffsets" not in opts and "endingOffsets" not in opts
+    # unbounded scan keeps offsets
+    opts2 = kafka_src.bounded_scan_options("t", "b")
+    assert opts2["startingOffsets"] == "earliest"
+
+
+def test_sidecar_rendering():
+    schema = T.StructType(
+        [T.StructField("_id", T.TimestampType()), T.StructField("tavg", T.DoubleType())]
+    )
+    side = doc_src.schema_to_sidecar(schema)
+    assert side == [
+        {"name": "_id", "type": "TIMESTAMP", "hidden": False},
+        {"name": "tavg", "type": "DOUBLE", "hidden": False},
+    ]
+
+
+def test_registry_three_part_names(spark):
+    from trino_demo_spark.registry import resolve_name
+
+    assert resolve_name("TrinoDemo.Public.LINEITEM") == "lineitem"
+    assert resolve_name("kafka.default.events") == "events"
+    assert resolve_name("documents") == "documents"

@@ -1,0 +1,138 @@
+"""Operator-library unit tests: sliding sequences (the reference's
+invariant), keep-last dedup, chrono split, tail-n, business-day snap
+(validated against pandas), as-of join semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from trino_demo_spark.operators import relational as rel
+from trino_demo_spark.operators import windows as win
+from trino_demo_spark.registry import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, "events", SF_SMOKE)
+
+
+def test_sliding_seq_invariant(spark, events):
+    """Reference invariant (localTrinoTest.ipynb:616-620): window i ends at
+    row i; label(i) = value(i+1); so seq[i][-1] == value at i and
+    label(i-1) == seq[i][-1] for consecutive samples."""
+    out = win.sliding_sequences(
+        events,
+        order_by=[F.col("ts"), F.col("event_id")],
+        feature_cols=["value"],
+        label_col="value",
+        length=3,
+        partition_by=["user_id"],
+    ).select("user_id", "event_id", F.col("seq.value").alias("seq"), "label", "value")
+    rows = out.orderBy("user_id", "event_id").collect()
+    assert rows, "no sequences produced"
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for user_rows in by_user.values():
+        for r in user_rows:
+            assert len(r.seq) == 3
+            assert r.seq[-1] == r.value  # window ends at current row
+        for prev, cur in zip(user_rows, user_rows[1:]):
+            # consecutive samples (stride 1): prev label == cur last element
+            if prev.label is not None and cur.seq[-1] is not None:
+                assert prev.label == cur.seq[-1]
+                checked += 1
+    assert checked > 50
+
+
+def test_keep_last_matches_pandas(spark, events):
+    got = rel.keep_last(
+        events,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "event_type", "event_id")
+    pdf = events.select("user_id", "event_type", "event_id", "ts").toPandas()
+    exp = (
+        pdf.sort_values(["ts", "event_id"])
+        .groupby(["user_id", "event_type"], as_index=False)
+        .last()[["user_id", "event_type", "event_id"]]
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    exp_set = {tuple(r) for r in exp.itertuples(index=False)}
+    assert got_set == exp_set
+
+
+def test_chrono_split_fraction(spark, events):
+    tagged = rel.chrono_split(
+        events, order_by=[F.col("ts"), F.col("event_id")], train_fraction=0.8
+    )
+    counts = dict(
+        tagged.groupBy("split").count().collect()[0].__class__ and
+        [(r["split"], r["count"]) for r in tagged.groupBy("split").count().collect()]
+    )
+    total = sum(counts.values())
+    assert abs(counts["train"] / total - 0.8) < 0.01
+    # boundary is chronological: max train ts <= min test ts
+    maxtrain = tagged.filter("split = 'train'").agg(F.max("ts")).first()[0]
+    mintest = tagged.filter("split = 'test'").agg(F.min("ts")).first()[0]
+    assert maxtrain <= mintest
+
+
+def test_chrono_split_cutoff_path(spark, events):
+    tagged, cutoff = rel.chrono_split_by_cutoff(events, "ts", 0.8)
+    counts = {r["split"]: r["count"] for r in tagged.groupBy("split").count().collect()}
+    total = sum(counts.values())
+    assert 0.75 <= counts["train"] / total <= 0.85
+    assert cutoff
+
+
+def test_tail_n(spark, events):
+    got = [r.event_id for r in rel.tail_n(events, 10, [F.col("ts"), F.col("event_id")]).collect()]
+    exp = [
+        r.event_id
+        for r in events.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(10).collect()
+    ][::-1]
+    assert got == exp
+
+
+def test_business_day_snap_vs_pandas(spark):
+    dates = pd.date_range("2024-01-01", "2024-03-31", freq="D")
+    pdf = pd.DataFrame({"d": dates.date})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        str(r.d): str(r.b)
+        for r in sdf.select("d", win.business_day_snap(F.col("d")).alias("b")).collect()
+    }
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        exp = {
+            str(d.date()): str(d.to_period("B").start_time.date()) for d in dates
+        }
+    assert got == exp
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame([(5,), (10,), (15,)], "t int")
+    right = spark.createDataFrame([(3, "a"), (10, "b"), (12, "c")], "t int, v string")
+    out = {
+        r.t: r.v
+        for r in rel.asof_join(left, right, on="t", right_value_cols=["v"]).collect()
+    }
+    assert out == {5: "a", 10: "b", 15: "c"}
+
+
+def test_window_plan_has_single_shuffle(spark, events):
+    """keep_last must shuffle exactly once (on the partition keys)."""
+    df = rel.keep_last(
+        events, keys=["user_id"], order_by=[F.col("ts").desc()]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -35,7 +35,7 @@ def strip_money(col: Column) -> Column:
     """`sed 's/\\$//g'` on money strings before numeric load
     (openshift_trino_demo_installation.txt:29) → regexp_replace +
     try_cast (malformed values become NULL, not job failures)."""
-    return F.try_cast(F.regexp_replace(col, r"\$", ""), "double")
+    return F.regexp_replace(col, r"\$", "").try_cast("double")
 
 
 def parse_iso_date(col: Column) -> Column:

@@ -1,0 +1,59 @@
+"""JDBC source/sink adapter (the reference's PostgreSQL catalog,
+`trino/catalog/trinodemo.properties:1-6`).
+
+No database runs in the test container — these wrappers are exercised
+against parquet stand-ins in the parity suite (`scan_jdbc`,
+`sink_jdbc_copy`) and carry the scale-relevant read options: predicate
+and projection pushdown are automatic for the JDBC source; *parallel*
+reads require explicit partitioning bounds, which Trino handles
+internally and Spark exposes as options.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: str | int | None = None,
+    upper_bound: str | int | None = None,
+    num_partitions: int = 8,
+    **properties: str,
+) -> DataFrame:
+    """Read a relational table. With a numeric/date partition_column the
+    scan fans out to num_partitions range-bounded queries — the only way a
+    JDBC scan parallelizes; without it the read is single-task (fine for
+    dims, wrong for facts)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_table(
+    df: DataFrame, url: str, table: str, mode: str = "append", batchsize: int = 10_000,
+    **properties: str,
+) -> None:
+    """Bulk load (the `\\copy ... FORMAT csv` path of
+    `fill_postgresql.sql:12`): batched inserts, append semantics."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.save()

