@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from trino_demo_spark import parity as _parity
 from trino_demo_spark import parity_llm as _parity_llm  # noqa: F401  (registers entries)
+from trino_demo_spark import parity_ml as _parity_ml  # noqa: F401  (registers entries)
 from trino_demo_spark.parity import PARITY
 from trino_demo_spark.session import apply_runtime_confs
 

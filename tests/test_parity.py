@@ -15,6 +15,7 @@ import pytest
 
 from trino_demo_spark.parity import PARITY
 import trino_demo_spark.parity_llm  # noqa: F401  (registers llm entries)
+import trino_demo_spark.parity_ml  # noqa: F401  (registers ml entries)
 
 from .conftest import SF_SMOKE
 

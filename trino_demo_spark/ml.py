@@ -1,0 +1,87 @@
+"""Inference-as-operator (SURVEY.md §7 M6).
+
+The reference trains an LSTM client-side and serves it behind KServe,
+calling it row-at-a-time over HTTP (localTrinoTest.ipynb:879-886,
+KubeflowStockPricePrediction.ipynb:635-664 — a remote-scalar-function
+pattern). The idiomatic-Spark replacement keeps inference in the engine:
+
+- model FIT as aggregates: closed-form OLS (slope/intercept from
+  covariance/variance) — one partial+final agg pass, no driver data.
+- batch INFERENCE as a vectorized pandas_udf over Arrow batches — the
+  shape any real model (ONNX/sklearn/torch) plugs into; here the model
+  is the linear fit so correctness is oracle-checkable.
+- AUTOREGRESSIVE forecast (each prediction feeds the next step,
+  localTrinoTest.ipynb:1890-1910) as a driver-side loop over scalars —
+  inherently sequential, kept out of the engine per SURVEY §7 "hard
+  parts"; only the fitted coefficients and the last observation cross
+  the driver boundary.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def linreg_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Closed-form simple OLS: slope = cov_pop(x,y)/var_pop(x),
+    intercept = avg(y) − slope·avg(x). Matches DuckDB's
+    regr_slope/regr_intercept. Single aggregate pass."""
+    slope = F.covar_pop(x_col, y_col) / F.var_pop(x_col)
+    return df.agg(
+        slope.alias("slope"),
+        (F.avg(y_col) - slope * F.avg(x_col)).alias("intercept"),
+    )
+
+
+def linreg_predict(
+    df: DataFrame, fit: DataFrame, x_col: str, out: str = "pred"
+) -> DataFrame:
+    """Apply the fit engine-side: broadcast the 1-row fit, pure column
+    arithmetic (codegen). Nothing collects to the driver."""
+    return df.crossJoin(F.broadcast(fit)).withColumn(
+        out, F.col("intercept") + F.col("slope") * F.col(x_col)
+    ).drop("slope", "intercept")
+
+
+def make_linear_pandas_udf(slope: float, intercept: float):
+    """Vectorized scalar inference UDF — the engine-side home for model
+    apply (replaces the reference's per-window KServe HTTP loop). Arrow
+    batches in/out; swap the body for onnxruntime/torch and the plan
+    shape is unchanged."""
+
+    @pandas_udf("double")
+    def predict(x: pd.Series) -> pd.Series:
+        return intercept + slope * x
+
+    return predict
+
+
+def predict_with_pandas_udf(
+    df: DataFrame, fit_row, x_col: str, out: str = "pred"
+) -> DataFrame:
+    """Batch inference via the vectorized UDF, parameterized by a collected
+    1-row fit (coefficients are scalars — the only driver crossing)."""
+    fn = make_linear_pandas_udf(float(fit_row["slope"]), float(fit_row["intercept"]))
+    return df.withColumn(out, fn(F.col(x_col)))
+
+
+def autoregressive_forecast(
+    spark: SparkSession,
+    fit_row,
+    last_value: float,
+    steps: int,
+    start_index: int = 1,
+) -> DataFrame:
+    """AR(1)-style rollout: y_{t+1} = intercept + slope·y_t, each step
+    feeding the next (localTrinoTest.ipynb:1890-1910's loop). Sequential
+    by construction → tiny driver loop over scalars, result returned as a
+    DataFrame for downstream engine ops."""
+    slope, intercept = float(fit_row["slope"]), float(fit_row["intercept"])
+    rows, y = [], float(last_value)
+    for i in range(steps):
+        y = intercept + slope * y
+        rows.append((start_index + i, y))
+    return spark.createDataFrame(rows, "step int, forecast double")

@@ -143,6 +143,28 @@ def asof_join(
     return carried.filter(F.col("__side") == 1).drop("__side")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    Two tables bucketed identically on the key join WITHOUT any exchange
+    (and without sorts when sortBy matches) — the co-located join strategy
+    for repeated large-fact joins at 100 TB, replacing per-query shuffles
+    with a one-time layout cost. Asserted shuffle-free in
+    tests/test_scale_plans.py."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     """unionByName over homogeneous frames (reference: pd.concat of 5
     weather CSVs, fillMongoDB.ipynb:177-181). Narrow op — no shuffle."""

@@ -1,0 +1,155 @@
+"""Inference-as-operator parity entries (SURVEY.md §7 M6) + partitioned
+sink. Model fit is engine-side aggregation (closed-form OLS mirrored by
+DuckDB's regr_* aggregates), inference runs engine-side (column
+arithmetic or Arrow-batched pandas_udf), and the inherently-sequential
+autoregressive rollout is a driver loop over scalars — mirrored in SQL by
+a recursive CTE."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import ml
+from .parity import _daily_orders, _scratch, _t, parity, r_
+
+_SERIES_SQL = """
+  SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS order_value
+  FROM orders GROUP BY 1
+"""
+
+
+def _order_series(spark, sf_dir):
+    return _daily_orders(spark, sf_dir).select("day", "order_value")
+
+
+@parity(
+    "ml_linreg_fit",
+    sql="""
+    SELECT ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept
+    FROM lineitem
+    """,
+    doc="Model fit as aggregation: closed-form OLS (covar_pop/var_pop) in "
+    "one partial+final agg pass — the engine-side replacement for the "
+    "reference's client-side sklearn fits (localTrinoTest.ipynb cell-11).",
+)
+def ml_linreg_fit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fit = ml.linreg_fit(li, "l_quantity", "l_extendedprice")
+    return fit.select(r_(F.col("slope"), 4).alias("slope"), r_(F.col("intercept"), 4).alias("intercept"))
+
+
+@parity(
+    "ml_linreg_predict",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(c.i + c.s * l_quantity + 1e-9, 2) AS pred
+    FROM lineitem,
+         (SELECT regr_slope(l_extendedprice, l_quantity) AS s,
+                 regr_intercept(l_extendedprice, l_quantity) AS i
+          FROM lineitem) c
+    """,
+    doc="Engine-side batch inference: 1-row fit broadcast into pure column "
+    "arithmetic (no driver round-trip — contrast the reference's "
+    "per-window KServe HTTP loop, KubeflowStockPricePrediction.ipynb:"
+    "635-664).",
+)
+def ml_linreg_predict(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fit = ml.linreg_fit(li, "l_quantity", "l_extendedprice")
+    out = ml.linreg_predict(li, fit, "l_quantity")
+    return out.select("l_orderkey", "l_linenumber", r_(F.col("pred"), 2).alias("pred"))
+
+
+@parity(
+    "ml_pandas_udf_infer",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(c.i + c.s * l_quantity + 1e-9, 2) AS pred
+    FROM lineitem,
+         (SELECT ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) AS s,
+                 ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6) AS i
+          FROM lineitem) c
+    """,
+    doc="Vectorized pandas_udf inference over Arrow batches — the plug-in "
+    "point for real models (ONNX/torch) per SURVEY.md §2.10. Coefficients "
+    "are rounded to 6dp on both sides so the UDF and the oracle apply "
+    "bit-identical models.",
+)
+def ml_pandas_udf_infer(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fit = ml.linreg_fit(li, "l_quantity", "l_extendedprice").select(
+        r_(F.col("slope"), 6).alias("slope"), r_(F.col("intercept"), 6).alias("intercept")
+    )
+    row = fit.first()
+    out = ml.predict_with_pandas_udf(li, row, "l_quantity")
+    return out.select("l_orderkey", "l_linenumber", r_(F.col("pred"), 2).alias("pred"))
+
+
+@parity(
+    "ml_ar_forecast",
+    sql=f"""
+    WITH RECURSIVE
+    d AS ({_SERIES_SQL}),
+    p AS (SELECT order_value AS v, lead(order_value) OVER (ORDER BY day) AS vn FROM d),
+    c AS (SELECT ROUND(regr_slope(vn, v) + 1e-9, 6) AS s,
+                 ROUND(regr_intercept(vn, v) + 1e-9, 6) AS i
+          FROM p WHERE vn IS NOT NULL),
+    lastv AS (SELECT order_value AS v FROM d ORDER BY day DESC LIMIT 1),
+    f(step, y) AS (
+      SELECT 0, CAST(v AS DOUBLE) FROM lastv
+      UNION ALL
+      SELECT step + 1, c.i + c.s * y FROM f, c WHERE step < 16
+    )
+    SELECT step, ROUND(y + 1e-9, 2) AS forecast FROM f WHERE step >= 1
+    """,
+    doc="Autoregressive rollout (y_{{t+1}} = a + b*y_t, 16 steps) — the "
+    "reference's iterative forecast (localTrinoTest.ipynb:1890-1910) with "
+    "the AR(1) fit done engine-side on the daily series; the sequential "
+    "loop runs on scalars at the driver (SURVEY.md §7 hard parts). Oracle "
+    "mirrors it with a recursive CTE.",
+)
+def ml_ar_forecast(spark, sf_dir):
+    series = _order_series(spark, sf_dir)
+    w = W.orderBy("day")
+    pairs = series.select(
+        F.col("order_value").alias("v"), F.lead("order_value", 1).over(w).alias("vn")
+    ).filter(F.col("vn").isNotNull())
+    fit = ml.linreg_fit(pairs, "v", "vn").select(
+        r_(F.col("slope"), 6).alias("slope"), r_(F.col("intercept"), 6).alias("intercept")
+    )
+    row = fit.first()
+    last = series.orderBy(F.col("day").desc()).limit(1).first()["order_value"]
+    fc = ml.autoregressive_forecast(spark, row, last, steps=16)
+    return fc.select("step", r_(F.col("forecast"), 2).alias("forecast"))
+
+
+@parity(
+    "sink_parquet_partitioned",
+    sql="""
+    SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month, COUNT(*) AS cnt
+    FROM lineitem WHERE year(l_shipdate) = 1997
+    GROUP BY 1
+    """,
+    doc="Partitioned parquet sink + partition-pruned read-back: lineitem "
+    "written partitionBy(ship_year), then scanned with a partition filter "
+    "— only the 1997 directory is read (PartitionFilters in the plan; "
+    "asserted in tests). The layout strategy for 100 TB fact tables.",
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "lineitem_by_year")
+    li = _t(spark, sf_dir, "lineitem")
+    (
+        li.withColumn("ship_year", F.year("l_shipdate"))
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("ship_year") == 1997)
+    return (
+        back.groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(F.count("*").alias("cnt"))
+    )
