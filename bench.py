@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "agg_groupby_key",     # TPC-H Q1 shape: full-scan keyed aggregate
     "tpch_q3",             # selective dim filter + fact join + top-k
     "tpch_q5",             # 6-table star join
+    "tpch_q6",             # pure-predicate global agg (pushdown showcase)
+    "tpch_q18",            # agg+HAVING pre-join shrink + top-k
     "join_inner_eq",       # flagship date-key join (pre-aggregated sides)
     "win_dedup_keeplast",  # keep-last window dedup over the stream table
     "win_sliding_seq",     # sliding sequence windows per entity

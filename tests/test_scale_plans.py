@@ -90,3 +90,22 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain(spark):
+    orders = load_table(spark, "orders", SF_SMOKE).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, "customer", SF_SMOKE).select("c_custkey", "c_name")
+    plain = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_custkey"
+    )
+    salted = rel.salted_join(orders, cust, "o_custkey", "c_custkey", salt=4).select(
+        "o_orderkey", "c_custkey"
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_q6_all_filters_pushed(spark):
+    plan = _plan(PARITY["tpch_q6"].fn(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters")[1][:400]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed

@@ -143,6 +143,35 @@ def asof_join(
     return carried.filter(F.col("__side") == 1).drop("__side")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode each right row into `salt`
+    replicas, salt left rows randomly-but-deterministically (hash of the
+    whole row), join on (key, salt). Splits one hot key's rows across
+    `salt` shuffle partitions at the cost of replicating the right side.
+
+    AQE's skew-join handles most cases at runtime; this is the explicit
+    fallback for extreme single-key skew (or non-AQE deployments). Results
+    are identical to the plain join (asserted in tests)."""
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_tag = left.withColumn("__salt", lsalt)
+    r_tag = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = l_tag.join(
+        r_tag,
+        (F.col(left_key) == F.col(right_key)) & (l_tag["__salt"] == r_tag["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -1399,3 +1399,134 @@ def tpch_q5(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage completions: document sink, producer timestamp parse, event-time
+# window aggregation (batch twin of streaming.windowed_counts), TPC-H Q6 /
+# Q18 shapes.
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "sink_document",
+    sql="SELECT doc_id, lang, n_chars FROM documents",
+    doc="Document-store sink + re-scan (ref: fillMongoDB.ipynb:354-369 "
+    "insert_many + schemadef). Stand-in store is parquet keyed like the "
+    "collection; the mongo connector path lives in sources.document "
+    "behind availability.",
+)
+def sink_document(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "documents_store")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@parity(
+    "f_date_strptime",
+    sql="""
+    SELECT event_id, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS parsed_day
+    FROM events
+    """,
+    doc="Producer-style timestamp formatting + strptime parse back (ref: "
+    "stockDataProducer.py:17-19 `%Y-%m-%dT%H:%M:%S.%f` handling): format "
+    "to an ISO string column, parse with an explicit pattern.",
+)
+def f_date_strptime(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    parsed = F.to_date(
+        F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    )
+    return ev.select("event_id", parsed.alias("parsed_day"))
+
+
+@parity(
+    "stream_window_agg",
+    sql="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+           COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Event-time tumbling-window aggregation — the batch twin of "
+    "streaming.kafka_shape.windowed_counts (same grouping, same results; "
+    "equivalence asserted in tests/test_streaming.py). Spark F.window vs "
+    "DuckDB time_bucket.",
+)
+def stream_window_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+@parity(
+    "tpch_q6",
+    sql="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure predicate + global agg — the pushdown "
+    "showcase (all three filters reach the parquet scan).",
+    tags=("bench",),
+)
+def tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@parity(
+    "tpch_q18",
+    sql="""
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM (
+      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape: keyed agg + HAVING (pre-aggregation shrinks the "
+    "join input), two joins, top-k. Bench headline q18.",
+    tags=("bench",),
+)
+def tpch_q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
