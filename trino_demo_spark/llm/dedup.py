@@ -29,18 +29,27 @@ def tokens_col(text_col: str):
 
 
 def ngrams_over_tokens(tokens_ref: str, n: int = 3):
-    """n-gram array over an already-materialized tokens column.
+    """n-gram array built from zip_with over n shifted slices of the
+    token array.
 
-    IMPORTANT perf note: the tokens MUST be a bound column reference, not
-    an inline split() — an expression inside the transform lambda is
-    re-evaluated per element (O(tokens²) regex splits per doc; measured
-    6× slowdown on the minhash path). concat_ws of direct element
-    accesses keeps the loop O(n)."""
-    elems = ", ".join(f"{tokens_ref}[i + {j}]" for j in range(n))
+    IMPORTANT perf note: never index an outer column inside a lambda
+    (`t[i + j]`): Catalyst's projection collapse freely inlines `t` as the
+    original split(), and an expression inside a lambda body re-evaluates
+    PER ELEMENT — an O(tokens²) regex-split blowup that survives any
+    attempt to "materialize tokens first" in a chained select (collapse
+    undoes it; measured 3-6× on the minhash path). Zipping shifted slices
+    keeps every lambda argument an element variable: the token expression
+    is evaluated O(n) times per row, never per element."""
+    count = f"(size({tokens_ref}) - {n - 1})"
+
+    def suffix(j: int) -> str:
+        s = f"slice({tokens_ref}, {j + 1}, {count})"
+        if j == n - 1:
+            return s
+        return f"zip_with({s}, {suffix(j + 1)}, (x, y) -> concat(x, ' ', y))"
+
     return F.expr(
-        f"CASE WHEN size({tokens_ref}) >= {n} "
-        f"THEN transform(sequence(0, size({tokens_ref}) - {n}), i -> concat_ws(' ', {elems})) "
-        f"ELSE array() END"
+        f"CASE WHEN size({tokens_ref}) >= {n} THEN {suffix(0)} ELSE array() END"
     )
 
 
@@ -115,16 +124,43 @@ def minhash_signatures(
     """MinHash signature per doc: min over shingles of xxhash64(shingle,
     seed) for num_perm seeds. All hashing JVM-side.
 
-    Shuffle plan: ONE exchange total — repartition by id up front, then
-    the explode preserves partitioning and the groupBy(id) reuses it (no
-    second exchange). Shingle duplicates are kept (min is insensitive),
-    skipping the distinct shuffle entirely."""
-    pre = df.repartition(F.col(id_col))
-    sh = ngram_shingles(pre, id_col, text_col, n, distinct=False)
-    aggs = [
-        F.min(F.xxhash64(F.col("g"), F.lit(s))).alias(f"mh_{s}") for s in range(num_perm)
+    MAP-SIDE: ids are unique per row, so there is no explode + groupBy —
+    each signature column is a per-row array aggregate. Two engine tricks
+    matter here (both measured, each worth ~2-6×):
+
+    1. Hash each shingle ONCE with two independent 64-bit hashes and
+       derive the num_perm permutations as h1 + s·h2
+       (Kirsch-Mitzenmacher), instead of num_perm string hashes.
+    2. Materialize the hash arrays through an exchange before fanning out
+       to the num_perm min-columns: Catalyst's projection collapse would
+       otherwise substitute the whole shingling pipeline into EVERY
+       signature expression and recompute it num_perm times. After the
+       exchange the signature exprs reference a materialized attribute.
+
+    The first repartition buys parallelism on few-split inputs; both
+    exchanges move raw doc rows / 2×num-shingle longs — far less than the
+    shingle explosion a groupBy plan would shuffle. Docs shorter than n
+    tokens get NULL signatures (empty shingle array)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("t")
+    )
+    grams = toks.select("id", ngrams_over_tokens("t", n).alias("gs"))
+    hashed = grams.select(
+        "id",
+        F.expr("transform(gs, g -> xxhash64(g))").alias("h1"),
+        F.expr("transform(gs, g -> xxhash64(g, 7))").alias("h2"),
+    ).repartition(par)  # barrier: stop projection collapse from inlining
+    # Combine in a 31-bit domain: ANSI mode (Spark 4 default) raises on
+    # int64 overflow, and masked values keep (num_perm+1)·2^31 « 2^63.
+    sig_cols = [
+        F.expr(
+            f"array_min(zip_with(h1, h2, (a, b) -> "
+            f"(a & 2147483647) + CAST({s} AS BIGINT) * (b & 2147483647)))"
+        ).alias(f"mh_{s}")
+        for s in range(num_perm)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.select("id", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -190,25 +226,38 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from token hashes: bit j of the
     fingerprint is the sign of the vote sum over tokens (+1 if the token's
-    hash has bit j set, else −1). Repartition-by-id first so the explode
-    preserves partitioning and the vote groupBy needs no exchange."""
-    tok = df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tk")
+    hash has bit j set, else −1).
+
+    MAP-SIDE like minhash_signatures: token hashes are materialized once
+    as an array column (behind an exchange barrier so projection collapse
+    can't inline the hashing into all 64 bit-vote expressions), each bit's
+    vote is a per-row array aggregate, and the fingerprint is assembled
+    with shifts."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    hashed = (
+        df.repartition(par)
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                "transform({t}, tk -> xxhash64(tk))".format(
+                    t="split(trim(" + text_col + "), '\\\\s+')"
+                )
+            ).alias("hs"),
+        )
+        .repartition(par)
     )
-    h = F.xxhash64("tk")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{j}")
-        for j in range(64)
-    ]
-    voted = tok.groupBy("id").agg(*votes)
+    vote = (
+        "aggregate(hs, 0L, (acc, h) -> acc + CASE WHEN (h >> {j}) & 1 = 1 "
+        "THEN 1L ELSE -1L END)"
+    )
     fp = None
     for j in range(64):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.expr(vote.format(j=j)) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, j)
         fp = term if fp is None else fp.bitwiseXOR(term)
-    return voted.select("id", fp.alias("simhash"))
+    return hashed.select("id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
