@@ -109,3 +109,10 @@ def test_q6_all_filters_pushed(spark):
     pushed = plan.split("PushedFilters")[1][:400]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in pushed, pushed
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    o = load_table(spark, "orders", SF_SMOKE)
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05

@@ -54,3 +54,29 @@ def test_stream_schema_matches_registry(spark, stream):
     batch_cols = load_table(spark, "events", SF_SMOKE).columns
     assert stream.columns == batch_cols
     assert stream.isStreaming
+
+
+def test_keep_latest_stateful_matches_batch(spark, stream):
+    out = ks.keep_latest_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("keep_latest_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per key in the memory sink == batch keep-last
+    import pyspark.sql.functions as SF
+
+    sink = spark.sql("SELECT * FROM keep_latest_out")
+    from trino_demo_spark.operators import relational as rel
+
+    ev = load_table(spark, "events", SF_SMOKE).withColumn("day", SF.to_date("ts"))
+    batch = rel.keep_last(
+        ev, keys=["user_id", "day"],
+        order_by=[SF.col("ts_ns").desc(), SF.col("event_id").desc()],
+    ).select("user_id", "day", "event_id", "value")
+    got = {(r.user_id, r.day): (r.event_id, r.value) for r in sink.collect()}
+    exp = {(r.user_id, r.day): (r.event_id, r.value) for r in batch.collect()}
+    assert got == exp and len(got) > 300

@@ -1530,3 +1530,178 @@ def tpch_q18(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP breadth beyond the reference surface: multidimensional aggregates
+# (rollup/cube/pivot), theta/range join, distinct-count. SURVEY.md §2.4
+# notes keyed groupBy comes free — these are its standard OLAP extensions,
+# declared because implemented + oracle-tested.
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "agg_rollup",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy aggregate (subtotals + grand total) — "
+    "Expand+HashAggregate, still one shuffle.",
+)
+def agg_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@parity(
+    "agg_cube",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregate over both dimensions.",
+)
+def agg_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+
+
+@parity(
+    "agg_pivot",
+    sql="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (categories → columns). Spark df.pivot with explicit value "
+    "list — explicit values skip the extra distinct-discovery job AND "
+    "keep the output schema static (the 100 TB-safe form); oracle uses "
+    "FILTER aggregates.",
+)
+def agg_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0)
+
+
+@parity(
+    "agg_count_distinct",
+    sql="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact distinct count per key (Expand-based two-phase plan). The "
+    "sketch path (approx_count_distinct/HLL — the 100 TB default) is "
+    "engine-specific per engine sketch, tested within 5% of exact in "
+    "tests/test_scale_plans.py.",
+)
+def agg_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@parity(
+    "join_range",
+    sql="""
+    SELECT w.win_name, COUNT(*) AS cnt, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES
+      ('w1', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+      ('w2', TIMESTAMP '2024-01-12 00:00:00', TIMESTAMP '2024-01-13 12:00:00'),
+      ('w3', TIMESTAMP '2024-01-20 06:00:00', TIMESTAMP '2024-01-25 00:00:00')
+    ) w(win_name, win_start, win_end)
+      ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.win_name
+    """,
+    doc="Range (theta) join: events against interval windows. Small "
+    "interval side broadcasts (BroadcastNestedLoopJoin); at scale with "
+    "both sides large, bucketize the time axis first to convert to an "
+    "equi-join on the bucket (same pattern as LSH).",
+)
+def join_range(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wins = spark.createDataFrame(
+        [
+            ("w1", "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+            ("w2", "2024-01-12 00:00:00", "2024-01-13 12:00:00"),
+            ("w3", "2024-01-20 06:00:00", "2024-01-25 00:00:00"),
+        ],
+        "win_name string, win_start string, win_end string",
+    ).select(
+        "win_name",
+        F.col("win_start").cast("timestamp").alias("win_start"),
+        F.col("win_end").cast("timestamp").alias("win_end"),
+    )
+    return (
+        ev.join(
+            F.broadcast(wins),
+            (ev["ts"] >= wins["win_start"]) & (ev["ts"] < wins["win_end"]),
+        )
+        .groupBy("win_name")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@parity(
+    "f_agg_stats",
+    sql="""
+    SELECT ROUND(stddev_pop(l_quantity) + 1e-9, 6) AS qty_stddev,
+           ROUND(stddev_samp(l_quantity) + 1e-9, 6) AS qty_stddev_samp,
+           ROUND(var_pop(l_quantity) + 1e-9, 6) AS qty_var,
+           ROUND(covar_pop(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_cov
+    FROM lineitem
+    """,
+    doc="Statistical aggregate surface: stddev (pop+samp), variance, "
+    "covariance in one pass. (skewness/kurtosis are engine-specific in "
+    "their bias correction — Spark uses population moments, DuckDB sample "
+    "adjustment — so they're exercised in unit tests, not the oracle.)",
+)
+def f_agg_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        r_(F.stddev_pop("l_quantity"), 6).alias("qty_stddev"),
+        r_(F.stddev_samp("l_quantity"), 6).alias("qty_stddev_samp"),
+        r_(F.var_pop("l_quantity"), 6).alias("qty_var"),
+        r_(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+    )
+
+
+@parity(
+    "f_array_funcs",
+    sql="""
+    SELECT vec_id, len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE) + 1e-9, 6) AS first_component,
+           ROUND(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) + 1e-9, 4) AS component_sum
+    FROM embeddings
+    """,
+    doc="Array function surface over the embedding column: size, element "
+    "access, higher-order sum (F.aggregate) — the primitives the "
+    "similarity ops compose.",
+)
+def f_array_funcs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    comp_sum = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        r_(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
+        r_(comp_sum, 4).alias("component_sum"),
+    )

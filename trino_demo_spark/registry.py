@@ -189,10 +189,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 def register_views(
     spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLE_NAMES
 ) -> None:
-    """Register every registry table as a temp view (plus alias views for
-    federated three-part names, dots replaced to stay one-part)."""
+    """Register every registry table as a temp view, plus an alias view
+    per federated three-part name (dots → underscores, since temp view
+    names are single-part): ``trinodemo_public_lineitem`` etc."""
     for name in names:
-        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        for alias, target in THREE_PART_ALIASES.items():
+            if target == name:
+                df.createOrReplaceTempView(alias.replace(".", "_"))
 
 
 class Catalog:

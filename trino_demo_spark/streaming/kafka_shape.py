@@ -12,8 +12,8 @@ streaming-native upgrades the SURVEY calls for:
 - windowed aggregations over event time,
 - `Trigger.AvailableNow` scheduled-batch runs mirroring the CronJob
   ingestion (`vanilla_k8s_trino_demo_installation.txt:482-533`),
-- keep-latest revision state via applyInPandasWithState-free dedup
-  (last-revision-wins is resolved at read time per SURVEY §2.9).
+- a custom stateful keep-latest operator (applyInPandasWithState):
+  last-revision-wins per key with watermark-bounded state, SURVEY §2.9.
 
 Tested against file streams over the testdata parquet (no broker in the
 container); the Kafka wiring reuses sources.kafka option builders.
@@ -111,4 +111,46 @@ def to_kafka_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=interval)
         .start()
+    )
+
+
+def keep_latest_stateful(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: latest revision per (user_id, day) wins —
+    the streaming-native form of parity.stream_dedup_late (forecast
+    revisions supersede older messages, SURVEY.md §2.9 stream_dedup_late;
+    ref KubeflowStockPricePrediction.ipynb:547-549).
+
+    applyInPandasWithState keeps one row of state per key (bounded by the
+    watermark), emitting the current winner on every update. State size =
+    O(active keys), the property that lets this run indefinitely."""
+    import pandas as pd  # local import: only the stateful path needs it
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, day DATE, event_id BIGINT, value DOUBLE"
+    state_schema = "ts_ns BIGINT, event_id BIGINT, value DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        best = state.get if state.exists else None  # (ts_ns, event_id, value)
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                cand = (int(row.ts_ns), int(row.event_id), float(row.value))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "day": [key[1]],
+                "event_id": [best[1]],
+                "value": [best[2]],
+            }
+        )
+
+    keyed = stream.withWatermark("ts", watermark).withColumn("day", F.to_date("ts"))
+    return keyed.groupBy("user_id", "day").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
