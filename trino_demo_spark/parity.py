@@ -1705,3 +1705,33 @@ def f_array_funcs(spark, sf_dir):
         r_(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
         r_(comp_sum, 4).alias("component_sum"),
     )
+
+
+@parity(
+    "tpch_q4",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS → left-semi join with an extra "
+    "non-equi conjunct, then keyed count.",
+)
+def tpch_q4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )

@@ -153,3 +153,89 @@ def sink_parquet_partitioned(spark, sf_dir):
         back.groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@parity(
+    "e2e_forecast_pipeline",
+    sql=f"""
+    WITH d AS ({_SERIES_SQL}),
+    ranked AS (
+      SELECT day, order_value AS v,
+             percent_rank() OVER (ORDER BY day) AS pr
+      FROM d
+    ),
+    fitmm AS (
+      SELECT MIN(v) AS mn, MAX(v) AS mx FROM ranked WHERE pr < 0.85
+    ),
+    scaled AS (
+      SELECT r.day, r.v, r.pr, (r.v - m.mn) / (m.mx - m.mn) AS s
+      FROM ranked r, fitmm m
+    ),
+    train_pairs AS (
+      SELECT s, lag(s) OVER (ORDER BY day) AS prev_s
+      FROM scaled WHERE pr < 0.85
+    ),
+    coef AS (
+      SELECT ROUND(regr_slope(s, prev_s) + 1e-9, 6) AS sl,
+             ROUND(regr_intercept(s, prev_s) + 1e-9, 6) AS ic
+      FROM train_pairs WHERE prev_s IS NOT NULL
+    ),
+    walk AS (
+      SELECT day, v, pr, lag(s) OVER (ORDER BY day) AS prev_s
+      FROM scaled
+    ),
+    preds AS (
+      SELECT w.day, w.v,
+             (c.ic + c.sl * w.prev_s) * (m.mx - m.mn) + m.mn AS pred
+      FROM walk w, coef c, fitmm m
+      WHERE w.pr >= 0.85 AND w.prev_s IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_test,
+           ROUND(AVG(ABS(v - pred)) + 1e-9, 4) AS mae,
+           ROUND(AVG(ABS((v - pred) / v)) * 100 + 1e-9, 4) AS mape,
+           ROUND(quantile_cont(ABS((v - pred) / v), 0.5) * 100 + 1e-9, 4) AS mdape
+    FROM preds
+    """,
+    doc="END-TO-END pipeline as ONE engine-side plan — the reference's "
+    "whole client-side flow (localTrinoTest.ipynb cells 6-25: query -> "
+    "MinMax scale -> chronological 85/15 split -> model fit -> "
+    "walk-forward prediction -> inverse scale -> MAE/MAPE/MDAPE), with "
+    "zero pandas round-trips: the scaler fit and AR(1) OLS fit are "
+    "1-row aggregates broadcast back into column arithmetic.",
+    tags=("flagship",),
+)
+def e2e_forecast_pipeline(spark, sf_dir):
+    w = W.orderBy("day")
+    series = _order_series(spark, sf_dir).withColumn(
+        "pr", F.percent_rank().over(w)
+    ).withColumnRenamed("order_value", "v")
+    fitmm = series.filter(F.col("pr") < 0.85).agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    scaled = series.crossJoin(F.broadcast(fitmm)).withColumn(
+        "s", (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    )
+    train = scaled.filter(F.col("pr") < 0.85).withColumn(
+        "prev_s", F.lag("s", 1).over(w)
+    ).filter(F.col("prev_s").isNotNull())
+    coef = ml.linreg_fit(train, "prev_s", "s").select(
+        r_(F.col("slope"), 6).alias("sl"), r_(F.col("intercept"), 6).alias("ic")
+    )
+    walk = scaled.withColumn("prev_s", F.lag("s", 1).over(w))
+    preds = (
+        walk.filter((F.col("pr") >= 0.85) & F.col("prev_s").isNotNull())
+        .crossJoin(F.broadcast(coef))
+        .withColumn(
+            "pred",
+            (F.col("ic") + F.col("sl") * F.col("prev_s"))
+            * (F.col("mx") - F.col("mn"))
+            + F.col("mn"),
+        )
+    )
+    ape = F.abs((F.col("v") - F.col("pred")) / F.col("v"))
+    return preds.agg(
+        F.count("*").alias("n_test"),
+        r_(F.avg(F.abs(F.col("v") - F.col("pred"))), 4).alias("mae"),
+        r_(F.avg(ape) * 100, 4).alias("mape"),
+        r_(F.expr("percentile(abs((v - pred) / v), 0.5)") * 100, 4).alias("mdape"),
+    )
