@@ -55,7 +55,7 @@ def attach_payload(
         F.col(id_col).alias("doc_id"),
         payload.alias("payload"),
         F.struct(
-            F.lit(mime).alias("mime"), F.octet_length(payload).alias("n_bytes")
+            F.lit(mime).alias("mime"), F.octet_length(payload).cast("long").alias("n_bytes")
         ).alias("meta"),
     )
 

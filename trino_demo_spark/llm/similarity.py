@@ -77,7 +77,7 @@ def brute_force_topk(
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
     )
@@ -154,7 +154,7 @@ def lsh_bucketed_topk(
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
     )

@@ -32,8 +32,8 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     compact = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        n_chars.alias("n_chars_txt"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_txt"),
         F.round(compact / n_tokens + F.lit(EPS), 4).alias("avg_token_len"),
         F.ceil(n_chars / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
     )
@@ -96,10 +96,10 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(
         F.col(id_col),
         pred.alias("pred_lang"),
-        hits["en"].alias("hits_en"),
-        hits["es"].alias("hits_es"),
-        hits["de"].alias("hits_de"),
-        hits["fr"].alias("hits_fr"),
+        hits["en"].cast("long").alias("hits_en"),
+        hits["es"].cast("long").alias("hits_es"),
+        hits["de"].cast("long").alias("hits_de"),
+        hits["fr"].cast("long").alias("hits_fr"),
     )
 
 

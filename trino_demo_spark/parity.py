@@ -1143,7 +1143,7 @@ def f_date_arith(spark, sf_dir):
         "o_orderkey",
         F.date_sub(d, 1).alias("prev_day"),
         F.date_add(d, 7).alias("next_week"),
-        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias("days_to_y2k"),
     )
 
 
@@ -1163,7 +1163,7 @@ def f_str_funcs(spark, sf_dir):
     return c.select(
         "c_custkey",
         F.upper("c_name").alias("name_upper"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
         F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
     )
@@ -1459,7 +1459,13 @@ def stream_window_agg(spark, sf_dir):
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("win.start").alias("win_start"), "event_type", "cnt", "sum_value")
+        .select(
+            # session-tz-naive to match the oracle's naive timestamp
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
     )
 
 
@@ -1701,7 +1707,7 @@ def f_array_funcs(spark, sf_dir):
     )
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         r_(F.col("embedding")[0].cast("double"), 6).alias("first_component"),
         r_(comp_sum, 4).alias("component_sum"),
     )
