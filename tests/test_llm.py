@@ -122,3 +122,25 @@ def test_ngram_empty_guard(spark):
     out = dedup.ngram_shingles(df, "doc_id", "text", n=3).collect()
     ids = {r.id for r in out}
     assert ids == {2}  # doc 1 has < 3 tokens → no shingles, no crash
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact1 = {
+        (r.q_id, r.n_id)
+        for r in similarity.brute_force_topk(emb, queries, k=1).collect()
+    }
+    ivf = similarity.ivf_topk(emb, queries, k=3, num_centroids=8, nprobe=4, iters=2)
+    rows = ivf.collect()
+    assert {r.q_id for r in rows} == {r[0] for r in queries.select("vec_id").collect()}
+    top1_ivf = {(r.q_id, r.n_id) for r in rows if r.rank == 1}
+    overlap = len(exact1 & top1_ivf) / len(exact1)
+    # probing half the lists on near-random vectors: require well above chance
+    assert overlap >= 0.3, overlap
+
+
+def test_kmeans_deterministic(spark, emb):
+    c1 = similarity.kmeans_fit(emb, k=4, iters=2)
+    c2 = similarity.kmeans_fit(emb, k=4, iters=2)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == 64

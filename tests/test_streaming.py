@@ -80,3 +80,24 @@ def test_keep_latest_stateful_matches_batch(spark, stream):
     got = {(r.user_id, r.day): (r.event_id, r.value) for r in sink.collect()}
     exp = {(r.user_id, r.day): (r.event_id, r.value) for r in batch.collect()}
     assert got == exp and len(got) > 300
+
+
+def test_session_windows_match_batch(spark, stream):
+    got = _run(spark, ks.session_windows(stream, "30 minutes"), "sessions_out")
+    import pyspark.sql.functions as SF
+
+    batch = (
+        load_table(spark, "events", SF_SMOKE)
+        .groupBy(SF.session_window("ts", "30 minutes").alias("win"), SF.col("user_id"))
+        .agg(SF.count("*").alias("n_events"), SF.round(SF.sum("value"), 2).alias("sum_value"))
+        .select(
+            SF.col("win.start").alias("session_start"),
+            SF.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 100

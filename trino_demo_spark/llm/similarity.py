@@ -187,3 +187,125 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", sim)
         .filter(F.col("sim") >= threshold)
     )
+
+
+def _argmin_centroid(vec_col: str, centroids_lit, metric_dot: bool = False):
+    """Index of the nearest centroid (L2) for a vector column, computed
+    with array expressions against a broadcast literal centroid array."""
+    dist = (
+        "aggregate(zip_with({c}, {v}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    # argmin via aggregate over the centroid index sequence
+    return F.expr(
+        "aggregate(sequence(0, size(__cents) - 1), named_struct('i', -1, 'd', CAST('Infinity' AS DOUBLE)), "
+        "(best, i) -> CASE WHEN "
+        + dist.format(c="element_at(__cents, i + 1)", v=vec_col)
+        + " < best.d THEN named_struct('i', i, 'd', "
+        + dist.format(c="element_at(__cents, i + 1)", v=vec_col)
+        + ") ELSE best END).i"
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column, entirely
+    with DataFrame aggregates: init = first k vectors by id; each
+    iteration assigns via broadcast centroid literals (array math, no UDF)
+    and recomputes centroids with posexplode + (cluster, dim) avg. Only
+    the k×dim centroid matrix ever reaches the driver.
+
+    This is the IVF coarse quantizer: at 100 TB, fit on a sample, then a
+    single assignment pass partitions the corpus into k inverted lists.
+    """
+    init = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in centroids])
+        assigned = df.withColumn("__cents", cents_lit).withColumn(
+            "cluster", _argmin_centroid(vec_col, None)
+        )
+        new = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_cluster.get(ci, {}).get(d, centroids[ci][d]) for d in range(dim)]
+            for ci in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer partitions
+    the corpus into inverted lists; each query probes its `nprobe`
+    nearest lists only. Candidate volume drops from N to ~N·nprobe/k —
+    the classic trade against recall, and the scale path when the query
+    set is too large to broadcast against the whole corpus (the sign-LSH
+    variant is the hash-based alternative with the same contract)."""
+    centroids = kmeans_fit(corpus, vec_col, id_col, k=num_centroids, iters=iters)
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in centroids])
+
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")),
+        "n_emb",
+        "n_norm",
+    ).withColumn("__cents", cents_lit).withColumn(
+        "cluster", _argmin_centroid("n_emb", None)
+    ).drop("__cents")
+
+    # queries probe the nprobe nearest centroids: compute all distances,
+    # keep the nprobe smallest indices (array sort over (dist, idx) structs)
+    dist = (
+        "aggregate(zip_with(element_at(__cents, i + 1), q_emb, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    probes = F.expr(
+        "slice(transform(array_sort(transform(sequence(0, size(__cents) - 1), "
+        "i -> named_struct('d', " + dist + ", 'i', i))), s -> s.i), 1, " + str(nprobe) + ")"
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")),
+        "q_emb",
+        "q_norm",
+    ).withColumn("__cents", cents_lit).withColumn("probes", probes).drop("__cents")
+    q_exploded = q.select("q_id", "q_emb", "q_norm", F.explode("probes").alias("cluster"))
+
+    sim = F.round(
+        cosine_expr("q_emb", "n_emb", "q_norm", "n_norm") + F.lit(EPS), round_to
+    ).alias("sim")
+    pairs = (
+        c.join(F.broadcast(q_exploded), "cluster")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", sim)
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )

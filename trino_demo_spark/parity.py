@@ -649,12 +649,17 @@ def join_semi(spark, sf_dir):
 @parity(
     "join_anti",
     sql="SELECT c_custkey, c_name FROM customer c "
-    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
-    doc="Left-anti join (NOT EXISTS).",
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate >= DATE '2001-01-01')",
+    doc="Left-anti join (NOT EXISTS): customers with no orders since "
+    "2001 (every customer has *some* order in the testdata, so the "
+    "unfiltered anti join would be vacuously empty).",
 )
 def join_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("date")
+    )
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -845,8 +850,8 @@ def agg_last_scalar(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 2) AS sum_charge,
            ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
            ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
            ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc,
@@ -870,8 +875,8 @@ def agg_groupby_key(spark, sf_dir):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            r_(F.sum(disc_price), 2).alias("sum_disc_price"),
+            r_(F.sum(charge), 2).alias("sum_charge"),
             r_(F.avg("l_quantity"), 4).alias("avg_qty"),
             r_(F.avg("l_extendedprice"), 4).alias("avg_price"),
             r_(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -1310,7 +1315,7 @@ def stream_dedup_late(spark, sf_dir):
 @parity(
     "tpch_q3",
     sql="""
-    SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
            CAST(o.o_orderdate AS DATE) AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1339,7 +1344,7 @@ def tpch_q3(spark, sf_dir):
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
         .agg(
-            F.round(
+            r_(
                 F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -1352,7 +1357,7 @@ def tpch_q3(spark, sf_dir):
 @parity(
     "tpch_q5",
     sql="""
-    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -1393,7 +1398,7 @@ def tpch_q5(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(
-            F.round(
+            r_(
                 F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -1472,7 +1477,7 @@ def stream_window_agg(spark, sf_dir):
 @parity(
     "tpch_q6",
     sql="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-9, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
       AND l_discount BETWEEN 0.03 AND 0.05
@@ -1492,7 +1497,7 @@ def tpch_q6(spark, sf_dir):
             & (F.col("l_discount") <= 0.05)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(r_(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
 
 
@@ -1740,4 +1745,259 @@ def tpch_q4(spark, sf_dir):
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Further TPC-H shapes over the testdata star schema (Q2/Q7/Q10/Q12/Q14/
+# Q17/Q19/Q22 analogs adapted to the available columns).
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "tpch_q2",
+    sql="""
+    SELECT p_partkey, s_suppkey, s_acctbal FROM (
+      SELECT l.l_partkey AS p_partkey, s.s_suppkey, s.s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY l.l_partkey
+                                ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size < 10
+    ) WHERE rn = 1
+    """,
+    doc="TPC-H Q2 shape (argmin per group): cheapest supplier per part — "
+    "window rank-1 instead of a correlated MIN subquery.",
+)
+def tpch_q2(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    w = W.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l_partkey").alias("p_partkey"), "s_suppkey", "s_acctbal")
+    )
+
+
+@parity(
+    "tpch_q7",
+    sql="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume — two dim-broadcast "
+    "joins onto the fact join, keyed agg over the nation pair.",
+)
+def tpch_q7(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(F.col("nk1") != F.col("nk2"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(r_(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+@parity(
+    "tpch_q10",
+    sql="""
+    SELECT c.c_custkey, c.c_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue ranking — selective fact "
+    "filter, dim broadcasts, keyed agg, top-k on the aggregate.",
+)
+def tpch_q10(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(r_(F.sum(rev), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@parity(
+    "tpch_q12",
+    sql="""
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60
+                THEN 'late' ELSE 'on_time' END AS ship_bucket,
+           COUNT(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           COUNT(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (shipmode → lateness buckets): conditional counts "
+    "per bucket with priority classes.",
+)
+def tpch_q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.when(late, "late").otherwise("on_time").alias("ship_bucket"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@parity(
+    "tpch_q14",
+    sql="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-07-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — conditional aggregation "
+    "ratio over a broadcast part join.",
+)
+def tpch_q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(r_(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+@parity(
+    "tpch_q17",
+    sql="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+          FROM lineitem GROUP BY l_partkey) t
+    ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.qty_cut
+    """,
+    doc="TPC-H Q17 shape: small-quantity orders below 20% of the per-part "
+    "average — the correlated-AVG subquery becomes a pre-aggregated "
+    "broadcast join (no per-row subquery execution).",
+)
+def tpch_q17(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cut = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(cut), li["l_partkey"] == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(r_(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@parity(
+    "tpch_q19",
+    sql="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-attribute predicate groups "
+    "across the join (tests OR-predicate planning).",
+)
+def tpch_q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    g1 = (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20)
+    g2 = (F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30)
+    g3 = (F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40)
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return j.filter(g1 | g2 | g3).agg(r_(F.sum(rev), 2).alias("revenue"))
+
+
+@parity(
+    "tpch_q22",
+    sql="""
+    SELECT c.c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no recent "
+    "orders — scalar-aggregate comparator (broadcast 1-row) + anti join.",
+)
+def tpch_q22(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
     )

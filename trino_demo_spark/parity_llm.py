@@ -258,3 +258,20 @@ def llm_multimodal_meta(spark, sf_dir):
 def llm_multimodal_features(spark, sf_dir):
     media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+@parity(
+    "llm_similarity_ivf",
+    sql=None,
+    doc="IVF-style approximate top-k: deterministic Lloyd k-means coarse "
+    "quantizer (fit via DataFrame aggregates, only the k×dim centroid "
+    "matrix touches the driver) partitions the corpus into inverted "
+    "lists; queries probe their nprobe nearest lists. Candidate volume "
+    "N·nprobe/k — the scale path when queries are too many to broadcast "
+    "against the whole corpus. Recall vs brute force in tests/test_llm.py.",
+)
+def llm_similarity_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, num_centroids=8, nprobe=4, iters=2
+    )

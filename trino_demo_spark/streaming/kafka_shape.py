@@ -154,3 +154,24 @@ def keep_latest_stateful(stream: DataFrame, watermark: str = "1 hour") -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_windows(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation: activity sessions per user closed after
+    `gap` of inactivity — the stateful windowing the reference's fixed
+    daily batching can't express. State per open session, bounded by the
+    watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
