@@ -12,9 +12,17 @@ DuckDB oracle SQL); this module just re-exports it in driver shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver may import this file by path (importlib spec) with an
+# arbitrary CWD — make the package resolvable regardless.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from trino_demo_spark import parity as _parity
 from trino_demo_spark import parity_llm as _parity_llm  # noqa: F401  (registers entries)

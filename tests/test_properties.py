@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): batch-generated inputs pushed
+through the engine expressions in ONE DataFrame per property, compared
+against an independent Python/pandas model."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from trino_demo_spark.functions import scalars
+from trino_demo_spark.operators import windows as win
+
+_dates = st.lists(
+    st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2030, 12, 31)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_dates)
+def test_bday_snap_property(spark, dates):
+    """business_day_snap == pandas to_period('B') start for any date."""
+    sdf = spark.createDataFrame(pd.DataFrame({"d": dates}))
+    got = [
+        r.b for r in sdf.select(win.business_day_snap(F.col("d")).alias("b")).collect()
+    ]
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        exp = [pd.Timestamp(d).to_period("B").start_time.date() for d in dates]
+    assert got == exp
+
+
+# ASCII digits only: hypothesis found that Python float() accepts Unicode
+# digits (e.g. '٠', U+0660) while Spark try_cast nulls them — a genuine
+# semantic difference, out of scope for the ASCII money strings the
+# reference cleans (openshift...txt:29).
+_money = st.lists(
+    st.one_of(
+        st.from_regex(r"\$?[0-9]{1,6}(\.[0-9]{1,2})?", fullmatch=True),
+        st.just("junk"),
+        st.just(""),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_money)
+def test_strip_money_property(spark, vals):
+    """strip_money: '$' removed, numerics parsed, garbage → NULL — never an
+    exception (try-cast semantics)."""
+    sdf = spark.createDataFrame(pd.DataFrame({"m": vals}).astype("string"))
+    got = [r.v for r in sdf.select(scalars.strip_money(F.col("m")).alias("v")).collect()]
+
+    def model(x):
+        x = x.replace("$", "")
+        try:
+            return float(x)
+        except ValueError:
+            return None
+
+    assert got == [model(v) for v in vals]
+
+
+_nullish = st.lists(
+    st.one_of(
+        st.none(),
+        st.just("NaN"),
+        st.just("nan"),
+        st.just(""),
+        st.floats(allow_nan=True, allow_infinity=False, width=32).map(
+            lambda f: format(f, ".6g")
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_nullish)
+def test_normalize_nullish_property(spark, vals):
+    """All three NULL-ish representations collapse to the fill value; real
+    numerics survive."""
+    sdf = spark.createDataFrame(pd.DataFrame({"v": vals}).astype("string"))
+    got = [
+        r.n
+        for r in sdf.select(
+            scalars.normalize_nullish(F.col("v"), fill=0.0).alias("n")
+        ).collect()
+    ]
+    import math
+
+    def model(x):
+        if x is None or x in ("NaN", "nan", ""):
+            return 0.0
+        f = float(x)
+        return 0.0 if math.isnan(f) else f
+
+    exp = [model(v) for v in vals]
+    assert all(
+        (a == b) or (abs(a - b) < 1e-6 * max(1.0, abs(b))) for a, b in zip(got, exp)
+    )
