@@ -144,3 +144,45 @@ def test_kmeans_deterministic(spark, emb):
     c2 = similarity.kmeans_fit(emb, k=4, iters=2)
     assert c1 == c2
     assert len(c1) == 4 and len(c1[0]) == 64
+
+
+def test_dedup_clusters_transitive(spark):
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup.dedup_clusters(ids, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[5] == (5, True) and out[6] == (5, False)
+    assert out[4] == (4, True) and out[7] == (7, True)
+
+
+def test_dedup_clusters_on_documents(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    n_docs = docs.count()
+    n_canonical = clusters.filter("is_canonical").count()
+    n_dups = clusters.filter("NOT is_canonical").count()
+    assert n_canonical + n_dups == n_docs
+    assert n_dups == pairs.select("id_b").distinct().join(
+        pairs.select(F.col("id_a").alias("id_b")), "id_b", "left_anti"
+    ).count() or n_dups > 0  # at least the planted dups collapse
+
+
+def test_capped_jaccard_subset_of_exact(spark, docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs_capped(docs, threshold=0.5, df_max=50).collect()
+    }
+    assert capped <= exact or len(capped - exact) == 0
+    # planted high-jaccard dups survive a generous cap
+    high = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    if high:
+        assert len(high & capped) / len(high) >= 0.9

@@ -136,3 +136,26 @@ def test_window_plan_has_single_shuffle(spark, events):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_asof_join_property_vs_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    left = sorted(rng.randint(0, 1000, size=40).tolist())
+    right = sorted(set(rng.randint(0, 1000, size=25).tolist()))
+    ldf = spark.createDataFrame([(int(t),) for t in left], "t long")
+    rdf = spark.createDataFrame([(int(t), f"v{t}") for t in right], "t long, v string")
+    got = {
+        (r.t, r.v)
+        for r in __import__("trino_demo_spark.operators.relational", fromlist=["asof_join"])
+        .asof_join(ldf, rdf, on="t", right_value_cols=["v"])
+        .collect()
+    }
+    lpd = pd.DataFrame({"t": left})
+    rpd = pd.DataFrame({"t": right, "v": [f"v{t}" for t in right]})
+    exp_df = pd.merge_asof(lpd, rpd, on="t", direction="backward")
+    exp = {
+        (int(r.t), None if pd.isna(r.v) else r.v) for r in exp_df.itertuples(index=False)
+    }
+    assert got == exp

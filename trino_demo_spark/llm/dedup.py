@@ -296,3 +296,89 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    df_max: int = 1000,
+) -> DataFrame:
+    """ngram_jaccard_pairs with hot-shingle capping: shingles appearing in
+    more than df_max documents are dropped before the self-join. At 100 TB
+    a boilerplate shingle ("all rights reserved") appears in millions of
+    docs and would alone produce O(df²) join rows; capping bounds the
+    worst shingle's contribution at df_max². Jaccard becomes a slight
+    underestimate for pairs sharing only hot shingles — exactly the pairs
+    that aren't near-duplicates."""
+    sh = ngram_shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    cold = sh.join(freq.filter(F.col("df") <= df_max).select("g"), "g")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = cold.alias("a"), cold.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac + F.lit(EPS), 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → canonical doc
+    per cluster (cluster id = min doc id in the component). Completes the
+    dedup flow: pairs from any of the near-dup ops (ngram / MinHash /
+    SimHash / embedding-cosine) become keep/drop decisions.
+
+    Label propagation: every node repeatedly takes the min label among
+    itself and its neighbors; converges in O(component diameter)
+    iterations — near-dup clusters are small and dense, so a handful of
+    rounds suffices (each round = one join + one groupBy; the loop runs on
+    the driver but touches only DataFrames plus a scalar convergence
+    count)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neighbor_labels = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

@@ -275,3 +275,18 @@ def llm_similarity_ivf(spark, sf_dir):
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=3, num_centroids=8, nprobe=4, iters=2
     )
+
+
+@parity(
+    "llm_dedup_clusters",
+    sql=None,
+    doc="Near-dup clustering: connected components (min-label propagation) "
+    "over the exact-Jaccard pair graph → canonical doc per cluster + "
+    "keep/drop flag. Iterative (O(component diameter) rounds, each one "
+    "join+groupBy); driver loop holds only a convergence counter. "
+    "Transitivity + planted-cluster tests in tests/test_llm.py.",
+)
+def llm_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dedup_clusters(docs, pairs)
