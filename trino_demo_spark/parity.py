@@ -2001,3 +2001,122 @@ def tpch_q22(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics operators over the events stream table: histogram,
+# funnel, cohort retention — the aggregation shapes a training-data /
+# analytics engine serves daily. All single-pass conditional aggregations.
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "agg_histogram",
+    sql="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+    doc="Histogram binning (fixed-width buckets via floor arithmetic — "
+    "no width_bucket dependency); one keyed aggregate.",
+)
+def agg_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+        ).agg(F.count("*").alias("cnt"))
+    )
+
+
+@parity(
+    "analytics_funnel",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL SELECT 'click_after_view', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 'purchase_after_click', (SELECT COUNT(*) FROM p)
+    """,
+    doc="Ordered funnel analysis: users progressing view → click → "
+    "purchase in strict event-time order. Each stage is a keyed min-ts "
+    "aggregate joined forward — three shuffles on user_id total, no "
+    "self-join explosion.",
+)
+def analytics_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = [
+        v.agg(F.lit("view").alias("stage"), F.count("*").alias("n_users")),
+        c.agg(F.lit("click_after_view").alias("stage"), F.count("*").alias("n_users")),
+        p.agg(F.lit("purchase_after_click").alias("stage"), F.count("*").alias("n_users")),
+    ]
+    return rel_ops.union_all(counts)
+
+
+@parity(
+    "analytics_retention",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 1 ELSE 0 END) AS week0,
+             MAX(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS late
+      FROM events GROUP BY user_id
+    )
+    SELECT SUM(week0) AS cohort_size,
+           SUM(CASE WHEN week0 = 1 AND late = 1 THEN 1 ELSE 0 END) AS retained,
+           ROUND(SUM(CASE WHEN week0 = 1 AND late = 1 THEN 1 ELSE 0 END) * 100.0
+                 / SUM(week0) + 1e-9, 4) AS retention_pct
+    FROM per_user
+    """,
+    doc="Cohort retention: users active in week 0 who return in week 3+ — "
+    "two conditional flags per user, one global rollup. Two-level "
+    "aggregation, both map-side combinable.",
+)
+def analytics_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    week0 = F.max(
+        F.when(F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"), 1).otherwise(0)
+    )
+    late = F.max(
+        F.when(F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"), 1).otherwise(0)
+    )
+    per_user = ev.groupBy("user_id").agg(week0.alias("week0"), late.alias("late"))
+    retained = F.sum(
+        F.when((F.col("week0") == 1) & (F.col("late") == 1), 1).otherwise(0)
+    )
+    return per_user.agg(
+        F.sum("week0").alias("cohort_size"),
+        retained.alias("retained"),
+        r_(retained * 100.0 / F.sum("week0"), 4).alias("retention_pct"),
+    )

@@ -290,3 +290,59 @@ def llm_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     return dedup.dedup_clusters(docs, pairs)
+
+
+@parity(
+    "llm_text_clean",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'), '\\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+    doc="Text normalization pipeline: lowercase → strip punctuation → "
+    "collapse whitespace → trim. Pure regexp expressions (codegen), the "
+    "pre-tokenization cleanup stage of a training-data pipeline.",
+)
+def llm_text_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[.!?,;:]", ""), r"\s+", " "
+        )
+    )
+    return docs.select("doc_id", clean.alias("clean_text"))
+
+
+@parity(
+    "llm_text_pii_scrub",
+    sql="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               'contact user' || doc_id || '@example.com or 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' re: ' || substr(text, 1, 40),
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+    doc="PII scrubbing: email + phone redaction via regexp_replace over a "
+    "synthesized PII-bearing column (testdata has no real PII). The "
+    "redaction stage of a training-data pipeline, fully engine-side.",
+)
+def llm_text_pii_scrub(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            with_pii, r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"
+        ),
+        r"\b\d{3}-\d{4}\b",
+        "<PHONE>",
+    )
+    return docs.select("doc_id", scrubbed.alias("scrubbed"))
