@@ -108,6 +108,10 @@ def asof_join(
     (partition_cols, on), no range/cross join. This is the shape that holds
     at 100 TB; a broadcast variant is unnecessary because Catalyst will
     already broadcast the union's small side if applicable.
+
+    Determinism note: if the right side has multiple rows with the same
+    `on` value, which one wins is sort-order-dependent — deduplicate the
+    right side first (e.g. keep_last) when that matters.
     """
     lcols = left.columns
     tag = F.lit(1)
@@ -158,7 +162,16 @@ def salted_join(
 
     AQE's skew-join handles most cases at runtime; this is the explicit
     fallback for extreme single-key skew (or non-AQE deployments). Results
-    are identical to the plain join (asserted in tests)."""
+    are identical to the plain join (asserted in tests).
+
+    Only inner/left joins are supported: the right side is replicated
+    `salt` times, so right/full-outer would surface each unmatched right
+    row once per replica."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(right side is replicated per salt value)"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l_tag = left.withColumn("__salt", lsalt)
     r_tag = right.withColumn(

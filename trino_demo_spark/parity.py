@@ -2120,3 +2120,95 @@ def analytics_retention(spark, sf_dir):
         retained.alias("retained"),
         r_(retained * 100.0 / F.sum("week0"), 4).alias("retention_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-interface surface: the reference's query language IS SQL (Trino); the
+# engine accepts the same declarative SQL via spark.sql over registered
+# views — including the federated three-part alias names.
+# ---------------------------------------------------------------------------
+
+
+@parity(
+    "sql_text_q1",
+    sql="""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Plain-SQL entry point: the same text a Trino client would send "
+    "(`cursor.execute(sql)`, localTrinoTest.ipynb:110-123) runs through "
+    "spark.sql over registered views — Catalyst parse → analyze → "
+    "optimize, identical results to the DataFrame plan.",
+)
+def sql_text_q1(spark, sf_dir):
+    register_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@parity(
+    "sql_federated_names",
+    sql="""
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderdate < DATE '1995-02-01'
+    """,
+    doc="Federated three-part naming: the catalog registers "
+    "`trinodemo_public_*` alias views mirroring Trino's "
+    "catalog.schema.table resolution (`trinodemo.public.applehistory`, "
+    "localTrinoTest.ipynb:120), case-insensitively.",
+)
+def sql_federated_names(spark, sf_dir):
+    register_views(spark, sf_dir, names=("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, c.c_name
+        FROM TrinoDemo_Public_Orders o
+        JOIN trinodemo_public_CUSTOMER c ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderdate < DATE '1995-02-01'
+        """
+    )
+
+
+@parity(
+    "win_ranking",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+           LAG(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS prev_key,
+           NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders QUALIFY rnk <= 50
+    """,
+    doc="Ranking-function surface (rank/dense_rank/lag/ntile) — SURVEY §2.5 "
+    "notes the reference never exercises these; declared because "
+    "implemented + oracle-tested. One shuffle on the partition key.",
+)
+def win_ranking(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.lag("o_orderkey").over(w).alias("prev_key"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
