@@ -2212,3 +2212,116 @@ def win_ranking(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 50)
     )
+
+
+@parity(
+    "agg_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube): three grouping "
+    "combinations in one Expand+HashAggregate pass.",
+)
+def agg_grouping_sets(spark, sf_dir):
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@parity(
+    "project_unpivot",
+    sql="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    doc="Unpivot / melt (wide measures → long form) — df.unpivot, the "
+    "inverse of agg_pivot; narrow op, no shuffle.",
+)
+def project_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@parity(
+    "project_lateral_explode",
+    sql="""
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+           embedding[CAST(i AS INT)] AS component
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
+    WHERE vec_id < 10
+    """,
+    doc="Lateral array explosion with position (posexplode / LATERAL VIEW) "
+    "— array columns to long form, the bridge between nested and "
+    "relational shapes.",
+)
+def project_lateral_explode(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "component")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "component")
+
+
+@parity(
+    "f_regexp_extract_all",
+    sql="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[a-z]+a[a-z]*') AS a_words,
+           len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS n_a_words
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="regexp_extract_all → array of matches + count (multi-match "
+    "string mining).",
+)
+def f_regexp_extract_all(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # idx=0: whole-match extraction (Spark defaults to capture group 1)
+    matches = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+a[a-z]*"), 0)
+    return docs.select(
+        "doc_id",
+        matches.alias("a_words"),
+        F.size(matches).cast("long").alias("n_a_words"),
+    )
+
+
+@parity(
+    "f_null_funcs",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) AS disc_or_null,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+           greatest(l_quantity, l_discount * 100) AS g,
+           least(l_quantity, l_tax * 100) AS l
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+    doc="NULL-handling scalar surface: nullif / coalesce / greatest / "
+    "least.",
+)
+def f_null_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    disc_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_null.alias("disc_or_null"),
+        F.coalesce(disc_null, F.lit(-1.0)).alias("disc_filled"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("l"),
+    )
