@@ -2325,3 +2325,37 @@ def f_null_funcs(spark, sf_dir):
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
         F.least(F.col("l_quantity"), F.col("l_tax") * 100).alias("l"),
     )
+
+
+@parity(
+    "setop_intersect_all",
+    sql="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT ALL (multiset semantics — multiplicity = min of the two "
+    "sides), df.intersectAll.",
+)
+def setop_intersect_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@parity(
+    "setop_except_all",
+    sql="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="EXCEPT ALL (multiset difference — multiplicities subtract), "
+    "df.exceptAll.",
+)
+def setop_except_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
