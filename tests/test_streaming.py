@@ -101,3 +101,20 @@ def test_session_windows_match_batch(spark, stream):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 100
+
+
+def test_foreach_batch_checkpoint_exactly_once(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    s1 = ks.stream_events(spark, SF_SMOKE)
+    q1 = ks.foreach_batch_sink(s1.select("event_id", "value"), out, ckpt)
+    q1.awaitTermination(120)
+    total = load_table(spark, "events", SF_SMOKE).count()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == total
+    # restart with the same checkpoint: source already consumed → no new rows
+    s2 = ks.stream_events(spark, SF_SMOKE)
+    q2 = ks.foreach_batch_sink(s2.select("event_id", "value"), out, ckpt)
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n2 == total, f"checkpoint restart duplicated rows: {n2} != {total}"

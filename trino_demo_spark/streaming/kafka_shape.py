@@ -175,3 +175,24 @@ def session_windows(
             "sum_value",
         )
     )
+
+
+def foreach_batch_sink(
+    stream: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Micro-batch sink via foreachBatch with checkpointed progress: each
+    batch appends parquet; the checkpoint records consumed source offsets,
+    so a restarted query resumes exactly where it stopped (no re-reads, no
+    duplicates) — the exactly-once property the reference approximates
+    with DISTINCT-on-read (SURVEY §2.9). Asserted by the restart test in
+    tests/test_streaming.py."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
