@@ -2359,3 +2359,125 @@ def setop_except_all(spark, sf_dir):
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
     return a.exceptAll(b)
+
+
+@parity(
+    "f_math_funcs",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sqrt(l_quantity) + 1e-9, 6) AS q_sqrt,
+           ROUND(exp(l_discount) + 1e-9, 6) AS d_exp,
+           ROUND(ln(l_extendedprice) + 1e-9, 6) AS p_ln,
+           ROUND(pow(l_tax + 1.0, 2) + 1e-9, 6) AS t_sq,
+           abs(l_quantity - 25.0) AS q_absdev,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS d_sign,
+           CAST(mod(l_orderkey, 7) AS BIGINT) AS k_mod7
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    doc="Math scalar surface: sqrt/exp/ln/pow/abs/sign/mod. Transcendental "
+    "results rounded through the tie epsilon (libm ULP differences).",
+)
+def f_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r_(F.sqrt("l_quantity"), 6).alias("q_sqrt"),
+        r_(F.exp("l_discount"), 6).alias("d_exp"),
+        r_(F.log("l_extendedprice"), 6).alias("p_ln"),
+        r_(F.pow(F.col("l_tax") + 1.0, 2), 6).alias("t_sq"),
+        F.abs(F.col("l_quantity") - 25.0).alias("q_absdev"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("d_sign"),
+        (F.col("l_orderkey") % 7).cast("long").alias("k_mod7"),
+    )
+
+
+@parity(
+    "f_bitwise",
+    sql="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="Bitwise scalar surface: and/or/xor/shifts (key partitioning and "
+    "hash-bucketing primitives).",
+)
+def f_bitwise(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("o_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(F.col("o_orderkey"), 2).alias("shifted_l"),
+        F.shiftright(F.col("o_orderkey"), 3).alias("shifted_r"),
+    )
+
+
+@parity(
+    "f_hash_funcs",
+    sql="""
+    SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+    FROM customer WHERE c_custkey < 300
+    """,
+    doc="Cryptographic hash surface: md5 / sha-256 (hex output identical "
+    "across engines — the content-addressing primitive for dedup).",
+)
+def f_hash_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+    )
+
+
+@parity(
+    "win_running_total",
+    sql=f"""
+    SELECT day, order_value,
+           ROUND(SUM(order_value) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 2) AS running_total
+    FROM ({_DAILY_ORD_SQL.replace("COUNT(*) AS n_orders,", "")})
+    """,
+    doc="Running total over time order (cumulative window frame). The "
+    "global ordering is over the pre-aggregated ~daily frame, not raw "
+    "rows — the scale-safe placement for unbounded frames.",
+)
+def win_running_total(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    daily = _daily_orders(spark, sf_dir).select("day", "order_value")
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "order_value",
+        r_(F.sum("order_value").over(w), 2).alias("running_total"),
+    )
+
+
+@parity(
+    "win_moving_avg",
+    sql=f"""
+    SELECT day, n_orders,
+           ROUND(AVG(n_orders) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS ma7
+    FROM ({_DAILY_ORD_SQL})
+    """,
+    doc="7-row moving average over the daily series (bounded sliding "
+    "frame — O(1) state per row).",
+)
+def win_moving_avg(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    daily = _daily_orders(spark, sf_dir).select("day", "n_orders")
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_orders",
+        r_(F.avg("n_orders").over(w), 4).alias("ma7"),
+    )
