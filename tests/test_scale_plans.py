@@ -116,3 +116,22 @@ def test_approx_count_distinct_within_tolerance(spark):
     exact = o.select(F.countDistinct("o_custkey")).first()[0]
     approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).first()[0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_deterministic_sample_stable(spark):
+    docs = load_table(spark, "documents", SF_SMOKE)
+    s1 = {r.doc_id for r in rel.deterministic_sample(docs, "doc_id", 2).select("doc_id").collect()}
+    s2 = {r.doc_id for r in rel.deterministic_sample(docs.repartition(7), "doc_id", 2).select("doc_id").collect()}
+    assert s1 == s2 and s1  # identical under re-partitioning
+    rate = len(s1) / docs.count()
+    assert 0.05 < rate < 0.22  # ~2/16 with small-sample variance
+
+
+def test_stratified_sample_fractions(spark):
+    docs = load_table(spark, "documents", SF_SMOKE)
+    out = rel.stratified_sample(docs, "lang", {"en": 0.5, "de": 1.0, "es": 0.0, "fr": 0.0, "zh": 0.0})
+    counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    full = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts.get("de") == full["de"]
+    assert "es" not in counts and "fr" not in counts and "zh" not in counts
+    assert 0.2 * full["en"] < counts.get("en", 0) < 0.8 * full["en"]

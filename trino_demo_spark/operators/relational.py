@@ -214,3 +214,26 @@ def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate_sixteenths: int = 2
+) -> DataFrame:
+    """Reproducible sampling by content hash: keep rows whose md5(key)
+    starts below a hex threshold (rate ≈ rate_sixteenths/16). Stable
+    across runs, engines, partitionings, and data re-orderings — the
+    property train/eval splits need (rand()-based sampling gives none of
+    these)."""
+    if not 1 <= rate_sixteenths <= 15:
+        raise ValueError("rate_sixteenths must be in 1..15")
+    threshold = format(rate_sixteenths, "x")
+    return df.filter(F.md5(F.col(key_col).cast("string")) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum sampling (df.sampleBy): balance classes/languages in a
+    training subset. Seeded → reproducible for a fixed partitioning; use
+    deterministic_sample for partition-independent reproducibility."""
+    return df.sampleBy(strata_col, fractions, seed=seed)

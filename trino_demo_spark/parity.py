@@ -2481,3 +2481,59 @@ def win_moving_avg(spark, sf_dir):
         "n_orders",
         r_(F.avg("n_orders").over(w), 4).alias("ma7"),
     )
+
+
+@parity(
+    "sample_deterministic",
+    sql="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '2'
+    """,
+    doc="Deterministic content-hash sampling (~1/8 rate): rows whose md5 "
+    "key-hash falls below a hex threshold. Unlike rand()-based sampling "
+    "this is reproducible across runs, engines, and partitionings — the "
+    "property training-data splits need. Library variants (uniform with "
+    "seed, stratified sampleBy) in operators.relational / tests.",
+)
+def sample_deterministic(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.md5(F.col("doc_id").cast("string")) < "2"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@parity(
+    "profile_table",
+    sql="""
+    SELECT 'o_custkey' AS column_name, COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val, CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    doc="Table profiling: per-column null count / distinct count / min / "
+    "max in one pass per column group — the data-quality sweep run before "
+    "any training-data job.",
+)
+def profile_table(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def prof(col):
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_val"),
+            F.max(col).cast("string").alias("max_val"),
+        )
+
+    return rel_ops.union_all(
+        [prof("o_custkey"), prof("o_orderstatus"), prof("o_orderpriority")]
+    )
