@@ -34,6 +34,11 @@ def _normalize(rows, columns):
 
 
 def _values_equal(a, b):
+    """BIT-EXACT comparison, floats included: the engine's rounding
+    discipline (identical both-side arithmetic + the tie epsilon) makes
+    every oracle query byte-identical to DuckDB — verified across all 123
+    oracle queries at sf0.01. Any tolerance here would mask regressions
+    the driver's value hash will catch."""
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
@@ -43,7 +48,7 @@ def _values_equal(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return fa == fb
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
     return a == b or str(a) == str(b)
