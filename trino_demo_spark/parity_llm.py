@@ -346,3 +346,63 @@ def llm_text_pii_scrub(spark, sf_dir):
         "<PHONE>",
     )
     return docs.select("doc_id", scrubbed.alias("scrubbed"))
+
+
+@parity(
+    "llm_embed_normalize",
+    sql="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt((SELECT SUM(CAST(e2.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e2.embedding[CAST(i AS INT)] AS DOUBLE))
+                   FROM range(1, 65) r(i))) AS nn
+      FROM embeddings e2 WHERE vec_id < 50
+    )
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nn) AS unit_vec
+    FROM n
+    """,
+    doc="Unit-normalization of the embedding column (cosine becomes a "
+    "plain dot product downstream): per-row array math in DOUBLE, "
+    "map-only.",
+)
+def llm_embed_normalize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    normed = similarity.with_norm(emb, "embedding", "__n")
+    unit = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / __n)"
+    )
+    return normed.select("vec_id", unit.alias("unit_vec"))
+
+
+@parity(
+    "llm_embed_quantize",
+    sql="""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id, ROUND(scale + 1e-9, 6) AS scale_r,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q8
+    FROM scaled
+    """,
+    doc="Symmetric int8 quantization of embeddings (scale = max|x|/127 per "
+    "vector): 4× storage cut for ANN indexes; integer codes are exact "
+    "across engines, the scale survives for dequantization.",
+)
+def llm_embed_quantize(spark, sf_dir):
+    from .parity import r_
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    scale = (
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        )
+        / F.lit(127.0)
+    )
+    scaled = emb.withColumn("scale", scale)
+    q8 = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))"
+    )
+    return scaled.select(
+        "vec_id", r_(F.col("scale"), 6).alias("scale_r"), q8.alias("q8")
+    )
