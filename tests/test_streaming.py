@@ -118,3 +118,45 @@ def test_foreach_batch_checkpoint_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n2 == total, f"checkpoint restart duplicated rows: {n2} != {total}"
+
+
+def test_stream_stream_join_matches_batch(spark, stream):
+    clicks = stream.filter("event_type = 'click'")
+    purchases = stream.filter("event_type = 'purchase'")
+    joined = ks.stream_stream_join(clicks, purchases, "1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attrib_out").collect()}
+
+    import pyspark.sql.functions as SF
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    c = ev.filter("event_type = 'click'").select(
+        SF.col("user_id").alias("c_user"),
+        SF.col("event_id").alias("click_id"),
+        SF.col("ts").alias("click_ts"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        SF.col("user_id").alias("p_user"),
+        SF.col("event_id").alias("purchase_id"),
+        SF.col("ts").alias("purchase_ts"),
+        SF.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (SF.col("c_user") == SF.col("p_user"))
+        & (SF.col("click_ts") < SF.col("purchase_ts"))
+        & (SF.col("purchase_ts") <= SF.col("click_ts") + SF.expr("INTERVAL 1 hour"))
+    )
+    exp = {
+        tuple(r)
+        for r in c.join(p, cond)
+        .select(SF.col("p_user").alias("user_id"), "purchase_id", "click_id", "purchase_value")
+        .collect()
+    }
+    assert got == exp and len(got) >= 3

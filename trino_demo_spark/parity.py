@@ -2537,3 +2537,47 @@ def profile_table(spark, sf_dir):
     return rel_ops.union_all(
         [prof("o_custkey"), prof("o_orderstatus"), prof("o_orderpriority")]
     )
+
+
+@parity(
+    "grouped_map_gaps",
+    sql="""
+    WITH g AS (
+      SELECT user_id, epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+      FROM events
+    )
+    SELECT user_id, COUNT(gap_ns) AS n_gaps,
+           ROUND(AVG(gap_ns) / 1e9 + 1e-9, 4) AS avg_gap_sec,
+           ROUND(MAX(gap_ns) / 1e9 + 1e-9, 4) AS max_gap_sec
+    FROM g GROUP BY user_id
+    """,
+    doc="Grouped-map applyInPandas: per-entity inter-event-gap statistics "
+    "computed in pandas per group (the shape for per-entity feature "
+    "engineering that needs whole-group context — sessionization, "
+    "per-user sequence models). Arrow batches per group; the oracle "
+    "mirrors it with lag windows. Gaps computed on the raw nanosecond "
+    "longs so both engines see identical integers.",
+)
+def grouped_map_gaps(spark, sf_dir):
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts_ns", "event_id")
+
+    def gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_ns", "event_id"])
+        d = pdf["ts_ns"].diff().dropna()
+        n = int(d.shape[0])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [n],
+                "avg_gap_sec": [round(float(d.mean()) / 1e9 + 1e-9, 4) if n else None],
+                "max_gap_sec": [round(float(d.max()) / 1e9 + 1e-9, 4) if n else None],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gaps,
+        schema="user_id BIGINT, n_gaps BIGINT, avg_gap_sec DOUBLE, max_gap_sec DOUBLE",
+    )

@@ -196,3 +196,41 @@ def foreach_batch_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to same-user
+    clicks in the preceding `within` window (attribution). Both sides are
+    watermarked so the join state is bounded: a click can be dropped from
+    state once no purchase within `within` can still arrive — the
+    mechanics Trino's batch-over-log model cannot express."""
+    c = (
+        clicks.withWatermark("ts", within)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", within)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_value",
+    )
