@@ -2565,14 +2565,20 @@ def grouped_map_gaps(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "ts_ns", "event_id")
 
     def gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # Series.diff() on int64 converts to float64, which loses precision
+        # on ~1.7e18 epoch-nanos (> 2^53) — subtract in the integer domain
+        # first; the resulting gaps (~1e11) are float64-exact.
         pdf = pdf.sort_values(["ts_ns", "event_id"])
-        d = pdf["ts_ns"].diff().dropna()
+        t = pdf["ts_ns"].to_numpy()
+        d = t[1:] - t[:-1]
         n = int(d.shape[0])
         return pd.DataFrame(
             {
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_gaps": [n],
-                "avg_gap_sec": [round(float(d.mean()) / 1e9 + 1e-9, 4) if n else None],
+                "avg_gap_sec": [
+                    round(float(d.sum()) / n / 1e9 + 1e-9, 4) if n else None
+                ],
                 "max_gap_sec": [round(float(d.max()) / 1e9 + 1e-9, 4) if n else None],
             }
         )
