@@ -2543,33 +2543,36 @@ def profile_table(spark, sf_dir):
     "grouped_map_gaps",
     sql="""
     WITH g AS (
-      SELECT user_id, epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+      SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       FROM events
     )
-    SELECT user_id, COUNT(gap_ns) AS n_gaps,
-           ROUND(AVG(gap_ns) / 1e9 + 1e-9, 4) AS avg_gap_sec,
-           ROUND(MAX(gap_ns) / 1e9 + 1e-9, 4) AS max_gap_sec
+    SELECT user_id, COUNT(gap_us) AS n_gaps,
+           ROUND(AVG(gap_us) / 1e6 + 1e-9, 4) AS avg_gap_sec,
+           ROUND(MAX(gap_us) / 1e6 + 1e-9, 4) AS max_gap_sec
     FROM g GROUP BY user_id
     """,
     doc="Grouped-map applyInPandas: per-entity inter-event-gap statistics "
     "computed in pandas per group (the shape for per-entity feature "
     "engineering that needs whole-group context — sessionization, "
     "per-user sequence models). Arrow batches per group; the oracle "
-    "mirrors it with lag windows. Gaps computed on the raw nanosecond "
-    "longs so both engines see identical integers.",
+    "mirrors it with lag windows. Gaps computed on integer epoch-MICROS: "
+    "exact in int64, and the precision DuckDB reads nanosecond parquet "
+    "timestamps at (its TIMESTAMP truncates ns→µs).",
 )
 def grouped_map_gaps(spark, sf_dir):
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts_ns", "event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id"
+    )
 
     def gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # Series.diff() on int64 converts to float64, which loses precision
-        # on ~1.7e18 epoch-nanos (> 2^53) — subtract in the integer domain
-        # first; the resulting gaps (~1e11) are float64-exact.
-        pdf = pdf.sort_values(["ts_ns", "event_id"])
-        t = pdf["ts_ns"].to_numpy()
+        # Subtract in the integer domain (Series.diff() would convert
+        # int64 → float64 and ~1.7e15 epoch-µs values are near the 2^53
+        # exactness edge); the resulting gaps are float64-exact.
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        t = pdf["ts_us"].to_numpy()
         d = t[1:] - t[:-1]
         n = int(d.shape[0])
         return pd.DataFrame(
@@ -2577,9 +2580,9 @@ def grouped_map_gaps(spark, sf_dir):
                 "user_id": [int(pdf["user_id"].iloc[0])],
                 "n_gaps": [n],
                 "avg_gap_sec": [
-                    round(float(d.sum()) / n / 1e9 + 1e-9, 4) if n else None
+                    round(float(d.sum()) / n / 1e6 + 1e-9, 4) if n else None
                 ],
-                "max_gap_sec": [round(float(d.max()) / 1e9 + 1e-9, 4) if n else None],
+                "max_gap_sec": [round(float(d.max()) / 1e6 + 1e-9, 4) if n else None],
             }
         )
 
