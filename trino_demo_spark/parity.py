@@ -949,7 +949,9 @@ def win_split_chrono(spark, sf_dir):
 @parity(
     "win_sliding_seq",
     sql="""
-    SELECT user_id, event_id, seq, label FROM (
+    SELECT user_id, event_id,
+           seq[1] AS seq_0, seq[2] AS seq_1, seq[3] AS seq_2, label
+    FROM (
       SELECT user_id, event_id,
              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq,
@@ -960,7 +962,10 @@ def win_split_chrono(spark, sf_dir):
     doc="Sliding sequence windows (len 3, stride 1) + next-value label "
     "(ref: partition_dataset, localTrinoTest.ipynb:593-612; invariant "
     "x[i][L-1] == context of y[i-1] tested in tests/test_windows.py). "
-    "collect_list over rowsBetween — no explosion, O(L) per row.",
+    "collect_list over rowsBetween — no explosion, O(L) per row. Output "
+    "flattened to scalar seq_0..seq_2 columns (fixed length) so the "
+    "driver canonicalizer can sort/hash rows — array cells are "
+    "unhashable in its pandas path.",
 )
 def win_sliding_seq(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -972,10 +977,13 @@ def win_sliding_seq(spark, sf_dir):
         length=3,
         partition_by=["user_id"],
     )
+    vals = F.col("seq").getField("value")
     return out.select(
         "user_id",
         "event_id",
-        F.col("seq").getField("value").alias("seq"),
+        F.element_at(vals, 1).alias("seq_0"),
+        F.element_at(vals, 2).alias("seq_1"),
+        F.element_at(vals, 3).alias("seq_2"),
         "label",
     )
 
@@ -2283,12 +2291,15 @@ def project_lateral_explode(spark, sf_dir):
     "f_regexp_extract_all",
     sql="""
     SELECT doc_id,
-           regexp_extract_all(text, '[a-z]+a[a-z]*') AS a_words,
+           array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), '|') AS a_words,
            len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS n_a_words
     FROM documents WHERE doc_id < 50
     """,
     doc="regexp_extract_all → array of matches + count (multi-match "
-    "string mining).",
+    "string mining). Matches are '|'-joined to one string column so the "
+    "driver canonicalizer can hash the row (array cells are unhashable "
+    "in its pandas sort path); matches are [a-z]+ so the delimiter "
+    "cannot collide.",
 )
 def f_regexp_extract_all(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -2296,7 +2307,7 @@ def f_regexp_extract_all(spark, sf_dir):
     matches = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+a[a-z]*"), 0)
     return docs.select(
         "doc_id",
-        matches.alias("a_words"),
+        F.array_join(matches, "|").alias("a_words"),
         F.size(matches).cast("long").alias("n_a_words"),
     )
 

@@ -357,12 +357,15 @@ def llm_text_pii_scrub(spark, sf_dir):
                    FROM range(1, 65) r(i))) AS nn
       FROM embeddings e2 WHERE vec_id < 50
     )
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nn) AS unit_vec
-    FROM n
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(embedding[CAST(i AS INT)] AS DOUBLE) / nn AS unit_val
+    FROM n, UNNEST(range(1, len(embedding) + 1)) u(i)
     """,
     doc="Unit-normalization of the embedding column (cosine becomes a "
     "plain dot product downstream): per-row array math in DOUBLE, "
-    "map-only.",
+    "map-only. Output exploded to (vec_id, pos, unit_val) rows so the "
+    "driver canonicalizer can hash it (array cells are unhashable in "
+    "its pandas sort path); the library op keeps the array shape.",
 )
 def llm_embed_normalize(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
@@ -370,7 +373,10 @@ def llm_embed_normalize(spark, sf_dir):
     unit = F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE) / __n)"
     )
-    return normed.select("vec_id", unit.alias("unit_vec"))
+    return (
+        normed.select("vec_id", F.posexplode(unit).alias("pos", "unit_val"))
+        .select("vec_id", F.col("pos").cast("long").alias("pos"), "unit_val")
+    )
 
 
 @parity(
@@ -381,13 +387,15 @@ def llm_embed_normalize(spark, sf_dir):
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
       FROM embeddings WHERE vec_id < 50
     )
-    SELECT vec_id, ROUND(scale + 1e-9, 6) AS scale_r,
-           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q8
-    FROM scaled
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, ROUND(scale + 1e-9, 6) AS scale_r,
+           CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / scale) AS BIGINT) AS q8
+    FROM scaled, UNNEST(range(1, len(embedding) + 1)) u(i)
     """,
     doc="Symmetric int8 quantization of embeddings (scale = max|x|/127 per "
     "vector): 4× storage cut for ANN indexes; integer codes are exact "
-    "across engines, the scale survives for dequantization.",
+    "across engines, the scale survives for dequantization. Output "
+    "exploded to (vec_id, pos, scale_r, q8) rows so the driver "
+    "canonicalizer can hash it; the library op keeps the array shape.",
 )
 def llm_embed_quantize(spark, sf_dir):
     from .parity import r_
@@ -403,6 +411,16 @@ def llm_embed_quantize(spark, sf_dir):
     q8 = F.expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))"
     )
-    return scaled.select(
-        "vec_id", r_(F.col("scale"), 6).alias("scale_r"), q8.alias("q8")
+    return (
+        scaled.select(
+            "vec_id",
+            r_(F.col("scale"), 6).alias("scale_r"),
+            F.posexplode(q8).alias("pos", "q8"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            "scale_r",
+            "q8",
+        )
     )
