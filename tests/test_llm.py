@@ -186,3 +186,34 @@ def test_capped_jaccard_subset_of_exact(spark, docs):
     }
     if high:
         assert len(high & capped) / len(high) >= 0.9
+
+
+def test_neardup_lsh_matches_brute_force_on_planted(spark, emb):
+    """Banded sign-LSH near-dup pairs must exactly recover the brute-force
+    pairs at sim >= 0.95 on data with planted near-duplicates (recall -> 1
+    as sim -> 1; exact-cosine re-check removes all false positives)."""
+    orig = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * CAST(i % 7 AS DOUBLE)))"
+        ).alias("embedding"),
+    )
+    aug = orig.unionByName(planted)
+    brute = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.cosine_near_dup_pairs(aug, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.sim)
+        for r in similarity.cosine_near_dup_pairs_lsh(
+            aug, threshold=0.95, num_planes=16, bands=4
+        ).collect()
+    }
+    # all 25 planted (v, v+10000) pairs present, and LSH == brute force
+    assert {(i, i + 10000) for i in range(25)} <= {(a, b) for a, b, _ in lsh}
+    assert lsh == brute

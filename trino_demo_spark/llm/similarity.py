@@ -189,6 +189,73 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH — the
+    100 TB path with the same (id_a, id_b, sim) contract as
+    `cosine_near_dup_pairs` (which stays the test oracle).
+
+    num_planes fixed hyperplanes are split into `bands` bands of
+    num_planes/bands sign bits; two vectors are candidates if ANY band's
+    bit pattern matches (banding boosts recall exactly like MinHash LSH:
+    P(candidate) = 1-(1-p^b)^L for per-plane collision prob
+    p = 1-θ/π). Candidates get the exact cosine and the threshold filter,
+    so false positives cost only compute — recall is the only
+    approximation. For sim ≥ 0.95 (θ ≤ 18.2°, p ≥ 0.899) with b=4, L=4
+    the per-pair recall is ≥ 98.5%, → 1 rapidly as sim → 1 (true
+    near-dups). Work is bounded by bucket sizes (self-join per (band,
+    key)), never O(n²); hyperplanes are deterministic so results are
+    stable across runs and engines.
+
+    Each band key is computed directly from the plane slice (single
+    aggregate over element vars) — no intermediate bit-array column whose
+    defining expression Catalyst would inline per band (see PERF.md on
+    projection-collapse fan-out)."""
+    planes = _hyperplanes(dim, num_planes)
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    b = num_planes // bands
+
+    keyed = with_norm(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb")),
+        "emb",
+        "norm",
+    ).withColumn("__planes", planes_lit)
+    band_keys = F.expr(
+        f"transform(sequence(0, {bands - 1}), k -> "
+        f"aggregate(slice(__planes, k * {b} + 1, {b}), 0, (acc, p) -> "
+        "acc * 2 + CASE WHEN "
+        + DOT.format(a="p", b="emb")
+        + " >= 0 THEN 1 ELSE 0 END))"
+    )
+    keyed = keyed.select(
+        "id", "emb", "norm", F.posexplode(band_keys).alias("band", "bkey")
+    )
+
+    a, c = keyed.alias("a"), keyed.alias("b")
+    sim = F.round(
+        cosine_expr("a.emb", "b.emb", "a.norm", "b.norm") + F.lit(EPS), round_to
+    ).alias("sim")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim)
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def _argmin_centroid(vec_col: str, centroids_lit, metric_dot: bool = False):
     """Index of the nearest centroid (L2) for a vector column, computed
     with array expressions against a broadcast literal centroid array."""

@@ -70,6 +70,40 @@ def llm_dedup_ngram(spark, sf_dir):
 
 
 @parity(
+    "llm_dedup_ngram_capped",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ng AS (SELECT DISTINCT doc_id,
+                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+    freq AS (SELECT g, COUNT(*) AS df FROM ng GROUP BY g),
+    cold AS (SELECT ng.doc_id, ng.g FROM ng JOIN freq USING (g) WHERE df <= 5),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.1
+    """,
+    doc="Hot-shingle-capped n-gram Jaccard (df_max=5) — the declared "
+    "100 TB path for exact-Jaccard dedup: shingles in > df_max docs are "
+    "dropped before the inverted-index self-join, bounding the worst "
+    "shingle's contribution at df_max² join rows (a boilerplate shingle "
+    "at 100 TB would alone produce O(df²) pairs). The union size stays "
+    "uncapped, so Jaccard only underestimates for pairs sharing nothing "
+    "but boilerplate — exactly the non-near-dups. Uncapped twin "
+    "(llm_dedup_ngram) remains the exactness baseline.",
+)
+def llm_dedup_ngram_capped(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs_capped(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.1, df_max=5
+    )
+
+
+@parity(
     "llm_dedup_minhash",
     sql=None,  # engine-hash based; driver records rows-only check
     doc="MinHash(32)+LSH(8 bands) near-dup candidates with "
@@ -146,6 +180,68 @@ def llm_similarity_lsh(spark, sf_dir):
 def llm_embed_neardup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# Deterministic index-dependent perturbation used to plant near-duplicate
+# vectors (the testdata has no natural pairs above cosine ~0.51): copy of
+# vec_id v gets id v+10000 and embedding[i] *= (1 + 0.001·(i mod 7)).
+# Identical arithmetic on both engines → identical planted pairs.
+_PLANT_SPARK = (
+    "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+    "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * CAST(i % 7 AS DOUBLE)))"
+)
+_PLANT_DUCK = (
+    "list_transform(range(1, len(embedding) + 1), i -> "
+    "CAST(embedding[CAST(i AS INT)] AS DOUBLE) * "
+    "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * CAST((i - 1) % 7 AS DOUBLE)))"
+)
+
+
+@parity(
+    "llm_embed_neardup_lsh",
+    sql=f"""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, {_PLANT_DUCK} AS v
+      FROM embeddings WHERE vec_id < 25
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i)) /
+             (sqrt((SELECT SUM(a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)]) FROM range(1, 65) r(i))) *
+              sqrt((SELECT SUM(b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i)))) AS cos
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
+    WHERE ROUND(cos + 1e-9, 4) >= 0.95
+    """,
+    doc="Banded sign-LSH near-duplicate pairs (sim ≥ 0.95; 16 planes × 4 "
+    "bands) — the 100 TB path for llm_embed_neardup: candidates join only "
+    "within a (band, bit-pattern) bucket, never all-pairs; exact cosine "
+    "re-check keeps false positives out, banding drives recall → 1 as "
+    "sim → 1. The testdata has no natural pairs above ~0.51, so 25 "
+    "near-dups are planted deterministically (identical construction in "
+    "the oracle); at these similarities banded recall is exact, so the "
+    "all-pairs oracle matches bit-for-bit. Brute-force twin "
+    "(llm_embed_neardup) remains the correctness baseline; recall vs "
+    "brute force is also asserted in tests/test_llm.py.",
+)
+def llm_embed_neardup_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    orig = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(_PLANT_SPARK).alias("embedding"),
+    )
+    aug = orig.unionByName(planted)
+    return similarity.cosine_near_dup_pairs_lsh(
+        aug, threshold=0.95, num_planes=16, bands=4
     )
 
 
