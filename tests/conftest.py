@@ -11,6 +11,10 @@ from trino_demo_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 SF_CORRECT = "/root/testdata/sf0.01"
+# The parity/oracle gate runs at driver scale (sf0.01) by default so the
+# advertised bit-exact check is what actually runs; unit/invariant tests
+# stay on the smoke SF. SPARK_GRAFT_TEST_SF overrides both.
+SF_PARITY = os.environ.get("SPARK_GRAFT_TEST_SF", SF_CORRECT)
 
 
 @pytest.fixture(scope="session")
@@ -27,6 +31,8 @@ def sf_dir():
 
 @pytest.fixture(scope="session")
 def duck():
+    """DuckDB oracle views over the parity-gate SF (sf0.01 unless
+    overridden) — must match the SF the parity tests feed to Spark."""
     import duckdb
 
     con = duckdb.connect()
@@ -34,7 +40,7 @@ def duck():
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
         con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_PARITY}/{t}.parquet')"
         )
     yield con
     con.close()

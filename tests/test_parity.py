@@ -17,7 +17,7 @@ from trino_demo_spark.parity import PARITY
 import trino_demo_spark.parity_llm  # noqa: F401  (registers llm entries)
 import trino_demo_spark.parity_ml  # noqa: F401  (registers ml entries)
 
-from .conftest import SF_SMOKE
+from .conftest import SF_PARITY
 
 ORACLE_CASES = sorted(n for n, p in PARITY.items() if p.sql is not None)
 ROWS_ONLY_CASES = sorted(n for n, p in PARITY.items() if p.sql is None)
@@ -57,7 +57,7 @@ def _values_equal(a, b):
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(name, spark, duck):
     p = PARITY[name]
-    sdf = p.fn(spark, SF_SMOKE)
+    sdf = p.fn(spark, SF_PARITY)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
 
@@ -84,7 +84,7 @@ def test_oracle_parity(name, spark, duck):
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)
 def test_rows_only_runs(name, spark):
     p = PARITY[name]
-    sdf = p.fn(spark, SF_SMOKE)
+    sdf = p.fn(spark, SF_PARITY)
     n = sdf.count()
     assert n >= 0
     # deterministic across two runs

@@ -357,6 +357,7 @@ def dedup_clusters(
         .distinct()
     )
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    changed = 0
     for _ in range(max_iters):
         neighbor_labels = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -377,6 +378,15 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing): a component's diameter "
+            "exceeds the iteration budget — returning would silently split "
+            "clusters. Raise max_iters (rounds needed = O(component "
+            "diameter); near-dup graphs are shallow, so this signals an "
+            "unexpectedly long chain)."
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),

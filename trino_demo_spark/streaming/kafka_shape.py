@@ -59,11 +59,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_late(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming replay/duplicate collapse: watermark + dropDuplicates on
-    the message key (SURVEY §2.9 stream_dedup_late's native form). State
-    is bounded by the watermark — the property that makes this run
-    forever at scale."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Streaming replay/duplicate collapse: watermark +
+    dropDuplicatesWithinWatermark on the message key (SURVEY §2.9
+    stream_dedup_late's native form). Plain dropDuplicates(subset) only
+    evicts state when the event-time column is part of the subset — on a
+    bare message key the state map would grow unboundedly;
+    dropDuplicatesWithinWatermark evicts each key once the watermark
+    passes its event time, so state stays bounded and the query can run
+    forever. Replays of the same event_id arriving within the watermark
+    delay (the only replays a watermarked pipeline admits) collapse to
+    one row."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def windowed_counts(
@@ -120,9 +128,16 @@ def keep_latest_stateful(stream: DataFrame, watermark: str = "1 hour") -> DataFr
     revisions supersede older messages, SURVEY.md §2.9 stream_dedup_late;
     ref KubeflowStockPricePrediction.ipynb:547-549).
 
-    applyInPandasWithState keeps one row of state per key (bounded by the
-    watermark), emitting the current winner on every update. State size =
-    O(active keys), the property that lets this run indefinitely."""
+    applyInPandasWithState keeps one row of state per key and emits the
+    current winner on every update. Keys include the day, so without
+    eviction state would grow by one entry per (user, day) forever;
+    EventTimeTimeout bounds it: each key arms a timeout at its day's end
+    (no event with ts inside day D can arrive once the watermark passes
+    D's end — later arrivals are beyond the watermark and dropped), and
+    the timeout branch removes the state. Live state = O(keys within the
+    watermark horizon), the property that lets this run indefinitely."""
+    import datetime as _dt
+
     import pandas as pd  # local import: only the stateful path needs it
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -130,6 +145,10 @@ def keep_latest_stateful(stream: DataFrame, watermark: str = "1 hour") -> DataFr
     state_schema = "ts_ns BIGINT, event_id BIGINT, value DOUBLE"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # Watermark passed this day's end: no more revisions possible.
+            state.remove()
+            return
         best = state.get if state.exists else None  # (ts_ns, event_id, value)
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
@@ -137,6 +156,18 @@ def keep_latest_stateful(stream: DataFrame, watermark: str = "1 hour") -> DataFr
                 if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                     best = cand
         state.update(best)
+        # Evict once the watermark passes the end of this key's day. The
+        # timestamp must stay ahead of the current watermark (Spark rejects
+        # timeouts at/behind it — possible when a batch advances the
+        # watermark past an old key's day within the same trigger).
+        day = key[1]  # datetime.date
+        day_end = _dt.datetime(
+            day.year, day.month, day.day, tzinfo=_dt.timezone.utc
+        ) + _dt.timedelta(days=1)
+        timeout_ms = max(
+            int(day_end.timestamp() * 1000), state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -152,7 +183,7 @@ def keep_latest_stateful(stream: DataFrame, watermark: str = "1 hour") -> DataFr
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -180,15 +211,20 @@ def session_windows(
 def foreach_batch_sink(
     stream: DataFrame, out_path: str, checkpoint: str
 ) -> StreamingQuery:
-    """Micro-batch sink via foreachBatch with checkpointed progress: each
-    batch appends parquet; the checkpoint records consumed source offsets,
-    so a restarted query resumes exactly where it stopped (no re-reads, no
-    duplicates) — the exactly-once property the reference approximates
-    with DISTINCT-on-read (SURVEY §2.9). Asserted by the restart test in
-    tests/test_streaming.py."""
+    """Micro-batch sink via foreachBatch with checkpointed progress and an
+    idempotent write: foreachBatch alone is only at-least-once — a crash
+    after the write but before the checkpoint commit re-runs the batch —
+    so each batch OVERWRITES its own `batch_id=N` partition directory
+    instead of appending; a replayed batch rewrites identical data in
+    place and the output stays exactly-once end-to-end (checkpoint dedups
+    re-reads across restarts, the per-batch overwrite dedups the
+    write-retry window). The reference approximates this with
+    DISTINCT-on-read (SURVEY §2.9). Readers load `out_path` as ordinary
+    partitioned parquet (batch_id becomes a partition column). Restart
+    behavior asserted in tests/test_streaming.py."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_path)
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(write_batch)
