@@ -199,6 +199,18 @@ def write_bucketed(
     for repeated large-fact joins at 100 TB, replacing per-query shuffles
     with a one-time layout cost. Asserted shuffle-free in
     tests/test_scale_plans.py."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    # A location can outlive its catalog entry (a previous session's
+    # warehouse dir whose in-memory metastore died); saveAsTable refuses
+    # to reuse it, so clear the orphan through the Hadoop FS API (works
+    # for any filesystem, not just file://).
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table_name.lower()}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(
         num_buckets, *bucket_cols
     )

@@ -581,6 +581,94 @@ def join_null_filter(spark, sf_dir):
 
 
 @parity(
+    "join_fact_fact_merge",
+    sql="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
+           ROUND(SUM(l.l_quantity) + 1e-9, 2) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Deliberately shuffle-heavy fact-fact join: full lineitem ⋈ full "
+    "orders on the order key as a SortMergeJoin (merge hint on both "
+    "sides — no pre-aggregation, no broadcast), then a keyed aggregate. "
+    "This is the one bench query that exercises the raw "
+    "shuffle-exchange + external-sort path every large fact-fact join "
+    "takes at 100 TB when no co-located layout exists (see "
+    "join_bucketed_flagship for the layout that deletes these "
+    "shuffles); kept in bench.py so shuffle-path regressions are "
+    "visible, not hidden behind broadcast-friendly plans.",
+)
+def join_fact_fact_merge(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.hint("merge").join(
+        o.hint("merge"), li["l_orderkey"] == o["o_orderkey"]
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        r_(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        r_(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@parity(
+    "join_bucketed_flagship",
+    sql="""
+    SELECT l.l_orderkey,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 1000
+    GROUP BY l.l_orderkey
+    """,
+    doc="Flagship fact-fact join on a bucketed-by-join-key layout "
+    "(SURVEY.md §4): orders and lineitem are written bucketed+sorted on "
+    "the order key (operators.relational.write_bucketed), after which "
+    "the SortMergeJoin AND the per-order aggregate run with ZERO "
+    "exchanges and zero sorts — the one-time layout cost replaces every "
+    "repeated join/agg shuffle at 100 TB. The entry asserts "
+    "exchange-freedom on the physical plan at runtime (raises if a "
+    "shuffle sneaks back in); results are layout-independent, so the "
+    "oracle runs the plain join.",
+)
+def join_bucketed_flagship(spark, sf_dir):
+    sftag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
+    )
+    ot, lt = f"bflag_orders_{sftag}", f"bflag_lineitem_{sftag}"
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rel_ops.write_bucketed(orders, ot, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    rel_ops.write_bucketed(li, lt, ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    a = spark.table(lt).filter(F.col("l_orderkey") < 1000).hint("merge")
+    b = spark.table(ot).filter(F.col("o_orderkey") < 1000).hint("merge")
+    out = (
+        a.join(b, a["l_orderkey"] == b["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            r_(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed flagship join must be exchange-free, got:\n" + plan
+        )
+    return out
+
+
+@parity(
     "join_ci_keys",
     sql="""
     SELECT c.c_custkey AS custkey, c.c_name AS name, o.o_orderkey AS orderkey
