@@ -111,10 +111,44 @@ def test_multimodal_stub_contract(spark, docs):
     rows = feats.collect()
     assert len(rows) == docs.count()
     assert all(0 <= r.head_sig < 997 for r in rows)
+    # unsupported formats stay declared stubs
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF")
+        multimodal.decode_audio(b"RIFF")  # truncated/containerless
+
+
+def test_wav_decode_roundtrip():
+    samples = [0, 1000, -1000, 32767, -32768, 17]
+    payload = multimodal.encode_wav_pcm16(samples, sample_rate=16000)
+    out = multimodal.decode_audio(payload)
+    assert out == {"sample_rate": 16000, "channels": 1, "samples": samples}
+    # extra chunk before data (LIST) is walked over, odd-size word-aligned
+    import struct as st
+
+    extra = b"LIST" + st.pack("<I", 3) + b"abc\x00"
+    patched = payload[:36] + extra + payload[36:]
+    patched = patched[:4] + st.pack("<I", len(patched) - 8) + patched[8:]
+    assert multimodal.decode_audio(patched)["samples"] == samples
+    with pytest.raises(NotImplementedError):
+        # float32 WAV (format 3) needs a codec lib path
+        bad = payload[:20] + st.pack("<H", 3) + payload[22:]
+        multimodal.decode_audio(bad)
+
+
+def test_ppm_decode_roundtrip():
+    pixels = bytes(range(24))  # 2x4 RGB
+    out = multimodal.decode_image(multimodal.encode_ppm(2, 4, pixels))
+    assert (out["width"], out["height"], out["channels"]) == (2, 4, 3)
+    assert out["pixels"] == pixels
+    # comment-tolerant header
+    with_comment = b"P6\n# synthetic\n2 4\n255\n" + pixels
+    assert multimodal.decode_image(with_comment)["pixels"] == pixels
+    # P5 grayscale
+    g = multimodal.decode_image(b"P5\n3 2\n255\n" + bytes(6))
+    assert (g["width"], g["height"], g["channels"]) == (3, 2, 1)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"P3\n1 1\n255\n0 0 0")  # ASCII ppm
 
 
 def test_ngram_empty_guard(spark):

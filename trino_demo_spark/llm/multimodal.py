@@ -2,15 +2,18 @@
 
 Modality payloads are opaque BinaryType columns with a typed metadata
 struct alongside; decode / feature-extract run as Arrow-batched
-mapInPandas over those columns. The decode kernels for real media need
-image/audio libraries that are NOT in this container, so they are stubbed
-behind NotImplementedError — but the Spark-side plumbing (schema, batch
-iteration, partitioning, output contract) is real and tested, and a
-deterministic byte-level feature extractor exercises the full path.
+mapInPandas over those columns. Containerless formats are decoded with
+REAL pure-stdlib kernels: WAV/RIFF PCM16 audio (`decode_audio` /
+`encode_wav_pcm16`) and binary PPM/PGM images (`decode_image` /
+`encode_ppm`), both exercised end-to-end through mapInPandas with
+DuckDB-oracle-checked features (parity_llm.llm_multimodal_wav/_ppm).
+Formats that need codec libraries not in this container (PNG/JPEG,
+compressed audio, video) raise NotImplementedError — declared stubs.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,15 +63,111 @@ def attach_payload(
     )
 
 
-def decode_image(payload: bytes) -> "object":  # pragma: no cover - stub
-    """Decode an image payload to HxWxC. Requires an imaging library not
-    present in this container — STUB (SURVEY.md §2.10 contract)."""
-    raise NotImplementedError("image decode requires PIL/opencv; not in container")
+def encode_wav_pcm16(samples: "list[int]", sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal canonical RIFF/WAVE writer for PCM16 (44-byte header +
+    little-endian int16 data) — pure stdlib, used to synthesize audio
+    payloads for the decode round-trip."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
 
 
-def decode_audio(payload: bytes) -> "object":  # pragma: no cover - stub
-    """Decode audio to PCM samples. STUB — audio libs not in container."""
-    raise NotImplementedError("audio decode requires soundfile/ffmpeg; not in container")
+def decode_audio(payload: bytes) -> dict:
+    """REAL decode kernel for RIFF/WAVE PCM16 (the container has no codec
+    libraries, but WAV needs none): walks the RIFF chunk list, parses
+    `fmt `, and unpacks the `data` chunk to int16 samples. Returns
+    {sample_rate, channels, samples}. Compressed/float formats and
+    non-WAV containers raise NotImplementedError (declared stub —
+    they require ffmpeg/soundfile)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE payloads decodable without codec libraries"
+        )
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV without fmt/data chunks")
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 decodable without codec libs (format={audio_format}, bits={bits})"
+        )
+    n = len(data) // 2
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "samples": list(struct.unpack(f"<{n}h", data[: 2 * n])),
+    }
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) writer — len(pixels) must be 3·w·h."""
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL decode kernel for binary PPM/PGM (P6/P5, the codec-free
+    netpbm formats): parses the whitespace/comment-tolerant header and
+    returns {width, height, channels, pixels(bytes)}. PNG/JPEG/etc.
+    raise NotImplementedError (declared stub — they require PIL/opencv,
+    not in this container)."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            "only binary PPM/PGM decodable without imaging libraries"
+        )
+    # Header tokens: magic, width, height, maxval — separated by
+    # whitespace, with '#' comments running to end-of-line; a single
+    # whitespace byte then precedes the raster.
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise NotImplementedError("truncated netpbm header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    raster = payload[pos + 1 : pos + 1 + width * height * channels]
+    if len(raster) != width * height * channels:
+        raise NotImplementedError("truncated netpbm raster")
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": raster,
+    }
 
 
 def frame_sample(payload: bytes, every_n: int = 30) -> "list":  # pragma: no cover
@@ -80,6 +179,106 @@ def byte_head_signature(payload: bytes, head: int = 16) -> int:
     """Deterministic stand-in feature: sum of the first `head` byte values
     mod 997. Exercises the real batch path end-to-end."""
     return sum(payload[:head]) % 997
+
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+PPM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def _synth_samples(doc_id: int) -> "list[int]":
+    """Deterministic PCM16 test signal for a doc id — the formula the
+    DuckDB oracle recomputes directly, so any decode error breaks the
+    cross-engine match."""
+    n = (doc_id % 50) + 10
+    return [((doc_id * 31 + i * 17) % 4096) - 2048 for i in range(n)]
+
+
+def _synth_pixels(doc_id: int) -> "tuple[int, int, bytes]":
+    w, h = (doc_id % 5) + 2, (doc_id % 3) + 2
+    return w, h, bytes((doc_id * 7 + j) % 256 for j in range(3 * w * h))
+
+
+def wav_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio decode exercised for real: synthesize a deterministic PCM16
+    signal per row, ENCODE it to RIFF/WAVE bytes, DECODE those bytes with
+    decode_audio, and emit features computed from the decoded samples —
+    all inside one Arrow-batched mapInPandas pass (the exact shape a real
+    featurizer over object-store audio takes; at scale, repartition by
+    size bins first to even out media skew)."""
+    import math
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = 8000 + (doc_id % 5) * 1000
+                payload = encode_wav_pcm16(_synth_samples(doc_id), rate)
+                decoded = decode_audio(payload)
+                s = decoded["samples"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": decoded["sample_rate"],
+                        "n_samples": len(s),
+                        "sum_samples": sum(s),
+                        "rms": round(
+                            math.sqrt(sum(x * x for x in s) / len(s)) + 1e-9, 4
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
+def ppm_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Image decode exercised for real: deterministic RGB raster → binary
+    PPM bytes → decode_image → features from the decoded raster, one
+    Arrow-batched mapInPandas pass (see wav_roundtrip_features)."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, pixels = _synth_pixels(doc_id)
+                decoded = decode_image(encode_ppm(w, h, pixels))
+                raster = decoded["pixels"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": decoded["width"],
+                        "height": decoded["height"],
+                        "n_pixel_bytes": len(raster),
+                        "pix_sum": sum(raster),
+                        "mean_pixel": round(sum(raster) / len(raster) + 1e-9, 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)
 
 
 def extract_features(media: DataFrame, head: int = 16) -> DataFrame:

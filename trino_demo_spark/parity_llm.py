@@ -357,6 +357,63 @@ def llm_multimodal_features(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_wav",
+    sql="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, i FROM d, UNNEST(range(0, 59)) u(i)
+          WHERE i < (doc_id % 50) + 10),
+    v AS (SELECT doc_id, ((doc_id * 31 + i * 17) % 4096) - 2048 AS smp FROM s)
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
+           COUNT(*) AS n_samples,
+           SUM(smp) AS sum_samples,
+           ROUND(sqrt(SUM(smp * smp) * 1.0 / COUNT(*)) + 1e-9, 4) AS rms
+    FROM v GROUP BY doc_id
+    """,
+    doc="REAL audio decode through the engine: a deterministic PCM16 "
+    "signal per doc is encoded to RIFF/WAVE bytes and decoded back with "
+    "the pure-stdlib WAV kernel inside one Arrow mapInPandas pass; "
+    "features (rate, count, sum, rms) come from the DECODED samples "
+    "while the oracle recomputes them from the source formula — any "
+    "header/endianness/chunk-walk bug breaks the cross-engine match. "
+    "Converts the audio stub into a tested kernel (multimodal.py "
+    "decode_audio); compressed formats remain declared stubs.",
+)
+def llm_multimodal_wav(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.wav_roundtrip_features(docs)
+
+
+@parity(
+    "llm_multimodal_ppm",
+    sql="""
+    WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
+               FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, w, h, j FROM d, UNNEST(range(0, 72)) u(j)
+          WHERE j < 3 * w * h),
+    v AS (SELECT doc_id, w, h, (doc_id * 7 + j) % 256 AS px FROM s)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           COUNT(*) AS n_pixel_bytes,
+           SUM(px) AS pix_sum,
+           ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
+    FROM v GROUP BY doc_id, w, h
+    """,
+    doc="REAL image decode through the engine: a deterministic RGB raster "
+    "per doc is encoded to binary PPM (P6) and decoded back with the "
+    "pure-stdlib netpbm kernel inside one Arrow mapInPandas pass; "
+    "features come from the DECODED raster, the oracle recomputes them "
+    "from the source formula. Converts the image stub into a tested "
+    "kernel (multimodal.py decode_image); PNG/JPEG remain declared "
+    "stubs.",
+)
+def llm_multimodal_ppm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.ppm_roundtrip_features(docs)
+
+
+@parity(
     "llm_similarity_ivf",
     sql=None,
     doc="IVF-style approximate top-k: deterministic Lloyd k-means coarse "
