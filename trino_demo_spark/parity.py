@@ -2099,6 +2099,210 @@ def tpch_q22(spark, sf_dir):
     )
 
 
+@parity(
+    "tpch_q8",
+    sql="""
+    WITH flat AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END)
+                 / SUM(volume) + 1e-9, 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: a nation's market share inside a region by year "
+    "— 7-way star join, every dim pre-filtered and broadcast, single "
+    "fact shuffle, conditional-ratio aggregate.",
+)
+def tpch_q8(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_regionkey").alias("rk1"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    flat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(r), F.col("rk1") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_6", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return flat.groupBy("o_year").agg(
+        r_(F.sum(target) / F.sum("volume"), 6).alias("mkt_share")
+    )
+
+
+@parity(
+    "tpch_q9",
+    sql="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year). The "
+    "testdata has no partsupp table, so profit omits ps_supplycost — "
+    "the join/agg topology (part-name LIKE filter, supplier-nation "
+    "rollup, year bucketing) is the exercised surface.",
+)
+def tpch_q9(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(r_(F.sum(rev), 2).alias("sum_profit"))
+    )
+
+
+@parity(
+    "tpch_q13",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution — left outer "
+    "join with an ON-clause residual filter (kept out of WHERE so "
+    "customers with zero qualifying orders survive as c_count=0), "
+    "double aggregation. Two shuffles by construction (custkey, then "
+    "c_count — the second is tiny).",
+)
+def tpch_q13(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@parity(
+    "tpch_q15",
+    sql="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: top supplier by quarterly revenue — derived "
+    "aggregate reused twice (revenue per supplier + its max) without "
+    "recomputation hazards: the max is a broadcast 1-row comparator, "
+    "equality is on the identically-rounded total both engines compute.",
+)
+def tpch_q15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            r_(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@parity(
+    "tpch_q16",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#9' AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (supplier diversity per part segment). No "
+    "partsupp table in the testdata, so supplier-part pairs come from "
+    "lineitem; COUNT(DISTINCT) runs as Spark's two-phase "
+    "partial-distinct aggregate — no row explosion beyond the "
+    "(segment, suppkey) distinct set.",
+)
+def tpch_q16(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product-analytics operators over the events stream table: histogram,
 # funnel, cohort retention — the aggregation shapes a training-data /
