@@ -251,3 +251,47 @@ def test_neardup_lsh_matches_brute_force_on_planted(spark, emb):
     # all 25 planted (v, v+10000) pairs present, and LSH == brute force
     assert {(i, i + 10000) for i in range(25)} <= {(a, b) for a, b, _ in lsh}
     assert lsh == brute
+
+
+def test_pack_sequences_invariants(spark, docs):
+    from trino_demo_spark.llm import packing
+
+    budget = 256
+    out = packing.pack_sequences(docs, budget=budget, group_col="lang").toPandas()
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    for (g, b), grp in out.groupby(["group_key", "bin_id"]):
+        grp = grp.sort_values("offset")
+        # offsets are the running fill: contiguous, start at 0
+        assert grp["offset"].iloc[0] == 0
+        assert (
+            grp["offset"].iloc[1:].to_numpy()
+            == (grp["offset"] + grp["n_tokens"]).iloc[:-1].to_numpy()
+        ).all()
+        # budget respected unless the bin is a single oversized doc
+        total = int((grp["offset"] + grp["n_tokens"]).iloc[-1])
+        assert total <= budget or (len(grp) == 1 and grp["oversized"].iloc[0])
+    # bins are contiguous from 0 within each group
+    for g, grp in out.groupby("group_key"):
+        bins = sorted(grp["bin_id"].unique())
+        assert bins == list(range(len(bins)))
+    # order preserved: doc order within a group == bin-then-offset order
+    for g, grp in out.groupby("group_key"):
+        by_doc = grp.sort_values("doc_id")[["bin_id", "offset"]].to_numpy()
+        assert (by_doc == grp.sort_values(["bin_id", "offset"])[["bin_id", "offset"]].to_numpy()).all()
+
+
+def test_pack_sequences_oversized_alone(spark):
+    from trino_demo_spark.llm import packing
+
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", 300), (3, "g", 10), (4, "g", 10)],
+        "doc_id long, lang string, nt long",
+    )
+    out = (
+        packing.pack_sequences(df, budget=256, group_col="lang", token_count_col="nt")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["bin_id"]) == [0, 1, 2, 2]
+    assert list(out["oversized"]) == [False, True, False, False]
+    assert list(out["offset"]) == [0, 0, 0, 10]

@@ -1,0 +1,99 @@
+"""Sequence packing for LLM training pipelines (SURVEY.md §2.10
+extension family): greedy sequential bin packing of documents into fixed
+token-budget context windows.
+
+Pretraining dataloaders concatenate documents into fixed-length windows;
+the engine-side version assigns every document a (group, bin_id, offset)
+so a downstream writer can materialize packed sequences without a
+driver-side loop. The packing rule is the standard greedy sequential
+one: walk documents in a deterministic order, keep a running fill, start
+a new bin when the next document would overflow the budget (an oversized
+document gets a bin of its own — flagged, since it needs truncation or
+splitting downstream).
+
+Packing is inherently sequential WITHIN a group, so the group is the
+parallelism unit: applyInPandas gives each group one linear scan. At
+100 TB the group is a shard key (language, source, or hash(doc_id) mod
+N — thousands of groups → thousands of parallel scans, each
+memory-bounded by its group's rows); there is no cross-group state, no
+shuffle beyond the one groupBy, and no driver involvement. The same
+greedy recurrence is exactly expressible as a DuckDB recursive CTE,
+which is the parity oracle (parity_llm.llm_pack_sequences).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("oversized", T.BooleanType()),
+    ]
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign (bin_id, offset) per document by greedy sequential packing
+    within each group, documents ordered by id.
+
+    bin_id counts bins within the group from 0; offset is the token
+    position of the document inside its bin; oversized marks documents
+    alone in a bin because n_tokens > budget."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if token_count_col is None:
+        toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    else:
+        toks = F.col(token_count_col).cast("long")
+    keyed = docs.select(
+        F.col(group_col).cast("string").alias("group_key"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("n_tokens"),
+    )
+
+    def pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            bin_id, fill = 0, 0
+            bins, offsets, oversized = [], [], []
+            for n in pdf["n_tokens"]:
+                n = int(n)
+                if fill > 0 and fill + n > budget:
+                    bin_id += 1
+                    fill = 0
+                bins.append(bin_id)
+                offsets.append(fill)
+                oversized.append(n > budget)
+                fill += n
+                if fill >= budget:  # full (or oversized) bin: close it
+                    bin_id += 1
+                    fill = 0
+            yield pd.DataFrame(
+                {
+                    "group_key": pdf["group_key"],
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_tokens": pdf["n_tokens"].astype("int64"),
+                    "bin_id": pd.Series(bins, dtype="int64"),
+                    "offset": pd.Series(offsets, dtype="int64"),
+                    "oversized": pd.Series(oversized, dtype="bool"),
+                }
+            )
+
+    return keyed.groupBy("group_key").applyInPandas(pack, schema=PACK_SCHEMA)

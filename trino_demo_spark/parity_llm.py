@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .llm import dedup, multimodal, similarity, text
+from .llm import dedup, multimodal, packing, similarity, text
 from .parity import _t, parity
 
 # Shared SQL fragments so the oracle tokenization matches
@@ -411,6 +411,56 @@ def llm_multimodal_wav(spark, sf_dir):
 def llm_multimodal_ppm(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return multimodal.ppm_roundtrip_features(docs)
+
+
+_PACK_BUDGET = 256
+
+@parity(
+    "llm_pack_sequences",
+    sql=f"""
+    WITH RECURSIVE tok AS (
+      SELECT CAST(lang AS VARCHAR) AS group_key, doc_id,
+             CAST(len({_TOK}) AS BIGINT) AS n_tokens
+      FROM documents),
+    ordered AS (
+      SELECT group_key, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY group_key ORDER BY doc_id) AS rn
+      FROM tok),
+    packed AS (
+      SELECT group_key, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(0 AS BIGINT) AS "offset",
+             CASE WHEN n_tokens >= {_PACK_BUDGET} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nb,
+             CASE WHEN n_tokens >= {_PACK_BUDGET} THEN CAST(0 AS BIGINT) ELSE n_tokens END AS nf
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.group_key, o.doc_id, o.n_tokens, o.rn,
+             p.nb + CASE WHEN p.nf > 0 AND p.nf + o.n_tokens > {_PACK_BUDGET} THEN 1 ELSE 0 END AS bin_id,
+             CASE WHEN p.nf > 0 AND p.nf + o.n_tokens > {_PACK_BUDGET} THEN 0 ELSE p.nf END AS "offset",
+             p.nb + CASE WHEN p.nf > 0 AND p.nf + o.n_tokens > {_PACK_BUDGET} THEN 1 ELSE 0 END
+                  + CASE WHEN (CASE WHEN p.nf > 0 AND p.nf + o.n_tokens > {_PACK_BUDGET} THEN 0 ELSE p.nf END) + o.n_tokens >= {_PACK_BUDGET} THEN 1 ELSE 0 END AS nb,
+             CASE WHEN (CASE WHEN p.nf > 0 AND p.nf + o.n_tokens > {_PACK_BUDGET} THEN 0 ELSE p.nf END) + o.n_tokens >= {_PACK_BUDGET}
+                  THEN 0
+                  ELSE (CASE WHEN p.nf > 0 AND p.nf + o.n_tokens > {_PACK_BUDGET} THEN 0 ELSE p.nf END) + o.n_tokens END AS nf
+      FROM ordered o JOIN packed p ON o.group_key = p.group_key AND o.rn = p.rn + 1)
+    SELECT group_key, doc_id, n_tokens, bin_id, "offset",
+           n_tokens > {_PACK_BUDGET} AS oversized
+    FROM packed
+    """,
+    doc=f"Sequence packing for training dataloaders: greedy sequential "
+    f"bin packing of documents into {_PACK_BUDGET}-token context "
+    "windows, per language group — every doc gets (bin_id, offset) so a "
+    "writer can materialize packed sequences engine-side. Packing is "
+    "sequential within a group, so the group is the parallelism unit "
+    "(one applyInPandas linear scan per group; at 100 TB the group is a "
+    "shard key with thousands of parallel scans and no cross-group "
+    "state). The oracle replays the identical greedy recurrence as a "
+    "DuckDB recursive CTE.",
+)
+def llm_pack_sequences(spark, sf_dir):
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=_PACK_BUDGET, group_col="lang"
+    )
 
 
 @parity(
