@@ -135,3 +135,28 @@ def test_stratified_sample_fractions(spark):
     assert counts.get("de") == full["de"]
     assert "es" not in counts and "fr" not in counts and "zh" not in counts
     assert 0.2 * full["en"] < counts.get("en", 0) < 0.8 * full["en"]
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = load_table(spark, "documents", SF_SMOKE)
+    rates = {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 0.75}
+    s1 = rel.stratified_sample_deterministic(docs, "lang", "doc_id", rates)
+    s2 = rel.stratified_sample_deterministic(
+        docs.repartition(7), "lang", "doc_id", rates
+    )
+    r1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    r2 = sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert r1 == r2 and r1  # partition-independent, non-empty
+    # realized rates track requested rates (4-hex-digit quantization)
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, rate in rates.items():
+        realized = kept.get(lang, 0) / totals[lang]
+        assert abs(realized - rate) < 0.25, (lang, realized, rate)
+    # rate edge cases
+    assert rel.strata_hex_threshold(0.0) == "0000"
+    assert rel.strata_hex_threshold(1.0) == "zzzz"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rel.strata_hex_threshold(1.5)

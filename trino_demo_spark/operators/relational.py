@@ -247,5 +247,38 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum sampling (df.sampleBy): balance classes/languages in a
     training subset. Seeded → reproducible for a fixed partitioning; use
-    deterministic_sample for partition-independent reproducibility."""
+    stratified_sample_deterministic for partition-independent
+    reproducibility."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def strata_hex_threshold(rate: float) -> str:
+    """4-hex-digit md5-prefix threshold for a sampling rate: keep a row
+    when the first 4 hex chars of md5(key) compare below it. Quantized to
+    1/65536 steps; identical string comparison on any engine."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return format(min(int(rate * 65536), 65535), "04x") if rate < 1.0 else "zzzz"
+
+
+def stratified_sample_deterministic(
+    df: DataFrame, strata_col: str, key_col: str, rates: "dict[str, float]"
+) -> DataFrame:
+    """Per-stratum content-hash sampling: row kept iff the first 4 hex
+    chars of md5(key) fall below the stratum's threshold
+    (strata_hex_threshold). Combines deterministic_sample's properties
+    (stable across runs, engines, partitionings, re-orderings) with
+    per-stratum rates — the balance-rebalancing step of a training-data
+    pipeline (downsample the dominant language, keep the rare ones).
+    Strata not in `rates` are dropped. Map-only: the rate map is a
+    literal CASE, no join, no shuffle."""
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = (F.col(strata_col) == stratum) & (
+            prefix < strata_hex_threshold(rate)
+        )
+        expr = cond if expr is None else (expr | cond)
+    if expr is None:
+        raise ValueError("rates must be non-empty")
+    return df.filter(expr)

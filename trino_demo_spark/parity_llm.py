@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .llm import dedup, multimodal, packing, similarity, text
+from .operators import relational as rel_ops
 from .parity import _t, parity
 
 # Shared SQL fragments so the oracle tokenization matches
@@ -411,6 +412,33 @@ def llm_multimodal_wav(spark, sf_dir):
 def llm_multimodal_ppm(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return multimodal.ppm_roundtrip_features(docs)
+
+
+@parity(
+    "llm_sample_stratified",
+    sql="""
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+       OR (lang = 'de' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000')
+       OR (lang = 'es' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000')
+       OR (lang = 'fr' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000')
+       OR (lang = 'zh' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000')
+    """,
+    doc="Stratified deterministic sampling: per-language keep rates "
+    "(downsample dominant en to 25%, keep others at 75%) decided by a "
+    "4-hex-digit md5(doc_id) prefix threshold — stable across runs, "
+    "engines, partitionings, and re-orderings (rand()/sampleBy give "
+    "none of these), so training subsets are reproducible and "
+    "independently recomputable. Map-only literal CASE: no join, no "
+    "shuffle, predicate runs in the scan.",
+)
+def llm_sample_stratified(spark, sf_dir):
+    return rel_ops.stratified_sample_deterministic(
+        _t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        key_col="doc_id",
+        rates={"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 0.75},
+    ).select("doc_id", "lang")
 
 
 _PACK_BUDGET = 256
