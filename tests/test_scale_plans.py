@@ -160,3 +160,10 @@ def test_stratified_sample_deterministic(spark):
 
     with _pytest.raises(ValueError):
         rel.strata_hex_threshold(1.5)
+
+
+def test_sessionize_single_exchange(spark):
+    plan = _plan(PARITY["win_sessionize"].fn(spark, SF_SMOKE))
+    # one hash partitioning by user_id feeds both windows AND the final
+    # (user_id, sess_id) aggregate — exactly one shuffle in the plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

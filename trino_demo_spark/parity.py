@@ -2843,6 +2843,61 @@ def profile_table(spark, sf_dir):
 
 
 @parity(
+    "win_sessionize",
+    sql="""
+    WITH m AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM m)
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           ROUND(SUM(value) + 1e-9, 2) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+    doc="Batch sessionization (30-min inactivity gap): lag → new-session "
+    "flag → running-sum session id → per-session aggregate, all on ONE "
+    "hash partitioning by user_id (both windows and the final "
+    "(user_id, sess_id) groupBy reuse it — a subset of the grouping "
+    "keys, so Catalyst inserts no second exchange; asserted in "
+    "tests/test_scale_plans.py). The declarative twin of "
+    "streaming.session_windows (F.session_window); timestamps compared "
+    "in integer epoch-micros, the precision DuckDB reads nanosecond "
+    "parquet at.",
+)
+def win_sessionize(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    gap_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_id", F.sum("new_sess").over(run).cast("long")
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        r_(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@parity(
     "grouped_map_gaps",
     sql="""
     WITH g AS (
