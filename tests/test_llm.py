@@ -295,3 +295,25 @@ def test_pack_sequences_oversized_alone(spark):
     assert list(out["bin_id"]) == [0, 1, 2, 2]
     assert list(out["oversized"]) == [False, True, False, False]
     assert list(out["offset"]) == [0, 0, 0, 10]
+
+
+def test_temperature_resample_rebalances(spark, docs):
+    from trino_demo_spark.llm import mixing
+
+    natural = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(natural.values())
+    out = mixing.temperature_resample(docs, alpha=0.5, strata_col="lang")
+    mixed = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # total size approximately preserved (hash-fraction realization)
+    assert abs(sum(mixed.values()) - total) / total < 0.1
+    # every stratum's share moves from natural toward uniform
+    k = len(natural)
+    for lang, n in natural.items():
+        nat_share, mix_share, uni = n / total, mixed[lang] / sum(mixed.values()), 1 / k
+        if abs(nat_share - uni) > 0.02:
+            assert abs(mix_share - uni) < abs(nat_share - uni), (lang, nat_share, mix_share)
+    # deterministic under repartitioning
+    out2 = mixing.temperature_resample(docs.repartition(7), alpha=0.5, strata_col="lang")
+    a = sorted((r.doc_id, r.copy_idx) for r in out.select("doc_id", "copy_idx").collect())
+    b = sorted((r.doc_id, r.copy_idx) for r in out2.select("doc_id", "copy_idx").collect())
+    assert a == b

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .llm import dedup, multimodal, packing, similarity, text
+from .llm import dedup, mixing, multimodal, packing, similarity, text
 from .operators import relational as rel_ops
 from .parity import _t, parity
 
@@ -412,6 +412,40 @@ def llm_multimodal_wav(spark, sf_dir):
 def llm_multimodal_ppm(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return multimodal.ppm_roundtrip_features(docs)
+
+
+@parity(
+    "llm_sample_temperature",
+    sql="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_s) AS n, SUM(POW(CAST(n_s AS DOUBLE), 0.5)) AS z FROM counts),
+    w AS (SELECT lang,
+                 ROUND(CAST(n AS DOUBLE) * POW(CAST(n_s AS DOUBLE), 0.5) / z
+                       / CAST(n_s AS DOUBLE) + 1e-9, 6) AS wgt
+          FROM counts, tot),
+    r AS (SELECT d.doc_id, d.lang,
+                 CAST(FLOOR(w.wgt) AS BIGINT)
+                 + CASE WHEN (((d.doc_id & 2147483647) * 40503) % 65536) / 65536.0
+                             < w.wgt - FLOOR(w.wgt)
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN w USING (lang))
+    SELECT doc_id, lang, n_copies, CAST(ci AS BIGINT) AS copy_idx
+    FROM r, UNNEST(range(1, 9)) u(ci)
+    WHERE n_copies > 0 AND ci <= n_copies
+    """,
+    doc="Temperature resampling (alpha=0.5, UniMax-style multilingual "
+    "mix): stratum proportions reweighted to (n_s/N)^alpha at constant "
+    "expected total — rare languages upsampled, the dominant one "
+    "downsampled — realized as deterministic per-row copy counts "
+    "(floor(w) + hash-fraction tiebreak, no RNG). One tiny count "
+    "aggregate broadcast back, then a map-side sequence-explode: no "
+    "data shuffle. Weights rounded with the cross-engine epsilon before "
+    "the floor/frac split so realized counts match bit-for-bit.",
+)
+def llm_sample_temperature(spark, sf_dir):
+    return mixing.temperature_resample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, strata_col="lang"
+    ).select("doc_id", "lang", "n_copies", "copy_idx")
 
 
 @parity(
