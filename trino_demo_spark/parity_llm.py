@@ -415,6 +415,54 @@ def llm_multimodal_ppm(spark, sf_dir):
 
 
 @parity(
+    "llm_corpus_clean",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, text, lang,
+             len({_TOK}) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4) AS punct_ratio,
+             ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4) AS stop_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, lang,
+             ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) AS quality
+      FROM base
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+    cleaned AS (SELECT k.doc_id, k.lang, k.quality FROM kept k JOIN canon USING (doc_id))
+    SELECT doc_id, lang, quality FROM cleaned
+    WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       OR lang <> 'en'
+    """,
+    doc="End-to-end corpus cleaning as ONE declarative engine-side DAG — "
+    "quality filter (C4/Gopher-style score ≥ 0.5) → exact dedup (keep "
+    "min doc_id per distinct text) → stratified rebalance (downsample "
+    "en to 50% by md5 prefix). The composition the reference does "
+    "client-side in pandas runs entirely in the engine: one text-scan "
+    "pass for scoring (map-only), one dedup shuffle, a map-only "
+    "sampling predicate — no driver round trips between stages, and "
+    "Catalyst pipelines the whole thing.",
+)
+def llm_corpus_clean(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "text", "lang").join(
+        text.quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    canon = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    cleaned = kept.join(canon, "doc_id")
+    sampled = rel_ops.stratified_sample_deterministic(
+        cleaned,
+        strata_col="lang",
+        key_col="doc_id",
+        rates={"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
+    )
+    return sampled.select("doc_id", "lang", "quality")
+
+
+@parity(
     "llm_sample_temperature",
     sql="""
     WITH counts AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
