@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from trino_demo_spark.operators import relational as rel
 from trino_demo_spark.parity import PARITY
+import trino_demo_spark.parity_llm  # noqa: F401  (registers llm entries)
+import trino_demo_spark.parity_ml  # noqa: F401  (registers ml entries)
 from trino_demo_spark.registry import load_table
 
 from .conftest import SF_SMOKE

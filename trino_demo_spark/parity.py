@@ -65,6 +65,31 @@ def r_(col, n: int):
     return F.round(col + F.lit(EPS), n)
 
 
+# Exact money arithmetic (PERF.md round-2 audit): the testdata's money
+# columns are 2-decimal-intended values stored as doubles. SUM(double) is
+# order-dependent, so at large SFs a group total can land on opposite
+# sides of a rounding boundary across engines (observed at sf0.1 on
+# tpch_q7/q9). Casting to exact decimals BEFORE summing makes every money
+# aggregate order-independent and bit-identical at ANY scale — TPC-H's
+# own DECIMAL semantics. Mirrored in oracle SQL with the same casts.
+MONEY = "decimal(18,2)"
+
+
+def money(name: str):
+    return F.col(name).cast(MONEY)
+
+
+def rev_dec():
+    """l_extendedprice · (1 − l_discount) as an exact decimal."""
+    return money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+
+
+def dsum(expr, scale: int = 4):
+    """Order-independent exact sum, pinned to DECIMAL(38, scale) so both
+    engines print the identical representation."""
+    return F.sum(expr).cast(f"decimal(38,{scale})")
+
+
 def _scratch(sf_dir: str) -> str:
     d = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
@@ -585,8 +610,8 @@ def join_null_filter(spark, sf_dir):
     sql="""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
-           ROUND(SUM(l.l_quantity) + 1e-9, 2) AS total_qty
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -610,10 +635,8 @@ def join_fact_fact_merge(spark, sf_dir):
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        r_(
-            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-        ).alias("revenue"),
-        r_(F.sum("l_quantity"), 2).alias("total_qty"),
+        dsum(rev_dec()).alias("revenue"),
+        dsum(money("l_quantity"), 2).alias("total_qty"),
     )
 
 
@@ -622,7 +645,7 @@ def join_fact_fact_merge(spark, sf_dir):
     sql="""
     SELECT l.l_orderkey,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey < 1000
     GROUP BY l.l_orderkey
@@ -655,9 +678,7 @@ def join_bucketed_flagship(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(
             F.count("*").alias("n_items"),
-            r_(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dsum(rev_dec()).alias("revenue"),
         )
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -936,10 +957,10 @@ def agg_last_scalar(spark, sf_dir):
     "agg_groupby_key",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 2) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(6,2)) * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(6,2))) AS DECIMAL(38,6)) AS sum_charge,
            ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
            ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
            ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc,
@@ -955,16 +976,18 @@ def agg_last_scalar(spark, sf_dir):
 )
 def agg_groupby_key(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    disc_price = rev_dec()
+    charge = money("l_extendedprice") * (
+        F.lit(1) - money("l_discount")
+    ).cast("decimal(6,2)") * (F.lit(1) + money("l_tax")).cast("decimal(6,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            r_(F.sum(disc_price), 2).alias("sum_disc_price"),
-            r_(F.sum(charge), 2).alias("sum_charge"),
+            dsum(money("l_quantity"), 2).alias("sum_qty"),
+            dsum(money("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
             r_(F.avg("l_quantity"), 4).alias("avg_qty"),
             r_(F.avg("l_extendedprice"), 4).alias("avg_price"),
             r_(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -1411,7 +1434,7 @@ def stream_dedup_late(spark, sf_dir):
 @parity(
     "tpch_q3",
     sql="""
-    SELECT o.o_orderkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
+    SELECT o.o_orderkey, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
            CAST(o.o_orderdate AS DATE) AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1439,11 +1462,7 @@ def tpch_q3(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
-        .agg(
-            r_(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(dsum(rev_dec()).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -1453,7 +1472,7 @@ def tpch_q3(spark, sf_dir):
 @parity(
     "tpch_q5",
     sql="""
-    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    SELECT n.n_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -1493,11 +1512,7 @@ def tpch_q5(spark, sf_dir):
             & (s["s_nationkey"] == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(
-            r_(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(dsum(rev_dec()).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -1603,8 +1618,9 @@ def tpch_q6(spark, sf_dir):
     SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
            o.o_totalprice, big.sum_qty
     FROM (
-      SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
-      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
     ) big
     JOIN orders o ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1619,7 +1635,7 @@ def tpch_q18(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(dsum(money("l_quantity"), 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
     o = _t(spark, sf_dir, "orders")
@@ -1651,7 +1667,7 @@ def tpch_q18(spark, sf_dir):
     "agg_rollup",
     sql="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
     doc="ROLLUP hierarchy aggregate (subtotals + grand total) — "
@@ -1660,7 +1676,7 @@ def tpch_q18(spark, sf_dir):
 def agg_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("cnt"), dsum(money("o_totalprice"), 2).alias("total")
     )
 
 
@@ -1886,7 +1902,7 @@ def tpch_q2(spark, sf_dir):
     "tpch_q7",
     sql="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1911,7 +1927,7 @@ def tpch_q7(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
-    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = rev_dec()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -1920,14 +1936,14 @@ def tpch_q7(spark, sf_dir):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .filter(F.col("nk1") != F.col("nk2"))
         .groupBy("supp_nation", "cust_nation")
-        .agg(r_(F.sum(rev), 2).alias("revenue"))
+        .agg(dsum(rev).alias("revenue"))
     )
 
 
 @parity(
     "tpch_q10",
     sql="""
-    SELECT c.c_custkey, c.c_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
+    SELECT c.c_custkey, c.c_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
            c.c_acctbal, n.n_name
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1950,13 +1966,13 @@ def tpch_q10(spark, sf_dir):
     )
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = rev_dec()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(r_(F.sum(rev), 2).alias("revenue"))
+        .agg(dsum(rev).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -1994,9 +2010,10 @@ def tpch_q12(spark, sf_dir):
 @parity(
     "tpch_q14",
     sql="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4) AS promo_revenue_pct
+    SELECT ROUND(100.0 * (CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                          / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))::DOUBLE) + 1e-9, 4) AS promo_revenue_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-07-01'
     """,
@@ -2009,18 +2026,26 @@ def tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    rev = rev_dec()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .agg(r_(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+        .agg(
+            r_(
+                F.lit(100.0)
+                * (F.sum(promo).cast("double") / dsum(rev).cast("double")),
+                4,
+            ).alias("promo_revenue_pct")
+        )
     )
 
 
 @parity(
     "tpch_q17",
     sql="""
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 + 1e-9, 2) AS avg_yearly
     FROM lineitem l
     JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
           FROM lineitem GROUP BY l_partkey) t
@@ -2039,14 +2064,18 @@ def tpch_q17(spark, sf_dir):
     return (
         li.join(F.broadcast(cut), li["l_partkey"] == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(r_(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+        .agg(
+            r_(F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 
 @parity(
     "tpch_q19",
     sql="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
        OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
@@ -2062,14 +2091,15 @@ def tpch_q19(spark, sf_dir):
     g1 = (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20)
     g2 = (F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30)
     g3 = (F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40)
-    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    return j.filter(g1 | g2 | g3).agg(r_(F.sum(rev), 2).alias("revenue"))
+    rev = rev_dec()
+    return j.filter(g1 | g2 | g3).agg(dsum(rev).alias("revenue"))
 
 
 @parity(
     "tpch_q22",
     sql="""
-    SELECT c.c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -2094,7 +2124,7 @@ def tpch_q22(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            dsum(money("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -2104,7 +2134,7 @@ def tpch_q22(spark, sf_dir):
     sql="""
     WITH flat AS (
       SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
              n2.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2118,8 +2148,9 @@ def tpch_q22(spark, sf_dir):
         AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END)
-                 / SUM(volume) + 1e-9, 6) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DECIMAL(38,4))::DOUBLE + 1e-9, 6) AS mkt_share
     FROM flat GROUP BY o_year
     """,
     doc="TPC-H Q8 shape: a nation's market share inside a region by year "
@@ -2141,7 +2172,7 @@ def tpch_q8(spark, sf_dir):
     n2 = n.select(
         F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
     )
-    volume = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    volume = rev_dec()
     flat = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -2157,10 +2188,12 @@ def tpch_q8(spark, sf_dir):
         )
     )
     target = F.when(F.col("supp_nation") == "NATION_6", F.col("volume")).otherwise(
-        F.lit(0.0)
+        F.lit(0).cast("decimal(18,4)")
     )
     return flat.groupBy("o_year").agg(
-        r_(F.sum(target) / F.sum("volume"), 6).alias("mkt_share")
+        r_(
+            F.sum(target).cast("double") / dsum(F.col("volume")).cast("double"), 6
+        ).alias("mkt_share")
     )
 
 
@@ -2168,7 +2201,7 @@ def tpch_q8(spark, sf_dir):
     "tpch_q9",
     sql="""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS sum_profit
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2190,14 +2223,14 @@ def tpch_q9(spark, sf_dir):
         "n_nationkey", F.col("n_name").alias("nation")
     )
     o = _t(spark, sf_dir, "orders")
-    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = rev_dec()
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(r_(F.sum(rev), 2).alias("sum_profit"))
+        .agg(dsum(rev).alias("sum_profit"))
     )
 
 
@@ -2239,7 +2272,7 @@ def tpch_q13(spark, sf_dir):
     sql="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS total_revenue
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey)
@@ -2260,11 +2293,7 @@ def tpch_q15(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            r_(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
+        .agg(dsum(rev_dec()).alias("total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
