@@ -1294,6 +1294,28 @@ def f_str_funcs(spark, sf_dir):
 
 
 @parity(
+    "f_str_levenshtein",
+    sql="""
+    SELECT p_partkey, p_name,
+           levenshtein(p_name, 'small gear') AS dist_probe,
+           levenshtein(p_name, p_brand) AS dist_brand
+    FROM part WHERE p_partkey < 200
+    """,
+    doc="Edit-distance scalar (levenshtein) — fuzzy matching for entity "
+    "resolution / near-dup candidate scoring on short strings; JVM "
+    "codegen builtin, identical integer distances across engines.",
+)
+def f_str_levenshtein(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.levenshtein("p_name", F.lit("small gear")).cast("long").alias("dist_probe"),
+        F.levenshtein("p_name", "p_brand").cast("long").alias("dist_brand"),
+    )
+
+
+@parity(
     "f_cond",
     sql="""
     SELECT bucket, COUNT(*) AS cnt FROM (
