@@ -65,29 +65,85 @@ def r_(col, n: int):
     return F.round(col + F.lit(EPS), n)
 
 
-# Exact money arithmetic (PERF.md round-2 audit): the testdata's money
-# columns are 2-decimal-intended values stored as doubles. SUM(double) is
-# order-dependent, so at large SFs a group total can land on opposite
-# sides of a rounding boundary across engines (observed at sf0.1 on
-# tpch_q7/q9). Casting to exact decimals BEFORE summing makes every money
-# aggregate order-independent and bit-identical at ANY scale — TPC-H's
-# own DECIMAL semantics. Mirrored in oracle SQL with the same casts.
-MONEY = "decimal(18,2)"
+# Exact money arithmetic at long speed (PERF.md round-2/2b audits): the
+# testdata's money columns are 2-decimal-intended values stored as
+# doubles. SUM(double) is order-dependent, so at large SFs a group total
+# can land on opposite sides of a rounding boundary across engines
+# (observed at sf0.1 on tpch_q7/q9). Round 2 fixed that with
+# DECIMAL(18,2) casts (TPC-H's own semantics) but paid ~2x on every
+# money aggregate — Spark's decimal sum runs outside the vectorized
+# long/double fast path. Round 2b keeps the exactness and recovers the
+# speed by summing *integer units* (1e-2 / 1e-4 / 1e-6 units) as longs:
+#
+#   * per row: units = ROUND(x*100) AS BIGINT — exact for 2-decimal
+#     data; unit products stay integers (revenue = 1e-4 units, charge =
+#     1e-6 units) with magnitudes <= ~1e11 per row, far inside the
+#     int64- and double-exact ranges;
+#   * per group: the sum runs as TWO long accumulators (hi = units DIV
+#     1e6, lo = units MOD 1e6) recombined in decimal AFTER aggregation.
+#     Each accumulator stays inside int64 to ~9e12 rows per group at
+#     TPC-H magnitudes (lo < N*1e6; hi < N*max_units/1e6) — far past
+#     100 TB (Q1 at sf100k is ~1.5e11 rows/group); beyond that Spark's
+#     ANSI mode raises rather than corrupts;
+#   * the result is pinned to DECIMAL(38, s) so both engines print the
+#     identical representation. Integer sums are order-independent, so
+#     the value is bit-identical under any partitioning at any scale.
+#
+# The oracle mirrors the same per-row unit arithmetic; DuckDB sums
+# BIGINT into HUGEINT (exact, no split needed — sum(hi)*1e6 + sum(lo)
+# == sum(units) identically) and scales down via an exact
+# decimal-literal multiply (division is avoided: DuckDB routes decimal
+# division through double). Verified byte-identical to the round-2
+# DECIMAL(18,2) formulation at sf0.001/0.01/0.1.
+_SPLIT = 1_000_000
 
 
-def money(name: str):
-    return F.col(name).cast(MONEY)
+def u2(name: str):
+    """2-decimal money/rate column → exact integer units (×100), long."""
+    return F.round(F.col(name) * F.lit(100)).cast("long")
 
 
-def rev_dec():
-    """l_extendedprice · (1 − l_discount) as an exact decimal."""
-    return money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+def urev():
+    """Revenue l_extendedprice·(1−l_discount) in exact 1e-4 units."""
+    return u2("l_extendedprice") * (F.lit(100) - u2("l_discount"))
 
 
-def dsum(expr, scale: int = 4):
-    """Order-independent exact sum, pinned to DECIMAL(38, scale) so both
-    engines print the identical representation."""
-    return F.sum(expr).cast(f"decimal(38,{scale})")
+def usum(units, scale: int):
+    """Exact order-independent money sum at long speed (see block
+    comment above): hi/lo split-accumulator long sums recombined in
+    decimal, pinned to DECIMAL(38, scale). `units` must be an integer
+    expression in 10^-scale units."""
+    lo = F.pmod(units, F.lit(_SPLIT))
+    # (units - lo) is an exact multiple of 1e6 <= ~1e11, so the double
+    # division below is exact (both operands and the true quotient are
+    # exactly representable).
+    hi = ((units - lo) / F.lit(_SPLIT)).cast("long")
+    tot = (
+        F.sum(hi).cast("decimal(31,0)") * F.lit(_SPLIT).cast("decimal(7,0)")
+        + F.sum(lo).cast("decimal(31,0)")
+    )
+    return (tot / F.lit(10**scale)).cast(f"decimal(38,{scale})")
+
+
+def U2(col: str) -> str:
+    """Oracle-side mirror of u2 (SQL fragment)."""
+    return f"CAST(ROUND(({col}) * 100) AS BIGINT)"
+
+
+def UREV(a: str = "") -> str:
+    """Oracle-side mirror of urev; `a` is an optional table alias."""
+    p = f"{a}." if a else ""
+    return f"({U2(p + 'l_extendedprice')} * (100 - {U2(p + 'l_discount')}))"
+
+
+def USUM(expr: str, scale: int) -> str:
+    """Oracle-side mirror of usum: HUGEINT sum scaled down by an exact
+    decimal-literal multiply, pinned to DECIMAL(38, scale)."""
+    one = f"CAST({10**-scale:.{scale}f} AS DECIMAL({scale + 1},{scale}))"
+    return (
+        f"CAST(CAST(SUM({expr}) AS DECIMAL({37 - scale},0)) * {one} "
+        f"AS DECIMAL(38,{scale}))"
+    )
 
 
 def _scratch(sf_dir: str) -> str:
@@ -607,11 +663,11 @@ def join_null_filter(spark, sf_dir):
 
 @parity(
     "join_fact_fact_merge",
-    sql="""
+    sql=f"""
     SELECT o.o_orderpriority,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+           {USUM(UREV('l'), 4)} AS revenue,
+           {USUM(U2('l.l_quantity'), 2)} AS total_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -635,17 +691,17 @@ def join_fact_fact_merge(spark, sf_dir):
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        dsum(rev_dec()).alias("revenue"),
-        dsum(money("l_quantity"), 2).alias("total_qty"),
+        usum(urev(), 4).alias("revenue"),
+        usum(u2("l_quantity"), 2).alias("total_qty"),
     )
 
 
 @parity(
     "join_bucketed_flagship",
-    sql="""
+    sql=f"""
     SELECT l.l_orderkey,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+           {USUM(UREV('l'), 4)} AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey < 1000
     GROUP BY l.l_orderkey
@@ -678,7 +734,7 @@ def join_bucketed_flagship(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(
             F.count("*").alias("n_items"),
-            dsum(rev_dec()).alias("revenue"),
+            usum(urev(), 4).alias("revenue"),
         )
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -955,12 +1011,12 @@ def agg_last_scalar(spark, sf_dir):
 
 @parity(
     "agg_groupby_key",
-    sql="""
+    sql=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(6,2)) * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(6,2))) AS DECIMAL(38,6)) AS sum_charge,
+           {USUM(U2('l_quantity'), 2)} AS sum_qty,
+           {USUM(U2('l_extendedprice'), 2)} AS sum_base_price,
+           {USUM(UREV(), 4)} AS sum_disc_price,
+           {USUM(f"{UREV()} * (100 + {U2('l_tax')})", 6)} AS sum_charge,
            ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
            ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
            ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc,
@@ -976,18 +1032,16 @@ def agg_last_scalar(spark, sf_dir):
 )
 def agg_groupby_key(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = rev_dec()
-    charge = money("l_extendedprice") * (
-        F.lit(1) - money("l_discount")
-    ).cast("decimal(6,2)") * (F.lit(1) + money("l_tax")).cast("decimal(6,2)")
+    disc_price = urev()
+    charge = urev() * (F.lit(100) + u2("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(money("l_quantity"), 2).alias("sum_qty"),
-            dsum(money("l_extendedprice"), 2).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge, 6).alias("sum_charge"),
+            usum(u2("l_quantity"), 2).alias("sum_qty"),
+            usum(u2("l_extendedprice"), 2).alias("sum_base_price"),
+            usum(disc_price, 4).alias("sum_disc_price"),
+            usum(charge, 6).alias("sum_charge"),
             r_(F.avg("l_quantity"), 4).alias("avg_qty"),
             r_(F.avg("l_extendedprice"), 4).alias("avg_price"),
             r_(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -1455,8 +1509,8 @@ def stream_dedup_late(spark, sf_dir):
 
 @parity(
     "tpch_q3",
-    sql="""
-    SELECT o.o_orderkey, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+    sql=f"""
+    SELECT o.o_orderkey, {USUM(UREV('l'), 4)} AS revenue,
            CAST(o.o_orderdate AS DATE) AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1484,7 +1538,7 @@ def tpch_q3(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
-        .agg(dsum(rev_dec()).alias("revenue"))
+        .agg(usum(urev(), 4).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -1493,8 +1547,8 @@ def tpch_q3(spark, sf_dir):
 
 @parity(
     "tpch_q5",
-    sql="""
-    SELECT n.n_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+    sql=f"""
+    SELECT n.n_name, {USUM(UREV('l'), 4)} AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -1534,7 +1588,7 @@ def tpch_q5(spark, sf_dir):
             & (s["s_nationkey"] == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(dsum(rev_dec()).alias("revenue"))
+        .agg(usum(urev(), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc())
     )
 
@@ -1609,8 +1663,8 @@ def stream_window_agg(spark, sf_dir):
 
 @parity(
     "tpch_q6",
-    sql="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount) + 1e-9, 2) AS revenue
+    sql=f"""
+    SELECT {USUM(f"{U2('l_extendedprice')} * {U2('l_discount')}", 4)} AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
       AND l_discount BETWEEN 0.03 AND 0.05
@@ -1630,19 +1684,19 @@ def tpch_q6(spark, sf_dir):
             & (F.col("l_discount") <= 0.05)
             & (F.col("l_quantity") < 24)
         )
-        .agg(r_(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(usum(u2("l_extendedprice") * u2("l_discount"), 4).alias("revenue"))
     )
 
 
 @parity(
     "tpch_q18",
-    sql="""
+    sql=f"""
     SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
            o.o_totalprice, big.sum_qty
     FROM (
-      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      SELECT l_orderkey, {USUM(U2('l_quantity'), 2)} AS sum_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      HAVING SUM({U2('l_quantity')}) > 15000
     ) big
     JOIN orders o ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1657,7 +1711,7 @@ def tpch_q18(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum(money("l_quantity"), 2).alias("sum_qty"))
+        .agg(usum(u2("l_quantity"), 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
     o = _t(spark, sf_dir, "orders")
@@ -1687,9 +1741,9 @@ def tpch_q18(spark, sf_dir):
 
 @parity(
     "agg_rollup",
-    sql="""
+    sql=f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+           {USUM(U2('o_totalprice'), 2)} AS total
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
     doc="ROLLUP hierarchy aggregate (subtotals + grand total) — "
@@ -1698,7 +1752,7 @@ def tpch_q18(spark, sf_dir):
 def agg_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("cnt"), dsum(money("o_totalprice"), 2).alias("total")
+        F.count("*").alias("cnt"), usum(u2("o_totalprice"), 2).alias("total")
     )
 
 
@@ -1922,9 +1976,9 @@ def tpch_q2(spark, sf_dir):
 
 @parity(
     "tpch_q7",
-    sql="""
+    sql=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+           {USUM(UREV('l'), 4)} AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1949,7 +2003,7 @@ def tpch_q7(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
-    rev = rev_dec()
+    rev = urev()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -1958,14 +2012,14 @@ def tpch_q7(spark, sf_dir):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
         .filter(F.col("nk1") != F.col("nk2"))
         .groupBy("supp_nation", "cust_nation")
-        .agg(dsum(rev).alias("revenue"))
+        .agg(usum(rev, 4).alias("revenue"))
     )
 
 
 @parity(
     "tpch_q10",
-    sql="""
-    SELECT c.c_custkey, c.c_name, CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+    sql=f"""
+    SELECT c.c_custkey, c.c_name, {USUM(UREV('l'), 4)} AS revenue,
            c.c_acctbal, n.n_name
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1988,13 +2042,13 @@ def tpch_q10(spark, sf_dir):
     )
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    rev = rev_dec()
+    rev = urev()
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(rev).alias("revenue"))
+        .agg(usum(rev, 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -2031,11 +2085,9 @@ def tpch_q12(spark, sf_dir):
 
 @parity(
     "tpch_q14",
-    sql="""
-    SELECT ROUND(100.0 * (CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                          / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))::DOUBLE) + 1e-9, 4) AS promo_revenue_pct
+    sql=f"""
+    SELECT ROUND(100.0 * ({USUM(f"CASE WHEN p.p_type = 'PROMO' THEN {UREV('l')} ELSE 0 END", 4)}::DOUBLE
+                          / {USUM(UREV('l'), 4)}::DOUBLE) + 1e-9, 4) AS promo_revenue_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-07-01'
     """,
@@ -2048,16 +2100,14 @@ def tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = rev_dec()
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(18,4)")
-    )
+    rev = urev()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .agg(
             r_(
                 F.lit(100.0)
-                * (F.sum(promo).cast("double") / dsum(rev).cast("double")),
+                * (usum(promo, 4).cast("double") / usum(rev, 4).cast("double")),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -2066,8 +2116,8 @@ def tpch_q14(spark, sf_dir):
 
 @parity(
     "tpch_q17",
-    sql="""
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 + 1e-9, 2) AS avg_yearly
+    sql=f"""
+    SELECT ROUND({USUM(U2('l.l_extendedprice'), 2)}::DOUBLE / 7.0 + 1e-9, 2) AS avg_yearly
     FROM lineitem l
     JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
           FROM lineitem GROUP BY l_partkey) t
@@ -2087,17 +2137,17 @@ def tpch_q17(spark, sf_dir):
         li.join(F.broadcast(cut), li["l_partkey"] == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
-            r_(F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0), 2).alias(
-                "avg_yearly"
-            )
+            r_(
+                usum(u2("l_extendedprice"), 2).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
         )
     )
 
 
 @parity(
     "tpch_q19",
-    sql="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+    sql=f"""
+    SELECT {USUM(UREV('l'), 4)} AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
        OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 10 AND l.l_quantity <= 30)
@@ -2113,15 +2163,15 @@ def tpch_q19(spark, sf_dir):
     g1 = (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20)
     g2 = (F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30)
     g3 = (F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40)
-    rev = rev_dec()
-    return j.filter(g1 | g2 | g3).agg(dsum(rev).alias("revenue"))
+    rev = urev()
+    return j.filter(g1 | g2 | g3).agg(usum(rev, 4).alias("revenue"))
 
 
 @parity(
     "tpch_q22",
-    sql="""
+    sql=f"""
     SELECT c.c_nationkey, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+           {USUM(U2('c.c_acctbal'), 2)} AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
@@ -2146,17 +2196,17 @@ def tpch_q22(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            dsum(money("c_acctbal"), 2).alias("totacctbal"),
+            usum(u2("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
 
 @parity(
     "tpch_q8",
-    sql="""
+    sql=f"""
     WITH flat AS (
       SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-             CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             {UREV('l')} AS volume,
              n2.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -2170,9 +2220,8 @@ def tpch_q22(spark, sf_dir):
         AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
     )
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_6' THEN volume
-                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DECIMAL(38,4))::DOUBLE + 1e-9, 6) AS mkt_share
+           ROUND({USUM("CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END", 4)}::DOUBLE
+                 / {USUM('volume', 4)}::DOUBLE + 1e-9, 6) AS mkt_share
     FROM flat GROUP BY o_year
     """,
     doc="TPC-H Q8 shape: a nation's market share inside a region by year "
@@ -2194,7 +2243,7 @@ def tpch_q8(spark, sf_dir):
     n2 = n.select(
         F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("supp_nation")
     )
-    volume = rev_dec()
+    volume = urev()
     flat = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -2210,20 +2259,21 @@ def tpch_q8(spark, sf_dir):
         )
     )
     target = F.when(F.col("supp_nation") == "NATION_6", F.col("volume")).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+        F.lit(0).cast("long")
     )
     return flat.groupBy("o_year").agg(
         r_(
-            F.sum(target).cast("double") / dsum(F.col("volume")).cast("double"), 6
+            usum(target, 4).cast("double") / usum(F.col("volume"), 4).cast("double"),
+            6,
         ).alias("mkt_share")
     )
 
 
 @parity(
     "tpch_q9",
-    sql="""
+    sql=f"""
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_profit
+           {USUM(UREV('l'), 4)} AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2245,14 +2295,14 @@ def tpch_q9(spark, sf_dir):
         "n_nationkey", F.col("n_name").alias("nation")
     )
     o = _t(spark, sf_dir, "orders")
-    rev = rev_dec()
+    rev = urev()
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(dsum(rev).alias("sum_profit"))
+        .agg(usum(rev, 4).alias("sum_profit"))
     )
 
 
@@ -2291,10 +2341,10 @@ def tpch_q13(spark, sf_dir):
 
 @parity(
     "tpch_q15",
-    sql="""
+    sql=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS total_revenue
+             {USUM(UREV(), 4)} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey)
@@ -2315,7 +2365,7 @@ def tpch_q15(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(rev_dec()).alias("total_revenue"))
+        .agg(usum(urev(), 4).alias("total_revenue"))
     )
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
