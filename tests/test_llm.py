@@ -317,3 +317,69 @@ def test_temperature_resample_rebalances(spark, docs):
     a = sorted((r.doc_id, r.copy_idx) for r in out.select("doc_id", "copy_idx").collect())
     b = sorted((r.doc_id, r.copy_idx) for r in out2.select("doc_id", "copy_idx").collect())
     assert a == b
+
+
+def test_chunk_documents_reconstructs(spark, docs):
+    from trino_demo_spark.llm import text as t
+
+    out = t.chunk_documents(docs, chunk_size=120, overlap=20).toPandas()
+    orig = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        # stride-100 prefixes of consecutive chunks + final chunk == text
+        rebuilt = "".join(c[:100] for c in grp["chunk"][:-1]) + grp["chunk"].iloc[-1]
+        assert rebuilt == orig[doc_id], doc_id
+        # consecutive chunks overlap by exactly `overlap` chars
+        chunks = list(grp["chunk"])
+        for a, b in zip(chunks, chunks[1:]):
+            if len(a) == 120:
+                assert a[100:] == b[: len(a) - 100]
+        assert (grp["chunk_len"] == grp["chunk"].str.len()).all()
+
+
+def test_chunk_documents_no_shuffle(spark, docs):
+    from trino_demo_spark.llm import text as t
+
+    plan = t.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_score_bounds(spark, docs):
+    from trino_demo_spark.llm import text as t
+
+    out = t.repetition_score(docs).toPandas()
+    assert (out["n_unique_words"] <= out["n_words"]).all()
+    assert out["dup_word_ratio"].between(0, 1).all()
+    # hand-computed check on a known row
+    df = spark.createDataFrame([(1, "a b a c a")], "doc_id long, text string")
+    r = t.repetition_score(df).collect()[0]
+    assert (r.n_words, r.n_unique_words, float(r.dup_word_ratio)) == (5, 3, 0.4)
+
+
+def test_vocab_topk_matches_pandas(spark, docs):
+    from collections import Counter
+
+    from trino_demo_spark.llm import text as t
+
+    out = [(r.word, r.n) for r in t.vocab_topk(docs, k=10).collect()]
+    cnt = Counter()
+    for r in docs.select("text").collect():
+        cnt.update(r.text.strip().split())
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert out == expected
+
+
+def test_contamination_planted_and_broadcast(spark, docs):
+    from trino_demo_spark.llm import text as t
+
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    out = t.contamination(docs, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    pdf = out.toPandas().set_index("doc_id")
+    # benchmark members are fully contaminated against themselves
+    for r in bench.select("doc_id").collect():
+        if r.doc_id in pdf.index:
+            assert pdf.loc[r.doc_id, "contamination"] == 1.0
+    assert pdf["contamination"].between(0, 1).all()
+    assert (pdf["n_hits"] <= pdf["n_shingles"]).all()

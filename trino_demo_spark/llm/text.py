@@ -112,3 +112,112 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 120,
+    overlap: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size character chunking with overlap — the pretraining
+    "split long documents into training windows" op. Chunk starts are a
+    `sequence(0, n_chars-1, step)` array posexploded per doc; the chunk
+    itself is a substr. Everything stays in whole-stage codegen
+    (sequence/explode/substring), no UDF, and the op is map-side only —
+    one input row fans out to ceil(n_chars/step) rows with NO shuffle,
+    so it scales linearly with corpus bytes at 100 TB."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(text_col) - 1, F.lit(0)), F.lit(step)
+    )
+    ex = df.select(
+        F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_id", "start")
+    )
+    chunk = F.col(text_col).substr(F.col("start") + 1, F.lit(chunk_size))
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        chunk.alias("chunk"),
+    )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition (the Gopher-style duplicate-word
+    filter): unique-word count vs total words, dup ratio = 1 − unique /
+    total. Pure array expressions (split / array_distinct / size) — no
+    explode, no shuffle, fully codegen; map-side at any scale."""
+    t = tokens_col(text_col)
+    n = F.size(t)
+    u = F.size(F.array_distinct(t))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        u.cast("long").alias("n_unique_words"),
+        F.round(F.lit(1.0) - u / n + F.lit(EPS), 4).alias("dup_word_ratio"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 25, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k vocabulary: explode words → keyed count →
+    top-k with deterministic (count desc, word asc) ordering. The count
+    is a partial+final HashAggregate (map-side combine bounds the
+    shuffle to distinct-words-per-partition, not corpus tokens) and the
+    top-k compiles to TakeOrderedAndProject — no global sort."""
+    t = tokens_col(text_col)
+    return (
+        df.select(F.explode(t).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: for each corpus document, the
+    fraction of its word-n-gram shingles that appear anywhere in a
+    benchmark/eval set — the standard pretraining decontamination check.
+
+    Scale shape: the benchmark is tiny relative to the corpus at any
+    scale, so its distinct shingle set is BROADCAST and the corpus-side
+    probe is map-side; the only shuffles are the per-doc shingle
+    distinct + count — both keyed on doc_id, never on the shingle, so a
+    boilerplate shingle cannot skew the plan. Docs shorter than n words
+    have no shingles and are excluded (mirrored by the oracle)."""
+    from .dedup import ngram_shingles
+
+    corpus_sh = ngram_shingles(df, id_col, text_col, n)
+    bench_sh = ngram_shingles(benchmark, id_col, text_col, n).select("g").distinct()
+    sizes = corpus_sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            n_hits.cast("long").alias("n_hits"),
+            F.round(n_hits / F.col("n_shingles") + F.lit(EPS), 4).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -737,3 +737,87 @@ def llm_embed_quantize(spark, sf_dir):
             "q8",
         )
     )
+
+
+@parity(
+    "llm_chunk_documents",
+    sql="""
+    SELECT doc_id,
+           CAST(i // 100 AS BIGINT) AS chunk_id,
+           CAST(length(substr(text, CAST(i + 1 AS INT), 120)) AS BIGINT) AS chunk_len,
+           substr(text, CAST(i + 1 AS INT), 120) AS chunk
+    FROM documents, UNNEST(range(0, greatest(length(text), 1), 100)) u(i)
+    """,
+    doc="Fixed-size character chunking with overlap (chunk 120, stride "
+    "100) — the pretraining 'split documents into training windows' op. "
+    "sequence+posexplode+substr, all codegen, map-side only: one row "
+    "fans out to ceil(n/step) rows with no shuffle (llm.text."
+    "chunk_documents).",
+)
+def llm_chunk_documents(spark, sf_dir):
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=120, overlap=20
+    )
+
+
+@parity(
+    "llm_text_repetition",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents)
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_words,
+           ROUND(1.0 - len(list_distinct(t)) * 1.0 / len(t) + 1e-9, 4) AS dup_word_ratio
+    FROM tok
+    """,
+    doc="Within-document repetition (Gopher-style duplicate-word "
+    "filter): dup ratio = 1 - unique/total words. Pure array "
+    "expressions, no explode, no shuffle (llm.text.repetition_score).",
+)
+def llm_text_repetition(spark, sf_dir):
+    return text.repetition_score(_t(spark, sf_dir, "documents"))
+
+
+@parity(
+    "llm_vocab_topk",
+    sql=f"""
+    WITH tok AS (SELECT {_TOK} AS t FROM documents)
+    SELECT u.word AS word, COUNT(*) AS n
+    FROM tok, UNNEST(t) u(word)
+    GROUP BY u.word ORDER BY n DESC, word LIMIT 25
+    """,
+    doc="Corpus top-k vocabulary: explode words, partial+final keyed "
+    "count (map-side combine bounds the shuffle to distinct words per "
+    "partition), TakeOrderedAndProject top-k with deterministic "
+    "(count desc, word asc) tiebreak (llm.text.vocab_topk).",
+)
+def llm_vocab_topk(spark, sf_dir):
+    return text.vocab_topk(_t(spark, sf_dir, "documents"), k=25)
+
+
+@parity(
+    "llm_contamination",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ng AS (SELECT DISTINCT doc_id,
+                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+    bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ng GROUP BY doc_id),
+    hits AS (SELECT ng.doc_id, COUNT(*) AS n_hits
+             FROM ng JOIN bench USING (g) GROUP BY ng.doc_id)
+    SELECT s.doc_id, CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / s.n_shingles + 1e-9, 4) AS contamination
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+    doc="Benchmark-contamination detection: fraction of each doc's "
+    "word-3-gram shingles appearing in a benchmark set (stand-in: "
+    "doc_id % 97 = 3 subset). The benchmark shingle set is BROADCAST; "
+    "the corpus probe is map-side and per-doc aggregates key on "
+    "doc_id, never the shingle — boilerplate shingles cannot skew the "
+    "plan at 100 TB (llm.text.contamination).",
+)
+def llm_contamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    return text.contamination(docs, bench, n=3)
