@@ -169,3 +169,29 @@ def test_sessionize_single_exchange(spark):
     # one hash partitioning by user_id feeds both windows AND the final
     # (user_id, sess_id) aggregate — exactly one shuffle in the plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_udaf_weighted_mean_matches_builtin(spark):
+    """The GROUPED_AGG UDAF must agree with the built-in integer-unit
+    formulation (which IS the 100 TB path — partial+final agg), and its
+    plan must be the documented ArrowAggregatePython shape."""
+    from trino_demo_spark.parity import PARITY, r_, u2, usum
+
+    df = PARITY["udaf_weighted_mean"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan, plan
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    builtin = li.groupBy("l_returnflag").agg(
+        r_(
+            (
+                F.sum(u2("l_extendedprice") * F.round(F.col("l_quantity")).cast("long"))
+                / F.sum(F.round(F.col("l_quantity")).cast("long"))
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("wavg_price")
+    )
+    a = sorted((r.l_returnflag, float(r.wavg_price)) for r in df.collect())
+    b = sorted((r.l_returnflag, float(r.wavg_price)) for r in builtin.collect())
+    assert a == b

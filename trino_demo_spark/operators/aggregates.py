@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -109,3 +110,34 @@ def last_scalar(df: DataFrame, order_by: Sequence, value_col: str) -> DataFrame:
     orderBy(desc).limit(1) → TakeOrderedAndProject, no global sort."""
     desc_cols = [F.col(c).desc() if isinstance(c, str) else c.desc() for c in order_by]
     return df.orderBy(*desc_cols).limit(1).select(value_col)
+
+
+def weighted_mean_udaf():
+    """Pandas GROUPED_AGG UDAF (the custom-aggregate surface from
+    SURVEY.md §2.10): exact weighted mean over integer units.
+
+    The whole group's Arrow batch arrives as pandas Series; sums run in
+    int64 (numpy, exact, order-independent) and only the final ratio is
+    a double — so the result is bit-identical across engines and
+    partitionings.
+
+    Scale honesty (verified via .explain): Spark runs pandas grouped-agg
+    UDAFs as ArrowAggregatePython with NO map-side partial aggregation —
+    the full (key, cols) rows shuffle to the reducer, unlike built-in
+    aggregates' partial+final split. That makes this the custom-logic
+    surface, not the hot path: at 100 TB, express the same thing as
+    built-ins where possible (usum(p*q)/usum(q), which partial-aggs),
+    and reserve the UDAF for aggregation logic built-ins can't express.
+    Envelope: int64-exact while sum(price_units*qty) < 2^63 (~9e18 —
+    per-row ~5e8 at TPC-H magnitudes, so ~1.8e10 rows/group)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean_units(price_units: pd.Series, qty: pd.Series) -> float:
+        pw = int(price_units.astype("int64").mul(qty.astype("int64")).sum())
+        wq = int(qty.astype("int64").sum())
+        if wq == 0:
+            return float("nan")
+        return (pw / wq) / 100.0
+
+    return wmean_units

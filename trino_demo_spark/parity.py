@@ -3049,3 +3049,33 @@ def grouped_map_gaps(spark, sf_dir):
         gaps,
         schema="user_id BIGINT, n_gaps BIGINT, avg_gap_sec DOUBLE, max_gap_sec DOUBLE",
     )
+
+
+@parity(
+    "udaf_weighted_mean",
+    sql=f"""
+    SELECT l_returnflag,
+           ROUND((CAST(SUM({U2('l_extendedprice')} * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                  / CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)) / 100.0 + 1e-9, 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Custom aggregate via pandas GROUPED_AGG UDAF (SURVEY.md §2.10 "
+    "UDAF surface): quantity-weighted mean price per return flag. "
+    "Sums run in int64 units inside the UDAF (exact, "
+    "order-independent); only the final ratio is a double, so the "
+    "result is bit-identical across engines (operators.aggregates."
+    "weighted_mean_udaf). Arrow-batched per group — no row loop. "
+    "NOTE: pandas grouped-agg has no map-side combine (full rows "
+    "shuffle) — custom-logic surface, not the 100 TB hot path; the "
+    "built-in equivalent is usum(p*q)/usum(q).",
+)
+def udaf_weighted_mean(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        u2("l_extendedprice").alias("p_units"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    wmean = agg_ops.weighted_mean_udaf()
+    return li.groupBy("l_returnflag").agg(
+        r_(wmean("p_units", "qty"), 4).alias("wavg_price")
+    )

@@ -821,3 +821,31 @@ def llm_contamination(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 3)
     return text.contamination(docs, bench, n=3)
+
+
+@parity(
+    "udtf_lateral_words",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents
+                 WHERE doc_id < 50 AND length(trim(text)) > 0)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[CAST(i AS INT)] AS word
+    FROM tok, UNNEST(range(1, len(t) + 1)) u(i)
+    """,
+    doc="Python UDTF surface (Spark 4, SURVEY.md §2.10): a registered "
+    "table function expanded with SQL LATERAL — one text row → "
+    "(pos, word) rows (functions.udtf_words). Row-at-a-time Python, "
+    "deliberately bounded to 50 docs; the codegen'd equivalent "
+    "(posexplode(split())) is the hot path used by llm_vocab_topk.",
+)
+def udtf_lateral_words(spark, sf_dir):
+    from .functions.udtf_words import register
+
+    name = register(spark)
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & (F.length(F.trim("text")) > 0)
+    )
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        f"SELECT d.doc_id, w.pos, w.word FROM udtf_docs_v d, "
+        f"LATERAL {name}(d.text) w"
+    )
