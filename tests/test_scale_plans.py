@@ -195,3 +195,54 @@ def test_udaf_weighted_mean_matches_builtin(spark):
     a = sorted((r.l_returnflag, float(r.wavg_price)) for r in df.collect())
     b = sorted((r.l_returnflag, float(r.wavg_price)) for r in builtin.collect())
     assert a == b
+
+
+def test_merge_upsert_semantics(spark):
+    from trino_demo_spark.operators import relational as rel
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    out = {r.k: (r.s, r.v) for r in rel.merge_upsert(snap, upd, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join mitigation is live: a 95%-one-key left side joined
+    SMJ against a uniform right side gets its skewed partition split at
+    runtime (AQEShuffleRead reports isSkew=true) with thresholds scaled
+    to test data. This is the declared runtime answer to single-hot-key
+    skew at 100 TB (salted_join is the explicit fallback)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("padpadpadpadpadpad_"), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        joined = left.hint("merge").join(right, "k")
+        # collect() (not a noop write) so the SAME QueryExecution runs and
+        # its AdaptiveSparkPlan finalizes — a write creates a new one.
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "isFinalPlan=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

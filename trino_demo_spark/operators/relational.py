@@ -282,3 +282,34 @@ def stratified_sample_deterministic(
     if expr is None:
         raise ValueError("rates must be non-empty")
     return df.filter(expr)
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """SCD-1 MERGE / upsert without a table format: rows from `updates`
+    replace same-key rows in `snapshot`; unmatched rows pass through both
+    ways. Expressed as a full outer join on the keys with per-column
+    COALESCE(update, snapshot) — one shuffle on the merge key, the same
+    plan a MERGE INTO compiles to on engines without delta logs.
+
+    Scale: both sides hash-partition on the keys (single co-partitioned
+    shuffle each); if the update set is small relative to the snapshot —
+    the common daily-increment case — Catalyst broadcasts it and the
+    snapshot side never shuffles at all. Columns must match by name."""
+    if set(snapshot.columns) != set(updates.columns):
+        raise ValueError("merge_upsert requires identical column sets")
+    u = updates.select(*[F.col(c).alias(f"__u_{c}") for c in updates.columns])
+    cond = None
+    for k in keys:
+        c = snapshot[k] == u[f"__u_{k}"]
+        cond = c if cond is None else (cond & c)
+    merged = snapshot.join(u, cond, "full_outer")
+    return merged.select(
+        *[
+            F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+            for c in snapshot.columns
+        ]
+    )

@@ -3079,3 +3079,34 @@ def udaf_weighted_mean(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         r_(wmean("p_units", "qty"), 4).alias("wavg_price")
     )
+
+
+@parity(
+    "sink_upsert_snapshot",
+    sql="""
+    WITH snap AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_totalprice + 10.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 < 3)
+    SELECT COALESCE(u.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, s.o_totalprice) AS o_totalprice
+    FROM snap s FULL OUTER JOIN upd u ON s.o_orderkey = u.o_orderkey
+    """,
+    doc="SCD-1 MERGE / upsert without a table format (operators."
+    "relational.merge_upsert): an updates increment replaces same-key "
+    "rows in the snapshot via full outer join + per-column COALESCE — "
+    "the plan MERGE INTO compiles to on engines without delta logs. "
+    "One co-partitioned shuffle per side; a small daily increment gets "
+    "broadcast and the snapshot never shuffles.",
+)
+def sink_upsert_snapshot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 < 3).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+    )
+    return rel_ops.merge_upsert(o, upd, ["o_orderkey"])
