@@ -5,10 +5,13 @@ struct alongside; decode / feature-extract run as Arrow-batched
 mapInPandas over those columns. Containerless formats are decoded with
 REAL pure-stdlib kernels: WAV/RIFF PCM16 audio (`decode_audio` /
 `encode_wav_pcm16`) and binary PPM/PGM images (`decode_image` /
-`encode_ppm`), both exercised end-to-end through mapInPandas with
-DuckDB-oracle-checked features (parity_llm.llm_multimodal_wav/_ppm).
-Formats that need codec libraries not in this container (PNG/JPEG,
-compressed audio, video) raise NotImplementedError — declared stubs.
+`encode_ppm`), binary PPM/PGM images (`decode_image` / `encode_ppm`),
+and concatenated-PPM video streams — ffmpeg's image2pipe/ppm raw-video
+format — (`frame_sample` / `encode_ppm_stream`), all exercised
+end-to-end through mapInPandas with DuckDB-oracle-checked features
+(parity_llm.llm_multimodal_wav/_ppm/_frames). Formats that need codec
+libraries not in this container (PNG/JPEG, compressed audio, mp4/webm
+video) raise NotImplementedError — declared stubs.
 """
 
 from __future__ import annotations
@@ -125,22 +128,19 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
-def decode_image(payload: bytes) -> dict:
-    """REAL decode kernel for binary PPM/PGM (P6/P5, the codec-free
-    netpbm formats): parses the whitespace/comment-tolerant header and
-    returns {width, height, channels, pixels(bytes)}. PNG/JPEG/etc.
-    raise NotImplementedError (declared stub — they require PIL/opencv,
-    not in this container)."""
-    magic = payload[:2]
+def _parse_netpbm(payload: bytes, pos: int = 0) -> "tuple[dict, int]":
+    """Parse ONE binary PPM/PGM (P6/P5) image starting at `pos`; returns
+    ({width, height, channels, pixels}, end_pos). Header tokens (magic,
+    width, height, maxval) are whitespace-separated with '#' comments
+    running to end-of-line; a single whitespace byte precedes the
+    raster."""
+    magic = payload[pos : pos + 2]
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             "only binary PPM/PGM decodable without imaging libraries"
         )
-    # Header tokens: magic, width, height, maxval — separated by
-    # whitespace, with '#' comments running to end-of-line; a single
-    # whitespace byte then precedes the raster.
     tokens: list[int] = []
-    pos = 2
+    pos += 2
     while len(tokens) < 3:
         if pos >= len(payload):
             raise NotImplementedError("truncated netpbm header")
@@ -159,20 +159,60 @@ def decode_image(payload: bytes) -> dict:
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm not supported")
     channels = 3 if magic == b"P6" else 1
-    raster = payload[pos + 1 : pos + 1 + width * height * channels]
+    start = pos + 1
+    raster = payload[start : start + width * height * channels]
     if len(raster) != width * height * channels:
         raise NotImplementedError("truncated netpbm raster")
-    return {
-        "width": width,
-        "height": height,
-        "channels": channels,
-        "pixels": raster,
-    }
+    return (
+        {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "pixels": raster,
+        },
+        start + width * height * channels,
+    )
 
 
-def frame_sample(payload: bytes, every_n: int = 30) -> "list":  # pragma: no cover
-    """Sample video frames. STUB — video libs not in container."""
-    raise NotImplementedError("video decode requires ffmpeg; not in container")
+def decode_image(payload: bytes) -> dict:
+    """REAL decode kernel for binary PPM/PGM (P6/P5, the codec-free
+    netpbm formats). PNG/JPEG/etc. raise NotImplementedError (declared
+    stub — they require PIL/opencv, not in this container)."""
+    frame, _ = _parse_netpbm(payload, 0)
+    return frame
+
+
+def encode_ppm_stream(frames: "list[tuple[int, int, bytes]]") -> bytes:
+    """Concatenated-PPM video container: back-to-back P6 images — the
+    exact byte stream ffmpeg produces/consumes with
+    `-f image2pipe -vcodec ppm` (its codec-free raw-video pipe)."""
+    return b"".join(encode_ppm(w, h, px) for (w, h, px) in frames)
+
+
+def frame_sample(payload: bytes, every_n: int = 30) -> "list[dict]":
+    """REAL video frame sampling for concatenated-PPM streams (the
+    ffmpeg image2pipe/ppm raw-video format): walk the stream frame by
+    frame and keep every `every_n`-th frame (always including frame 0),
+    each as {frame_idx, width, height, channels, pixels}. The walk must
+    still PARSE every frame header to find the next offset — exactly
+    like real video demuxing, where sampling saves decode, not I/O.
+    Codec-compressed containers (mp4/webm/...) raise NotImplementedError
+    (declared stub — they require ffmpeg, not in this container)."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            "only concatenated-PPM video decodable without ffmpeg"
+        )
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    out: "list[dict]" = []
+    pos, idx = 0, 0
+    while pos < len(payload):
+        frame, pos = _parse_netpbm(payload, pos)
+        if idx % every_n == 0:
+            frame["frame_idx"] = idx
+            out.append(frame)
+        idx += 1
+    return out
 
 
 def byte_head_signature(payload: bytes, head: int = 16) -> int:
@@ -303,3 +343,62 @@ def extract_features(media: DataFrame, head: int = 16) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def _synth_frames(doc_id: int) -> "list[tuple[int, int, bytes]]":
+    """Deterministic RGB frame sequence per doc id — the formula the
+    DuckDB oracle recomputes directly (frame j, byte k:
+    (doc_id*7 + j*13 + k) % 256)."""
+    w, h = (doc_id % 4) + 2, (doc_id % 3) + 2
+    n_frames = (doc_id % 4) + 2
+    return [
+        (w, h, bytes((doc_id * 7 + j * 13 + k) % 256 for k in range(3 * w * h)))
+        for j in range(n_frames)
+    ]
+
+
+def video_roundtrip_features(
+    docs: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame sampling exercised for real: synthesize a
+    deterministic frame sequence per row, ENCODE it to a
+    concatenated-PPM stream (ffmpeg image2pipe/ppm bytes), walk it back
+    with frame_sample keeping every `every_n`-th frame, and emit
+    per-sampled-frame features from the DECODED rasters — one
+    Arrow-batched mapInPandas pass, one output row per sampled frame
+    (row-fanout through the iterator, like a real frame featurizer)."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                stream = encode_ppm_stream(_synth_frames(doc_id))
+                for fr in frame_sample(stream, every_n=every_n):
+                    px = fr["pixels"]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": fr["frame_idx"],
+                            "width": fr["width"],
+                            "height": fr["height"],
+                            "pix_sum": sum(px),
+                            "mean_pixel": round(sum(px) / len(px) + 1e-9, 4),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)

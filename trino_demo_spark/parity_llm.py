@@ -849,3 +849,35 @@ def udtf_lateral_words(spark, sf_dir):
         f"SELECT d.doc_id, w.pos, w.word FROM udtf_docs_v d, "
         f"LATERAL {name}(d.text) w"
     )
+
+
+@parity(
+    "llm_multimodal_frames",
+    sql="""
+    WITH d AS (SELECT doc_id, (doc_id % 4) + 2 AS w, (doc_id % 3) + 2 AS h,
+                      (doc_id % 4) + 2 AS n_frames
+               FROM documents WHERE doc_id < 50),
+    fr AS (SELECT doc_id, w, h, j FROM d, UNNEST(range(0, 5)) u(j)
+           WHERE j < n_frames AND j % 2 = 0),
+    px AS (SELECT doc_id, w, h, j, (doc_id * 7 + j * 13 + k) % 256 AS v
+           FROM fr, UNNEST(range(0, 108)) p(k) WHERE k < 3 * w * h)
+    SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           SUM(v) AS pix_sum,
+           ROUND(SUM(v) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
+    FROM px GROUP BY doc_id, j, w, h
+    """,
+    doc="REAL video frame sampling through the engine: a deterministic "
+    "frame sequence per doc is encoded to a concatenated-PPM stream "
+    "(ffmpeg's image2pipe/ppm raw-video bytes) and walked back with "
+    "the pure-stdlib frame_sample kernel keeping every 2nd frame, "
+    "inside one Arrow mapInPandas pass with row fanout (one row per "
+    "sampled frame). Features come from the DECODED rasters while the "
+    "oracle recomputes them from the source formula — any header-walk "
+    "or frame-boundary bug breaks the cross-engine match. Converts the "
+    "video stub into a tested kernel (multimodal.frame_sample); "
+    "codec-compressed containers remain declared stubs.",
+)
+def llm_multimodal_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.video_roundtrip_features(docs, every_n=2)
