@@ -59,6 +59,19 @@ BASELINE_SEC = {
     "llm_text_quality": 0.371,
 }
 
+# Canary pin: first clean-machine measurement (round 2, idle local[32],
+# best-of-3: 0.271 s). The round-1 bench predates the canary, so
+# cross-round interpretation starts with BENCH_r02; if canary_ratio and
+# ratio_vs_baseline drift together, the host changed speed, not the
+# engine.
+CANARY_BASELINE_SEC: float | None = 0.271
+
+# Scan canary pin: same-session best-of-3 full-lineitem scan+sum at
+# sf0.1 (round 2, idle local[32]). Fixed per-job overhead (~0.2-0.3 s
+# in local mode) dominates at this SF and varies up to ~2x across
+# sessions/hosts — which is exactly what this pin makes visible.
+CANARY_SCAN_BASELINE_SEC: float | None = 0.3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,6 +90,37 @@ def main() -> None:
     spark.range(1000).count()
     load_table(spark, "region", sf_dir).count()
     load_table(spark, "nation", sf_dir).groupBy("n_regionkey").count().count()
+
+    # Machine-speed canary: a fixed, data-independent CPU-bound job
+    # (hash + aggregate over a generated range — no I/O, no shuffle
+    # variance). Its round-1 pin makes cross-round ratio drift
+    # attributable: if canary_ratio and ratio_vs_baseline move together,
+    # the host is slower, not the engine (observed in round 2: untouched
+    # queries read a uniform 1.2-1.6x of their pins at steady state with
+    # canary drift to match).
+    canary_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            # 32-bit mask keeps the ANSI-mode sum inside int64
+            # (2e8 rows x 2^32 ~= 8.6e17 < 2^63).
+            "sum(xxhash64(id) & 4294967295) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        canary_best = min(canary_best, time.perf_counter() - t0)
+    canary_sec = round(canary_best, 3)
+    # Second canary: parquet scan + decode of the full lineitem table —
+    # isolates the I/O / decompress / columnar-decode path the ALU canary
+    # doesn't touch (round-2 finding: identical code and warm cache read
+    # 1.4-1.7x of round-1 pins at sf0.1 while the ALU canary read 1.0x,
+    # i.e. the hosts differ in the scan/memory path, not compute).
+    scan_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        load_table(spark, "lineitem", sf_dir).selectExpr(
+            "sum(l_quantity) AS s", "count(*) AS n"
+        ).write.format("noop").mode("overwrite").save()
+        scan_best = min(scan_best, time.perf_counter() - t0)
+    canary_scan_sec = round(scan_best, 3)
 
     # Best-of-2 per query: local-mode timings carry JIT and ambient-load
     # noise on the first execution (~±50% observed on the heaviest query);
@@ -115,6 +159,20 @@ def main() -> None:
                 "per_query_ratio": {
                     q: round(timings[q] / b, 2) for q, b in pinned.items()
                 },
+                "canary_sec": canary_sec,
+                "canary_baseline_sec": CANARY_BASELINE_SEC,
+                "canary_ratio": (
+                    round(canary_sec / CANARY_BASELINE_SEC, 2)
+                    if CANARY_BASELINE_SEC
+                    else None
+                ),
+                "canary_scan_sec": canary_scan_sec,
+                "canary_scan_baseline_sec": CANARY_SCAN_BASELINE_SEC,
+                "canary_scan_ratio": (
+                    round(canary_scan_sec / CANARY_SCAN_BASELINE_SEC, 2)
+                    if CANARY_SCAN_BASELINE_SEC
+                    else None
+                ),
             }
         )
     )
