@@ -383,3 +383,47 @@ def test_contamination_planted_and_broadcast(spark, docs):
             assert pdf.loc[r.doc_id, "contamination"] == 1.0
     assert pdf["contamination"].between(0, 1).all()
     assert (pdf["n_hits"] <= pdf["n_shingles"]).all()
+
+
+def test_incremental_dedup_bloom_prune_exact(spark, docs):
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter((F.col("doc_id") % 6).isin(0, 1))
+    pruned = dedup.incremental_dedup(batch, corpus, prune=True)
+    plain = dedup.incremental_dedup(batch, corpus, prune=False)
+    a = sorted((r.doc_id, r.content_hash) for r in pruned.collect())
+    b = sorted((r.doc_id, r.content_hash) for r in plain.collect())
+    assert a == b
+    # every batch doc whose text is in the corpus (doc_id%6==0 by
+    # construction) is dropped; the others survive
+    ids = {i for i, _ in a}
+    for r in batch.select("doc_id").collect():
+        assert (r.doc_id in ids) == (r.doc_id % 6 == 1)
+
+
+def test_incremental_dedup_bloom_no_false_negatives(spark):
+    # tiny bitmap forces false positives: results must STILL be exact
+    # (fps only widen the candidate subset that takes the exact join)
+    rows = [(i, f"doc number {i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") < 100)
+    batch = df.filter(F.col("doc_id") >= 50)
+    out = dedup.incremental_dedup(batch, corpus, m_bits=64, k=2)
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == list(range(100, 200))
+
+
+def test_bloom_bitmap_membership(spark):
+    import numpy as np
+
+    df = spark.createDataFrame([(f"key-{i}",) for i in range(50)], "k string")
+    m, k = 1 << 12, 4
+    bitmap = dedup.bloom_bitmap(df, "k", m, k)
+    # recompute positions with the engine and assert every corpus key's
+    # bits are set (bloom guarantees no false negatives)
+    pos = df.select(
+        *[F.pmod(F.xxhash64(F.col("k"), F.lit(s)), F.lit(m)).alias(f"p{s}") for s in range(k)]
+    ).collect()
+    for r in pos:
+        for s in range(k):
+            p = r[f"p{s}"]
+            assert (int(bitmap[p >> 6]) >> (p & 63)) & 1 == 1

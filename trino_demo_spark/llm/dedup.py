@@ -15,6 +15,7 @@ slice, xxhash64) so everything stays in whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -391,4 +392,129 @@ def dedup_clusters(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+# --- incremental dedup against an existing corpus ---------------------------
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, m_bits: int, k: int
+):
+    """Build a Bloom-filter bitmap over a key column, distributed.
+
+    Each key sets k bit positions pmod(xxhash64(key, seed), m_bits); the
+    positions aggregate into 64-bit words via groupBy(word) + bit_or —
+    map-side combined, so the shuffle carries at most m_bits/64 rows per
+    partition regardless of corpus size. Only the finished words
+    (m_bits/64 longs, e.g. 2 MiB for m=2^24) reach the driver — the
+    corpus itself never does. Returns a numpy uint64 array of
+    m_bits//64 words.
+
+    Driver/broadcast bound: m_bits is the scale knob. 1e9 corpus keys at
+    1% fpp want ~1.2e10 bits (~1.5 GiB) — still broadcastable; beyond
+    that, skip the bloom and take the plain shuffle anti-join
+    (incremental_dedup(prune=False))."""
+    import numpy as np
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(m_bits))
+                    for s in range(k)
+                ]
+            )
+        ).alias("p")
+    )
+    words = (
+        pos.groupBy((F.col("p") / 64).cast("long").alias("w"))
+        .agg(
+            # F.shiftleft only takes a literal shift; the SQL form
+            # accepts a column.
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r["w"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return bitmap
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    prune: bool = True,
+) -> DataFrame:
+    """Dedup a new batch AGAINST an already-ingested corpus (the
+    steady-state shape of a training-data pipeline: yesterday's corpus is
+    fixed, today's crawl must drop exact re-crawls), Bloom-pruned.
+
+    Spark 4.1's runtime bloom-filter injection skips LEFT ANTI joins
+    (probed: InjectRuntimeFilter never fires for them), so the engine
+    builds the filter itself:
+
+    1. Bloom bitmap over corpus text (bloom_bitmap — distributed build,
+       only m_bits/64 words reach the driver).
+    2. Batch rows compute their k positions JVM-side (xxhash64 in
+       codegen) and test the broadcast bitmap in an Arrow-batched pandas
+       UDF — pure numpy bit lookups, no hashing in Python.
+    3. might_contain=false rows are DEFINITELY new: emitted directly,
+       never shuffled. Only the might-contain subset (true dups + fpp of
+       the batch) takes the exact left-anti shuffle join that makes the
+       result exact.
+
+    At 100 TB the shuffle shrinks from |batch| to |dups| + fpp*|batch|
+    on each side — the bloom is a pure prune; correctness never depends
+    on it (prune=False drops straight to the plain anti-join, and the
+    result is identical either way). Duplicates WITHIN the batch are
+    kept — dedup within a batch is exact_dedup's job."""
+    key = F.col(text_col)
+    corpus_keys = corpus.select(key.alias("__k")).distinct()
+    out_cols = [id_col, text_col]
+
+    if not prune:
+        pruned_new, candidates = None, batch
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        bitmap = bloom_bitmap(corpus_keys, "__k", m_bits, k)
+
+        # pandas_udf rejects variadic signatures — one single-position
+        # probe applied k times, AND-ed JVM-side (still one Arrow pass
+        # per batch partition per probe; the lookups are pure numpy).
+        @pandas_udf("boolean")
+        def bit_set(p: pd.Series) -> pd.Series:
+            import numpy as np
+
+            v = p.values.astype(np.uint64)
+            hit = (bitmap[v >> np.uint64(6)] >> (v & np.uint64(63))) & np.uint64(1)
+            return pd.Series(hit.astype(bool))
+
+        mc = None
+        for s in range(k):
+            probe = bit_set(F.pmod(F.xxhash64(key, F.lit(s)), F.lit(m_bits)))
+            mc = probe if mc is None else (mc & probe)
+        tagged = batch.withColumn("__mc", mc)
+        pruned_new = tagged.filter(~F.col("__mc")).select(*out_cols)
+        candidates = tagged.filter(F.col("__mc")).select(*out_cols)
+
+    survivors = candidates.join(
+        corpus_keys, candidates[text_col] == corpus_keys["__k"], "left_anti"
+    ).select(*out_cols)
+    result = (
+        survivors if pruned_new is None else pruned_new.unionByName(survivors)
+    )
+    return result.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
     )

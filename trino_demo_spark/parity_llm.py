@@ -881,3 +881,29 @@ def udtf_lateral_words(spark, sf_dir):
 def llm_multimodal_frames(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return multimodal.video_roundtrip_features(docs, every_n=2)
+
+
+@parity(
+    "llm_dedup_incremental",
+    sql="""
+    WITH corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 IN (0, 1))
+    SELECT b.doc_id, sha256(b.text) AS content_hash
+    FROM batch b WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+    """,
+    doc="Incremental dedup of a new batch AGAINST an ingested corpus "
+    "(steady-state pipeline shape): engine-built Bloom filter over corpus "
+    "text (distributed bitmap build via groupBy(word)+bit_or; Spark 4.1's "
+    "runtime bloom injection skips LEFT ANTI joins, probed), positions "
+    "hashed JVM-side, membership tested in an Arrow pandas UDF; "
+    "might_contain=false rows bypass the shuffle entirely and only the "
+    "candidate subset takes the exact left-anti join, so the result is "
+    "exact at any fpp. Split plants guaranteed overlap (batch doc_id%6 in "
+    "(0,1); corpus = even ids) so the drop path is exercised even at SFs "
+    "with no natural dup texts.",
+)
+def llm_dedup_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter((F.col("doc_id") % 6).isin(0, 1))
+    return dedup.incremental_dedup(batch, corpus)
