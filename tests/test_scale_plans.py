@@ -246,3 +246,14 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_rank_no_single_partition_window(spark):
+    """llm_train_order's global row_number must come from bucket-
+    partitioned windows + offset broadcast, never a SinglePartition
+    exchange (the naive ROW_NUMBER() OVER (ORDER BY key) plan)."""
+    df = PARITY["llm_train_order"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(__bucket" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # offsets join, not shuffled

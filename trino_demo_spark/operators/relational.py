@@ -313,3 +313,47 @@ def merge_upsert(
             for c in snapshot.columns
         ]
     )
+
+
+def global_rank_by_key(
+    df: DataFrame,
+    key: Column,
+    tiebreak: Column,
+    n_buckets: int = 256,
+    out_key: str = "shuffle_key",
+    out_pos: str = "position",
+) -> DataFrame:
+    """Global 1-based rank over `key` (ties broken by `tiebreak`) WITHOUT
+    a single-partition window — the scalable global-row_number pattern:
+
+    1. bucket rows by key prefix (deterministic range bucketing);
+    2. rank WITHIN each bucket via a window partitioned by bucket —
+       fully parallel, shuffle on bucket only;
+    3. collect per-bucket counts (n_buckets rows, bounded regardless of
+       data size), cumsum the offsets on the driver, broadcast-join them
+       back: global position = bucket offset + local rank.
+
+    A naive row_number() OVER (ORDER BY key) collapses all data onto one
+    task; this plan's only data-size shuffle is the bucket hash
+    partition. Buckets are key *ranges*, so concatenating buckets in
+    bucket order preserves global key order."""
+    spark = df.sparkSession
+    keyed = df.withColumn(out_key, key).withColumn(
+        "__bucket", (F.conv(F.substring(F.col(out_key), 1, 2), 16, 10)).cast("int")
+    )
+    counts = {
+        r["__bucket"]: r["n"]
+        for r in keyed.groupBy("__bucket").count().withColumnRenamed("count", "n").collect()
+    }
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    off_df = spark.createDataFrame(offsets, "__bucket int, __offset long")
+    w = W.partitionBy("__bucket").orderBy(F.col(out_key).asc(), tiebreak.asc())
+    return (
+        keyed.withColumn("__local", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__bucket")
+        .withColumn(out_pos, (F.col("__offset") + F.col("__local")).cast("long"))
+        .drop("__bucket", "__local", "__offset")
+    )

@@ -907,3 +907,26 @@ def llm_dedup_incremental(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter((F.col("doc_id") % 6).isin(0, 1))
     return dedup.incremental_dedup(batch, corpus)
+
+
+@parity(
+    "llm_train_order",
+    sql="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(doc_id || ':42'), doc_id) AS BIGINT) AS position,
+           doc_id, md5(doc_id || ':42') AS shuffle_key
+    FROM documents
+    """,
+    doc="Deterministic seeded global training order: shuffle_key = "
+    "md5(doc_id:seed), global 1-based position assigned WITHOUT a "
+    "single-partition window (rel_ops.global_rank_by_key: range-bucket "
+    "on the key prefix, rank within buckets in parallel, add "
+    "driver-cumsum'd bucket offsets via broadcast join — the only "
+    "data-size shuffle is the bucket hash partition). Reproducible "
+    "epoch ordering for a training dataloader at any cluster size.",
+)
+def llm_train_order(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    return rel_ops.global_rank_by_key(
+        docs, key, F.col("doc_id")
+    ).select("position", "doc_id", "shuffle_key")
