@@ -141,3 +141,42 @@ def weighted_mean_udaf():
         return (pw / wq) / 100.0
 
     return wmean_units
+
+
+def approx_distinct_by_key(
+    df: DataFrame, key, value_col: str, rsd: float = 0.05
+) -> DataFrame:
+    """Per-key approximate distinct count (HyperLogLog++, Spark's
+    approx_count_distinct). The 100 TB cardinality path: fixed-size
+    sketch per group regardless of value cardinality, commutative
+    partial merges (partition-order-independent, so the estimate is
+    deterministic for a given dataset), no exact-distinct's
+    one-row-per-distinct-value shuffle. Estimate error is bounded by
+    rsd; tests/test_sketches.py measures it against the exact count."""
+    return df.groupBy(key).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_distinct")
+    )
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_key,
+    coarse_key,
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Two-level distinct-count rollup via Datasketches HLL: build one
+    sketch per fine group (hll_sketch_agg), then UNION the persisted
+    sketches up to the coarse group (hll_union_agg) and estimate — the
+    pre-aggregated-cube pattern at 100 TB, where daily sketches are
+    stored once and any coarser rollup (week / month / all-time) merges
+    them WITHOUT rescanning the raw data. Distinct counts are not
+    summable across groups; sketches are."""
+    daily = df.groupBy(fine_key).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sk")
+    )
+    # hll_union_agg's 2nd arg is allowDifferentLgConfigK, not lg_k —
+    # all sketches here share lg_k, so the default (false) is right.
+    return daily.groupBy(coarse_key).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+    )

@@ -3110,3 +3110,39 @@ def sink_upsert_snapshot(spark, sf_dir):
         (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
     )
     return rel_ops.merge_upsert(o, upd, ["o_orderkey"])
+
+
+@parity(
+    "agg_approx_distinct",
+    doc="Per-day approximate distinct users (HyperLogLog++, rsd=0.05) "
+    "over events — the fixed-size-sketch cardinality path for 100 TB "
+    "(no one-row-per-distinct-value shuffle; commutative partial "
+    "merges make the estimate partition-order independent). Estimates "
+    "are engine-specific, so no DuckDB oracle (rows-only check); "
+    "tests/test_sketches.py bounds the error against the exact count.",
+)
+def agg_approx_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return agg_ops.approx_distinct_by_key(
+        ev, F.to_date("ts").alias("day"), "user_id"
+    ).orderBy("day")
+
+
+@parity(
+    "agg_hll_rollup",
+    doc="Two-level distinct-count rollup via Datasketches HLL: one "
+    "sketch per day (hll_sketch_agg), merged per ISO week "
+    "(hll_union_agg) and estimated — the pre-aggregated-cube pattern: "
+    "daily sketches persist once, any coarser rollup merges them "
+    "without rescanning raw data (distinct counts are not summable; "
+    "sketches are). Sketch bytes are engine-specific → rows-only "
+    "check; error bounded in tests/test_sketches.py.",
+)
+def agg_hll_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return agg_ops.hll_rollup(
+        ev,
+        F.to_date("ts").alias("day"),
+        F.weekofyear("day").alias("wk"),
+        "user_id",
+    ).orderBy("wk")
