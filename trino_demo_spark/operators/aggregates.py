@@ -180,3 +180,40 @@ def hll_rollup(
     return daily.groupBy(coarse_key).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
     )
+
+
+def clip_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    exact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp `value_col` to its group's
+    [p_lo, p_hi] percentile band (outlier clipping before training /
+    feature scaling). NULL values stay NULL.
+
+    The percentile frame is one row per group — broadcast back to the
+    fact rows, so the fact side never shuffles. `exact=True` uses
+    percentile() (full value buffer per group — right for bounded-size
+    groups and oracle parity); `exact=False` uses approx_percentile's
+    fixed-size sketch, the 100 TB path for unbounded groups."""
+    fn = "percentile" if exact else "approx_percentile"
+    q = df.groupBy(*group_cols).agg(
+        F.expr(f"{fn}({value_col}, {p_lo})").alias("__lo"),
+        F.expr(f"{fn}({value_col}, {p_hi})").alias("__hi"),
+    )
+    out = out_col or f"{value_col}_clipped"
+    return (
+        df.join(F.broadcast(q), list(group_cols))
+        .withColumn(
+            out,
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -3146,3 +3146,32 @@ def agg_hll_rollup(spark, sf_dir):
         F.weekofyear("day").alias("wk"),
         "user_id",
     ).orderBy("wk")
+
+
+@parity(
+    "agg_winsorize",
+    sql="""
+    WITH q AS (SELECT event_type,
+                      quantile_cont(value, 0.01) AS lo,
+                      quantile_cont(value, 0.99) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(CASE WHEN e.value IS NOT NULL
+                      THEN LEAST(GREATEST(e.value, q.lo), q.hi) END + 1e-9,
+                 4) AS value_clipped
+    FROM events e JOIN q USING (event_type)
+    """,
+    doc="Per-group winsorization: clamp events.value to its "
+    "event_type's [p1, p99] band (outlier clipping before training). "
+    "The percentile frame is one row per group, broadcast back — the "
+    "fact side never shuffles; exact percentile for oracle parity, "
+    "approx_percentile sketch is the unbounded-group path "
+    "(aggregates.clip_outliers(exact=False)).",
+)
+def agg_winsorize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return agg_ops.clip_outliers(ev, ["event_type"], "value").select(
+        "event_id",
+        "event_type",
+        r_(F.col("value_clipped"), 4).alias("value_clipped"),
+    )
