@@ -427,3 +427,37 @@ def test_bloom_bitmap_membership(spark):
         for s in range(k):
             p = r[f"p{s}"]
             assert (int(bitmap[p >> 6]) >> (p & 63)) & 1 == 1
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    """Same tf → the RARER term (lower df) must rank higher; ranking is
+    integer-only so the boundary is deterministic."""
+    from trino_demo_spark.llm import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple zebra common common common"),
+            (2, "common zebra"),
+            (3, "common apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_topk(df, k=2).collect()
+    doc1 = sorted((r.rnk, r.term) for r in out if r.doc_id == 1)
+    # doc1: common tf=3 > apple tf=2; both beat zebra tf=1
+    assert [t for _, t in doc1] == ["common", "apple"]
+    # idf ordering: zebra (df=2) scores above common (df=3) at equal tf
+    doc2 = {r.term: r.rnk for r in out if r.doc_id == 2}
+    assert doc2["zebra"] < doc2["common"]
+
+
+def test_quality_filter_keeps_ceil_fraction_per_group(spark, docs):
+    from trino_demo_spark.llm import text
+
+    kept = text.quality_filter_pct(docs, keep_frac=0.5)
+    grp = {r.lang: r.cnt for r in kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    src = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    import math
+
+    for lang, n in src.items():
+        assert grp.get(lang, 0) == math.ceil(n * 0.5)

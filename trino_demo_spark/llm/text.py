@@ -5,7 +5,7 @@ by a DuckDB oracle in parity_llm.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import tokens_col
@@ -219,5 +219,105 @@ def contamination(
             F.round(n_hits / F.col("n_shingles") + F.lit(EPS), 4).alias(
                 "contamination"
             ),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword-extraction /
+    document-representation op over a corpus.
+
+    tf  = term count within the document (lowercased whitespace tokens);
+    df  = number of documents containing the term;
+    idf = ln((N + 1) / (df + 1)) + 1  (smoothed, sklearn-style);
+    score = tf * idf.
+
+    Scale shape: one explode → (doc, word) keyed count (partial+final
+    HashAggregate, map-side combine bounds the shuffle), one word-keyed
+    distinct-doc count for df, then a word-keyed join to attach idf and a
+    doc-keyed window for top-k. N reaches every row via a broadcast
+    1-row aggregate — no driver round trip. The top-k RANKING uses only
+    integer columns (tf desc, df asc, term asc) so the ordering is
+    bit-identical across engines; the float score is presentation-only
+    (rounded, tie-safe). At 100 TB the dominant cost is the two
+    word-keyed exchanges; a hot word ("the") is ONE reduce key in df and
+    never explodes the join because df-per-word is a single row."""
+    t = tokens_col(text_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(t).alias("w"))
+        .select(id_col, F.lower("w").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                + F.lit(EPS),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col(id_col),
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("tfidf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def quality_filter_pct(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group quality-percentile retention: keep the top `keep_frac`
+    of documents per language by heuristic quality score — the standard
+    'filter to the best X% per language' pretraining curation step (a
+    per-group variant that a global threshold would get wrong: a global
+    cutoff starves low-resource languages).
+
+    Determinism: ranking orders by the ROUNDED score (stable across
+    engines) with doc_id as the tie-breaker, and the cutoff is an
+    integer ceil(n_group * keep_frac) — no float comparisons at the
+    boundary. Scale shape: quality scoring is map-side; the only
+    shuffle is the per-language window. Languages are few → per-group
+    partitions are huge but the window needs no global sort (hash
+    partition by lang, sort within partition); for true skew, pre-agg
+    count-per-lang is broadcast, not windowed."""
+    scores = quality_score(df, id_col, text_col).select(id_col, "quality")
+    base = df.select(id_col, group_col).join(scores, id_col)
+    counts = base.groupBy(group_col).agg(F.count("*").alias("n_grp"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(counts), group_col)
+        .filter(F.col("rn") <= F.ceil(F.col("n_grp") * F.lit(keep_frac)))
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.col("quality"),
+            F.col("rn").cast("long").alias("rn"),
         )
     )

@@ -930,3 +930,66 @@ def llm_train_order(spark, sf_dir):
     return rel_ops.global_rank_by_key(
         docs, key, F.col("doc_id")
     ).select("position", "doc_id", "shuffle_key")
+
+
+@parity(
+    "llm_text_tfidf",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest({_TOK})) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, dfreq.df,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) + 1e-9, 4) AS tfidf
+      FROM tf JOIN dfreq USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 TF-IDF keyword terms (smoothed sklearn idf). "
+    "Ranking is on integer columns only (tf desc, df asc, term asc) so "
+    "the top-k set is bit-identical across engines; the float score is "
+    "presentation-only. ln() of identical integer ratios is IEEE-stable "
+    "across DuckDB/Spark (libm log on exact doubles).",
+)
+def llm_text_tfidf(spark, sf_dir):
+    return text.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@parity(
+    "llm_quality_filter",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             len({_TOK}) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4) AS punct_ratio,
+             ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4) AS stop_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) AS quality
+      FROM base
+    ),
+    ranked AS (
+      SELECT lang, doc_id, quality,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_grp
+      FROM scored
+    )
+    SELECT lang, doc_id, quality, rn FROM ranked WHERE rn <= CEIL(n_grp * 0.5)
+    """,
+    doc="Per-language top-50% quality retention: rank docs by the rounded "
+    "heuristic quality score WITHIN each language and keep the top half "
+    "(integer ceil cutoff; doc_id tie-break). A per-group percentile "
+    "filter — the curation step a global threshold gets wrong for "
+    "low-resource languages.",
+)
+def llm_quality_filter(spark, sf_dir):
+    return text.quality_filter_pct(_t(spark, sf_dir, "documents"), keep_frac=0.5)
