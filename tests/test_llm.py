@@ -461,3 +461,43 @@ def test_quality_filter_keeps_ceil_fraction_per_group(spark, docs):
 
     for lang, n in src.items():
         assert grp.get(lang, 0) == math.ceil(n * 0.5)
+
+
+def test_pca_fit_matches_numpy(spark, emb):
+    import numpy as np
+    from trino_demo_spark.llm import similarity as sim
+
+    mean, comps, evar = sim.pca_fit(emb, k=4)
+    x = np.vstack(
+        [np.asarray(r[0], dtype=np.float64) for r in emb.select("embedding").collect()]
+    )
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    # explained variance: descending, matches numpy eigenvalues
+    assert all(a >= b for a, b in zip(evar, evar[1:]))
+    assert np.allclose(evar, evals[order], rtol=1e-6)
+    c = np.asarray(comps)
+    # orthonormal components
+    assert np.allclose(c @ c.T, np.eye(4), atol=1e-8)
+    # same subspace as numpy's eigenvectors (up to sign)
+    ref = evecs[:, order].T
+    assert np.allclose(np.abs(c @ ref.T), np.eye(4), atol=1e-6)
+
+
+def test_pca_project_matches_driver_math(spark, emb):
+    import numpy as np
+    from trino_demo_spark.llm import similarity as sim
+
+    mean, comps, _ = sim.pca_fit(emb, k=2)
+    out = sim.pca_project(emb, mean, comps, round_to=6).orderBy("vec_id").collect()
+    x = np.vstack(
+        [
+            np.asarray(r[1], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+        ]
+    )
+    proj = (x - np.asarray(mean)) @ np.asarray(comps).T
+    got = np.asarray([[r.pc1, r.pc2] for r in out])
+    assert np.allclose(got, proj, atol=1e-5)

@@ -376,3 +376,87 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+):
+    """Distributed PCA fit over an embedding column — the dimensionality
+    reducer in front of clustering / visualization / cheap ANN.
+
+    Scale shape: one mapInPandas pass computes per-partition moment
+    partials (count, sum vector, d×d Gram matrix flattened) with numpy
+    on Arrow batches; only `numPartitions` partial rows — each O(d²)
+    floats, data-size-independent — reach the driver, where the d×d
+    covariance eigendecomposition runs (d=64 → microseconds). Same
+    bounded-collect discipline as kmeans_fit above: the corpus itself
+    never leaves the executors, and the fit cost is one full scan.
+
+    Sign convention for determinism: each component is flipped so its
+    largest-|weight| coordinate is positive (ties → lowest index wins).
+    Returns (mean[d], components[k][d] ordered by descending variance,
+    explained_var[k])."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v.tolist())
+    return mu.tolist(), comps, [float(evals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Project embeddings onto fitted principal components: the mean and
+    the k×d component matrix ride along as broadcast array literals and
+    each score is a zip_with/aggregate dot product — JVM-side array
+    math, no UDF, map-only (zero shuffle at any scale)."""
+    mu_lit = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(F.col(vec_col).cast("array<double>"), mu_lit, lambda x, m: x - m)
+    out = df.withColumn("__c", centered)
+    cols = [F.col(id_col)]
+    for j, comp in enumerate(components, start=1):
+        w_lit = F.array(*[F.lit(float(x)) for x in comp])
+        dot = F.aggregate(
+            F.zip_with(F.col("__c"), w_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(dot + F.lit(1e-9), round_to).alias(f"pc{j}"))
+    return out.select(*cols)

@@ -697,6 +697,37 @@ def join_fact_fact_merge(spark, sf_dir):
 
 
 @parity(
+    "join_skew_salted",
+    sql=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {USUM(UREV('l'), 4)} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Skew-resistant salted join surfaced as a declared query: probe "
+    "rows get a deterministic row-hash salt in [0, 8), the build side is "
+    "exploded into 8 salt replicas, and the join runs on (key, salt) — "
+    "one hot key's rows spread across 8 shuffle partitions instead of "
+    "one straggler task. The oracle is the PLAIN join: salting must be "
+    "result-invariant (also asserted in tests/test_scale_plans.py). "
+    "This is the explicit fallback for extreme single-key skew when "
+    "AQE's runtime skew-split (asserted separately) isn't available "
+    "(operators/relational.py::salted_join).",
+)
+def join_skew_salted(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = rel_ops.salted_join(li, o, "l_orderkey", "o_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        usum(urev(), 4).alias("revenue"),
+    )
+
+
+@parity(
     "join_bucketed_flagship",
     sql=f"""
     SELECT l.l_orderkey,
@@ -2940,6 +2971,65 @@ def profile_table(spark, sf_dir):
 
     return rel_ops.union_all(
         [prof("o_custkey"), prof("o_orderstatus"), prof("o_orderpriority")]
+    )
+
+
+@parity(
+    "profile_skew",
+    sql="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    gstats AS (
+      SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt
+      FROM counts
+    ),
+    top5 AS (
+      SELECT user_id, cnt FROM counts ORDER BY cnt DESC, user_id ASC LIMIT 5
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rnk,
+           user_id, cnt,
+           ROUND(cnt * 1.0 / g.n_rows + 1e-9, 4) AS share,
+           g.n_rows, g.n_keys,
+           ROUND(g.n_rows * 1.0 / g.n_keys + 1e-9, 4) AS avg_cnt,
+           ROUND(g.max_cnt * 1.0 * g.n_keys / g.n_rows + 1e-9, 4) AS skew_ratio
+    FROM top5 CROSS JOIN gstats g
+    """,
+    doc="Join/agg-key skew diagnostics: per-key cardinality profile of "
+    "events.user_id — heavy-hitter top-5 with share-of-total, plus "
+    "global distinct-key count, mean rows/key, and skew ratio "
+    "(max/mean). The pre-flight check before keying a 100 TB shuffle: "
+    "per-key counts are ONE partial+final aggregate, the global stats "
+    "are a 1-row broadcast, and the top-5 is TakeOrderedAndProject — "
+    "nothing driver-side, nothing O(keys) beyond the keyed count.",
+)
+def profile_skew(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    glob = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    from pyspark.sql import Window as W
+
+    top5 = counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(5)
+    w = W.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (
+        top5.join(F.broadcast(glob))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            "rnk",
+            "user_id",
+            "cnt",
+            r_(F.col("cnt") / F.col("n_rows"), 4).alias("share"),
+            "n_rows",
+            "n_keys",
+            r_(F.col("n_rows") / F.col("n_keys"), 4).alias("avg_cnt"),
+            r_(F.col("max_cnt") * F.col("n_keys") / F.col("n_rows"), 4).alias(
+                "skew_ratio"
+            ),
+        )
     )
 
 

@@ -993,3 +993,21 @@ def llm_text_tfidf(spark, sf_dir):
 )
 def llm_quality_filter(spark, sf_dir):
     return text.quality_filter_pct(_t(spark, sf_dir, "documents"), keep_frac=0.5)
+
+
+@parity(
+    "llm_embed_pca",
+    sql=None,
+    doc="Distributed PCA over the embedding column: mapInPandas moment "
+    "partials (count / sum / d×d Gram per partition — bounded, "
+    "data-size-independent collect), d×d eigendecomposition on the "
+    "driver, then map-only zip_with/aggregate projection onto the top-4 "
+    "components (broadcast literals, no UDF, no shuffle). Sign-fixed "
+    "components for determinism; fit invariants (orthonormality, "
+    "descending explained variance, agreement with numpy PCA) in "
+    "tests/test_llm.py.",
+)
+def llm_embed_pca(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ = similarity.pca_fit(emb, k=4)
+    return similarity.pca_project(emb, mean, comps).orderBy("vec_id")
