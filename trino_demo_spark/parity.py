@@ -1913,6 +1913,69 @@ def f_agg_stats(spark, sf_dir):
 
 
 @parity(
+    "f_argminmax",
+    sql="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice_units * 10000000000 + o_orderkey) AS top_order,
+           arg_min(o_orderkey, o_totalprice_units * 10000000000 + o_orderkey) AS bottom_order
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_units
+      FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="argmax/argmin aggregate surface (max_by/min_by ↔ DuckDB "
+    "arg_max/arg_min): per priority class, the order id holding the "
+    "highest/lowest total price. Both engines break value ties "
+    "arbitrarily, so the comparison value is made unique per row — "
+    "exact cent units * 10^10 + orderkey (fits int64) — which also "
+    "pins the tie-break to highest/lowest key. One partial+final "
+    "aggregate; max_by carries (value, key) pairs through the combine "
+    "so it shuffles one row per group at any scale.",
+)
+def f_argminmax(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cmp",
+        (F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10_000_000_000))
+        + F.col("o_orderkey"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "cmp").alias("top_order"),
+        F.min_by("o_orderkey", "cmp").alias("bottom_order"),
+    )
+
+
+@parity(
+    "agg_count_if",
+    sql="""
+    SELECT o_orderpriority,
+           count_if(o_totalprice > 150000) AS n_big,
+           COUNT(*) AS n_total,
+           ROUND(count_if(o_totalprice > 150000) * 1.0 / COUNT(*) + 1e-9, 4) AS big_frac,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Conditional-aggregation surface: count_if and sum(CASE WHEN) "
+    "per group — the filtered-count idiom every quality dashboard "
+    "uses. Single partial+final hash aggregate; the predicates fold "
+    "into the partial, so no second scan and no join.",
+)
+def agg_count_if(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(big).alias("n_big"),
+        F.count("*").alias("n_total"),
+        r_(F.count_if(big) / F.count("*"), 4).alias("big_frac"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_finished"),
+    )
+
+
+@parity(
     "f_array_funcs",
     sql="""
     SELECT vec_id, len(embedding) AS dim,
