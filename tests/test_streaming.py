@@ -160,3 +160,26 @@ def test_stream_stream_join_matches_batch(spark, stream):
         .collect()
     }
     assert got == exp and len(got) >= 3
+
+
+def test_static_enrich_matches_batch(spark, stream):
+    """Stream-static broadcast join over availableNow must equal the
+    batch join of the same frames."""
+    batch_ev = load_table(spark, "events", SF_SMOKE)
+    dim = (
+        batch_ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg_value"),
+        )
+    )
+    enriched = ks.static_enrich(
+        stream.select("event_id", "user_id", "value"), dim
+    )
+    q = ks.run_available_now(enriched, "enriched", output_mode="append")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM enriched")
+    want = batch_ev.select("event_id", "user_id", "value").join(
+        dim, "user_id", "left"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -270,3 +270,17 @@ def stream_stream_join(
         "click_id",
         "purchase_value",
     )
+
+
+def static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream is
+    joined against a STATIC dimension (profile / feature table) on the
+    key — the standard "attach user attributes to the event firehose"
+    pattern. Stateless: unlike a stream-stream join, the static side
+    carries no watermark and no join state; Spark re-plans the static
+    side per micro-batch (so a refreshed snapshot is picked up on the
+    next trigger). The dim is explicitly broadcast — at 100 TB of
+    stream, the join must never shuffle the firehose; if the dim
+    outgrows broadcast, pre-bucket BOTH sides on the key instead.
+    Left join keeps events with no profile (nulls, not drops)."""
+    return stream.join(F.broadcast(dim), key, "left")
