@@ -107,3 +107,39 @@ def test_registry_three_part_names(spark):
     assert resolve_name("TrinoDemo.Public.LINEITEM") == "lineitem"
     assert resolve_name("kafka.default.events") == "events"
     assert resolve_name("documents") == "documents"
+
+
+def test_pyjsonl_partitions_per_file(spark, tmp_path):
+    """The Python DataSource must expose one scan partition per part
+    file (the unit of parallelism) and parse typed values exactly."""
+    from trino_demo_spark.sources import pyjsonl
+
+    pyjsonl.register(spark)
+    for i in range(3):
+        (tmp_path / f"part-{i}.jsonl").write_text(
+            "\n".join(
+                '{"k": %d, "v": %.1f, "s": "row%d"}' % (i * 10 + j, j + 0.5, j)
+                for j in range(4)
+            )
+        )
+    df = (
+        spark.read.format("pyjsonl")
+        .schema("k BIGINT, v DOUBLE, s STRING")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 12
+    assert rows[0] == (0, 0.5, "row0")
+    # missing keys surface as NULL, not errors
+    extra = tmp_path / "part-9.jsonl"
+    extra.write_text('{"k": 99}')
+    df2 = (
+        spark.read.format("pyjsonl")
+        .schema("k BIGINT, v DOUBLE, s STRING")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    r = [t for t in map(tuple, df2.collect()) if t[0] == 99][0]
+    assert r == (99, None, None)

@@ -279,6 +279,38 @@ def sink_csv(spark, sf_dir):
 
 
 @parity(
+    "scan_jsonl_pysource",
+    sql="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc="Custom connector through the Spark 4 Python DataSource API "
+    "(sources/pyjsonl.py): documents serialized to newline-delimited "
+    "JSON part files, then scanned back through the registered "
+    "`pyjsonl` format with a declared schema — the engine-extensibility "
+    "twin of the reference's declared-mapping connector configs "
+    "(trino/kafka/stockdata.json field mappings; catalog/*.properties). "
+    "partitions() yields one InputPartition per part file, so the scan "
+    "parallelizes across executors like any built-in source.",
+)
+def scan_jsonl_pysource(spark, sf_dir):
+    from .sources import pyjsonl
+
+    pyjsonl.register(spark)
+    docs = _t(spark, sf_dir, "documents")
+    path = os.path.join(_scratch(sf_dir), "documents_jsonl")
+    (
+        docs.repartition(4)
+        .select(F.to_json(F.struct(*docs.columns)).alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+    return (
+        spark.read.format("pyjsonl")
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("path", path)
+        .load()
+    )
+
+
+@parity(
     "sink_kafka_json",
     sql="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     doc="Rows → JSON messages → typed rows round trip (ref producers: "

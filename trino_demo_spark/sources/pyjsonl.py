@@ -1,0 +1,79 @@
+"""Custom connector via the Spark 4 Python DataSource API: a JSONL
+(newline-delimited JSON) table reader.
+
+This is the engine-extensibility twin of the reference's declared-mapping
+connector configs (`trino/kafka/stockdata.json` maps JSON messages to a
+typed table; `trino/catalog/*.properties` declare external stores): where
+Trino needs a deployed connector plugin + sidecar schema, Spark 4 lets the
+engine register a first-class source in Python — it participates in the
+DataFrame reader API, schema declaration, and task-parallel scans like any
+built-in format.
+
+Scale shape: `partitions()` returns one InputPartition per data file, so a
+directory of N part files scans as N parallel tasks (each executor parses
+only its file). Parsing is stdlib-json per line — this source exists to
+prove the connector surface; bulk columnar formats should stay on the
+native parquet/csv readers (the read path here is Python-speed by design
+and says so).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class JsonlDataSource(DataSource):
+    """`spark.read.format("pyjsonl").schema(...).load(path)` — newline-
+    delimited JSON files as a typed table. Requires a user-declared
+    schema (schema-on-read with an explicit contract, mirroring the
+    reference's declared-mapping style — never inference)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def reader(self, schema):
+        return JsonlReader(schema, self.options)
+
+
+class JsonlReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl requires a path")
+
+    def partitions(self):
+        # One partition per file: a multi-file directory scans as
+        # parallel tasks (the unit of distribution for this source).
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            files = [self.path]
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        fields = [f.name for f in self.schema.fields]
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(name) for name in fields)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the pyjsonl format on a session."""
+    try:
+        spark.dataSource.register(JsonlDataSource)
+    except Exception:
+        # Already registered on this session — fine.
+        pass
