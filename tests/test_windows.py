@@ -159,3 +159,29 @@ def test_asof_join_property_vs_pandas(spark):
         (int(r.t), None if pd.isna(r.v) else r.v) for r in exp_df.itertuples(index=False)
     }
     assert got == exp
+
+
+def test_resample_ffill_gaps_and_leading_nulls(spark):
+    from trino_demo_spark.operators import windows as win
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2020-01-02", 10.0),
+            ("a", "2020-01-05", 20.0),
+            ("b", "2020-01-01", 1.0),
+        ],
+        "k string, d string, v double",
+    ).withColumn("d", F.col("d").cast("date"))
+    out = win.resample_ffill(df, "k", "d", "v", "2020-01-01", "2020-01-06")
+    rows = {(r.k, str(r.d)): (r.v, r.filled) for r in out.collect()}
+    assert len(rows) == 12  # 2 keys x 6 days
+    # leading gap before first observation stays NULL but is marked filled
+    assert rows[("a", "2020-01-01")] == (None, True)
+    assert rows[("a", "2020-01-02")] == (10.0, False)
+    # interior gap carries the last observation forward
+    assert rows[("a", "2020-01-03")] == (10.0, True)
+    assert rows[("a", "2020-01-04")] == (10.0, True)
+    assert rows[("a", "2020-01-05")] == (20.0, False)
+    assert rows[("a", "2020-01-06")] == (20.0, True)
+    # key b fills to the end of the spine
+    assert rows[("b", "2020-01-06")] == (1.0, True)

@@ -61,3 +61,57 @@ def business_day_snap(col: Column) -> Column:
         .when(dow == 1, F.date_add(col, 1))  # Sunday   -> +1 = Monday
         .otherwise(F.to_date(col))
     )
+
+
+def resample_ffill(
+    df,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    start: str,
+    end: str,
+):
+    """Calendar resample + forward fill: densify a sparse per-(key, day)
+    series onto every day in [start, end] and carry the last observed
+    value forward across the gaps — pandas `resample('D').ffill()` as an
+    engine-side operator (the reference's stock/weather series have
+    exactly these market-closed / sensor-gap holes).
+
+    Scale shape: the day spine is `sequence(start, end)` exploded against
+    the DISTINCT key set — spine size = keys × days, independent of fact
+    rows. The fill is `last(value, ignorenulls=True)` over (key, date
+    ROWS UNBOUNDED PRECEDING): ONE hash partition by key, sort by date
+    within partition — no global sort, no iterative driver loop, and the
+    unbounded-preceding frame is a running accumulator, not a rescan.
+    Emits `filled` so downstream can distinguish observation from carry.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    lo = F.lit(start).cast("date")
+    hi = F.lit(end).cast("date")
+    obs = (
+        df.filter((F.col(date_col) >= lo) & (F.col(date_col) <= hi))
+        .groupBy(key_col, date_col)
+        .agg(F.sum(value_col).alias("__v"))
+    )
+    keys = obs.select(key_col).distinct()
+    spine = keys.join(
+        F.broadcast(
+            df.sparkSession.range(1).select(
+                F.explode(F.sequence(lo, hi)).alias(date_col)
+            )
+        )
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = spine.join(obs, [key_col, date_col], "left")
+    return joined.select(
+        key_col,
+        date_col,
+        F.last("__v", ignorenulls=True).over(w).alias(value_col),
+        F.col("__v").isNull().alias("filled"),
+    )

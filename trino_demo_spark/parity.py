@@ -3129,6 +3129,50 @@ def profile_skew(spark, sf_dir):
 
 
 @parity(
+    "win_resample_ffill",
+    sql="""
+    WITH obs AS (
+      SELECT o_orderpriority AS k, o_orderdate AS d,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT k, CAST(gs.d AS DATE) AS d
+      FROM (SELECT DISTINCT k FROM obs)
+      CROSS JOIN generate_series(DATE '1995-03-01', DATE '1995-04-30', INTERVAL 1 DAY) gs(d)
+    )
+    SELECT spine.k AS o_orderpriority, spine.d AS o_orderdate,
+           last_value(obs.v IGNORE NULLS) OVER (
+             PARTITION BY spine.k ORDER BY spine.d ROWS UNBOUNDED PRECEDING
+           ) AS rev_units,
+           obs.v IS NULL AS filled
+    FROM spine LEFT JOIN obs ON obs.k = spine.k AND obs.d = spine.d
+    """,
+    doc="Calendar resample + forward fill (pandas resample('D').ffill() "
+    "engine-side): daily order-revenue series per priority densified "
+    "onto every day of Mar-Apr 1995, gaps carried forward with "
+    "last(ignorenulls) over (key ORDER BY date ROWS UNBOUNDED "
+    "PRECEDING) — one hash partition by key, no global sort, spine "
+    "size = keys x days independent of fact rows. Values in exact "
+    "integer cent units so the fill is bit-identical across engines. "
+    "`filled` distinguishes observation from carry "
+    "(operators/windows.py::resample_ffill).",
+)
+def win_resample_ffill(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn("rev_units", u2("o_totalprice"))
+    return win_ops.resample_ffill(
+        o,
+        key_col="o_orderpriority",
+        date_col="o_orderdate",
+        value_col="rev_units",
+        start="1995-03-01",
+        end="1995-04-30",
+    ).toDF("o_orderpriority", "o_orderdate", "rev_units", "filled")
+
+
+@parity(
     "win_sessionize",
     sql="""
     WITH m AS (
