@@ -257,3 +257,47 @@ def test_global_rank_no_single_partition_window(spark):
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(__bucket" in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # offsets join, not shuffled
+
+
+def test_profile_skew_topk_no_global_sort(spark):
+    """Heavy-hitter top-5 must compile to TakeOrderedAndProject (no
+    full Sort) and the global stats must ride a broadcast join."""
+    plan = _plan(PARITY["profile_skew"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """join_skew_salted must join on (key, salt) — the hot key's rows
+    land in `salt` distinct shuffle partitions, not one."""
+    df = PARITY["join_skew_salted"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "__salt" in plan
+    # still a real equi-join (hash-partitioned on key+salt), not a BNLJ
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_filter_single_window_shuffle(spark):
+    """Per-language ranking must be ONE hash partitioning by lang (plus
+    the broadcast of the tiny per-lang counts) — no global sort."""
+    docs = load_table(spark, "documents", SF_SMOKE)
+    from trino_demo_spark.llm import text
+
+    plan = _plan(text.quality_filter_pct(docs))
+    assert "hashpartitioning(lang" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_resample_ffill_no_global_sort(spark):
+    """The fill window sorts within per-key partitions only; the day
+    spine must broadcast (keys x days is tiny next to fact rows)."""
+    from trino_demo_spark.operators import windows as win
+
+    o = load_table(spark, "orders", SF_SMOKE)
+    df = win.resample_ffill(
+        o, "o_orderpriority", "o_orderdate", "o_totalprice",
+        "1995-03-01", "1995-04-30",
+    )
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(o_orderpriority" in plan

@@ -3173,6 +3173,56 @@ def win_resample_ffill(spark, sf_dir):
 
 
 @parity(
+    "win_lag_features",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority AS k, o_orderdate AS d, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      GROUP BY 1, 2
+    )
+    SELECT k AS o_orderpriority, d AS o_orderdate, n,
+           lag(n, 1) OVER w AS n_lag1,
+           lag(n, 7) OVER w AS n_lag7,
+           n - lag(n, 1) OVER w AS n_diff1,
+           ROUND((n - lag(n, 1) OVER w) * 1.0 / lag(n, 1) OVER w + 1e-9, 4) AS n_pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY k ORDER BY d)
+    """,
+    doc="Per-key lag-feature generation (the time-series feature-"
+    "engineering staple: value, lag-1, lag-7, first difference, percent "
+    "change) over the daily order-count series per priority. All four "
+    "features ride ONE window definition — one hash partition by key, "
+    "one within-partition sort, no self-joins (the pandas shift() "
+    "pattern engine-side). Integer counts keep diffs exact; pct_change "
+    "is tie-safe rounded.",
+)
+def win_lag_features(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-04-30").cast("date"))
+        )
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    lag1 = F.lag("n", 1).over(w)
+    return daily.select(
+        "o_orderpriority",
+        "o_orderdate",
+        "n",
+        lag1.alias("n_lag1"),
+        F.lag("n", 7).over(w).alias("n_lag7"),
+        (F.col("n") - lag1).alias("n_diff1"),
+        r_((F.col("n") - lag1) / lag1, 4).alias("n_pct_change"),
+    )
+
+
+@parity(
     "win_sessionize",
     sql="""
     WITH m AS (
