@@ -1545,6 +1545,39 @@ def stream_ts_upper_bound(spark, sf_dir):
 
 
 @parity(
+    "stream_retention_window",
+    sql="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(SUM(value) + 1e-9, 2) AS sum_value
+    FROM events, mx
+    WHERE ts > mx.max_ts - INTERVAL 7 DAY
+    GROUP BY event_type
+    """,
+    doc="Retention enforcement as a scan-time lower bound (ref: topic "
+    "retention 7d, openshift_trino_demo_installation.txt:240-263): only "
+    "the trailing 7-day window of the log survives, cutoff derived from "
+    "the stream's own max timestamp via a 1-row broadcast (no driver "
+    "round trip, no clock dependence). On Kafka the same bound lifts "
+    "into startingTimestamp (sources.kafka.bounded_scan_options lower "
+    "bound) so the broker prunes segments server-side — the batch twin "
+    "of broker-side log retention.",
+)
+def stream_retention_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.join(F.broadcast(mx))
+        .filter(F.col("ts") > F.col("max_ts") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            r_(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@parity(
     "stream_dedup_late",
     sql="""
     SELECT user_id, CAST(ts AS DATE) AS day, event_id, value FROM events
