@@ -501,3 +501,36 @@ def test_pca_project_matches_driver_math(spark, emb):
     proj = (x - np.asarray(mean)) @ np.asarray(comps).T
     got = np.asarray([[r.pc1, r.pc2] for r in out])
     assert np.allclose(got, proj, atol=1e-5)
+
+
+def test_logreg_matches_numpy_trainer(spark, emb):
+    """The distributed GD trainer must match an identical numpy
+    full-batch trainer (same init/lr/iters) to float tolerance, and the
+    loss must decrease."""
+    import numpy as np
+    from trino_demo_spark import ml
+
+    df = emb.withColumn("y", (F.col("label") == 0).cast("double"))
+    w, b, losses = ml.logreg_fit(df, dims=8, lr=0.5, iters=10)
+    assert losses[-1] < losses[0]
+
+    rows = df.select("embedding", "y").collect()
+    x = np.vstack([np.asarray(r[0][:8], dtype=np.float64) for r in rows])
+    y = np.asarray([r[1] for r in rows])
+    n = len(y)
+    wn = np.zeros(8)
+    bn = 0.0
+    for _ in range(10):
+        p = 1.0 / (1.0 + np.exp(-(x @ wn + bn)))
+        err = p - y
+        wn -= 0.5 * (x.T @ err) / n
+        bn -= 0.5 * err.sum() / n
+    assert np.allclose(w, wn, atol=1e-8)
+    assert abs(b - bn) < 1e-8
+
+    scored = ml.logreg_predict(df, w, b).collect()
+    pred = {r.vec_id: r.predicted for r in scored}
+    p_np = 1.0 / (1.0 + np.exp(-(x @ wn + bn)))
+    ids = [r["vec_id"] for r in df.select("vec_id").collect()]
+    for i, vid in enumerate(ids):
+        assert pred[vid] == bool(p_np[i] >= 0.5)

@@ -85,3 +85,99 @@ def autoregressive_forecast(
         y = intercept + slope * y
         rows.append((start_index + i, y))
     return spark.createDataFrame(rows, "step int, forecast double")
+
+
+def logreg_fit(
+    df,
+    vec_col: str = "embedding",
+    label_col: str = "y",
+    dims: int = 8,
+    lr: float = 0.5,
+    iters: int = 20,
+):
+    """Binary logistic regression trained with full-batch gradient
+    descent where each step is ONE DataFrame aggregate — the
+    iterative-ML-on-the-engine pattern (distributed-gradient descent):
+
+    - weights live on the driver (d+1 floats, broadcast into the plan as
+      literals each step — same bounded-state discipline as kmeans_fit);
+    - the gradient is sum over rows of (sigmoid(w·x+b) − y)·x, computed
+      as codegen array math (zip_with dot product, no UDF) + one
+      partial+final aggregate per step;
+    - per step the cluster moves d+1 doubles to the driver; data never
+      does. At 100 TB each iteration is one scan+reduce — cache the
+      features once and the scan is memory-speed.
+
+    Returns (weights[dims], bias, losses[iters]) — losses for
+    convergence checks (mean log-loss per step)."""
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    feats = df.select(
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dims).alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    feats = feats.persist()
+    try:
+        w = [0.0] * dims
+        b = 0.0
+        losses = []
+        for _ in range(iters):
+            w_lit = F.array(*[F.lit(x) for x in w])
+            z = F.aggregate(
+                F.zip_with(F.col("x"), w_lit, lambda x, wi: x * wi),
+                F.lit(float(b)),
+                lambda acc, v: acc + v,
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("y")
+            row = feats.agg(
+                F.array(
+                    *[F.sum(err * F.col("x")[i]) for i in range(dims)]
+                ).alias("gw"),
+                F.sum(err).alias("gb"),
+                F.avg(
+                    -(
+                        F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
+                        + (F.lit(1.0) - F.col("y"))
+                        * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+                    )
+                ).alias("loss"),
+            ).collect()[0]
+            w = [wi - lr * g / n for wi, g in zip(w, row["gw"])]
+            b = b - lr * row["gb"] / n
+            losses.append(float(row["loss"]))
+        return w, b, losses
+    finally:
+        feats.unpersist()
+
+
+def logreg_predict(
+    df,
+    weights,
+    bias: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+):
+    """Score rows with a fitted logistic model: broadcast-literal
+    weights, codegen sigmoid(w·x+b) — map-only, no shuffle."""
+    from pyspark.sql import functions as F
+
+    dims = len(weights)
+    w_lit = F.array(*[F.lit(float(x)) for x in weights])
+    z = F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec_col).cast("array<double>"), 1, dims),
+            w_lit,
+            lambda x, wi: x * wi,
+        ),
+        F.lit(float(bias)),
+        lambda acc, v: acc + v,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(
+        F.col(id_col),
+        F.round(p + F.lit(1e-9), round_to).alias("score"),
+        (p >= 0.5).alias("predicted"),
+    )

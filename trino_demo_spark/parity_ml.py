@@ -239,3 +239,25 @@ def e2e_forecast_pipeline(spark, sf_dir):
         r_(F.avg(ape) * 100, 4).alias("mape"),
         r_(F.expr("percentile(abs((v - pred) / v), 0.5)") * 100, 4).alias("mdape"),
     )
+
+
+@parity(
+    "ml_logreg",
+    sql=None,
+    doc="Binary logistic regression (label==0 vs rest over the first 8 "
+    "embedding dims) trained with full-batch distributed gradient "
+    "descent: weights are d+1 driver floats broadcast as literals, each "
+    "step is one codegen zip_with/aggregate scan+reduce (no UDF), only "
+    "the gradient vector crosses the driver. Scores are map-only "
+    "broadcast-literal sigmoid. Convergence + agreement with an "
+    "identical numpy trainer in tests/test_ml.py (rows-only: iterative, "
+    "not SQL-expressible).",
+)
+def ml_logreg(spark, sf_dir):
+    from . import ml
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") == 0).cast("double")
+    )
+    w, b, _ = ml.logreg_fit(emb, dims=8, lr=0.5, iters=10)
+    return ml.logreg_predict(emb, w, b).orderBy("vec_id")
