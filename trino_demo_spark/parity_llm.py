@@ -1011,3 +1011,45 @@ def llm_embed_pca(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     mean, comps, _ = similarity.pca_fit(emb, k=4)
     return similarity.pca_project(emb, mean, comps).orderBy("vec_id")
+
+
+@parity(
+    "ml_kmeans_profile",
+    sql=None,
+    doc="K-means cluster profile as a declared query: deterministic "
+    "Lloyd fit (llm.similarity.kmeans_fit — first-k init, 3 iterations, "
+    "only the k×dim centroid matrix on the driver), then a map-only "
+    "broadcast-literal assignment pass and per-cluster size / mean "
+    "distance-to-centroid. Rows-only: iterative fit has no SQL "
+    "equivalent; determinism + centroid-convergence invariants in "
+    "tests/test_llm.py.",
+)
+def ml_kmeans_profile(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in cents]
+    )
+    assigned = emb.withColumn("__cents", cents_lit).withColumn(
+        "cluster", similarity._argmin_centroid("embedding", None)
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.element_at("__cents", F.col("cluster") + 1),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        assigned.withColumn("dist", dist)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("dist") + F.lit(1e-9), 4).alias("avg_dist"),
+        )
+        .orderBy("cluster")
+    )
