@@ -301,3 +301,11 @@ def test_resample_ffill_no_global_sort(spark):
     plan = _plan(df)
     assert "rangepartitioning" not in plan
     assert "hashpartitioning(o_orderpriority" in plan
+
+
+def test_range_join_bucketed_is_hash_join(spark):
+    """The bucketized range join must run as a hash equi-join on the
+    day bucket — never a BroadcastNestedLoopJoin."""
+    plan = _plan(PARITY["join_range_bucketed"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

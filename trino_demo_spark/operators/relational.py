@@ -357,3 +357,41 @@ def global_rank_by_key(
         .withColumn(out_pos, (F.col("__offset") + F.col("__local")).cast("long"))
         .drop("__bucket", "__local", "__offset")
     )
+
+
+def range_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Range (theta) join converted to an equi-join on time buckets —
+    the scale path for interval joins when BOTH sides are too large for
+    a broadcast nested-loop (same bucketize-then-equi-join pattern as
+    LSH): each interval explodes into the day buckets it covers
+    (rows × interval-days, bounded by interval length, map-side), facts
+    bucket by day (map-side), the join runs as a HASH equi-join on the
+    bucket, and a residual range filter restores exact [start, end)
+    semantics. Result-identical to the direct theta join; plan-asserted
+    (no BroadcastNestedLoopJoin) in tests/test_scale_plans.py."""
+    b = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", F.col(start_col)),
+                F.date_trunc(
+                    "DAY", F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    f = facts.withColumn("__bucket", F.date_trunc("DAY", F.col(ts_col)))
+    return (
+        f.join(b, "__bucket")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )

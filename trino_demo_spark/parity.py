@@ -1954,6 +1954,46 @@ def join_range(spark, sf_dir):
 
 
 @parity(
+    "join_range_bucketed",
+    sql="""
+    SELECT w.win_name, COUNT(*) AS cnt, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES
+      ('w1', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-08 00:00:00'),
+      ('w2', TIMESTAMP '2024-01-12 00:00:00', TIMESTAMP '2024-01-13 12:00:00'),
+      ('w3', TIMESTAMP '2024-01-20 06:00:00', TIMESTAMP '2024-01-25 00:00:00')
+    ) w(win_name, win_start, win_end)
+      ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.win_name
+    """,
+    doc="The join_range scale twin: the same interval join converted to "
+    "a HASH equi-join on exploded day buckets + residual range filter "
+    "(operators/relational.py::range_join_bucketed) — the shape that "
+    "survives when both sides outgrow the broadcast nested-loop. Same "
+    "oracle as join_range: bucketizing must be result-invariant.",
+)
+def join_range_bucketed(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wins = spark.createDataFrame(
+        [
+            ("w1", "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+            ("w2", "2024-01-12 00:00:00", "2024-01-13 12:00:00"),
+            ("w3", "2024-01-20 06:00:00", "2024-01-25 00:00:00"),
+        ],
+        "win_name string, win_start string, win_end string",
+    ).select(
+        "win_name",
+        F.col("win_start").cast("timestamp").alias("win_start"),
+        F.col("win_end").cast("timestamp").alias("win_end"),
+    )
+    return (
+        rel_ops.range_join_bucketed(ev, wins, "ts", "win_start", "win_end")
+        .groupBy("win_name")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@parity(
     "f_agg_stats",
     sql="""
     SELECT ROUND(stddev_pop(l_quantity) + 1e-9, 6) AS qty_stddev,
