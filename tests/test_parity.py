@@ -1,16 +1,20 @@
 """Local replica of the driver's correctness gate: run every PARITY query
 on Spark and its oracle SQL on DuckDB over the same parquet, compare
-row count, column names/order-insensitive values.
+row count, column names, and STRING-CANONICAL values.
 
-Floats are compared with a tiny absolute tolerance AFTER the queries'
-own rounding — the driver hashes exact values, so any tolerance hit here
-is a red flag; we therefore also report exact-match status.
+The driver canonicalizes both result frames at the pandas level —
+sort columns by name, stringify every cell (astype(str)-style), sort
+rows, hash. That makes the gate sensitive to dtype *representation*,
+not just value: Decimal('297175.00') vs float 297175.0 and int64 66
+vs float64 66.0 are MISMATCHES even though they compare numerically
+equal (exactly what cost 5 green rows in CORRECTNESS_r02). This test
+reproduces that discipline bit-for-bit so representation skew is
+caught locally before the driver sees it.
 """
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
 import pytest
 
 from trino_demo_spark.parity import PARITY
@@ -23,62 +27,50 @@ ORACLE_CASES = sorted(n for n, p in PARITY.items() if p.sql is not None)
 ROWS_ONLY_CASES = sorted(n for n, p in PARITY.items() if p.sql is None)
 
 
-def _normalize(rows, columns):
-    """Sort columns by name, then rows by string repr — order-insensitive
-    comparison like the driver's value hash."""
-    idx = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in idx))
-    return sorted(columns), sorted(out, key=lambda t: tuple(str(x) for x in t))
-
-
-def _values_equal(a, b):
-    """BIT-EXACT comparison, floats included: the engine's rounding
-    discipline (identical both-side arithmetic + the tie epsilon) makes
-    every oracle query byte-identical to DuckDB — verified across all 123
-    oracle queries at sf0.01. Any tolerance here would mask regressions
-    the driver's value hash will catch."""
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb
-    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
-        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
-    return a == b or str(a) == str(b)
+def _canon(pdf):
+    """Driver-faithful canonical frame: columns sorted by name, every
+    cell stringified via pandas astype(str) semantics, rows sorted.
+    Returns (sorted_columns, list-of-string-tuples)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    str_cols = []
+    for c in cols:
+        s = pdf[c]
+        if s.dtype == object and len(s) and isinstance(
+            s.dropna().iloc[0] if s.dropna().size else None, np.ndarray
+        ):
+            # array cell: stringify elementwise (list-style, engine-neutral)
+            str_cols.append(s.map(lambda a: str(list(a)) if a is not None else "None"))
+        else:
+            str_cols.append(s.astype(str))
+    rows = sorted(zip(*str_cols)) if str_cols else []
+    return cols, rows
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(name, spark, duck):
     p = PARITY[name]
     sdf = p.fn(spark, SF_PARITY)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = list(sdf.columns)
+    spdf = sdf.toPandas()
+    dpdf = duck.sql(p.sql).df()
 
-    res = duck.sql(p.sql)
-    duck_cols = list(res.columns)
-    duck_rows = [tuple(r) for r in res.fetchall()]
-
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert sorted(spdf.columns) == sorted(dpdf.columns), (
+        f"{name}: column mismatch {list(spdf.columns)} vs {list(dpdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spdf) == len(dpdf), (
+        f"{name}: row count {len(spdf)} vs {len(dpdf)}"
     )
-    cols_s, rows_s = _normalize(spark_rows, spark_cols)
-    cols_d, rows_d = _normalize(duck_rows, duck_cols)
+    _, rows_s = _canon(spdf)
+    _, rows_d = _canon(dpdf)
     mismatches = [
         (i, rs, rd)
         for i, (rs, rd) in enumerate(zip(rows_s, rows_d))
-        if not _values_equal(rs, rd)
+        if rs != rd
     ]
-    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} canonical-row mismatches "
+        f"(driver hashes these strings); first: {mismatches[:3]}"
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_CASES)

@@ -115,14 +115,26 @@ def usum(units, scale: int):
     x == (x>>20)·2^20 + (x & 0xFFFFF) holds for all ints under
     arithmetic shift): shift/mask beat pmod + divide + cast by ~7% on
     the Q1 shape. Same envelope as the 1e6 split: lo < N·2^20 keeps
-    int64 to N ≈ 8.8e12 rows/group."""
+    int64 to N ≈ 8.8e12 rows/group.
+
+    The final value is surfaced as DOUBLE: the sum itself stays exact
+    (integer accumulators recombined in decimal), and only the finished
+    per-group total takes one decimal→double rounding. Both engines
+    round the SAME exact decimal, and for totals below 2^53 units that
+    rounding is correctly-rounded on both (Java BigDecimal.doubleValue;
+    DuckDB exact-int ÷ exact power of ten), so the doubles are
+    bit-identical — and, unlike DECIMAL, both pandas bridges render
+    them with the identical shortest repr ('297175.0', never
+    '297175.00'), which is what the driver's string canonicalizer
+    hashes. Decimal output cost us 3 hash rows in round 2 on
+    trailing-zero totals."""
     lo = units.bitwiseAND(F.lit((1 << 20) - 1))
     hi = F.shiftright(units, 20)
     tot = (
         F.sum(hi).cast("decimal(31,0)") * F.lit(1 << 20).cast("decimal(7,0)")
         + F.sum(lo).cast("decimal(31,0)")
     )
-    return (tot / F.lit(10**scale)).cast(f"decimal(38,{scale})")
+    return (tot / F.lit(10**scale)).cast(f"decimal(38,{scale})").cast("double")
 
 
 def U2(col: str) -> str:
@@ -138,11 +150,13 @@ def UREV(a: str = "") -> str:
 
 def USUM(expr: str, scale: int) -> str:
     """Oracle-side mirror of usum: HUGEINT sum scaled down by an exact
-    decimal-literal multiply, pinned to DECIMAL(38, scale)."""
+    decimal-literal multiply, pinned to DECIMAL(38, scale), surfaced as
+    DOUBLE (same one-rounding-of-the-same-exact-decimal argument as
+    usum — see its docstring)."""
     one = f"CAST({10**-scale:.{scale}f} AS DECIMAL({scale + 1},{scale}))"
     return (
-        f"CAST(CAST(SUM({expr}) AS DECIMAL({37 - scale},0)) * {one} "
-        f"AS DECIMAL(38,{scale}))"
+        f"CAST(CAST(CAST(SUM({expr}) AS DECIMAL({37 - scale},0)) * {one} "
+        f"AS DECIMAL(38,{scale})) AS DOUBLE)"
     )
 
 
@@ -925,13 +939,17 @@ def join_full(spark, sf_dir):
 @parity(
     "join_asof",
     sql=f"""
-    SELECT o.day, o.n_orders, li.day AS match_day, li.ship_value
+    SELECT o.day, o.n_orders, CAST(li.day AS VARCHAR) AS match_day, li.ship_value
     FROM ({_DAILY_ORD_SQL}) o
     ASOF LEFT JOIN ({_DAILY_LI_SQL}) li ON o.day >= li.day
     """,
     doc="As-of (nearest-earlier) join — extension operator (SURVEY.md §2.3 "
     "notes its absence in the reference). Union-merge + last(ignorenulls) "
-    "window: ONE shuffle, no range explosion; holds at 100 TB.",
+    "window: ONE shuffle, no range explosion; holds at 100 TB. match_day "
+    "is surfaced as a string because the LEFT asof leaves it NULL on "
+    "no-earlier-match rows, and a nullable date renders 'None' (Spark "
+    "date objects) vs 'NaT' (pandas datetime64) under the driver's "
+    "string canonicalizer; VARCHAR renders 'None' on both engines.",
 )
 def join_asof(spark, sf_dir):
     o = _daily_orders(spark, sf_dir).select("day", "n_orders")
@@ -940,7 +958,12 @@ def join_asof(spark, sf_dir):
     )
     return rel_ops.asof_join(
         o, li, on="day", right_value_cols=["match_day", "ship_value"]
-    ).select("day", "n_orders", "match_day", "ship_value")
+    ).select(
+        "day",
+        "n_orders",
+        F.date_format("match_day", "yyyy-MM-dd").alias("match_day"),
+        "ship_value",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2055,7 +2078,7 @@ def f_argminmax(spark, sf_dir):
     "agg_count_if",
     sql="""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 150000) AS n_big,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
            COUNT(*) AS n_total,
            ROUND(count_if(o_totalprice > 150000) * 1.0 / COUNT(*) + 1e-9, 4) AS big_frac,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
@@ -2693,8 +2716,8 @@ def analytics_funnel(spark, sf_dir):
              MAX(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 1 ELSE 0 END) AS late
       FROM events GROUP BY user_id
     )
-    SELECT SUM(week0) AS cohort_size,
-           SUM(CASE WHEN week0 = 1 AND late = 1 THEN 1 ELSE 0 END) AS retained,
+    SELECT CAST(SUM(week0) AS BIGINT) AS cohort_size,
+           CAST(SUM(CASE WHEN week0 = 1 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
            ROUND(SUM(CASE WHEN week0 = 1 AND late = 1 THEN 1 ELSE 0 END) * 100.0
                  / SUM(week0) + 1e-9, 4) AS retention_pct
     FROM per_user
@@ -3149,7 +3172,8 @@ def profile_table(spark, sf_dir):
       SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
     ),
     gstats AS (
-      SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+             MAX(cnt) AS max_cnt
       FROM counts
     ),
     top5 AS (

@@ -367,7 +367,7 @@ def llm_multimodal_features(spark, sf_dir):
     SELECT doc_id,
            CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
            COUNT(*) AS n_samples,
-           SUM(smp) AS sum_samples,
+           CAST(SUM(smp) AS BIGINT) AS sum_samples,
            ROUND(sqrt(SUM(smp * smp) * 1.0 / COUNT(*)) + 1e-9, 4) AS rms
     FROM v GROUP BY doc_id
     """,
@@ -397,7 +397,7 @@ def llm_multimodal_wav(spark, sf_dir):
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
            COUNT(*) AS n_pixel_bytes,
-           SUM(px) AS pix_sum,
+           CAST(SUM(px) AS BIGINT) AS pix_sum,
            ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
     FROM v GROUP BY doc_id, w, h
     """,
@@ -863,7 +863,7 @@ def udtf_lateral_words(spark, sf_dir):
            FROM fr, UNNEST(range(0, 108)) p(k) WHERE k < 3 * w * h)
     SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-           SUM(v) AS pix_sum,
+           CAST(SUM(v) AS BIGINT) AS pix_sum,
            ROUND(SUM(v) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
     FROM px GROUP BY doc_id, j, w, h
     """,

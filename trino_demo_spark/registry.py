@@ -154,16 +154,33 @@ def resolve_name(name: str) -> str:
 def _normalize_events(df: DataFrame) -> DataFrame:
     """Physical→logical normalization for the stream table.
 
-    The parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; with ``nanosAsLong`` it arrives as raw int64 nanos. Keep the
-    nanos (``ts_ns``, the broker-precision ordering key) and derive a
-    microsecond ``ts`` TimestampType for SQL date/time semantics. Pure
-    column arithmetic — stays in whole-stage codegen, no UDF.
+    Schema-adaptive because the landing-zone layout has shipped two
+    physical encodings of ``ts``:
+
+    * TIMESTAMP(NANOS), which Spark's vectorized reader only accepts as
+      raw int64 nanos via ``nanosAsLong`` — nanos kept as ``ts_ns``
+      (the broker-precision ordering key), microsecond TimestampType
+      ``ts`` derived;
+    * native TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ
+      under Spark's default NTZ inference) — ``ts`` is the NTZ column
+      cast to the session type (UTC session ⇒ bit-faithful), ``ts_ns``
+      derived as unix_micros·1000.
+
+    Either way the logical schema is identical. Pure column arithmetic —
+    stays in whole-stage codegen, no UDF.
     """
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+        ts_ns = F.col("ts").alias("ts_ns")
+    else:
+        ts = F.col("ts").cast("timestamp").alias("ts")
+        ts_ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias(
+            "ts_ns"
+        )
     return df.select(
         F.col("event_id").cast("long"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        ts,
+        ts_ns,
         F.col("user_id").cast("long"),
         "event_type",
         "value",

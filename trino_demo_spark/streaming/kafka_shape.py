@@ -27,35 +27,42 @@ from pyspark.sql.streaming import StreamingQuery
 
 # Physical schema of the events parquet (ts is TIMESTAMP(NANOS), read as
 # long via nanosAsLong — same normalization as registry._normalize_events).
-RAW_EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental scan of the events table as a file stream with the
     declared schema — the readStream twin of registry.load_table('events').
     One file here; on a real landing zone this tails new files exactly like
-    the topic tail."""
+    the topic tail.
+
+    readStream needs an upfront schema, so the physical ``ts`` encoding
+    (int64 nanos vs native micros — see registry._normalize_events) is
+    sniffed from the parquet footer with a one-off batch read, then the
+    matching normalization is applied."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+
+    phys = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_phys = phys["ts"].dataType.simpleString()
+    raw_schema = (
+        f"event_id BIGINT, ts {ts_phys}, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
     # File-stream sources need a directory; select just the events file
     # from the shared sf_dir via the glob filter.
     raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    if ts_phys == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+        ts_ns = F.col("ts").alias("ts_ns")
+    else:
+        ts = F.col("ts").cast("timestamp").alias("ts")
+        ts_ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias(
+            "ts_ns"
+        )
+    return raw.select("event_id", ts, ts_ns, "user_id", "event_type", "value", "props")
 
 
 def dedup_late(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
