@@ -27,6 +27,7 @@ from trino_demo_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
     "agg_groupby_key",       # TPC-H Q1 shape: full-scan keyed aggregate
+    "tpch_q1",               # full Q1: 8 exact-unit aggregates, 1 shuffle
     "tpch_q3",               # selective dim filter + fact join + top-k
     "tpch_q5",               # 6-table star join
     "tpch_q6",               # pure-predicate global agg (pushdown showcase)
@@ -44,14 +45,17 @@ BENCH_QUERIES = [
 # sf0.1, local[32], best-of-2). The "within 2×" contract is measured
 # against these; queries added after the pin get a baseline the first
 # round they run and are excluded from the ratio until then.
+# join_fact_fact_merge / tpch_q1 pinned in round 3 (best-of-3, idle
+# local[32], canary_ratio 0.83 — machine comparable to the r01 pins).
 BASELINE_SEC = {
     "agg_groupby_key": 0.821,
+    "tpch_q1": 0.783,
     "tpch_q3": 0.893,
     "tpch_q5": 1.211,
     "tpch_q6": 0.261,
     "tpch_q18": 0.729,
     "join_inner_eq": 0.541,
-    "join_fact_fact_merge": None,  # new in round 2 — pin from BENCH_r02
+    "join_fact_fact_merge": 0.848,
     "win_dedup_keeplast": 0.355,
     "win_sliding_seq": 0.405,
     "llm_dedup_minhash": 1.567,
