@@ -309,3 +309,30 @@ def test_range_join_bucketed_is_hash_join(spark):
     plan = _plan(PARITY["join_range_bucketed"].fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q1_single_exchange(spark):
+    """The full Q1 pricing summary must be ONE partial+final hash
+    aggregate over the scan — every aggregate map-side combinable, one
+    shuffle carrying groups x accumulators only."""
+    df = PARITY["tpch_q1"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_tpch_q21_single_fact_scan(spark):
+    """Q21's EXISTS + NOT EXISTS collapse into window counts over the
+    per-(order, supplier) frame: the lineitem fact must be scanned
+    exactly once (the naive correlated plan scans it three times)."""
+    plan = _plan(PARITY["tpch_q21"].fn(spark, SF_SMOKE))
+    assert plan.count("FileScan parquet [l_orderkey") == 1
+
+
+def test_stream_join_attrib_no_range_explosion(spark):
+    """The attribution interval join must be an equi-join on user_id
+    with the time predicate as a residual — never a nested-loop or
+    cartesian plan."""
+    plan = _plan(PARITY["stream_join_attrib"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1790,6 +1790,34 @@ def stream_window_agg(spark, sf_dir):
 
 
 @parity(
+    "stream_join_attrib",
+    sql="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="Click→purchase attribution interval join — the batch twin of "
+    "streaming.kafka_shape.stream_stream_join (IDENTICAL code path: the "
+    "same lib function runs here on batch frames, watermarks become "
+    "no-ops; streaming-vs-batch equivalence is asserted separately in "
+    "tests/test_streaming.py). Scale shape: both sides shuffle once on "
+    "user_id, the time-interval predicate stays a residual on the "
+    "same-key join — no range explosion; in streaming the watermark "
+    "bounds join state to one interval per user.",
+)
+def stream_join_attrib(spark, sf_dir):
+    from .streaming import kafka_shape as ks
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return ks.stream_stream_join(clicks, purchases, "1 hour")
+
+
+@parity(
     "tpch_q6",
     sql=f"""
     SELECT {USUM(f"{U2('l_extendedprice')} * {U2('l_discount')}", 4)} AS revenue
