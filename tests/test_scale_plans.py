@@ -336,3 +336,61 @@ def test_stream_join_attrib_no_range_explosion(spark):
     plan = _plan(PARITY["stream_join_attrib"].fn(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_changelog_applies_back(spark):
+    """snapshot_diff is the inverse of merge_upsert: applying the
+    emitted changelog (upsert I/U rows, remove D keys) to the old
+    snapshot must reproduce the new snapshot exactly."""
+    from trino_demo_spark.registry import load_table
+
+    o = load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = F.col("o_orderkey") % 10 < 3
+    new = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(upd, F.lit("U")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.when(upd, F.col("o_totalprice") + 10.0).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 10 == 5).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    log = rel.snapshot_diff(o, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    upserts = log.filter(F.col("op").isin("I", "U")).select(
+        "o_orderkey",
+        F.col("new_o_orderstatus").alias("o_orderstatus"),
+        F.col("new_o_totalprice").alias("o_totalprice"),
+    )
+    deletes = log.filter(F.col("op") == "D").select("o_orderkey")
+    rebuilt = rel.merge_upsert(o, upserts, ["o_orderkey"]).join(
+        deletes, "o_orderkey", "left_anti"
+    )
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_merge_rollup_associative_batches(spark):
+    """Merging per-week rollups one at a time equals the full recompute
+    — the accumulators are integer units, so any merge order is exact."""
+    from trino_demo_spark.registry import load_table
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    v = F.floor(F.col("value") * 1000).cast("long")
+
+    def rollup(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum(v).alias("vm")
+        )
+
+    week = F.weekofyear("ts")
+    parts = [rollup(ev.filter(week % 3 == i)) for i in range(3)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = rel.merge_rollup(merged, p, ["user_id"], ["n", "vm"])
+    full = rollup(ev)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0

@@ -359,6 +359,91 @@ def global_rank_by_key(
     )
 
 
+def merge_rollup(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    add_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine a persisted per-key
+    rollup SNAPSHOT with the same-shape rollup of a new DELTA batch.
+    Additive accumulators (counts, integer-unit sums, hi/lo split sums)
+    merge per key as old + new; keys present on only one side pass
+    through (COALESCE with 0).
+
+    This is the 100 TB rollup pattern: the base data is scanned ONCE
+    ever; each increment scans only the delta and merges O(keys) rows.
+    Works for any aggregate with a commutative+associative accumulator —
+    which is exactly why the engine keeps money sums as integer units
+    (order-independent, so incremental == full-recompute bit-for-bit;
+    a double SUM would drift under re-parenthesization).
+
+    Scale: the merge is a full outer join on the keys — one
+    co-partitioned shuffle per side, and a small delta broadcasts so
+    the snapshot never shuffles. The snapshot should be stored bucketed
+    by the keys to delete even that shuffle."""
+    d = delta.select(*[F.col(c).alias(f"__d_{c}") for c in delta.columns])
+    cond = None
+    for k in keys:
+        c = snapshot[k].eqNullSafe(d[f"__d_{k}"])
+        cond = c if cond is None else (cond & c)
+    merged = snapshot.join(d, cond, "full_outer")
+    out = [
+        F.coalesce(F.col(k), F.col(f"__d_{k}")).alias(k) for k in keys
+    ] + [
+        (
+            F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+        ).alias(c)
+        for c in add_cols
+    ]
+    return merged.select(*out)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC changelog between two snapshots of the same table: emits one
+    row per changed key with op ∈ {'I','U','D'} plus the old/new values
+    of the compared columns (old_<c>/new_<c>). Unchanged keys are
+    dropped. This is the change-data-capture diff engines derive when
+    the source has no log — the inverse of merge_upsert: applying the
+    emitted changelog to `old` reproduces `new`.
+
+    Scale: ONE full outer join co-partitioned on the keys; the change
+    predicate is a null-safe column compare evaluated post-join (no
+    second pass, no driver state). At 100 TB both snapshots shuffle
+    once — store them bucketed by key to make the diff exchange-free."""
+    o = old.select(*[F.col(c).alias(f"__o_{c}") for c in old.columns])
+    n = new.select(*[F.col(c).alias(f"__n_{c}") for c in new.columns])
+    cond = None
+    for k in keys:
+        c = o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"])
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    old_present = F.col(f"__o_{keys[0]}").isNotNull()
+    new_present = F.col(f"__n_{keys[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = d if changed is None else (changed | d)
+    op = (
+        F.when(~old_present, F.lit("I"))
+        .when(~new_present, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out = [
+        F.coalesce(F.col(f"__o_{k}"), F.col(f"__n_{k}")).alias(k) for k in keys
+    ] + [op.alias("op")] + [
+        F.col(f"__o_{c}").alias(f"old_{c}") for c in compare_cols
+    ] + [
+        F.col(f"__n_{c}").alias(f"new_{c}") for c in compare_cols
+    ]
+    return j.select(*out).filter(F.col("op").isNotNull())
+
+
 def range_join_bucketed(
     facts: DataFrame,
     intervals: DataFrame,

@@ -3759,6 +3759,109 @@ def sink_upsert_snapshot(spark, sf_dir):
 
 
 @parity(
+    "sink_incremental_rollup",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+    FROM events GROUP BY user_id
+    """,
+    doc="Incremental aggregate maintenance (operators.relational."
+    "merge_rollup): the per-user rollup through a cutoff is PERSISTED "
+    "(parquet snapshot), and the increment after the cutoff is "
+    "aggregated alone and merged per key — old + new for every "
+    "additive accumulator, full outer on the key so new users appear "
+    "and cold users pass through untouched. The oracle recomputes the "
+    "rollup over ALL events: incremental must equal full recompute "
+    "bit-for-bit, which is exactly why the accumulators are integer "
+    "units (associative; a double SUM would drift under "
+    "re-parenthesization). The 100 TB pattern: base scanned once "
+    "ever, each increment scans only the delta and merges O(keys).",
+)
+def sink_incremental_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    v_milli = F.floor(F.col("value") * 1000).cast("long")
+
+    def rollup(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(v_milli).alias("v_milli"),
+        )
+
+    snap_path = os.path.join(_scratch(sf_dir), "rollup_snapshot")
+    rollup(ev.filter(F.col("ts") < cutoff)).write.mode("overwrite").parquet(
+        snap_path
+    )
+    snapshot = spark.read.parquet(snap_path)
+    delta = rollup(ev.filter(F.col("ts") >= cutoff))
+    return rel_ops.merge_rollup(
+        snapshot, delta, keys=["user_id"], add_cols=["n_events", "v_milli"]
+    )
+
+
+@parity(
+    "cdc_snapshot_diff",
+    sql="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 < 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', 1.0 FROM orders WHERE o_orderkey % 10 = 5
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+    doc="CDC changelog between two table snapshots (operators.relational."
+    "snapshot_diff): one full-outer join on the key, null-safe column "
+    "compare post-join, op ∈ {I,U,D} with old_/new_ values — the diff "
+    "engines derive when the source has no log, and the inverse of "
+    "sink_upsert_snapshot (applying the changelog to old reproduces "
+    "new). The new snapshot here is synthesized deterministically from "
+    "orders: keys %10<3 updated, %10=7 deleted, %10=5 re-inserted "
+    "under a shifted key.",
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = F.col("o_orderkey") % 10 < 3
+    new = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(upd, F.lit("U")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(upd, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 10 == 5).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    return rel_ops.snapshot_diff(
+        o, new, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+@parity(
     "agg_approx_distinct",
     doc="Per-day approximate distinct users (HyperLogLog++, rsd=0.05) "
     "over events — the fixed-size-sketch cardinality path for 100 TB "
