@@ -534,3 +534,30 @@ def test_logreg_matches_numpy_trainer(spark, emb):
     ids = [r["vec_id"] for r in df.select("vec_id").collect()]
     for i, vid in enumerate(ids):
         assert pred[vid] == bool(p_np[i] >= 0.5)
+
+
+def test_pq_topk_recall(spark, emb):
+    """PQ/ADC with exact re-rank: recall@3 vs brute force must be high
+    even on near-random vectors (m=16 subspaces, refine=64) — the
+    re-rank makes recall the only approximation."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    }
+    pq = similarity.pq_topk(emb, queries, k=3, m=16, refine=64).collect()
+    got = {(r.q_id, r.n_id) for r in pq}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, recall
+    # contract: exactly k rows per query, ranks 1..k
+    per_q = {}
+    for r in pq:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_pq_codebooks_shape_and_determinism(spark, emb):
+    b1 = similarity.pq_codebooks(emb, m=4, ksub=8, iters=1)
+    b2 = similarity.pq_codebooks(emb, m=4, ksub=8, iters=1)
+    assert b1 == b2
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16

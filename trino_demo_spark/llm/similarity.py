@@ -460,3 +460,127 @@ def pca_project(
         )
         cols.append(F.round(dot + F.lit(1e-9), round_to).alias(f"pc{j}"))
     return out.select(*cols)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into m subspaces
+    of dim/m and fit an independent deterministic k-means (ksub
+    centroids) per subspace via the existing DataFrame-aggregate
+    kmeans_fit. Only m·ksub·(dim/m) = ksub·dim floats reach the driver —
+    the codebook is tiny at any corpus scale; at 100 TB fit on a sample,
+    like the IVF coarse quantizer."""
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("embedding"),
+        )
+        books.append(kmeans_fit(sub, "embedding", "vec_id", k=ksub, iters=iters))
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    refine: int = 32,
+    round_to: int = 4,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank — the third ANN path
+    next to sign-LSH and IVF, composable with both (encode each IVF list
+    with PQ for the classic IVF-PQ).
+
+    1. ENCODE (map-only): each corpus vector → m small codes, the
+       argmin-centroid per subspace against the broadcast codebook
+       literal. The corpus never shuffles; an encoded row is m bytes of
+       code instead of dim floats — the memory/IO compression that makes
+       100 TB ANN feasible.
+    2. ADC scan: each query precomputes its m×ksub lookup table (dot of
+       its subvector with every centroid) ONCE; scoring a pair is then m
+       table lookups instead of a dim-length dot product — the
+       asymmetric-distance trick from the PQ paper (Jégou et al., 2011,
+       public). Queries+LUTs broadcast against the encoded corpus.
+    3. REFINE: top-`refine` candidates per query by ADC score are
+       re-ranked by EXACT cosine; top-k of that is returned with the
+       same (q_id, n_id, sim, rank) contract as the other ANN paths, so
+       recall is the only approximation (measured in tests vs brute
+       force).
+    """
+    dsub = dim // m
+    books = pq_codebooks(corpus, vec_col, id_col, dim, m, ksub, iters)
+    books_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in book])
+        for book in books
+    ])
+
+    sub_dist = (
+        "aggregate(zip_with(element_at(element_at(__pq, j + 1), c + 1), "
+        "slice(n_emb, j * {dsub} + 1, {dsub}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    ).format(dsub=dsub)
+    codes_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(array_sort(transform(sequence(0, {ksub - 1}), c -> "
+        f"named_struct('d', {sub_dist}, 'i', c))), 1).i)"
+    )
+    enc = with_norm(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")),
+        "n_emb",
+        "n_norm",
+    ).withColumn("__pq", books_lit).withColumn("codes", codes_expr).drop("__pq")
+
+    sub_dot = (
+        "aggregate(zip_with(element_at(element_at(__pq, j + 1), c + 1), "
+        "slice(q_emb, j * {dsub} + 1, {dsub}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    ).format(dsub=dsub)
+    lut_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {ksub - 1}), c -> {sub_dot}))"
+    )
+    q = with_norm(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")),
+        "q_emb",
+        "q_norm",
+    ).withColumn("__pq", books_lit).withColumn("lut", lut_expr).drop("__pq")
+
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), (acc, j) -> "
+        "acc + element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))"
+    )
+    pairs = (
+        enc.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .withColumn("adc_sim", adc / (F.col("q_norm") * F.col("n_norm")))
+    )
+    w_adc = W.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id"))
+    cands = pairs.withColumn("cr", F.row_number().over(w_adc)).filter(
+        F.col("cr") <= refine
+    )
+
+    sim = F.round(
+        cosine_expr("q_emb", "n_emb", "q_norm", "n_norm") + F.lit(EPS), round_to
+    ).alias("sim")
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        cands.select("q_id", "n_id", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )

@@ -591,6 +591,28 @@ def llm_similarity_ivf(spark, sf_dir):
 
 
 @parity(
+    "llm_similarity_pq",
+    sql=None,
+    doc="Product-quantization ANN (Jégou et al. 2011, public): per-"
+    "subspace k-means codebooks (DataFrame-aggregate fit, codebook is "
+    "ksub·dim floats at any corpus scale), map-only corpus encode to m "
+    "small codes, ADC scan via per-query lookup tables (m table "
+    "lookups per pair instead of a dim-length dot product), exact-"
+    "cosine re-rank of the top-refine candidates. Same (q_id, n_id, "
+    "sim, rank) contract as the LSH/IVF paths; composable with IVF "
+    "lists for IVF-PQ. Approximate scores are engine-specific → "
+    "rows-only check; recall ≥ 0.8 vs brute force asserted in "
+    "tests/test_llm.py.",
+)
+def llm_similarity_pq(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, m=8, ksub=16, iters=1,
+        refine=48,
+    )
+
+
+@parity(
     "llm_dedup_clusters",
     sql=None,
     doc="Near-dup clustering: connected components (min-label propagation) "
