@@ -321,3 +321,82 @@ def quality_filter_pct(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval over the corpus for one bag-of-terms query — the
+    standard lexical ranking (Robertson/Okapi, public) used in a
+    training pipeline for contamination lookups, eval-set retrieval,
+    and quality probes.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: tokens explode once, but rows are FILTERED to the query
+    terms before the (doc, term) count — the aggregate and everything
+    after it is proportional to documents containing query terms, not
+    corpus size. Document length dl comes from a map-side size() (no
+    second explode); N and avgdl reach rows via a broadcast 1-row
+    aggregate; df-per-term is a |terms|-row broadcast. Final top-k is a
+    TakeOrderedAndProject on (rounded score desc, id) — deterministic
+    across engines, no global sort."""
+    terms = [t.lower() for t in query_terms]
+    t = tokens_col(text_col)
+    dl = df.select(
+        F.col(id_col), F.size(t).alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(t).alias("w"))
+        .select(id_col, F.lower("w").alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.round(F.sum("contrib") + F.lit(1e-9), 4).alias("score"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    return (
+        agg.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
+            .cast("long"),
+        )
+    )

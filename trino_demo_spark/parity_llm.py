@@ -985,6 +985,47 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_search_bm25",
+    sql=f"""
+    WITH dl AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl),
+    tok AS (SELECT doc_id, lower(unnest({_TOK})) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+           WHERE w IN ('join', 'window', 'scan') GROUP BY 1, 2),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.sum_dl / s.n_docs))) AS contrib
+      FROM tf JOIN dfreq d USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, ROUND(SUM(contrib) + 1e-9, 4) AS score,
+             COUNT(*) AS n_terms_matched
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_terms_matched,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM agg ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 retrieval (Robertson/Okapi, public formula) for a "
+    "bag-of-terms query over the corpus — the lexical-search op a "
+    "training pipeline uses for contamination lookups and eval-set "
+    "retrieval. Tokens are filtered to the query terms BEFORE the "
+    "(doc, term) aggregate, so all post-explode work is proportional "
+    "to matching docs, not corpus size; N/avgdl are a broadcast 1-row "
+    "aggregate, df a |terms|-row broadcast, final top-k a "
+    "TakeOrderedAndProject on the rounded score (deterministic "
+    "doc_id tie-break).",
+)
+def llm_search_bm25(spark, sf_dir):
+    return text.bm25_search(
+        _t(spark, sf_dir, "documents"), ["join", "window", "scan"], k=10
+    )
+
+
+@parity(
     "llm_quality_filter",
     sql=f"""
     WITH base AS (
