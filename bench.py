@@ -31,7 +31,9 @@ BENCH_QUERIES = [
     "tpch_q3",               # selective dim filter + fact join + top-k
     "tpch_q5",               # 6-table star join
     "tpch_q6",               # pure-predicate global agg (pushdown showcase)
+    "tpch_q9",               # heaviest star join: 7-way, dual fact use
     "tpch_q18",              # agg+HAVING pre-join shrink + top-k
+    "tpch_q21",              # correlated EXISTS/NOT EXISTS via window collapse
     "join_inner_eq",         # flagship date-key join (pre-aggregated sides)
     "join_fact_fact_merge",  # full fact-fact SortMergeJoin (shuffle-heavy path)
     "win_dedup_keeplast",    # keep-last window dedup over the stream table
@@ -52,8 +54,10 @@ BASELINE_SEC = {
     "tpch_q1": 0.783,
     "tpch_q3": 0.893,
     "tpch_q5": 1.211,
+    "tpch_q9": 1.757,
     "tpch_q6": 0.261,
     "tpch_q18": 0.729,
+    "tpch_q21": 1.105,
     "join_inner_eq": 0.541,
     "join_fact_fact_merge": 0.848,
     "win_dedup_keeplast": 0.355,
