@@ -233,6 +233,57 @@ def scan_kafka_json(spark, sf_dir):
 
 
 @parity(
+    "scan_json_malformed",
+    sql="""
+    WITH src AS (
+      SELECT i, (i % 7 = 3) AS corrupt, 2 * i AS v
+      FROM range(0, 1000) r(i)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN NOT corrupt THEN v ELSE 0 END) AS BIGINT) AS v_sum
+    FROM src
+    """,
+    doc="Malformed-record tolerance on the JSON decode path: a landing "
+    "file is written with a deterministic corruption pattern (every "
+    "7th-ish line truncated mid-object), then scanned in PERMISSIVE "
+    "mode with a _corrupt_record column — bad lines surface as NULL "
+    "fields plus the raw line for quarantine instead of failing the "
+    "job (the DROPMALFORMED/FAILFAST modes are the same reader knob). "
+    "The oracle recomputes the expected good/corrupt/value totals from "
+    "the generation rule, so a decoder that silently drops or "
+    "mis-parses either class breaks the match. At 100 TB malformed "
+    "rows are a certainty, not an edge case — the pipeline must "
+    "quarantine, not crash.",
+)
+def scan_json_malformed(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "jsonl_malformed")
+    line = F.when(
+        F.col("id") % 7 == 3,
+        F.concat(F.lit('{"id":'), F.col("id").cast("string"), F.lit(',"v":')),
+    ).otherwise(
+        F.concat(
+            F.lit('{"id":'),
+            F.col("id").cast("string"),
+            F.lit(',"v":'),
+            (F.col("id") * 2).cast("string"),
+            F.lit("}"),
+        )
+    )
+    spark.range(1000).select(line.alias("value")).write.mode("overwrite").text(path)
+    scanned = spark.read.schema(
+        "id BIGINT, v BIGINT, _corrupt_record STRING"
+    ).json(path)
+    return scanned.agg(
+        F.count("*").alias("n_rows"),
+        F.count("id").alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("v_sum"),
+    )
+
+
+@parity(
     "scan_kafka_meta",
     sql="SELECT event_id, epoch_ns(ts)//1000000 AS ts_ms, event_type FROM events",
     doc="Broker metadata columns exposed alongside payload (ref: "
