@@ -561,3 +561,22 @@ def test_pq_codebooks_shape_and_determinism(spark, emb):
     b2 = similarity.pq_codebooks(emb, m=4, ksub=8, iters=1)
     assert b1 == b2
     assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
+
+
+def test_ivfpq_topk_recall(spark, emb):
+    """IVF-PQ composition: coarse-list pruning caps recall (nprobe/k
+    lists probed), PQ+re-rank must not degrade it further — require
+    well above the IVF-alone bound on near-random vectors."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in similarity.brute_force_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r.q_id, r.n_id)
+        for r in similarity.ivfpq_topk(
+            emb, queries, k=3, m=16, refine=48
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.6, recall

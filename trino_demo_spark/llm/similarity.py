@@ -584,3 +584,125 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_centroids: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    refine: int = 32,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the two ANN stages composed the way a production index
+    does it (coarse quantizer prunes the candidate set, PQ codes make
+    scanning the survivors cheap). Corpus rows carry (cluster, codes,
+    norm) — cluster from the IVF coarse quantizer, codes from the PQ
+    codebooks; queries probe their nprobe nearest lists and ADC-score
+    only rows in probed lists (candidate volume ~N·nprobe/k_coarse,
+    per-pair cost m lookups), then the top-refine survivors are
+    re-ranked by exact cosine. At 100 TB: the corpus is encoded ONCE
+    (map-only, m bytes + 4 bytes per vector), the scan touches only
+    probed lists, and nothing but the k×dim centroid matrix and the
+    ksub·dim codebook ever leaves the executors."""
+    coarse = kmeans_fit(corpus, vec_col, id_col, k=num_centroids, iters=iters)
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in coarse])
+    books = pq_codebooks(corpus, vec_col, id_col, dim, m, ksub, iters)
+    books_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in book])
+        for book in books
+    ])
+    dsub = dim // m
+
+    sub_dist = (
+        "aggregate(zip_with(element_at(element_at(__pq, j + 1), c + 1), "
+        "slice(n_emb, j * {dsub} + 1, {dsub}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    ).format(dsub=dsub)
+    codes_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(array_sort(transform(sequence(0, {ksub - 1}), c -> "
+        f"named_struct('d', {sub_dist}, 'i', c))), 1).i)"
+    )
+    enc = (
+        with_norm(
+            corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")),
+            "n_emb",
+            "n_norm",
+        )
+        .withColumn("__cents", cents_lit)
+        .withColumn("cluster", _argmin_centroid("n_emb", None))
+        .drop("__cents")
+        .withColumn("__pq", books_lit)
+        .withColumn("codes", codes_expr)
+        .drop("__pq")
+    )
+
+    cdist = (
+        "aggregate(zip_with(element_at(__cents, i + 1), q_emb, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    probes = F.expr(
+        "slice(transform(array_sort(transform(sequence(0, size(__cents) - 1), "
+        "i -> named_struct('d', " + cdist + ", 'i', i))), s -> s.i), 1, "
+        + str(nprobe) + ")"
+    )
+    sub_dot = (
+        "aggregate(zip_with(element_at(element_at(__pq, j + 1), c + 1), "
+        "slice(q_emb, j * {dsub} + 1, {dsub}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    ).format(dsub=dsub)
+    lut_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {ksub - 1}), c -> {sub_dot}))"
+    )
+    q = (
+        with_norm(
+            queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")),
+            "q_emb",
+            "q_norm",
+        )
+        .withColumn("__cents", cents_lit)
+        .withColumn("probes", probes)
+        .drop("__cents")
+        .withColumn("__pq", books_lit)
+        .withColumn("lut", lut_expr)
+        .drop("__pq")
+    )
+    q_exploded = q.select(
+        "q_id", "q_emb", "q_norm", "lut", F.explode("probes").alias("cluster")
+    )
+
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), (acc, j) -> "
+        "acc + element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1))"
+    )
+    pairs = (
+        enc.join(F.broadcast(q_exploded), "cluster")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("adc_sim", adc / (F.col("q_norm") * F.col("n_norm")))
+    )
+    w_adc = W.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id"))
+    cands = pairs.withColumn("cr", F.row_number().over(w_adc)).filter(
+        F.col("cr") <= refine
+    )
+    sim = F.round(
+        cosine_expr("q_emb", "n_emb", "q_norm", "n_norm") + F.lit(EPS), round_to
+    ).alias("sim")
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        cands.select("q_id", "n_id", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", "rank")
+    )

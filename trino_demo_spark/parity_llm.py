@@ -613,6 +613,25 @@ def llm_similarity_pq(spark, sf_dir):
 
 
 @parity(
+    "llm_similarity_ivfpq",
+    sql=None,
+    doc="IVF-PQ composition — the production ANN index shape: coarse "
+    "k-means lists prune candidates to ~N·nprobe/k, PQ codes make "
+    "scanning survivors m lookups per pair, exact-cosine re-rank of "
+    "the top-refine. Corpus encoded once map-only (m bytes + cluster "
+    "id per vector); only the centroid matrix + codebook leave the "
+    "executors. Approximate scores engine-specific → rows-only check; "
+    "recall vs brute force asserted in tests/test_llm.py.",
+)
+def llm_similarity_ivfpq(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, num_centroids=8, nprobe=4,
+        m=8, ksub=16, iters=1, refine=32,
+    )
+
+
+@parity(
     "llm_dedup_clusters",
     sql=None,
     doc="Near-dup clustering: connected components (min-label propagation) "
