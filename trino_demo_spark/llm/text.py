@@ -400,3 +400,69 @@ def bm25_search(
             .cast("long"),
         )
     )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    keep_below: float | None = None,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity scoring/filtering with a corpus-trained
+    bigram LM (the public wiki-LM + KenLM recipe, with the LM itself
+    computed in-engine): P(w2|w1) from add-alpha-smoothed bigram counts,
+    per-doc score = exp(mean negative log prob over its bigrams). High
+    perplexity ⇒ text unlike the corpus ⇒ drop candidate.
+
+    Scale shape: the LM is two keyed aggregates over one token explode
+    (bigram counts via zip_with of the token array with itself shifted —
+    map-side, no second explode); vocab size V is a 1-row broadcast.
+    Scoring joins each document bigram against the LM table — a plain
+    equi-join on the bigram key that co-partitions at any scale (the LM
+    is itself corpus-sized data, NOT driver state; nothing but V and the
+    doc count ever leaves the executors). Per-doc mean is one keyed
+    aggregate. With keep_below set, docs at or above the threshold are
+    filtered out."""
+    # tokens lowered once; bigrams = zip(tokens, tokens[2:])
+    low = df.select(
+        F.col(id_col),
+        F.transform(tokens_col(text_col), lambda x: F.lower(x)).alias("tk"),
+    )
+    bigrams = low.select(
+        id_col,
+        F.expr(
+            "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
+            "(a, b) -> named_struct('w1', a, 'w2', b))"
+        ).alias("bg"),
+    ).select(id_col, F.explode("bg").alias("b")).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = bigrams.select(F.col("w2").alias("w")).union(
+        bigrams.select("w1")
+    ).distinct().agg(F.count("*").alias("v"))
+    lm = (
+        big_counts.join(uni_counts, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "nlp",
+            -F.log(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+        .select("w1", "w2", "nlp")
+    )
+    scored = (
+        bigrams.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.exp(F.avg("nlp")) + F.lit(EPS), 4).alias("ppl"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    if keep_below is not None:
+        scored = scored.filter(F.col("ppl") < keep_below)
+    return scored

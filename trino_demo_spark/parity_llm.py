@@ -1004,6 +1004,43 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_perplexity",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, list_transform({_TOK}, x -> lower(x)) AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+      FROM tk, UNNEST(range(1, len(tk))) u(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(*) AS v FROM
+          (SELECT DISTINCT w FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg))),
+    lm AS (
+      SELECT c12.w1, c12.w2, -ln((c12.c12 + 0.1) / (c1.c1 + 0.1 * v.v)) AS nlp
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT bg.doc_id, ROUND(exp(AVG(lm.nlp)) + 1e-9, 4) AS ppl,
+           COUNT(*) AS n_bigrams
+    FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+    GROUP BY bg.doc_id
+    """,
+    doc="CCNet-style perplexity scoring with a corpus-trained bigram LM "
+    "(public wiki-LM + KenLM recipe, LM computed in-engine): add-0.1-"
+    "smoothed P(w2|w1), per-doc ppl = exp(mean NLL over its bigrams) — "
+    "the 'does this text look like the corpus' quality signal. Scale "
+    "shape: bigrams via zip_with of the token array with its own shift "
+    "(map-side, one explode), LM = two keyed aggregates, scoring is a "
+    "plain equi-join on the bigram key that co-partitions at any scale "
+    "— the LM is corpus-sized DATA, never driver state; only V crosses "
+    "as a 1-row broadcast.",
+)
+def llm_perplexity(spark, sf_dir):
+    return text.perplexity_filter(_t(spark, sf_dir, "documents"))
+
+
+@parity(
     "llm_search_bm25",
     sql=f"""
     WITH dl AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
