@@ -580,3 +580,19 @@ def test_ivfpq_topk_recall(spark, emb):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_bpe_matches_reference(spark, docs):
+    """The distributed merge sequence must EXACTLY equal an independent
+    pure-Python BPE on the same word-frequency dict — order, pairs,
+    and greedy-left merge application semantics."""
+    from trino_demo_spark.llm import bpe
+
+    merges = bpe.bpe_train(docs, n_merges=6)
+    wf = {r.w: r.freq for r in bpe.word_freqs(docs).collect()}
+    ref = bpe.bpe_reference(wf, 6)
+    assert [(x, y) for x, y, _ in merges] == ref
+    # merge table artifact is well-formed
+    tbl = bpe.bpe_merge_table(docs, n_merges=4).collect()
+    assert [r.rank for r in tbl] == [1, 2, 3, 4]
+    assert all(r.merged == r.left + r.right for r in tbl)

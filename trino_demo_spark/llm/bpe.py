@@ -1,0 +1,152 @@
+"""Distributed BPE vocabulary induction (Sennrich et al. 2016, public
+algorithm) — the tokenizer-training step of a training-data pipeline,
+run as an iterative DataFrame computation.
+
+Shape per merge round (the only scale-relevant part):
+
+* pair counting is ONE map-side zip_with over each word's symbol array
+  followed by a keyed partial+final aggregate weighted by word
+  frequency — the corpus text itself is touched ONCE ever (word
+  frequencies are a one-time aggregate; every round after operates on
+  the distinct-word frame, which is vocabulary-sized, not corpus-sized);
+* the argmax pair travels to the driver as ONE row per round
+  (count desc, pair lexicographic — deterministic across engines and
+  partitionings);
+* applying the merge is a per-row sequential fold over the symbol
+  array (aggregate() with a carry — pure codegen, no UDF), exactly the
+  left-to-right non-overlapping semantics of reference BPE.
+
+At 100 TB: distinct words ≪ corpus tokens (Heaps' law), so the
+per-round cost is a keyed aggregate over the word list; rounds are
+sequential by definition of the algorithm. Driver state = the merge
+table (n_merges rows).
+
+Reference parity: tests/test_llm.py cross-checks the full merge
+sequence against an independent pure-Python BPE on the same word-freq
+dict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-time corpus pass: lowercased whitespace words → frequencies."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _merge_fold(x: str, y: str):
+    """Left-to-right non-overlapping merge of adjacent (x, y) in the
+    symbol array — a sequential fold with a one-symbol carry."""
+    xq = x.replace("'", "\\'")
+    yq = y.replace("'", "\\'")
+    return F.expr(
+        "aggregate(syms, "
+        "named_struct('out', CAST(array() AS ARRAY<STRING>), 'pend', CAST(NULL AS STRING)), "
+        "(acc, s) -> CASE "
+        "  WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', s) "
+        f" WHEN acc.pend = '{xq}' AND s = '{yq}' THEN "
+        f"   named_struct('out', concat(acc.out, array('{xq}{yq}')), 'pend', CAST(NULL AS STRING)) "
+        "  ELSE named_struct('out', concat(acc.out, array(acc.pend)), 'pend', s) END, "
+        "acc -> CASE WHEN acc.pend IS NULL THEN acc.out "
+        "       ELSE concat(acc.out, array(acc.pend)) END)"
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn `n_merges` BPE merges from the corpus; returns
+    [(left, right, weighted_count), ...] in merge order."""
+    spark = df.sparkSession
+    words = word_freqs(df, text_col).withColumn(
+        "syms", F.expr("transform(split(w, ''), c -> c)")
+    )
+    # distinct-word frame is vocabulary-sized: cache it and iterate on it
+    words = words.select("w", "freq", "syms").persist()
+    words.count()
+    merges: list[tuple[str, str, int]] = []
+    cur = words
+    for _ in range(n_merges):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, size(syms) - 1), "
+                    "slice(syms, 2, size(syms) - 1), "
+                    "(a, b) -> named_struct('x', a, 'y', b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.x").asc(), F.col("p.y").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, cnt = top[0]["p"]["x"], top[0]["p"]["y"], int(top[0]["cnt"])
+        merges.append((x, y, cnt))
+        nxt = cur.withColumn("syms", _merge_fold(x, y)).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
+def bpe_merge_table(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """The learned merges as a DataFrame (rank, left, right, merged,
+    weighted_count) — the artifact a tokenizer ships."""
+    spark = df.sparkSession
+    merges = bpe_train(df, n_merges, text_col)
+    rows = [
+        (i + 1, x, y, x + y, c) for i, (x, y, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, merged STRING, weighted_count BIGINT"
+    )
+
+
+def bpe_reference(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Independent pure-Python reference BPE (test oracle only)."""
+    vocab = {w: list(w) for w in word_freq}
+    out = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (x, y), _ = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((x, y))
+        for w, syms in vocab.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    new.append(x + y)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = new
+    return out

@@ -1004,6 +1004,26 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_tokenizer_bpe",
+    sql=None,
+    doc="Distributed BPE vocabulary induction (Sennrich et al. 2016, "
+    "public): the corpus is collapsed ONCE into a distinct-word "
+    "frequency frame (vocabulary-sized by Heaps' law, not corpus-"
+    "sized); each merge round is one map-side pair zip_with + keyed "
+    "weighted count, with exactly ONE argmax row reaching the driver "
+    "per round (deterministic count/lexicographic tie-break); the "
+    "merge is applied as a sequential carry-fold over symbol arrays "
+    "in pure codegen. Rows-only check (iterative — not SQL-"
+    "expressible); the full merge sequence is cross-checked against "
+    "an independent pure-Python reference BPE in tests/test_llm.py.",
+)
+def llm_tokenizer_bpe(spark, sf_dir):
+    from .llm import bpe
+
+    return bpe.bpe_merge_table(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@parity(
     "llm_perplexity",
     sql=f"""
     WITH tk AS (
