@@ -394,3 +394,24 @@ def test_merge_rollup_associative_batches(spark):
     full = rollup(ev)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_bm25_topk_no_global_sort(spark):
+    """BM25 top-k must plan TakeOrderedAndProject (never a total sort)
+    and keep corpus stats as broadcasts."""
+    plan = _plan(PARITY["llm_search_bm25"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_perplexity_lm_join_copartitions(spark):
+    """Perplexity scoring joins doc bigrams against the LM on the bigram
+    key — a plain equi-join on (w1, w2), never a cartesian product.
+    (A BroadcastNestedLoopJoin IS present and fine: it is the 1-row
+    vocab-size scalar broadcast, the same pattern as every other
+    scalar-comparator entry.)"""
+    plan = _plan(PARITY["llm_perplexity"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(r"(BroadcastHash|SortMerge)Join \[w1#\d+, w2#\d+\]", plan)
