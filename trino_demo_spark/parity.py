@@ -3810,6 +3810,69 @@ def sink_upsert_snapshot(spark, sf_dir):
 
 
 @parity(
+    "scan_schema_evolution",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+    doc="Schema evolution on read: two generations of the same dataset "
+    "(v1 without the price column, v2 with it) land in one directory; "
+    "a mergeSchema scan unifies them — v1 rows surface NULL for the "
+    "added column instead of failing the read. The everyday 100 TB "
+    "reality: a table's columns change mid-history and the engine must "
+    "read across the boundary. The oracle reconstructs the same "
+    "union-by-name result from the source table.",
+)
+def scan_schema_evolution(spark, sf_dir):
+    base = os.path.join(_scratch(sf_dir), "orders_evolving")
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@parity(
+    "sink_compact_files",
+    sql="SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
+    doc="Small-files compaction — the table-maintenance pass every "
+    "streaming/incremental sink needs: a fragmented landing zone (64 "
+    "files here) is rewritten through repartition(4) into few "
+    "right-sized files. Data must survive compaction byte-identically "
+    "(the oracle reads the SOURCE table, so any row lost or mangled in "
+    "either write breaks the match); the file-count contract is "
+    "asserted at runtime. At 100 TB this is the defragmentation job "
+    "that keeps scan task counts sane; target size per file comes from "
+    "spark.sql.files.maxPartitionBytes at read time.",
+)
+def sink_compact_files(spark, sf_dir):
+    frag = os.path.join(_scratch(sf_dir), "lineitem_fragmented")
+    compact = os.path.join(_scratch(sf_dir), "lineitem_compacted")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_comp = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    if not (n_comp < n_frag and n_comp <= 4):
+        raise AssertionError(f"compaction failed: {n_frag} -> {n_comp} files")
+    return spark.read.parquet(compact)
+
+
+@parity(
     "sink_incremental_rollup",
     sql="""
     SELECT user_id, COUNT(*) AS n_events,
