@@ -3810,6 +3810,44 @@ def sink_upsert_snapshot(spark, sf_dir):
 
 
 @parity(
+    "f_try_arith",
+    sql="""
+    SELECT o_orderkey,
+           o_totalprice / (o_orderkey % 5) AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'nope'
+                         ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed,
+           CASE WHEN o_orderkey % 4 = 1 THEN NULL
+                ELSE o_orderkey + 1 END AS bumped
+    FROM orders
+    """,
+    doc="ANSI-safe arithmetic surface: Spark 4 runs ANSI mode by "
+    "default (overflow/bad-cast/div-by-zero RAISE), so pipelines need "
+    "the try_* family to degrade to NULL instead of failing a 100 TB "
+    "job on one dirty row. try_divide(x, 0) → NULL, try_cast('nope') "
+    "→ NULL, try_add at int64 max → NULL; the oracle computes the "
+    "expected NULLs from the construction rule (DuckDB itself raises "
+    "on int64 overflow — the CASE is ground truth, so a try_add that "
+    "silently wraps or errors breaks the match).",
+)
+def f_try_arith(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    overflow_in = F.when(
+        F.col("o_orderkey") % 4 == 1, F.lit(9223372036854775807)
+    ).otherwise(F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5).alias(
+            "safe_div"
+        ),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'nope' "
+            "ELSE CAST(o_orderkey AS STRING) END AS BIGINT)"
+        ).alias("parsed"),
+        F.try_add(overflow_in, F.lit(1)).alias("bumped"),
+    )
+
+
+@parity(
     "scan_schema_evolution",
     sql="""
     SELECT o_orderkey, o_orderstatus,
