@@ -3810,6 +3810,41 @@ def sink_upsert_snapshot(spark, sf_dir):
 
 
 @parity(
+    "f_map_funcs",
+    sql="""
+    SELECT o_orderkey, mkey, mval, 2 AS n_keys, o_orderstatus AS status_val
+    FROM (
+      SELECT o_orderkey, o_orderstatus, 'prio' AS mkey, o_orderpriority AS mval FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, 'status', o_orderstatus FROM orders
+    )
+    """,
+    doc="Map-type function surface: create_map → map_concat → "
+    "element_at lookup → size → explode back to (key, value) rows "
+    "(maps flattened at the output boundary — the driver canonicalizer "
+    "hashes scalar strings, not dict reprs). The oracle reconstructs "
+    "the exploded rows as ground truth, so a wrong merge, lookup, or "
+    "lost entry breaks the match. All map ops are per-row expressions "
+    "— map-side, no shuffle.",
+)
+def f_map_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(F.lit("prio"), F.col("o_orderpriority")),
+    )
+    return (
+        o.withColumn("m", m)
+        .select(
+            "o_orderkey",
+            F.explode("m").alias("mkey", "mval"),
+            F.size("m").alias("n_keys"),
+            F.element_at(F.col("m"), F.lit("status")).alias("status_val"),
+        )
+    )
+
+
+@parity(
     "f_try_arith",
     sql="""
     SELECT o_orderkey,
