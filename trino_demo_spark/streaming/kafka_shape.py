@@ -291,3 +291,55 @@ def static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> Da
     outgrows broadcast, pre-bucket BOTH sides on the key instead.
     Left join keeps events with no profile (nulls, not drops)."""
     return stream.join(F.broadcast(dim), key, "left")
+
+
+def streaming_rollup_sink(
+    stream: DataFrame, snapshot_dir: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming materialized rollup: every micro-batch is aggregated to
+    a per-user delta and merged into a VERSIONED persisted snapshot via
+    operators.relational.merge_rollup — the streaming half of
+    sink_incremental_rollup (the batch parity twin proves merge ==
+    full-recompute bit-for-bit; this wires the same merge into
+    foreachBatch). Each batch writes snapshot version v=batch_id from
+    version v=batch_id-1 — an idempotent, replay-safe pattern: a
+    re-run batch rewrites ITS OWN version directory from the same
+    predecessor, so at-least-once foreachBatch still yields an
+    exactly-once snapshot chain. Readers take the max-version dir.
+
+    At 100 TB: the raw firehose is aggregated ONCE per batch
+    (delta-sized shuffle), the merge joins only O(keys) rows, and the
+    snapshot should be written bucketed by the key to delete even that
+    shuffle."""
+    import os as _os
+
+    from ..operators.relational import merge_rollup
+
+    def upd(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("v_milli"),
+        )
+        versions = []
+        if _os.path.isdir(snapshot_dir):
+            versions = sorted(
+                int(d.split("=")[1])
+                for d in _os.listdir(snapshot_dir)
+                if d.startswith("v=") and int(d.split("=")[1]) < batch_id
+            )
+        if versions:
+            prev = spark.read.parquet(f"{snapshot_dir}/v={versions[-1]}")
+            merged = merge_rollup(
+                prev, delta, ["user_id"], ["n_events", "v_milli"]
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
