@@ -480,3 +480,37 @@ def range_join_bucketed(
         )
         .drop("__bucket")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential-sort, public algorithm): each row gets a deterministic
+    uniform u ∈ (0,1) from the first 12 hex chars of md5(key) and a
+    sort key u^(1/w); the k largest keys are the sample. Inclusion
+    probability is proportional to weight, and because u comes from a
+    content hash (not an RNG) the sample is REPRODUCIBLE across runs,
+    engines, partitionings, and data re-orderings — the property a
+    training-mix sample must have for the run to be auditable.
+
+    Scale shape: the sort key is a map-side expression; the top-k is a
+    TakeOrderedAndProject (per-partition heads, no global sort). The
+    rounded key is exposed so a DuckDB oracle computes the identical
+    sample from the identical md5 arithmetic."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16 ** 12))
+    )
+    # ln(u)/w is monotone with u^(1/w) and numerically safer
+    skey = F.round(F.log(u) / weight_col + F.lit(1e-9), round_to)
+    return (
+        df.withColumn("sample_key", skey)
+        .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -1004,6 +1004,35 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_sample_weighted",
+    sql="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(ln(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                      / 281474976710656.0) / n_chars + 1e-9, 6) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, sample_key
+    FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "exponential-sort, public): sort key ln(u)/w with u a deterministic "
+    "md5-derived uniform — inclusion probability ∝ weight (n_chars "
+    "here), and the sample is reproducible across runs, engines, "
+    "partitionings, and row orderings, which hash-free rand() sampling "
+    "can never give an auditable training mix. Top-k is a "
+    "TakeOrderedAndProject (per-partition heads, no global sort); the "
+    "oracle computes the identical sample from the identical md5 "
+    "arithmetic.",
+)
+def llm_sample_weighted(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return rel_ops.weighted_sample_topk(
+        docs, "doc_id", F.col("n_chars"), k=50
+    )
+
+
+@parity(
     "llm_tokenizer_bpe",
     sql=None,
     doc="Distributed BPE vocabulary induction (Sennrich et al. 2016, "
