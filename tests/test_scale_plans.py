@@ -415,3 +415,38 @@ def test_perplexity_lm_join_copartitions(spark):
     import re
 
     assert re.search(r"(BroadcastHash|SortMerge)Join \[w1#\d+, w2#\d+\]", plan)
+
+
+def test_partitioning_invariance(spark):
+    """The engine's core claim for 100 TB correctness: results are
+    bit-identical under ANY partitioning. Re-run representative
+    aggregate/join/dedup queries with shuffle.partitions=5 (vs the
+    session's 32) and tiny maxPartitionBytes (more input splits) and
+    require canonically identical frames — the integer-unit money sums
+    and epsilon-rounding discipline is what makes this hold; a plain
+    double SUM would fail this test."""
+    names = [
+        "tpch_q1", "tpch_q5", "agg_groupby_key", "llm_dedup_exact",
+        "win_dedup_keeplast", "sink_incremental_rollup", "llm_perplexity",
+    ]
+
+    def canon(df):
+        pdf = df.toPandas()
+        cols = sorted(pdf.columns)
+        return sorted(zip(*[pdf[c].astype(str) for c in cols]))
+
+    base = {}
+    for n in names:
+        base[n] = canon(PARITY[n].fn(spark, SF_SMOKE))
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        for n in names:
+            assert canon(PARITY[n].fn(spark, SF_SMOKE)) == base[n], (
+                f"{n}: result depends on partitioning"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
