@@ -3810,6 +3810,54 @@ def sink_upsert_snapshot(spark, sf_dir):
 
 
 @parity(
+    "profile_quality_checks",
+    sql="""
+    SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS null_custkey,
+           (SELECT COUNT(*) FROM
+              (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+           ) AS dup_pk,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+           ) AS fk_violations,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS nonpositive_price
+    """,
+    doc="Data-quality constraint checks (the dbt-test / Deequ shape): "
+    "primary-key uniqueness, not-null, referential integrity "
+    "orders→customer, and a value-domain rule, evaluated engine-side "
+    "in one job and returned as violation counts. Scale shape: the "
+    "null/domain checks fold into ONE aggregate scan; PK uniqueness is "
+    "a keyed count (partial+final); the FK check is a left-anti join "
+    "against the broadcast customer key set. The gate every ingest "
+    "runs before promoting a 100 TB batch.",
+)
+def profile_quality_checks(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_custkey"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+    )
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("dup_pk"))
+    )
+    fk = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("fk_violations"))
+    )
+    return (
+        base.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(fk))
+        .select("n_rows", "null_custkey", "dup_pk", "fk_violations",
+                "nonpositive_price")
+    )
+
+
+@parity(
     "f_map_funcs",
     sql="""
     SELECT o_orderkey, mkey, mval, 2 AS n_keys, o_orderstatus AS status_val
