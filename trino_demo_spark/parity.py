@@ -3810,6 +3810,64 @@ def sink_upsert_snapshot(spark, sf_dir):
 
 
 @parity(
+    "scan_zonemap_pruned",
+    sql="""
+    SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship_day, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-09-01'
+    """,
+    doc="Zone-map data skipping — the lakehouse file-pruning layer "
+    "BEYOND directory partition pruning: lineitem is laid out "
+    "range-clustered on ship date (repartitionByRange write), a "
+    "zone-map stats table (per-file min/max of the cluster column, "
+    "built engine-side from input_file_name grouping — one bounded "
+    "O(files) frame) is consulted at query time, and only files whose "
+    "[min, max] intersects the predicate are read; the runtime assert "
+    "requires the file list to actually shrink. The residual filter "
+    "still applies after the skip, so results are layout-independent — "
+    "the oracle runs the plain filter. This is Delta/Iceberg-style "
+    "min-max skipping expressed with engine primitives; at 100 TB a "
+    "date-clustered fact skips all but the matching fraction of files "
+    "even when the table is not directory-partitioned.",
+)
+def scan_zonemap_pruned(spark, sf_dir):
+    base = os.path.join(_scratch(sf_dir), "lineitem_zoned")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    li.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(base)
+    zones = (
+        spark.read.parquet(base)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+        )
+        .collect()
+    )
+    q_lo = "1997-06-01"
+    q_hi = "1997-09-01"
+    import datetime as _dt
+
+    lo_ts = _dt.datetime(1997, 6, 1)
+    hi_ts = _dt.datetime(1997, 9, 1)
+    keep = [z["file"] for z in zones if z["hi"] >= lo_ts and z["lo"] < hi_ts]
+    if not (0 < len(keep) < len(zones)):
+        raise AssertionError(
+            f"zone map must prune: kept {len(keep)} of {len(zones)} files"
+        )
+    return (
+        spark.read.parquet(*keep)
+        .filter(
+            (F.col("l_shipdate") >= F.lit(q_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(q_hi).cast("timestamp"))
+        )
+        .select(
+            "l_orderkey", F.to_date("l_shipdate").alias("ship_day"), "l_quantity"
+        )
+    )
+
+
+@parity(
     "profile_quality_checks",
     sql="""
     SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
