@@ -3868,6 +3868,121 @@ def scan_zonemap_pruned(spark, sf_dir):
 
 
 @parity(
+    "scan_zorder_2d",
+    sql="""
+    WITH st AS (
+      SELECT MIN(l_partkey) AS p0, MAX(l_partkey) AS p1,
+             MIN(l_suppkey) AS s0, MAX(l_suppkey) AS s1
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_partkey, l_suppkey
+    FROM lineitem, st
+    WHERE l_partkey >= p0 + GREATEST((p1 - p0) // 10, 1)
+      AND l_partkey <  p0 + 3 * GREATEST((p1 - p0) // 10, 1)
+      AND l_suppkey >= s0 + GREATEST((s1 - s0) // 10, 1)
+      AND l_suppkey <  s0 + 3 * GREATEST((s1 - s0) // 10, 1)
+    """,
+    doc="Z-order (Morton) multi-dimensional clustering + zone-map "
+    "skipping: lineitem is laid out range-clustered on the bit-"
+    "interleave of (partkey, suppkey) — a pure-codegen 10-bit unrolled "
+    "expression — so file-level min/max zones stay tight in BOTH "
+    "dimensions and a predicate on EITHER column (or both) prunes "
+    "files; a linear sort would prune only its leading column. Runtime "
+    "asserts require pruning to fire for the partkey-only, the "
+    "suppkey-only, and the 2-D predicate. Results stay layout-"
+    "independent via the residual filter (oracle runs the plain 2-D "
+    "filter). This is the Delta OPTIMIZE ZORDER BY pattern from engine "
+    "primitives — the layout that serves mixed-dimension point/range "
+    "lookups over a 100 TB fact without duplicating it per sort key.",
+)
+def scan_zorder_2d(spark, sf_dir):
+    base = os.path.join(_scratch(sf_dir), "lineitem_zorder")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    bits = 10
+    # normalize both dims to the full 10-bit domain first — otherwise a
+    # narrow dimension's high interleave bits are constant zero and the
+    # range split degenerates to a linear sort on the wide dimension
+    stats = li.agg(
+        F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+        F.min("l_suppkey").alias("s0"), F.max("l_suppkey").alias("s1"),
+    ).first()
+    p0, p1, s0, s1 = stats["p0"], stats["p1"], stats["s0"], stats["s1"]
+    pn = F.floor(
+        (F.col("l_partkey") - F.lit(p0)) * F.lit((2 ** bits) - 1)
+        / F.lit(max(p1 - p0, 1))
+    ).cast("long")
+    sn = F.floor(
+        (F.col("l_suppkey") - F.lit(s0)) * F.lit((2 ** bits) - 1)
+        / F.lit(max(s1 - s0, 1))
+    ).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(pn, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(sn, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    li.withColumn("__z", z).repartitionByRange(16, "__z").drop(
+        "__z"
+    ).write.mode("overwrite").parquet(base)
+    zones = (
+        spark.read.parquet(base)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min("l_partkey").alias("p_lo"), F.max("l_partkey").alias("p_hi"),
+            F.min("l_suppkey").alias("s_lo"), F.max("l_suppkey").alias("s_hi"),
+        )
+        .collect()
+    )
+    n = len(zones)
+
+    def keep(p=None, s=None):
+        out = []
+        for zrow in zones:
+            ok = True
+            if p is not None:
+                ok &= zrow["p_hi"] >= p[0] and zrow["p_lo"] < p[1]
+            if s is not None:
+                ok &= zrow["s_hi"] >= s[0] and zrow["s_lo"] < s[1]
+            if ok:
+                out.append(zrow["file"])
+        return out
+
+    # data-adaptive query bounds — identical integer arithmetic in the
+    # oracle SQL, so both engines filter the exact same range at any SF
+    pg = max((p1 - p0) // 10, 1)
+    sg = max((s1 - s0) // 10, 1)
+    p_rng = (p0 + pg, p0 + 3 * pg)
+    s_rng = (s0 + sg, s0 + 3 * sg)
+    # per-dim pruning must fire whenever the dimension is wide enough to
+    # cluster (narrow dims at toy SFs legitimately fill every zone)
+    for dim, files, span in (
+        ("partkey", keep(p=p_rng), p1 - p0),
+        ("suppkey", keep(s=s_rng), s1 - s0),
+        ("both", keep(p=p_rng, s=s_rng), min(p1 - p0, s1 - s0)),
+    ):
+        if span >= 64 and not (0 < len(files) < n):
+            raise AssertionError(
+                f"z-order zones must prune on {dim}: {len(files)}/{n}"
+            )
+    files = keep(p=p_rng, s=s_rng)
+    if not files:
+        return li.filter(F.lit(False)).select(
+            "l_orderkey", "l_partkey", "l_suppkey"
+        )
+    return (
+        spark.read.parquet(*files)
+        .filter(
+            (F.col("l_partkey") >= p_rng[0]) & (F.col("l_partkey") < p_rng[1])
+            & (F.col("l_suppkey") >= s_rng[0]) & (F.col("l_suppkey") < s_rng[1])
+        )
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+    )
+
+
+@parity(
     "profile_quality_checks",
     sql="""
     SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
