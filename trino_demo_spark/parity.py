@@ -3641,6 +3641,54 @@ def win_lag_features(spark, sf_dir):
 
 
 @parity(
+    "win_session_native",
+    sql="""
+    WITH m AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM m)
+    SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events, ROUND(SUM(value) + 1e-9, 2) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+    doc="Sessionization via Spark's NATIVE session_window operator "
+    "(dynamic-gap merging inside the aggregate, the same operator the "
+    "streaming path uses) — cross-checked against the lag-based "
+    "formulation, which is the oracle here: session_window's window "
+    "end is last_event + gap, so last-event time is recovered as "
+    "end − gap. One shuffle on the session-window grouping; at 100 TB "
+    "this is the operator that replaces the two-window lag pipeline "
+    "with a single merging aggregate.",
+)
+def win_session_native(spark, sf_dir):
+    gap_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") + F.lit(EPS), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            (F.unix_micros("sw.end") - F.lit(gap_us)).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@parity(
     "win_sessionize",
     sql="""
     WITH m AS (
