@@ -4114,6 +4114,88 @@ def f_map_funcs(spark, sf_dir):
 
 
 @parity(
+    "agg_mode",
+    sql="""
+    SELECT o_orderpriority,
+           arg_max(o_orderstatus, cnt_key) AS mode_status,
+           MAX(cnt) AS mode_count
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             COUNT(*) * 1000 - CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS BIGINT) AS cnt_key
+      FROM orders GROUP BY 1, 2
+    ) GROUP BY o_orderpriority
+    """,
+    doc="Per-group mode (most frequent value): two-level aggregate — "
+    "(group, value) counts, then max_by over the counts with a "
+    "deterministic lexicographic tie-break folded into the comparison "
+    "key. Both aggregates are partial+final map-side combinable; the "
+    "second operates on |groups × distinct values| rows, not fact "
+    "rows. MAX(cnt) in the outer level is the winner's count only "
+    "because the tie-break perturbation is smaller than one count "
+    "unit.",
+)
+def agg_mode(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    )
+    keyed = counts.withColumn(
+        "cnt_key", F.col("cnt") * 1000 - rn.cast("long")
+    )
+    return keyed.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderstatus", "cnt_key").alias("mode_status"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+@parity(
+    "f_url_funcs",
+    sql="""
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]doc=([^&#]*)', 1) AS doc_param
+    FROM (
+      SELECT doc_id,
+             concat('https://corpus-', lang, '.example.org/docs/', source,
+                    '?doc=', CAST(doc_id AS VARCHAR), '&v=2') AS url
+      FROM documents
+    )
+    """,
+    doc="URL parsing surface (parse_url: scheme/host/path/query "
+    "parameter) over synthesized per-document URLs — the "
+    "canonicalization primitive web-corpus dedup keys on. Spark uses "
+    "the native parse_url expression; the oracle mirrors RFC-3986 "
+    "component extraction with regexes — a divergent parse on any URL "
+    "breaks the match. Map-only, whole-stage codegen.",
+)
+def f_url_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://corpus-"), F.col("lang"), F.lit(".example.org/docs/"),
+        F.col("source"), F.lit("?doc="), F.col("doc_id").cast("string"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("doc")).alias(
+            "doc_param"
+        ),
+    )
+
+
+@parity(
     "f_try_arith",
     sql="""
     SELECT o_orderkey,
