@@ -4114,6 +4114,48 @@ def f_map_funcs(spark, sf_dir):
 
 
 @parity(
+    "win_trailing_distinct",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+      SELECT CAST(e.ts AS DATE) + CAST(o.i AS INTEGER) AS win_day, e.user_id
+      FROM events e, UNNEST(range(0, 7)) o(i)
+    )
+    SELECT c.win_day AS day, COUNT(DISTINCT c.user_id) AS users_7d
+    FROM contrib c JOIN days d ON d.day = c.win_day
+    GROUP BY 1
+    """,
+    doc="Trailing-7-day distinct users per day — the rolling-uniques "
+    "metric every activity dashboard needs, which plain window frames "
+    "cannot express (COUNT(DISTINCT) is not frame-mergeable). "
+    "Engine shape: each event fans out map-side to the 7 window-days "
+    "it contributes to (bounded ×7 explode — no self-join of the "
+    "fact), then ONE (day, user) distinct aggregate; days outside the "
+    "observed range are joined away against the broadcast day dim. At "
+    "100 TB swap the exact distinct for per-day HLL sketches merged "
+    "across the trailing window (agg_hll_rollup pattern) — same "
+    "fan-out, fixed-size state.",
+)
+def win_trailing_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("ev_day"), "user_id"
+    )
+    days = ev.select(F.col("ev_day").alias("day")).distinct()
+    contrib = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "ev_day",
+        "user_id",
+    ).select(F.date_add("ev_day", F.col("i")).alias("win_day"), "user_id")
+    return (
+        contrib.join(F.broadcast(days), contrib["win_day"] == days["day"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+
+
+@parity(
     "agg_mode",
     sql="""
     SELECT o_orderpriority,
