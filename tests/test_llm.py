@@ -596,3 +596,47 @@ def test_bpe_matches_reference(spark, docs):
     tbl = bpe.bpe_merge_table(docs, n_merges=4).collect()
     assert [r.rank for r in tbl] == [1, 2, 3, 4]
     assert all(r.merged == r.left + r.right for r in tbl)
+
+
+def test_pagerank_matches_numpy(spark):
+    """Distributed power iteration must match a dense numpy PageRank on
+    the same graph (same damping, dangling redistribution) to float
+    tolerance."""
+    import numpy as np
+
+    from trino_demo_spark import ml
+    from trino_demo_spark.registry import load_table
+
+    SF = "/root/testdata/sf0.001"
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", SF).select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {r.node: r.rank for r in ml.pagerank(edges, iters=4).collect()}
+
+    e = edges.collect()
+    nodes = sorted({r.src for r in e} | {r.dst for r in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for r in e:
+        out_deg[idx[r.src]] += 1
+    rank = np.full(n, 1.0 / n)
+    d = 0.85
+    adj = [(idx[r.src], idx[r.dst]) for r in e]
+    for _ in range(4):
+        contrib = np.zeros(n)
+        for s, t in adj:
+            contrib[t] += rank[s] / out_deg[s]
+        dm = rank[out_deg == 0].sum()
+        rank = (1 - d) / n + d * (contrib + dm / n)
+    for v in nodes:
+        assert abs(got[v] - rank[idx[v]]) < 1e-6, v
+    assert abs(sum(got.values()) - 1.0) < 1e-3

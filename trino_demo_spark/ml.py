@@ -181,3 +181,67 @@ def logreg_predict(
         F.round(p + F.lit(1e-9), round_to).alias("score"),
         (p >= 0.5).alias("predicted"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 8,
+) -> DataFrame:
+    """PageRank by power iteration, entirely as DataFrame joins/aggregates
+    (Brin/Page 1998, public): rank' = (1-d)/N + d·(Σ in-contribs +
+    dangling_mass/N), with dangling mass redistributed uniformly so rank
+    sums to 1 every iteration.
+
+    Scale shape per iteration: ONE join of the edge list against the
+    current rank vector on src (both key by node id — at 100 TB
+    pre-partition/bucket the edges by src ONCE and every iteration
+    reuses the layout), one keyed sum by dst, plus two 1-row broadcast
+    aggregates (N, dangling mass). Driver state: nothing but the loop
+    counter — ranks stay distributed. Iterations are sequential by
+    definition; the edge list is never mutated."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col)))
+        .distinct()
+    )
+    nodes.persist().count()
+    n = nodes.count()
+    out_deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges[src_col] == ranks["node"])
+            .join(out_deg, src_col)
+            .select(
+                F.col(dst_col).alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # dangling mass: rank held by nodes with no outgoing edges
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg[src_col], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
+        )
+    out = ranks.select(
+        "node", F.round(F.col("rank") + F.lit(1e-9), round_to).alias("rank")
+    )
+    nodes.unpersist()
+    return out

@@ -261,3 +261,35 @@ def ml_logreg(spark, sf_dir):
     )
     w, b, _ = ml.logreg_fit(emb, dims=8, lr=0.5, iters=10)
     return ml.logreg_predict(emb, w, b).orderBy("vec_id")
+
+
+@parity(
+    "ml_pagerank",
+    sql=None,
+    doc="PageRank by distributed power iteration over the "
+    "customer↔supplier trade graph (edges from lineitem⋈orders, both "
+    "directions, disjoint id namespaces): per iteration ONE edge⋈rank "
+    "join keyed by node + one keyed sum, dangling mass redistributed "
+    "via a 1-row broadcast — ranks never leave the executors; at "
+    "100 TB the edge list is bucketed by src once and every iteration "
+    "reuses the layout. Rows-only (iterative, not SQL-expressible); "
+    "cross-checked against a dense numpy power iteration in "
+    "tests/test_llm.py.",
+)
+def ml_pagerank(spark, sf_dir):
+    from . import ml
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return ml.pagerank(edges, iters=4)
