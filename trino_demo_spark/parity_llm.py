@@ -1004,6 +1004,88 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_boilerplate_strip",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(tk[(CAST(i AS INT)*8+1):(CAST(i AS INT)*8+8)], ' ') AS chunk
+      FROM tok, UNNEST(range(0, 64)) u(i)
+      WHERE CAST(i AS INT)*8 < len(tk)
+    ),
+    dfreq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY 1),
+    kept AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk
+      FROM chunks c JOIN dfreq USING (chunk) WHERE dfreq.df <= 1
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN k.chunk_idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(k.chunk, ' ' ORDER BY c.chunk_idx), '') AS clean_text
+    FROM chunks c
+    LEFT JOIN kept k ON k.doc_id = c.doc_id AND k.chunk_idx = c.chunk_idx
+    GROUP BY c.doc_id
+    """,
+    doc="Cross-document boilerplate removal (CCNet/C4-style shared-"
+    "paragraph strip, on 8-token chunks as the paragraph proxy): "
+    "chunk → corpus-wide document frequency → chunks appearing in "
+    "more than one document are stripped → surviving chunks "
+    "reassembled in order. Engine shape: chunking is a bounded "
+    "map-side fan-out (no self-join), df is ONE keyed distinct "
+    "aggregate, the strip is a chunk-keyed join, and reassembly is a "
+    "per-doc ordered collect (array_sort over (idx, chunk) structs — "
+    "deterministic). At 100 TB the df table is chunk-vocabulary-sized; "
+    "a hot boilerplate chunk ('all rights reserved…') is ONE df row, "
+    "never a pair explosion.",
+)
+def llm_boilerplate_strip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", dedup.tokens_col("text").alias("tk"))
+    chunks = (
+        tok.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("chunk_idx"),
+            "tk",
+        )
+        .filter(F.col("chunk_idx") * 8 < F.size("tk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice(F.col("tk"), F.col("chunk_idx") * 8 + 1, 8)
+            ).alias("chunk"),
+        )
+    )
+    dfreq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = chunks.join(dfreq, "chunk").select(
+        "doc_id", "chunk_idx", "chunk", (F.col("df") <= 1).alias("keep")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+@parity(
     "llm_sample_weighted",
     sql="""
     WITH keyed AS (
