@@ -4114,6 +4114,80 @@ def f_map_funcs(spark, sf_dir):
 
 
 @parity(
+    "agg_bitmap_distinct",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+           COUNT(DISTINCT user_id) AS exact_users
+    FROM daily GROUP BY 1
+    """,
+    doc="EXACT mergeable distinct counts via bitmap aggregates (the "
+    "BigQuery/Delta bitmap-rollup pattern, unlike HLL not an "
+    "estimate): per (day, id-bucket) bitmaps built with "
+    "bitmap_construct_agg, rolled up to weeks with bitmap_or_agg and "
+    "counted — the oracle is plain COUNT(DISTINCT), and the bitmap "
+    "path must EQUAL it. Daily bitmaps persist once; any coarser "
+    "rollup ORs them without rescanning raw events (distinct counts "
+    "are not summable; bitmaps are). Bucketing by "
+    "bitmap_bucket_number keeps each bitmap a bounded 4 KB segment at "
+    "any id range.",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .withColumn("bucket", F.expr("bitmap_bucket_number(user_id)"))
+        .groupBy("day", "bucket")
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bm")
+        )
+    )
+    return (
+        daily.groupBy(
+            F.to_date(F.date_trunc("week", "day")).alias("week"), "bucket"
+        )
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("bucket_users"))
+        .groupBy("week")
+        .agg(F.sum("bucket_users").cast("long").alias("exact_users"))
+    )
+
+
+@parity(
+    "sql_recursive_cte",
+    sql="""
+    WITH RECURSIVE walk(node, cur, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      UNION ALL
+      SELECT node, cur // 2, depth + 1 FROM walk WHERE cur > 1
+    )
+    SELECT node AS s_suppkey, MAX(depth) AS chain_len FROM walk GROUP BY node
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): per-supplier ancestor "
+    "walk over the implicit binary hierarchy parent = node DIV 2 until "
+    "the root — the org-chart/BOM traversal shape. Iterative union "
+    "under the hood; depth is data-bounded (log2 of the key space). "
+    "Identical ANSI text runs on DuckDB (// vs DIV is the only "
+    "dialect difference).",
+)
+def sql_recursive_cte(spark, sf_dir):
+    register_views(spark, sf_dir, names=("supplier",))
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, cur, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM supplier
+          UNION ALL
+          SELECT node, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+        )
+        SELECT node AS s_suppkey, MAX(depth) AS chain_len FROM walk GROUP BY node
+        """
+    )
+
+
+@parity(
     "win_trailing_distinct",
     sql="""
     WITH days AS (
