@@ -1004,6 +1004,56 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_format_sft",
+    sql=f"""
+    SELECT doc_id,
+           concat(
+             '{{"messages":[',
+             '{{"role":"system","content":"You are a helpful assistant."}},',
+             '{{"role":"user","content":"Summarize the following ', lang, ' document."}},',
+             '{{"role":"assistant","content":"', text, '"}}]}}'
+           ) AS sample,
+           len({_TOK}) AS n_tokens
+    FROM documents
+    WHERE lang IN ('en', 'de') AND n_chars >= 40
+    """,
+    doc="Training-sample rendering: documents → chat-SFT JSON lines "
+    "(system/user/assistant turns via to_json over nested structs) "
+    "with a token estimate, filtered to the target languages/length — "
+    "the last hop before a tokenizer shard. Map-only projection in "
+    "whole-stage codegen; the oracle reproduces Spark's compact "
+    "to_json byte layout by string assembly, so an escaping or "
+    "field-order divergence breaks the match.",
+)
+def llm_format_sft(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de") & (F.col("n_chars") >= 40)
+    )
+    msgs = F.array(
+        F.struct(
+            F.lit("system").alias("role"),
+            F.lit("You are a helpful assistant.").alias("content"),
+        ),
+        F.struct(
+            F.lit("user").alias("role"),
+            F.concat(
+                F.lit("Summarize the following "),
+                F.col("lang"),
+                F.lit(" document."),
+            ).alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"), F.col("text").alias("content")
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct(msgs.alias("messages"))).alias("sample"),
+        F.size(dedup.tokens_col("text")).alias("n_tokens"),
+    )
+
+
+@parity(
     "llm_boilerplate_strip",
     sql=f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS tk FROM documents),
