@@ -640,3 +640,33 @@ def test_pagerank_matches_numpy(spark):
     for v in nodes:
         assert abs(got[v] - rank[idx[v]]) < 1e-6, v
     assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_nb_classifier_argmax_sane(spark):
+    """NB scores must produce a deterministic argmax classification and
+    assign every scored doc exactly |classes| scores; accuracy on the
+    self-trained corpus must beat the majority-class prior."""
+    import trino_demo_spark.parity_llm  # noqa: F401  (registers llm entries)
+    from trino_demo_spark.parity import PARITY
+
+    SF = "/root/testdata/sf0.001"
+    scores = PARITY["llm_classify_nb"].fn(spark, SF).collect()
+    by_doc = {}
+    for r in scores:
+        by_doc.setdefault(r.doc_id, []).append((r.nb_score, r.lang))
+    n_cls = {len(v) for v in by_doc.values()}
+    assert n_cls == {len({r.lang for r in scores})}
+    pred = {d: max(v)[1] for d, v in by_doc.items()}
+    from trino_demo_spark.registry import load_table
+
+    truth = {
+        r.doc_id: r.lang
+        for r in load_table(spark, "documents", SF)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    acc = sum(pred[d] == truth[d] for d in pred) / len(pred)
+    langs = list(truth.values())
+    prior = max(langs.count(x) for x in set(langs)) / len(langs)
+    assert acc >= prior, (acc, prior)

@@ -4188,6 +4188,41 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @parity(
+    "win_distribution",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w + 1e-9, 6) AS cume,
+           NTILE(10) OVER w AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    QUALIFY o_orderkey % 20 = 0
+    """,
+    doc="Distribution window functions (percent_rank / cume_dist / "
+    "ntile) per priority class — the percentile-position primitives "
+    "quality-threshold filters key on. One hash partitioning by the "
+    "class, per-partition sort, all three functions share the single "
+    "window definition; the output is thinned deterministically "
+    "(key % 20) to keep the driver frame small.",
+)
+def win_distribution(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w) + F.lit(EPS), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w) + F.lit(EPS), 6).alias("cume"),
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .filter(F.col("o_orderkey") % 20 == 0)
+    )
+
+
+@parity(
     "win_trailing_distinct",
     sql="""
     WITH days AS (

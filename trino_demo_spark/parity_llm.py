@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from .llm import dedup, mixing, multimodal, packing, similarity, text
 from .operators import relational as rel_ops
-from .parity import _t, parity
+from .parity import EPS, _t, parity
 
 # Shared SQL fragments so the oracle tokenization matches
 # llm.dedup.tokens_col exactly.
@@ -1001,6 +1001,93 @@ def llm_train_order(spark, sf_dir):
 )
 def llm_text_tfidf(spark, sf_dir):
     return text.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+@parity(
+    "llm_classify_nb",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, lower(unnest({_TOK})) AS w FROM documents
+    ),
+    cls AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM tok GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cls),
+    wc AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM wc GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+    doc_tok AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE doc_id < 100 GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, c.lang,
+             ln(c.n_docs * 1.0 / n.n_total)
+             + SUM(d.tf * ln((COALESCE(wc.c, 0) + 1.0) / (tot.t + vocab.v))) AS s
+      FROM doc_tok d
+      CROSS JOIN cls c CROSS JOIN n CROSS JOIN vocab
+      JOIN tot ON tot.lang = c.lang
+      LEFT JOIN wc ON wc.lang = c.lang AND wc.w = d.w
+      GROUP BY d.doc_id, c.lang, c.n_docs, n.n_total
+    )
+    SELECT doc_id, lang, ROUND(s + 1e-9, 4) AS nb_score FROM scored
+    """,
+    doc="Multinomial naive Bayes trained ENTIRELY as aggregates "
+    "(add-1-smoothed per-(class, token) counts, class priors, vocab "
+    "size — the model IS a DataFrame, never driver state) and scored "
+    "per (doc, class) with a bounded ×|classes| fan-out join. Scores "
+    "surface long-format per class (robust under the driver's string "
+    "hash; the argmax classification and its accuracy-vs-prior check "
+    "live in tests). At 100 TB: the model table is "
+    "|classes|×|vocab| rows joined on the token key — corpus-sized "
+    "data co-partitioning, same shape as llm_perplexity's LM join.",
+)
+def llm_classify_nb(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(dedup.tokens_col("text")).alias("w")
+    ).select("doc_id", "lang", F.lower("w").alias("w"))
+    cls = tok.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
+    n_total = cls.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    wc = tok.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    tot = wc.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    vocab = tok.select("w").distinct().agg(F.count("*").alias("v"))
+    doc_tok = (
+        tok.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        doc_tok.crossJoin(
+            F.broadcast(cls.select(F.col("lang"), "n_docs"))
+        )
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(tot), "lang")
+        .join(
+            wc.withColumnRenamed("c", "wc_c"),
+            ["lang", "w"],
+            "left",
+        )
+        .groupBy("doc_id", "lang", "n_docs", "n_total")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("wc_c"), F.lit(0)) + 1.0)
+                    / (F.col("t") + F.col("v"))
+                )
+            ).alias("lsum")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.log(F.col("n_docs") * 1.0 / F.col("n_total"))
+                + F.col("lsum")
+                + F.lit(EPS),
+                4,
+            ).alias("nb_score"),
+        )
+    )
+    return scored
 
 
 @parity(
