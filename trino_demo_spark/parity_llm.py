@@ -1004,6 +1004,75 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_dedup_url_canon",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             concat('HTTPS://Corpus-', upper(lang), '.Example.ORG:443/docs/', source,
+                    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+                    '?utm_source=feed&doc=', CAST(doc_id % 100 AS VARCHAR),
+                    '&utm_campaign=x&v=2') AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             concat(
+               'https://',
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+?)(:443)?/', 1)),
+               rtrim(regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1), '/'),
+               '?doc=', regexp_extract(url, '[?&]doc=([^&#]*)', 1),
+               '&v=', regexp_extract(url, '[?&]v=([^&#]*)', 1)
+             ) AS curl
+      FROM raw
+    )
+    SELECT curl, MIN(doc_id) AS canonical_doc, COUNT(*) AS n_dups
+    FROM canon GROUP BY curl
+    """,
+    doc="URL canonicalization dedup — the web-corpus dedup key: "
+    "lowercase scheme+host, strip the default port and trailing "
+    "slash, drop utm_* tracking params, keep meaningful params in a "
+    "fixed order, then exact-group on the canonical URL keeping the "
+    "lowest doc id. Synthesized URLs deliberately vary case/port/"
+    "slash/tracking so each canonical key collapses multiple raw "
+    "forms (doc_id%100 forces real collisions). Map-only "
+    "normalization in codegen + ONE keyed aggregate — the same "
+    "hash-dedup shape as llm_dedup_exact at any scale.",
+)
+def llm_dedup_url_canon(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://Corpus-"), F.upper("lang"), F.lit(".Example.ORG:443/docs/"),
+            F.col("source"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&doc="),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("&utm_campaign=x&v=2"),
+        ).alias("url"),
+    )
+    host = F.lower(
+        F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+?)(:443)?/", 1)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1), r"/+$", ""
+    )
+    curl = F.concat(
+        F.lit("https://"), host, path,
+        F.lit("?doc="), F.regexp_extract("url", r"[?&]doc=([^&#]*)", 1),
+        F.lit("&v="), F.regexp_extract("url", r"[?&]v=([^&#]*)", 1),
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+@parity(
     "llm_classify_nb",
     sql=f"""
     WITH tok AS (
