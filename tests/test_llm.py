@@ -670,3 +670,31 @@ def test_nb_classifier_argmax_sane(spark):
     langs = list(truth.values())
     prior = max(langs.count(x) for x in set(langs)) / len(langs)
     assert acc >= prior, (acc, prior)
+
+
+def test_bpe_apply_matches_reference(spark, docs):
+    """Applying the learned merges in-engine must give the same
+    per-word segmentation lengths as the pure-Python reference apply."""
+    from trino_demo_spark.llm import bpe
+
+    merges = [(x, y) for x, y, _ in bpe.bpe_train(docs, n_merges=5)]
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe.bpe_apply(docs, merges).collect()}
+
+    # python reference segmentation
+    wf_rows = docs.select("doc_id", "text").collect()
+    def seg_len(word):
+        syms = list(word)
+        for x, y in merges:
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    new.append(x + y); i += 2
+                else:
+                    new.append(syms[i]); i += 1
+            syms = new
+        return len(syms)
+    for r in wf_rows[:50]:
+        words = [w.lower() for w in r.text.strip().split()]
+        exp = (len(words), sum(seg_len(w) for w in words))
+        assert got[r.doc_id] == exp, (r.doc_id, got[r.doc_id], exp)

@@ -150,3 +150,33 @@ def bpe_reference(word_freq: dict[str, int], n_merges: int) -> list[tuple[str, s
                     i += 1
             vocab[w] = new
     return out
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to the corpus: every word becomes its
+    BPE segmentation (the same greedy left-to-right fold as training,
+    chained once per merge in rank order — pure codegen, no UDF), and
+    per-document token statistics come out of one aggregate. This is
+    the train→apply handoff of a real tokenizer: merges are a tiny
+    driver-side list compiled INTO the expression tree, so application
+    is embarrassingly parallel at any corpus size."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(text_col)).alias("w"),
+    ).select(id_col, F.lower("w").alias("w"))
+    segmented = words.withColumn("syms", F.expr("transform(split(w, ''), c -> c)"))
+    for x, y in merges:
+        segmented = segmented.withColumn("syms", _merge_fold(x, y))
+    return (
+        segmented.select(id_col, F.size("syms").alias("n_subtokens"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subtokens").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -1341,6 +1341,27 @@ def llm_tokenizer_bpe(spark, sf_dir):
 
 
 @parity(
+    "llm_tokenizer_apply",
+    sql=None,
+    doc="Train→apply tokenizer handoff: the BPE merges learned by "
+    "llm_tokenizer_bpe are compiled INTO the expression tree (one "
+    "carry-fold per merge in rank order — pure codegen) and applied "
+    "corpus-wide; per-document word and BPE-token counts come out of "
+    "one aggregate. Application is embarrassingly parallel at any "
+    "corpus size: the model is a tiny merge list, the data never "
+    "shuffles before the per-doc count. Rows-only (merge training is "
+    "iterative); the segmentation matches a pure-Python reference "
+    "apply in tests/test_llm.py.",
+)
+def llm_tokenizer_apply(spark, sf_dir):
+    from .llm import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(x, y) for x, y, _ in bpe.bpe_train(docs, n_merges=6)]
+    return bpe.bpe_apply(docs, merges)
+
+
+@parity(
     "llm_perplexity",
     sql=f"""
     WITH tk AS (
