@@ -1004,6 +1004,86 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_select_dsir",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, lower(unnest({_TOK})) AS w FROM documents
+    ),
+    tgt AS (SELECT w, COUNT(*) AS c FROM tok WHERE lang = 'en' GROUP BY 1),
+    raw AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM tgt) AS t_tot,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM raw) AS r_tot,
+             (SELECT COUNT(*) FROM raw) AS v
+    ),
+    doc_tok AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    scored AS (
+      SELECT d.doc_id,
+             SUM(d.tf * (ln((COALESCE(tgt.c, 0) + 1.0) / (tot.t_tot + tot.v))
+                         - ln((raw.c + 1.0) / (tot.r_tot + tot.v)))) AS lr,
+             CAST(SUM(d.tf) AS BIGINT) AS n_tokens
+      FROM doc_tok d
+      JOIN raw ON raw.w = d.w
+      LEFT JOIN tgt ON tgt.w = d.w
+      CROSS JOIN tot
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, ROUND(lr + 1e-9, 4) AS log_importance, n_tokens
+    FROM scored
+    """,
+    doc="DSIR-style data selection (importance resampling via "
+    "target/raw likelihood ratio, Xie et al. 2023, public): unigram "
+    "LMs of the TARGET domain (en) and the RAW corpus are both plain "
+    "keyed aggregates; each document's log importance weight is "
+    "Σ tf·(ln p_target − ln p_raw) via a token-keyed join — the "
+    "weights that resample a raw 100 TB crawl toward a target "
+    "distribution. Model = DataFrames co-partitioned on the token "
+    "key; only vocabulary/total scalars broadcast. Pair with "
+    "llm_sample_weighted to realize the resample deterministically.",
+)
+def llm_select_dsir(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(dedup.tokens_col("text")).alias("w")
+    ).select("doc_id", "lang", F.lower("w").alias("w"))
+    tgt = tok.filter(F.col("lang") == "en").groupBy("w").agg(
+        F.count("*").alias("tc")
+    )
+    raw = tok.groupBy("w").agg(F.count("*").alias("rc"))
+    t_tot = tgt.agg(F.sum("tc").cast("long").alias("t_tot"))
+    r_tot = raw.agg(F.sum("rc").cast("long").alias("r_tot"))
+    vocab = raw.agg(F.count("*").alias("v"))
+    doc_tok = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    return (
+        doc_tok.join(raw, "w")
+        .join(F.broadcast(tgt), "w", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * (
+                        F.log(
+                            (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                            / (F.col("t_tot") + F.col("v"))
+                        )
+                        - F.log(
+                            (F.col("rc") + 1.0) / (F.col("r_tot") + F.col("v"))
+                        )
+                    )
+                )
+                + F.lit(EPS),
+                4,
+            ).alias("log_importance"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@parity(
     "llm_dedup_url_canon",
     sql="""
     WITH raw AS (
