@@ -4188,6 +4188,76 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @parity(
+    "analytics_funnel_strict",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT v.user_id, MIN(e.ts) AS c_ts
+      FROM v JOIN events e ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL 2 HOUR
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT c.user_id, MIN(e.ts) AS p_ts
+      FROM c JOIN events e ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL 2 HOUR
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase
+    """,
+    doc="Strict sequential funnel with per-step time windows: first "
+    "view → first qualifying click within 2 h → first qualifying "
+    "purchase within 2 h of that click — order AND latency constrained "
+    "(the loose any-order funnel is analytics_funnel). Each stage is "
+    "one same-key join on user_id with the time bound as a residual "
+    "plus a keyed MIN — three co-partitioned shuffles total, stage "
+    "frames shrink monotonically, nothing fans out.",
+)
+def analytics_funnel_strict(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("e_ts")
+    )
+    c = (
+        v.join(clicks, v["user_id"] == clicks["c_user"])
+        .filter(
+            (F.col("e_ts") > F.col("v_ts"))
+            & (F.col("e_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("c_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("e_ts")
+    )
+    p = (
+        c.join(purchases, c["user_id"] == purchases["p_user"])
+        .filter(
+            (F.col("e_ts") > F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_click"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchase"))))
+    )
+
+
+@parity(
     "win_distribution",
     sql="""
     SELECT o_orderkey, o_orderpriority,
