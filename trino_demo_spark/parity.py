@@ -4188,6 +4188,53 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @parity(
+    "win_frame_values",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_orderkey) OVER w AS frame_first,
+           last_value(o_orderkey) OVER w AS frame_last,
+           nth_value(o_orderkey, 2) OVER w AS frame_second,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER w AS BIGINT) AS frame_price_units
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    QUALIFY o_orderkey % 20 = 0
+    """,
+    doc="Frame-bounded window value functions: first_value / last_value "
+    "/ nth_value and a running frame sum over an explicit ROWS BETWEEN "
+    "2 PRECEDING frame — the sliding-context primitives feature "
+    "pipelines use (last_value over the default frame is the classic "
+    "footgun; the explicit frame pins identical semantics on both "
+    "engines). One hash partitioning + per-partition sort; the frame "
+    "sum uses exact integer units so the running total is "
+    "order-independent. Output thinned deterministically (key % 20).",
+)
+def win_frame_values(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.first("o_orderkey").over(w).alias("frame_first"),
+            F.last("o_orderkey").over(w).alias("frame_last"),
+            F.nth_value("o_orderkey", 2).over(w).alias("frame_second"),
+            F.sum(u2("o_totalprice")).over(w).cast("long").alias(
+                "frame_price_units"
+            ),
+        )
+        .filter(F.col("o_orderkey") % 20 == 0)
+    )
+
+
+@parity(
     "analytics_funnel_strict",
     sql="""
     WITH v AS (
