@@ -4079,6 +4079,47 @@ def profile_quality_checks(spark, sf_dir):
 
 
 @parity(
+    "f_struct_funcs",
+    sql="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS prio,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    doc="Nested-struct surface: build a struct column (named_struct), "
+    "nest it (struct of struct), reach through dotted field access, "
+    "then star-expand back to flat columns at the output boundary — "
+    "the shape semi-structured pipelines round-trip constantly. The "
+    "oracle is the flat ground truth, so a field lost, reordered, or "
+    "mistyped anywhere through the nest/unnest breaks the match. "
+    "Map-only, whole-stage codegen.",
+)
+def f_struct_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("meta"),
+            F.struct(
+                F.col("o_totalprice").cast("double").alias("price"),
+                F.year("o_orderdate").cast("long").alias("order_year"),
+            ).alias("money"),
+        ).alias("rec"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("rec.meta.status").alias("status"),
+        F.col("rec.meta.prio").alias("prio"),
+        F.col("rec.money.*"),
+    )
+
+
+@parity(
     "f_map_funcs",
     sql="""
     SELECT o_orderkey, mkey, mval, 2 AS n_keys, o_orderstatus AS status_val
