@@ -1004,6 +1004,55 @@ def llm_text_tfidf(spark, sf_dir):
 
 
 @parity(
+    "llm_eval_overlap",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, list_distinct(list_transform({_TOK}, x -> lower(x))) AS ts
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.ts, b.ts)) AS n_common,
+           ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 / len(a.ts) + 1e-9, 4) AS r1_precision,
+           ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 / len(b.ts) + 1e-9, 4) AS r1_recall
+    FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    """,
+    doc="ROUGE-1-style unigram-overlap metrics (precision/recall on "
+    "unique token sets) for a bounded candidate pair set — the "
+    "eval-side text-similarity metric used to validate dedup "
+    "thresholds and summarization outputs. Set ops are per-pair array "
+    "expressions (array_distinct / array_intersect — codegen); the "
+    "bounded all-pairs here is the correctness baseline, and at scale "
+    "the candidate set comes from the LSH/MinHash generators instead "
+    "of a cross join (same composition as llm_embed_neardup → _lsh).",
+)
+def llm_eval_overlap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(dedup.tokens_col("text"), lambda x: F.lower(x))
+        ).alias("ts"),
+    )
+    a = tok.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = tok.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("n_common"),
+            F.round(
+                inter * 1.0 / F.size("ts_a") + F.lit(EPS), 4
+            ).alias("r1_precision"),
+            F.round(
+                inter * 1.0 / F.size("ts_b") + F.lit(EPS), 4
+            ).alias("r1_recall"),
+        )
+    )
+
+
+@parity(
     "llm_select_dsir",
     sql=f"""
     WITH tok AS (
