@@ -4606,6 +4606,54 @@ def sink_compact_files(spark, sf_dir):
 
 
 @parity(
+    "stream_rollup_mv",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+    FROM events GROUP BY user_id
+    """,
+    doc="Streaming materialized view, END-TO-END through Structured "
+    "Streaming: the events landing zone is re-laid as a 3-file stream "
+    "source, drained with Trigger.AvailableNow and "
+    "maxFilesPerTrigger=1 (forcing MULTIPLE micro-batches), and each "
+    "batch's per-user delta merges into the versioned snapshot chain "
+    "via foreachBatch (streaming.kafka_shape.streaming_rollup_sink — "
+    "replay-safe: batch N rewrites its own version from version N-1). "
+    "The returned frame is the FINAL snapshot version; the oracle is "
+    "the batch full recompute over all events, so the incremental "
+    "chain must equal it bit-for-bit — the integer-unit accumulators "
+    "make that hold under any batch split.",
+)
+def stream_rollup_mv(spark, sf_dir):
+    import shutil
+
+    from .streaming import kafka_shape as ks
+
+    base = os.path.join(_scratch(sf_dir), "stream_rollup_mv")
+    land = os.path.join(base, "land")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events")
+    ev.repartition(3).write.parquet(land)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = ks.streaming_rollup_sink(stream, snap, ckpt)
+    q.awaitTermination(180)
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(snap) if d.startswith("v=")
+    )
+    if len(versions) < 2:
+        raise AssertionError(
+            f"expected multiple micro-batches, got versions {versions}"
+        )
+    return spark.read.parquet(f"{snap}/v={versions[-1]}")
+
+
+@parity(
     "sink_incremental_rollup",
     sql="""
     SELECT user_id, COUNT(*) AS n_events,
