@@ -109,3 +109,37 @@ def test_normalize_nullish_property(spark, vals):
     assert all(
         (a == b) or (abs(a - b) < 1e-6 * max(1.0, abs(b))) for a, b in zip(got, exp)
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_merge_rollup_any_split_matches_full(spark, rows):
+    """Property: for ANY (key, value, batch-tag) assignment, merging the
+    per-batch rollups in tag order equals the full rollup — the
+    additive-accumulator contract merge_rollup is built on."""
+    from trino_demo_spark.operators import relational as rel
+
+    pdf = pd.DataFrame(rows, columns=["k", "v", "b"])
+    sdf = spark.createDataFrame(pdf)
+
+    def rollup(df):
+        return df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").cast("long").alias("s")
+        )
+
+    merged = None
+    for tag in sorted(pdf.b.unique()):
+        part = rollup(sdf.filter(F.col("b") == int(tag)))
+        merged = part if merged is None else rel.merge_rollup(
+            merged, part, ["k"], ["n", "s"]
+        )
+    full = rollup(sdf)
+    got = {(r.k, r.n, r.s) for r in merged.collect()}
+    want = {(r.k, r.n, r.s) for r in full.collect()}
+    assert got == want
