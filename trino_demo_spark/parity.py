@@ -4423,6 +4423,81 @@ def win_trailing_distinct(spark, sf_dir):
 
 
 @parity(
+    "agg_regression",
+    sql="""
+    WITH u AS (
+      SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM u
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 100.0 + 1e-9, 4) AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6) AS r2
+    FROM s
+    """,
+    doc="OLS regression aggregates (slope / intercept / R²) of price on "
+    "quantity computed from EXACT integer-unit moment sums — each "
+    "moment accumulates through the same hi/lo split-long discipline "
+    "as usum (Σy² is ~1e14/row: a naive long sum overflows int64 "
+    "around sf0.1 under ANSI mode; the split keeps exactness to ~1e12 "
+    "rows), recombined in decimal and cast to double, so the one "
+    "shuffle-free global aggregate is bit-identical at any "
+    "partitioning and the closed-form double arithmetic runs on "
+    "identical inputs on both engines (DuckDB sums into HUGEINT — "
+    "exact without a split). The manual-moments formulation exists "
+    "precisely because built-in regr_*/covar differ across engines in "
+    "co-moment merge order. ONE partial+final aggregate over the scan.",
+)
+def agg_regression(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    x = u2("l_quantity")
+    y = u2("l_extendedprice")
+
+    def moment(e):
+        lo = e.bitwiseAND(F.lit((1 << 20) - 1))
+        hi = F.shiftright(e, 20)
+        return (
+            F.sum(hi).cast("decimal(38,0)") * F.lit(1 << 20).cast("decimal(8,0)")
+            + F.sum(lo).cast("decimal(38,0)")
+        ).cast("double")
+
+    s = li.agg(
+        F.count("*").alias("n"),
+        moment(x).alias("sx"),
+        moment(y).alias("sy"),
+        moment(x * y).alias("sxy"),
+        moment(x * x).alias("sxx"),
+        moment(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n",
+        F.round(slope + F.lit(EPS), 6).alias("slope"),
+        F.round((sy - slope * sx) / n / 100.0 + F.lit(EPS), 4).alias(
+            "intercept"
+        ),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            + F.lit(EPS),
+            6,
+        ).alias("r2"),
+    )
+
+
+@parity(
     "agg_mode",
     sql="""
     SELECT o_orderpriority,
