@@ -4423,6 +4423,64 @@ def win_trailing_distinct(spark, sf_dir):
 
 
 @parity(
+    "f_date_trunc",
+    sql="""
+    SELECT event_id,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+           CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           CAST(date_trunc('quarter', ts) AS DATE) AS quarter_start,
+           CAST(last_day(CAST(ts AS DATE)) AS DATE) AS month_end,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(weekofyear(ts) AS BIGINT) AS iso_week
+    FROM events WHERE event_id % 25 = 0
+    """,
+    doc="Datetime truncation family: hour/week/month/quarter truncs, "
+    "last_day, ISO day-of-week and ISO week number — the bucket keys "
+    "every time rollup groups by. Map-only; Spark dayofweek is "
+    "Sunday=1 so ISO dow is derived ((dow+5) % 7 + 1), mirrored "
+    "against DuckDB's native isodow.",
+)
+def f_date_trunc(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("ts_hour"),
+        F.to_date(F.date_trunc("week", "ts")).alias("week_start"),
+        F.to_date(F.date_trunc("month", "ts")).alias("month_start"),
+        F.to_date(F.date_trunc("quarter", "ts")).alias("quarter_start"),
+        F.last_day(F.to_date("ts")).alias("month_end"),
+        ((F.dayofweek("ts") + 5) % 7 + 1).cast("long").alias("iso_dow"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+    )
+
+
+@parity(
+    "agg_string_concat",
+    sql="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Ordered string aggregation (listagg/string_agg): per group, "
+    "the sorted distinct member list as one delimited string — the "
+    "report-friendly collect that is nondeterministic unless the "
+    "ordering is pinned. Spark realizes it as collect_set → "
+    "array_sort → array_join (all codegen; collect order never leaks "
+    "because the sort happens after collection).",
+)
+def agg_string_concat(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@parity(
     "agg_regression",
     sql="""
     WITH u AS (
