@@ -4229,6 +4229,42 @@ def sql_recursive_cte(spark, sf_dir):
 
 
 @parity(
+    "win_gap_islands",
+    sql="""
+    WITH d AS (SELECT DISTINCT user_id FROM events),
+    r AS (
+      SELECT user_id,
+             user_id - CAST(ROW_NUMBER() OVER (ORDER BY user_id) AS BIGINT) AS grp
+      FROM d
+    )
+    SELECT MIN(user_id) AS island_start, MAX(user_id) AS island_end,
+           COUNT(*) AS island_len
+    FROM r GROUP BY grp
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive ids via the "
+    "value-minus-row_number trick (consecutive values share a constant "
+    "difference), then one keyed aggregate per island — the sequence-"
+    "integrity check that finds missing id ranges in an ingest. The "
+    "global row_number is over the DISTINCT id set (bounded), not the "
+    "fact; at 100 TB run it per partition key or derive islands from "
+    "per-range min/max zone stats instead.",
+)
+def win_gap_islands(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ids = _t(spark, sf_dir, "events").select("user_id").distinct()
+    r = ids.withColumn(
+        "grp",
+        F.col("user_id") - F.row_number().over(W.orderBy("user_id")).cast("long"),
+    )
+    return r.groupBy("grp").agg(
+        F.min("user_id").alias("island_start"),
+        F.max("user_id").alias("island_end"),
+        F.count("*").alias("island_len"),
+    ).drop("grp")
+
+
+@parity(
     "win_frame_values",
     sql="""
     SELECT o_orderkey, o_orderpriority,
