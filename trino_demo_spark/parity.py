@@ -4459,6 +4459,68 @@ def win_trailing_distinct(spark, sf_dir):
 
 
 @parity(
+    "f_encoding_funcs",
+    sql="""
+    SELECT doc_id,
+           to_base64(CAST(lang AS BLOB)) AS lang_b64,
+           CAST(from_base64(to_base64(CAST(lang AS BLOB))) AS VARCHAR) AS lang_roundtrip,
+           lower(hex(CAST(source AS BLOB))) AS source_hex,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    doc="Binary encoding surface: base64 encode/decode round trip, hex "
+    "encoding, md5 content digest — the payload-safe transport "
+    "encodings every multimodal/binary pipeline crosses. Map-only "
+    "codegen; the round trip makes a one-sided encoding bug visible "
+    "even without the oracle.",
+)
+def f_encoding_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    b64 = F.base64(F.col("lang").cast("binary"))
+    return d.select(
+        "doc_id",
+        b64.alias("lang_b64"),
+        F.unbase64(b64).cast("string").alias("lang_roundtrip"),
+        F.lower(F.hex(F.col("source").cast("binary"))).alias("source_hex"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+@parity(
+    "agg_entropy",
+    sql="""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+    SELECT ROUND(-SUM((c.cnt * 1.0 / n.total) * ln(c.cnt * 1.0 / n.total)) + 1e-9, 6) AS entropy_nats,
+           COUNT(*) AS n_classes,
+           ROUND(ln(COUNT(*)) + 1e-9, 6) AS max_entropy
+    FROM c CROSS JOIN n
+    """,
+    doc="Shannon entropy of the event-type distribution — the "
+    "class-balance diagnostic a sampling/rebalancing pass reads "
+    "before choosing temperatures. Probabilities come from exact "
+    "integer counts (identical on both engines), so the double "
+    "entropy sum runs on identical inputs; one keyed count + one "
+    "|classes|-row reduce.",
+)
+def agg_entropy(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    n = c.agg(F.sum("cnt").cast("long").alias("total"))
+    p = F.col("cnt") * 1.0 / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(n))
+        .agg(
+            F.round(-F.sum(p * F.log(p)) + F.lit(EPS), 6).alias("entropy_nats"),
+            F.count("*").alias("n_classes"),
+            F.round(F.log(F.count("*")) + F.lit(EPS), 6).alias("max_entropy"),
+        )
+    )
+
+
+@parity(
     "f_date_trunc",
     sql="""
     SELECT event_id,
