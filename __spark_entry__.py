@@ -39,13 +39,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return PARITY["join_inner_eq"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _driver_green() -> set[str]:
-    """Names already proven by a fully-green row in any committed
-    CORRECTNESS_r*.json (rows matched, no harness error)."""
+def _driver_status() -> dict[str, str]:
+    """Latest driver verdict per query from committed CORRECTNESS_r*.json.
+
+    Returns name -> one of:
+      ``green``     fully proven: rows + schema + value-hash all matched
+                    (a round-2 bug treated rows_match alone as proven,
+                    which parked two hash-failing queries forever)
+      ``fail``      driver tested it and something mismatched or errored
+      ``rows_only`` no-oracle entry; driver saw rows without error
+    Names never driver-tested are absent. Later rounds override earlier.
+    """
     import glob
     import json
 
-    green: set[str] = set()
+    status: dict[str, str] = {}
     for p in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as fh:
@@ -53,13 +61,51 @@ def _driver_green() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if (
-                isinstance(row, dict)
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err == "no_oracle" and row.get("spark_rows") is not None:
+                status[name] = "rows_only"
+            elif (
+                err is None
                 and row.get("rows_match")
-                and row.get("err") is None
+                and row.get("schema_match")
+                and row.get("hash_match")
             ):
-                green.add(name)
-    return green
+                status[name] = "green"
+            else:
+                status[name] = "fail"
+    return status
+
+
+# Never-driver-tested entries most valuable to a reference user, verified
+# first when the driver caps its per-round sample (VERDICT r3 §next-round-2).
+_PRIORITY = [
+    "llm_multimodal_wav",
+    "llm_multimodal_ppm",
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "win_ranking",
+    "win_running_total",
+    "win_moving_avg",
+    "agg_grouping_sets",
+    "sql_recursive_cte",
+    "udaf_weighted_mean",
+    "e2e_forecast_pipeline",
+    "ml_linreg_fit",
+    "ml_linreg_predict",
+    "ml_ar_forecast",
+    "ml_pandas_udf_infer",
+    "llm_search_bm25",
+    "llm_tokenizer_bpe_train",
+    "llm_tokenizer_bpe_apply",
+    "llm_perplexity",
+    "llm_quality_filter",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -82,18 +128,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     names = list(PARITY)
-    green = _driver_green()
-    pending = [n for n in names if n not in green]
-    proven = [n for n in names if n in green]
-    core = [n for n in pending if not n.startswith(("llm_", "ml_", "udtf_"))]
-    ext = [n for n in pending if n.startswith(("llm_", "ml_", "udtf_"))]
+    status = _driver_status()
+    failed = [n for n in names if status.get(n) == "fail"]
+    pending = [n for n in names if n not in status]
+    rows_only = [n for n in names if status.get(n) == "rows_only"]
+    proven = [n for n in names if status.get(n) == "green"]
+    # Within never-tested: explicit user-impact priorities first, then the
+    # rest with core and llm/ml extensions interleaved so a driver cap
+    # still samples both families.
+    prio = [n for n in _PRIORITY if n in pending]
+    rest = [n for n in pending if n not in prio]
+    core = [n for n in rest if not n.startswith(("llm_", "ml_", "udtf_"))]
+    ext = [n for n in rest if n.startswith(("llm_", "ml_", "udtf_"))]
     interleaved: list[str] = []
     for i in range(max(len(core), len(ext))):
         if i < len(core):
             interleaved.append(core[i])
         if i < len(ext):
             interleaved.append(ext[i])
-    return {name: wrap(name) for name in interleaved + proven}
+    ordered = failed + prio + interleaved + rows_only + proven
+    return {name: wrap(name) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

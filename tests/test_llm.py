@@ -698,3 +698,20 @@ def test_bpe_apply_matches_reference(spark, docs):
         words = [w.lower() for w in r.text.strip().split()]
         exp = (len(words), sum(seg_len(w) for w in words))
         assert got[r.doc_id] == exp, (r.doc_id, got[r.doc_id], exp)
+
+
+def test_bpe_backslash_symbols_survive_sql_splicing(spark):
+    """Corpus symbols are spliced into an F.expr literal; a token whose
+    characters include a backslash must round-trip (backslashes escaped
+    before quotes), not crash or corrupt the merge."""
+    from trino_demo_spark.llm import bpe
+
+    df = spark.createDataFrame(
+        [(0, "a\\ a\\ a\\ a\\"), (1, "a\\ b' b'")], "doc_id long, text string"
+    )
+    merges = bpe.bpe_train(df, n_merges=2)
+    wf = {r.w: r.freq for r in bpe.word_freqs(df).collect()}
+    assert [(x, y) for x, y, _ in merges] == bpe.bpe_reference(wf, 2)
+    applied = {r.doc_id: r.n_bpe_tokens for r in bpe.bpe_apply(df, [(x, y) for x, y, _ in merges]).collect()}
+    # 'a\' fully merges to one token after ('a','\') — doc 0 has 4 words
+    assert applied[0] == 4

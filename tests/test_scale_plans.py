@@ -450,3 +450,26 @@ def test_partitioning_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+
+
+def test_snapshot_diff_null_key_classification(spark):
+    """A NULL key (legal — the join is eqNullSafe) must classify by
+    presence sentinels, not key nullability: unchanged NULL-key rows
+    drop out, changed ones emit 'U', and one-sided rows emit I/D."""
+    old = spark.createDataFrame(
+        [(None, "same"), (1, "a"), (2, "gone")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "same"), (1, "b"), (3, "new")], "k int, v string"
+    )
+    got = {
+        (r.k, r.op) for r in rel.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {(1, "U"), (2, "D"), (3, "I")}
+
+    changed = spark.createDataFrame([(None, "diff")], "k int, v string")
+    got2 = {
+        (r.k, r.op)
+        for r in rel.snapshot_diff(old, changed, ["k"], ["v"]).collect()
+    }
+    assert got2 == {(None, "U"), (1, "D"), (2, "D")}

@@ -185,3 +185,26 @@ def test_resample_ffill_gaps_and_leading_nulls(spark):
     assert rows[("a", "2020-01-06")] == (20.0, True)
     # key b fills to the end of the spine
     assert rows[("b", "2020-01-06")] == (1.0, True)
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary semantics pin for the win_session_native oracle: Spark's
+    session_window MERGES touching sessions, so an event landing exactly
+    `gap` after the previous one stays in the SAME session (verified
+    empirically — 3 events at +0, +gap, +gap+10min form one session).
+    The lag-based oracle therefore starts a new session only on
+    `diff > gap`, strictly."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),  # exactly 30 min later → merges
+            (1, "2024-01-01 00:40:00"),
+        ],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    sessions = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    assert [r["count"] for r in sessions] == [3]

@@ -47,8 +47,10 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _merge_fold(x: str, y: str):
     """Left-to-right non-overlapping merge of adjacent (x, y) in the
     symbol array — a sequential fold with a one-symbol carry."""
-    xq = x.replace("'", "\\'")
-    yq = y.replace("'", "\\'")
+    # Escape backslashes BEFORE quotes: a corpus symbol ending in '\'
+    # would otherwise escape the closing quote of the SQL literal.
+    xq = x.replace("\\", "\\\\").replace("'", "\\'")
+    yq = y.replace("\\", "\\\\").replace("'", "\\'")
     return F.expr(
         "aggregate(syms, "
         "named_struct('out', CAST(array() AS ARRAY<STRING>), 'pend', CAST(NULL AS STRING)), "

@@ -416,15 +416,24 @@ def snapshot_diff(
     predicate is a null-safe column compare evaluated post-join (no
     second pass, no driver state). At 100 TB both snapshots shuffle
     once — store them bucketed by key to make the diff exchange-free."""
-    o = old.select(*[F.col(c).alias(f"__o_{c}") for c in old.columns])
-    n = new.select(*[F.col(c).alias(f"__n_{c}") for c in new.columns])
+    # Sentinel presence flags, not key-column IS NOT NULL: the join is
+    # eqNullSafe so NULL keys are legal, and a NULL first key would
+    # otherwise misclassify a both-sides row as an insert.
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns],
+        F.lit(True).alias("__o_present"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns],
+        F.lit(True).alias("__n_present"),
+    )
     cond = None
     for k in keys:
         c = o[f"__o_{k}"].eqNullSafe(n[f"__n_{k}"])
         cond = c if cond is None else (cond & c)
     j = o.join(n, cond, "full_outer")
-    old_present = F.col(f"__o_{keys[0]}").isNotNull()
-    new_present = F.col(f"__n_{keys[0]}").isNotNull()
+    old_present = F.col("__o_present").isNotNull()
+    new_present = F.col("__n_present").isNotNull()
     changed = None
     for c in compare_cols:
         d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

@@ -2765,7 +2765,9 @@ def tpch_q1(spark, sf_dir):
     "tpch_q11",
     sql=f"""
     WITH value_per_part AS (
-      SELECT l.l_partkey AS ps_partkey, {USUM(UREV('l'), 4)} AS part_value
+      SELECT l.l_partkey AS ps_partkey,
+             SUM({UREV('l')}) AS units,
+             {USUM(UREV('l'), 4)} AS part_value
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -2774,7 +2776,7 @@ def tpch_q1(spark, sf_dir):
     )
     SELECT ps_partkey, part_value
     FROM value_per_part
-    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM value_per_part)
+    WHERE units * 1000 > (SELECT SUM(units) FROM value_per_part)
     """,
     doc="TPC-H Q11 shape (important-stock concentration): per-part value "
     "for one nation's suppliers, kept only where it exceeds a fraction "
@@ -2795,18 +2797,34 @@ def tpch_q11(spark, sf_dir):
     nation_supps = s.join(
         F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
     ).select("s_suppkey")
+    # Threshold in exact 1e-4 integer units (not a DOUBLE re-sum of
+    # part_value, which is order-dependent and can flip a boundary part
+    # across engines): hi/lo long split on the big fact aggregate, exact
+    # decimal recombine per part, exact decimal sum over the (small)
+    # per-part frame, compare units*1000 > total. DOUBLE only at output.
+    rev = urev()
     per_part = (
         li.join(F.broadcast(nation_supps), li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("ps_partkey"))
-        .agg(usum(urev(), 4).alias("part_value"))
+        .agg(
+            F.sum(F.shiftright(rev, 20)).alias("_h"),
+            F.sum(rev.bitwiseAND(F.lit((1 << 20) - 1))).alias("_l"),
+        )
+        .withColumn(
+            "units",
+            F.col("_h").cast("decimal(31,0)") * F.lit(1 << 20).cast("decimal(7,0)")
+            + F.col("_l").cast("decimal(31,0)"),
+        )
+        .withColumn(
+            "part_value",
+            (F.col("units") / F.lit(10**4)).cast("decimal(38,4)").cast("double"),
+        )
     )
     per_part = per_part.persist()
-    threshold = per_part.agg(
-        (F.sum("part_value") * F.lit(0.001)).alias("thr")
-    )
+    threshold = per_part.agg(F.sum("units").alias("thr"))
     return (
         per_part.crossJoin(F.broadcast(threshold))
-        .filter(F.col("part_value") > F.col("thr"))
+        .filter(F.col("units") * F.lit(1000) > F.col("thr"))
         .select("ps_partkey", "part_value")
     )
 

@@ -1296,7 +1296,11 @@ def llm_classify_nb(spark, sf_dir):
              '{{"messages":[',
              '{{"role":"system","content":"You are a helpful assistant."}},',
              '{{"role":"user","content":"Summarize the following ', lang, ' document."}},',
-             '{{"role":"assistant","content":"', text, '"}}]}}'
+             '{{"role":"assistant","content":"',
+             replace(replace(replace(replace(replace(text,
+               '\', '\\'), '"', '\"'),
+               chr(10), '\n'), chr(13), '\r'), chr(9), '\t'),
+             '"}}]}}'
            ) AS sample,
            len({_TOK}) AS n_tokens
     FROM documents
