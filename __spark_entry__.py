@@ -131,7 +131,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     status = _driver_status()
     failed = [n for n in names if status.get(n) == "fail"]
     pending = [n for n in names if n not in status]
-    rows_only = [n for n in names if status.get(n) == "rows_only"]
+    # A rows-only entry that has since GAINED oracle SQL is effectively
+    # unproven under its new contract — verify it ahead of the backlog.
+    upgraded = [
+        n
+        for n in names
+        if status.get(n) == "rows_only" and PARITY[n].sql is not None
+    ]
+    rows_only = [
+        n
+        for n in names
+        if status.get(n) == "rows_only" and PARITY[n].sql is None
+    ]
     proven = [n for n in names if status.get(n) == "green"]
     # Within never-tested: explicit user-impact priorities first, then the
     # rest with core and llm/ml extensions interleaved so a driver cap
@@ -146,7 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             interleaved.append(core[i])
         if i < len(ext):
             interleaved.append(ext[i])
-    ordered = failed + prio + interleaved + rows_only + proven
+    ordered = failed + upgraded + prio + interleaved + rows_only + proven
     return {name: wrap(name) for name in ordered}
 
 

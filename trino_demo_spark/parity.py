@@ -5007,38 +5007,86 @@ def cdc_snapshot_diff(spark, sf_dir):
 
 @parity(
     "agg_approx_distinct",
+    sql="""
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           true AS hll_ok
+    FROM events GROUP BY 1
+    """,
     doc="Per-day approximate distinct users (HyperLogLog++, rsd=0.05) "
     "over events — the fixed-size-sketch cardinality path for 100 TB "
     "(no one-row-per-distinct-value shuffle; commutative partial "
-    "merges make the estimate partition-order independent). Estimates "
-    "are engine-specific, so no DuckDB oracle (rows-only check); "
-    "tests/test_sketches.py bounds the error against the exact count.",
+    "merges make the estimate partition-order independent). The HLL "
+    "estimate itself is engine-specific, so the driver surface is a "
+    "verdict: per day, the oracle-checkable exact count plus a boolean "
+    "asserting the sketch landed within 15% of it (rsd=0.05 → ±15% is "
+    "3σ; measured max 5.2% at sf0.01). The exact companion aggregate "
+    "exists only for this check — the production op is approx-only.",
 )
 def agg_approx_distinct(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return agg_ops.approx_distinct_by_key(
+    approx = agg_ops.approx_distinct_by_key(
         ev, F.to_date("ts").alias("day"), "user_id"
-    ).orderBy("day")
+    )
+    exact = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(approx, "day")
+        .select(
+            "day",
+            "n_exact",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.15)
+            ).alias("hll_ok"),
+        )
+        .orderBy("day")
+    )
 
 
 @parity(
     "agg_hll_rollup",
+    sql="""
+    SELECT CAST(weekofyear(ts) AS BIGINT) AS wk,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           true AS hll_ok
+    FROM events GROUP BY 1
+    """,
     doc="Two-level distinct-count rollup via Datasketches HLL: one "
     "sketch per day (hll_sketch_agg), merged per ISO week "
     "(hll_union_agg) and estimated — the pre-aggregated-cube pattern: "
     "daily sketches persist once, any coarser rollup merges them "
     "without rescanning raw data (distinct counts are not summable; "
-    "sketches are). Sketch bytes are engine-specific → rows-only "
-    "check; error bounded in tests/test_sketches.py.",
+    "sketches are). Sketch bytes/estimates are engine-specific, so the "
+    "driver surface is a verdict: per ISO week, the oracle-checkable "
+    "exact distinct count plus a boolean asserting the merged-sketch "
+    "estimate landed within 10% (lg_k=12 → rsd ≈ 1.6%; measured 0% "
+    "error at sf0.01). The exact companion exists only for the check.",
 )
 def agg_hll_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return agg_ops.hll_rollup(
+    est = agg_ops.hll_rollup(
         ev,
         F.to_date("ts").alias("day"),
         F.weekofyear("day").alias("wk"),
         "user_id",
-    ).orderBy("wk")
+    )
+    exact = ev.groupBy(F.weekofyear(F.to_date("ts")).alias("wk")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(est, "wk")
+        .select(
+            F.col("wk").cast("long").alias("wk"),
+            "n_exact",
+            (
+                F.abs(F.col("est_distinct") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.10)
+            ).alias("hll_ok"),
+        )
+        .orderBy("wk")
+    )
 
 
 @parity(

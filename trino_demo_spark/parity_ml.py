@@ -263,18 +263,60 @@ def ml_logreg(spark, sf_dir):
     return ml.logreg_predict(emb, w, b).orderBy("vec_id")
 
 
+def _pagerank_oracle_sql(iters: int = 4) -> str:
+    """Unrolled fixed-iteration power-iteration oracle: one CTE per
+    round, mirroring ml.pagerank's float sequence exactly — the (1-d)/n
+    literal is computed as (1.0 - 0.85) in DOUBLE (matching the Python
+    `(1.0 - damping) / n`, which is NOT the double nearest 0.15), the
+    graph is symmetric so dangling mass is identically zero on both
+    sides, and intermediate ranks are never rounded."""
+    its = ",\n".join(
+        f"""
+    r{i} AS (
+      SELECT nd.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE) * COALESCE(c.in_sum, CAST(0 AS DOUBLE)) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / d.d) AS in_sum
+        FROM r{i - 1} r JOIN deg d ON d.node = r.node
+        JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+      ) c ON c.node = nd.node
+    )"""
+        for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM pairs
+              UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+           FROM nodes),
+    {its}
+    SELECT node, ROUND(rank + 1e-9, 6) AS rank FROM r{iters}
+    """
+
+
 @parity(
     "ml_pagerank",
-    sql=None,
+    sql=_pagerank_oracle_sql(4),
     doc="PageRank by distributed power iteration over the "
     "customer↔supplier trade graph (edges from lineitem⋈orders, both "
     "directions, disjoint id namespaces): per iteration ONE edge⋈rank "
     "join keyed by node + one keyed sum, dangling mass redistributed "
     "via a 1-row broadcast — ranks never leave the executors; at "
     "100 TB the edge list is bucketed by src once and every iteration "
-    "reuses the layout. Rows-only (iterative, not SQL-expressible); "
-    "cross-checked against a dense numpy power iteration in "
-    "tests/test_llm.py.",
+    "reuses the layout. The oracle unrolls the same 4 iterations as "
+    "chained CTEs (fixed iteration count → SQL-expressible after all); "
+    "ranks surface at 6 decimals so sum-order float noise (~1e-13) "
+    "stays far from the rounding grid. Also cross-checked against a "
+    "dense numpy power iteration in tests/test_llm.py.",
 )
 def ml_pagerank(spark, sf_dir):
     from . import ml
@@ -292,4 +334,4 @@ def ml_pagerank(spark, sf_dir):
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return ml.pagerank(edges, iters=4)
+    return ml.pagerank(edges, iters=4, round_to=6)
