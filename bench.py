@@ -130,12 +130,26 @@ def main() -> None:
         scan_best = min(scan_best, time.perf_counter() - t0)
     canary_scan_sec = round(scan_best, 3)
 
+    # Workload overrides: entries whose PARITY surface later became a
+    # driver-verdict wrapper (round 4: llm_dedup_minhash's parity entry
+    # now also recomputes the exact-Jaccard truth set for its recall
+    # verdict). The BENCH pin measures the production op itself, so keep
+    # benching the identical workload the pin was taken on.
+    from trino_demo_spark.llm import dedup as _dedup
+    from trino_demo_spark.registry import load_table as _lt
+
+    overrides = {
+        "llm_dedup_minhash": lambda spark, d: _dedup.minhash_lsh_pairs(
+            _lt(spark, "documents", d), num_perm=32, bands=8, threshold=0.5
+        ),
+    }
+
     # Best-of-2 per query: local-mode timings carry JIT and ambient-load
     # noise on the first execution (~±50% observed on the heaviest query);
     # min-of-2 reports the engine's steady-state cost (see PERF.md).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = PARITY[name].fn
+        fn = overrides.get(name) or PARITY[name].fn
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
