@@ -715,3 +715,68 @@ def test_bpe_backslash_symbols_survive_sql_splicing(spark):
     applied = {r.doc_id: r.n_bpe_tokens for r in bpe.bpe_apply(df, [(x, y) for x, y, _ in merges]).collect()}
     # 'a\' fully merges to one token after ('a','\') — doc 0 has 4 words
     assert applied[0] == 4
+
+
+def test_epoch_shuffle_deterministic_permutation(spark, docs):
+    """Same seed → identical placement regardless of partitioning; a
+    different seed produces a different order; every doc appears exactly
+    once with contiguous per-shard positions."""
+    from trino_demo_spark.llm import mixing
+
+    a = mixing.epoch_shuffle(docs, seed=7, n_shards=4).collect()
+    b = mixing.epoch_shuffle(docs.repartition(13), seed=7, n_shards=4).collect()
+    key = lambda rows: sorted((r.doc_id, r.shard, r.pos) for r in rows)
+    assert key(a) == key(b)
+
+    n = docs.count()
+    assert len(a) == n and len({r.doc_id for r in a}) == n
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    c = mixing.epoch_shuffle(docs, seed=8, n_shards=4).collect()
+    assert key(a) != key(c)  # reshuffled epoch
+
+
+def test_length_buckets_equal_frequency(spark, docs):
+    """Buckets are 1..n per group, sizes within 1 of each other, and
+    bucket id is monotone in (n_tokens, doc_id) order."""
+    from trino_demo_spark.llm import packing
+
+    out = packing.length_buckets(docs, n_buckets=4).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        sizes = {}
+        for r in rows:
+            sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+        assert set(sizes) == set(range(1, min(4, len(rows)) + 1)), lang
+        assert max(sizes.values()) - min(sizes.values()) <= 1, lang
+        ordered = sorted(rows, key=lambda r: (r.n_tokens, r.doc_id))
+        buckets = [r.bucket for r in ordered]
+        assert buckets == sorted(buckets), lang
+
+
+def test_cms_estimates_never_underestimate(spark):
+    """CMS point estimates must be >= the true count for EVERY probed
+    key (the one-sided sketch guarantee), and exact when the sketch is
+    wide enough to avoid collisions."""
+    from pyspark.sql import functions as F
+
+    from trino_demo_spark.operators import aggregates as agg
+
+    rows = [("g", f"u{i % 37}") for i in range(500)] + [("h", f"u{i % 11}") for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    truth = df.groupBy("grp", "val").agg(F.count("*").alias("true_cnt"))
+
+    wide = agg.cms_estimates(df, "grp", "val", truth, depth=4, width=2048)
+    j = truth.join(wide, ["grp", "val"]).collect()
+    assert len(j) == 48
+    assert all(r.cms_est == r.true_cnt for r in j)  # no collisions at this width
+
+    narrow = agg.cms_estimates(df, "grp", "val", truth, depth=3, width=8)
+    j2 = truth.join(narrow, ["grp", "val"]).collect()
+    assert all(r.cms_est >= r.true_cnt for r in j2)  # lower bound always holds

@@ -73,3 +73,40 @@ def temperature_resample(
         .drop("__w")
     )
     return out
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int = 1,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment for training
+    dataloaders: a seeded integer permutation key per row (Knuth
+    multiplicative hash over id XOR seed, all arithmetic inside the
+    31-bit-safe ANSI int64 domain), shard = key mod n_shards, and the
+    row's position within its shard. Changing `seed` re-shuffles every
+    epoch with zero RNG state — the same (id, seed) gives the same
+    placement on any engine, partitioning, or row order.
+
+    Scale: the key/shard columns are map-side expressions; only the
+    within-shard position needs ordering. Here it is a rank over a
+    window partitioned by shard (n_shards partitions); at 100 TB write
+    with repartition(shard).sortWithinPartitions(key) instead and let
+    the file order BE the position — the hash does the shuffling, no
+    global sort ever runs."""
+    key = (
+        (F.col(id_col).bitwiseXOR(F.lit(seed)).bitwiseAND(F.lit(2147483647)))
+        * F.lit(2654435761)
+    ) % F.lit(2147483647)
+    out = df.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
+        "shard", (F.col("shuffle_key") % n_shards).cast("int")
+    )
+    from pyspark.sql import Window as W
+
+    return out.withColumn(
+        "pos",
+        F.row_number().over(
+            W.partitionBy("shard").orderBy("shuffle_key", id_col)
+        ),
+    )

@@ -97,3 +97,35 @@ def pack_sequences(
             )
 
     return keyed.groupBy("group_key").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def length_buckets(
+    df: DataFrame,
+    n_buckets: int = 4,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum length bucketing: equal-frequency token-length buckets
+    per group (ntile with a full deterministic tiebreak), the standard
+    pre-batching step that keeps same-length documents together so
+    padding waste stays bounded.
+
+    Scale: the window partitions by the group key (languages/sources —
+    thousands of parallel partitions at 100 TB, not a global sort). If a
+    single group outgrows one task, switch to broadcast quantile
+    boundaries + map-side binning (approx_percentile) — same contract,
+    approximate bucket edges."""
+    from .dedup import tokens_col
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokens_col(text_col))
+    return (
+        df.select(F.col(id_col), F.col(group_col), n_tok.alias("n_tokens"))
+        .withColumn(
+            "bucket",
+            F.ntile(n_buckets).over(
+                W.partitionBy(group_col).orderBy("n_tokens", id_col)
+            ),
+        )
+    )

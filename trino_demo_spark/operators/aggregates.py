@@ -217,3 +217,52 @@ def clip_outliers(
         )
         .drop("__lo", "__hi")
     )
+
+
+def cms_estimates(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probes: DataFrame,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-Min sketch built entirely as DataFrame aggregates, then
+    probed for the given (group, value) keys: per (group, seed d,
+    bucket xxhash64(value, d) % width) a partial count; an estimate is
+    the MIN over the depth rows its key hashes into. Fixed
+    depth·width·|groups| state regardless of value cardinality,
+    mergeable by addition — the heavy-hitter / frequency-probe path
+    when exact per-value counts would shuffle one row per distinct
+    value at 100 TB. Deterministic: CMS estimates are exact functions
+    of the data (no RNG), and est >= true count always holds by
+    construction.
+
+    `probes` must carry (group_col, value_col) keys to estimate —
+    typically a small exact top-k frame; it is broadcast into the
+    bucket lookup."""
+    def bucketed(frame, keep):
+        return (
+            frame.select(
+                *keep,
+                *[
+                    (F.xxhash64(F.col(value_col), F.lit(d)) % width)
+                    .alias(f"b_{d}")
+                    for d in range(depth)
+                ],
+            )
+            .unpivot(keep, [f"b_{d}" for d in range(depth)], "d", "bucket")
+            .withColumn("d", F.regexp_replace("d", "b_", "").cast("int"))
+        )
+
+    sketch = (
+        bucketed(df, [group_col])
+        .groupBy(group_col, "d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    pr = F.broadcast(bucketed(probes, [group_col, value_col]))
+    return (
+        pr.join(sketch, [group_col, "d", "bucket"], "left")
+        .groupBy(group_col, value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )

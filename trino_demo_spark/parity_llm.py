@@ -1855,3 +1855,127 @@ def ml_kmeans_profile(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+@parity(
+    "llm_shuffle_epoch",
+    sql="""
+    WITH k AS (
+      SELECT doc_id,
+             ((xor(doc_id, 7) & 2147483647) * 2654435761) % 2147483647 AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % 8 AS INT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+                              ORDER BY shuffle_key, doc_id) AS pos
+    FROM k
+    """,
+    doc="Deterministic epoch shuffle + shard assignment for training "
+    "dataloaders: seeded Knuth-multiplicative permutation key per doc "
+    "(pure 31-bit-safe integer arithmetic — identical on any engine, "
+    "partitioning, or row order), shard = key mod n_shards, position "
+    "within shard. Changing the seed reshuffles the epoch with zero "
+    "RNG state. At 100 TB the position column comes free from "
+    "repartition(shard) + sortWithinPartitions(key) at write time — "
+    "the hash does the shuffling, no global sort ever runs.",
+)
+def llm_shuffle_epoch(spark, sf_dir):
+    return mixing.epoch_shuffle(
+        _t(spark, sf_dir, "documents"), seed=7, n_shards=8
+    )
+
+
+@parity(
+    "llm_length_buckets",
+    sql=f"""
+    SELECT doc_id, lang, len({_TOK}) AS n_tokens,
+           NTILE(4) OVER (PARTITION BY lang
+                          ORDER BY len({_TOK}), doc_id) AS bucket
+    FROM documents
+    """,
+    doc="Curriculum length bucketing: equal-frequency token-length "
+    "buckets per language (ntile with full deterministic tiebreak) — "
+    "the pre-batching step that keeps same-length documents together "
+    "so padding waste stays bounded. Window partitions by language "
+    "(thousands of parallel partitions at corpus scale, never a "
+    "global sort); a group too big for one task switches to broadcast "
+    "approx-quantile boundaries + map-side binning.",
+)
+def llm_length_buckets(spark, sf_dir):
+    return packing.length_buckets(_t(spark, sf_dir, "documents"), n_buckets=4)
+
+
+@parity(
+    "e2e_llm_data_pipeline",
+    sql=f"""
+    WITH q AS (
+      SELECT doc_id,
+             ROUND(0.4 * least(len({_TOK}) / 50.0, 1.0)
+                   + 0.3 * (1.0 - ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4))
+                   + 0.3 * ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4)
+                   + 1e-9, 4) AS quality
+      FROM documents
+    ),
+    lid AS (
+      SELECT doc_id,
+             CASE WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) > 0 THEN 'zh'
+                  WHEN greatest(hits_en, hits_es, hits_de, hits_fr) <= 0 THEN 'und'
+                  WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                  WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                  WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT doc_id, text,
+               len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS hits_en,
+               len(list_filter({_TOK}, x -> x IN ('el', 'la', 'de', 'que', 'y'))) AS hits_es,
+               len(list_filter({_TOK}, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS hits_de,
+               len(list_filter({_TOK}, x -> x IN ('le', 'la', 'et', 'les', 'des'))) AS hits_fr
+        FROM documents
+      )
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, lid.pred_lang
+      FROM documents d JOIN q USING (doc_id) JOIN lid USING (doc_id)
+      WHERE q.quality >= 0.5 AND lid.pred_lang IN ('en', 'de')
+    ),
+    surv AS (
+      SELECT * FROM kept
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text)
+    )
+    SELECT doc_id, pred_lang, len({_TOK}) AS n_tokens,
+           NTILE(4) OVER (PARTITION BY pred_lang
+                          ORDER BY len({_TOK}), doc_id) AS bucket,
+           CAST(((xor(doc_id, 3) & 2147483647) * 2654435761) % 2147483647 % 4 AS INT) AS shard
+    FROM surv
+    """,
+    doc="End-to-end pretraining data prep as ONE declarative plan: "
+    "quality scoring (C4/Gopher-style heuristics) -> language ID -> "
+    "keep en/de above the quality bar -> exact dedup (min doc_id per "
+    "content) -> curriculum length buckets per language -> "
+    "deterministic epoch-shard assignment. Every stage is the library "
+    "operator the standalone parity entries verify; Catalyst fuses the "
+    "scalar stages into one scan + two window/agg exchanges. The "
+    "oracle replays the identical pipeline as chained CTEs.",
+)
+def e2e_llm_data_pipeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    lid = text.lang_id(docs).select("doc_id", "pred_lang")
+    kept = (
+        docs.join(q, "doc_id")
+        .join(lid, "doc_id")
+        .filter((F.col("quality") >= 0.5) & F.col("pred_lang").isin("en", "de"))
+    )
+    keep_ids = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    b = packing.length_buckets(
+        surv, n_buckets=4, group_col="pred_lang"
+    ).select("doc_id", "n_tokens", "bucket")
+    s = mixing.epoch_shuffle(surv, seed=3, n_shards=4).select("doc_id", "shard")
+    return (
+        surv.select("doc_id", "pred_lang")
+        .join(b, "doc_id")
+        .join(s, "doc_id")
+        .select("doc_id", "pred_lang", "n_tokens", "bucket", "shard")
+    )
