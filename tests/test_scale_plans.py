@@ -494,3 +494,14 @@ def test_capped_dedup_bounds_hub_shingle_fanout(spark):
 
     capped = dedup.ngram_jaccard_pairs_capped(df, threshold=0.0, df_max=5).count()
     assert capped == 0  # hub shingle dropped pre-join -> no fan-out
+
+
+def test_e2e_llm_pipeline_single_scan(spark):
+    """The data-prep pipeline's scalar stages (quality, langid, token
+    count, shard key) must fuse into one projection over ONE scan — no
+    self-joins — leaving only the dedup window and the bucket window
+    as exchanges."""
+    plan = _plan(PARITY["e2e_llm_data_pipeline"].fn(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan

@@ -75,6 +75,16 @@ def temperature_resample(
     return out
 
 
+def shuffle_key_expr(id_col: str = "doc_id", seed: int = 1):
+    """The epoch-shuffle permutation key as a bare Column (map-side,
+    31-bit-safe integer arithmetic) — used by epoch_shuffle() and
+    fusable into any pipeline projection without a join."""
+    return (
+        (F.col(id_col).bitwiseXOR(F.lit(seed)).bitwiseAND(F.lit(2147483647)))
+        * F.lit(2654435761)
+    ) % F.lit(2147483647)
+
+
 def epoch_shuffle(
     df: DataFrame,
     seed: int = 1,
@@ -95,10 +105,7 @@ def epoch_shuffle(
     with repartition(shard).sortWithinPartitions(key) instead and let
     the file order BE the position — the hash does the shuffling, no
     global sort ever runs."""
-    key = (
-        (F.col(id_col).bitwiseXOR(F.lit(seed)).bitwiseAND(F.lit(2147483647)))
-        * F.lit(2654435761)
-    ) % F.lit(2147483647)
+    key = shuffle_key_expr(id_col, seed)
     out = df.select(F.col(id_col), key.alias("shuffle_key")).withColumn(
         "shard", (F.col("shuffle_key") % n_shards).cast("int")
     )

@@ -39,9 +39,10 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Heuristic quality scoring: length, punctuation/digit density,
-    stopword ratio (the classic C4/Gopher-style filters, simplified)."""
+def quality_exprs(text_col: str = "text"):
+    """The quality-score component Columns (punct/digit/stop ratios +
+    composite score), exposed bare so pipelines can fuse them into an
+    existing projection (one scan, no self-join)."""
     t = tokens_col(text_col)
     n_tokens = F.size(t)
     n_chars = F.length(text_col)
@@ -62,6 +63,13 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         + F.lit(EPS),
         4,
     )
+    return punct_ratio, digit_ratio, stop_ratio, score
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, punctuation/digit density,
+    stopword ratio (the classic C4/Gopher-style filters, simplified)."""
+    punct_ratio, digit_ratio, stop_ratio, score = quality_exprs(text_col)
     return df.select(
         F.col(id_col),
         punct_ratio.alias("punct_ratio"),
@@ -71,10 +79,10 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID: count hits per language list, plus a CJK
-    character check; argmax with a fixed precedence order (en > es > de >
-    fr) for determinism. 'und' when nothing hits."""
+def lang_pred_expr(text_col: str = "text"):
+    """The language-ID prediction as a bare Column, so pipelines can fuse
+    it into an existing projection (one scan, no self-join) — used by
+    both lang_id() and the e2e data-prep plan."""
     hits = {}
     for lang, words in STOPWORDS.items():
         lst = ", ".join(f"'{w}'" for w in words)
@@ -93,6 +101,14 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         .when(hits["de"] == best, "de")
         .otherwise("fr")
     )
+    return pred, hits
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: count hits per language list, plus a CJK
+    character check; argmax with a fixed precedence order (en > es > de >
+    fr) for determinism. 'und' when nothing hits."""
+    pred, hits = lang_pred_expr(text_col)
     return df.select(
         F.col(id_col),
         pred.alias("pred_lang"),

@@ -1953,29 +1953,43 @@ def llm_length_buckets(spark, sf_dir):
     "quality scoring (C4/Gopher-style heuristics) -> language ID -> "
     "keep en/de above the quality bar -> exact dedup (min doc_id per "
     "content) -> curriculum length buckets per language -> "
-    "deterministic epoch-shard assignment. Every stage is the library "
-    "operator the standalone parity entries verify; Catalyst fuses the "
-    "scalar stages into one scan + two window/agg exchanges. The "
-    "oracle replays the identical pipeline as chained CTEs.",
+    "deterministic epoch-shard assignment. The scalar stages (quality, "
+    "langid, token count, shard key) fuse into ONE projection over ONE "
+    "scan via the libraries' expression builders — no self-joins; the "
+    "whole pipeline is the scan + the dedup aggregate + the per-"
+    "language bucket window (plan-asserted in tests/test_scale_plans). "
+    "The oracle replays the identical pipeline as chained CTEs.",
 )
 def e2e_llm_data_pipeline(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from .llm.dedup import tokens_col
+    from .llm.mixing import shuffle_key_expr
+    from .llm.text import lang_pred_expr, quality_exprs
+
     docs = _t(spark, sf_dir, "documents")
-    q = text.quality_score(docs).select("doc_id", "quality")
-    lid = text.lang_id(docs).select("doc_id", "pred_lang")
-    kept = (
-        docs.join(q, "doc_id")
-        .join(lid, "doc_id")
-        .filter((F.col("quality") >= 0.5) & F.col("pred_lang").isin("en", "de"))
+    _, _, _, quality = quality_exprs("text")
+    pred, _ = lang_pred_expr("text")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        F.size(tokens_col("text")).alias("n_tokens"),
+        quality.alias("quality"),
+        pred.alias("pred_lang"),
+        (shuffle_key_expr("doc_id", 3) % 4).cast("int").alias("shard"),
     )
-    keep_ids = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    surv = kept.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
-    b = packing.length_buckets(
-        surv, n_buckets=4, group_col="pred_lang"
-    ).select("doc_id", "n_tokens", "bucket")
-    s = mixing.epoch_shuffle(surv, seed=3, n_shards=4).select("doc_id", "shard")
-    return (
-        surv.select("doc_id", "pred_lang")
-        .join(b, "doc_id")
-        .join(s, "doc_id")
-        .select("doc_id", "pred_lang", "n_tokens", "bucket", "shard")
+    kept = enriched.filter(
+        (F.col("quality") >= 0.5) & F.col("pred_lang").isin("en", "de")
+    )
+    surv = kept.withColumn(
+        "__keep", F.min("doc_id").over(W.partitionBy("text"))
+    ).filter(F.col("doc_id") == F.col("__keep"))
+    return surv.select(
+        "doc_id",
+        "pred_lang",
+        "n_tokens",
+        F.ntile(4)
+        .over(W.partitionBy("pred_lang").orderBy("n_tokens", "doc_id"))
+        .alias("bucket"),
+        "shard",
     )
