@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "llm_dedup_minhash",     # MinHash-LSH near-dup over documents
     "llm_similarity_topk",   # brute-force cosine top-k over embeddings
     "llm_text_quality",      # text quality scoring sweep
+    "e2e_llm_data_pipeline", # fused quality→langid→dedup→buckets→shards
 ]
 
 # Pinned per-query baselines: the round-1 driver bench (BENCH_r01.json,

@@ -1993,3 +1993,52 @@ def e2e_llm_data_pipeline(spark, sf_dir):
         .alias("bucket"),
         "shard",
     )
+
+
+@parity(
+    "llm_dedup_semantic",
+    sql="""
+    WITH RECURSIVE pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(
+        (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)) /
+        (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
+         sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))))
+        + 1e-9, 4) >= 0.4
+    ),
+    ed AS (SELECT id_a AS a, id_b AS b FROM pr
+           UNION ALL SELECT id_b, id_a FROM pr),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, ed.b FROM reach r JOIN ed ON ed.a = r.dst
+    )
+    SELECT src AS vec_id, MIN(dst) AS cluster_id,
+           MIN(dst) = src AS is_canonical
+    FROM reach GROUP BY src
+    """,
+    doc="Semantic (embedding-cosine) deduplication, SemDeDup-style "
+    "(Abbas et al. 2023, public): near-dup pairs at cosine ≥ 0.4 → "
+    "connected components → canonical keep/drop per cluster. The "
+    "parity surface uses the exact all-pairs cosine graph so the "
+    "oracle can replay it (pair SQL + transitive-closure recursive "
+    "CTE); the 100 TB path swaps in the sign-LSH bucketed pair "
+    "generator (cosine_near_dup_pairs_lsh) with identical downstream "
+    "clustering — candidates only within hash buckets, never "
+    "all-pairs.",
+)
+def llm_dedup_semantic(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_dup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    return (
+        dedup.dedup_clusters(ids, pairs)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            "is_canonical",
+        )
+    )
