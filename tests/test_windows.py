@@ -208,3 +208,62 @@ def test_session_window_exact_gap_merges(spark):
         .collect()
     )
     assert [r["count"] for r in sessions] == [3]
+
+
+def test_partitioned_prefix_sum_matches_naive_window(spark):
+    """The two-phase distributed prefix sum is bit-identical to the
+    naive single-window cumsum for every (key, order) — including
+    order values that straddle bucket boundaries and negative
+    values."""
+    from pyspark.sql import Window as W
+
+    from trino_demo_spark.operators.windows import partitioned_prefix_sum
+
+    rows = [
+        (k, i, (i * 7 + kn * 3) % 11 - 5)
+        for kn, k in enumerate(("a", "b"))
+        for i in range(0, 50, 3)
+    ]
+    df = spark.createDataFrame(rows, "k string, ord long, v long")
+    got = {
+        (r["k"], r["ord"]): r["__cum"]
+        for r in partitioned_prefix_sum(
+            df, "k", "ord", "v", bucket_width=8
+        ).collect()
+    }
+    w = (
+        W.partitionBy("k")
+        .orderBy("ord")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        (r["k"], r["ord"]): r["cum"]
+        for r in df.select(
+            "k", "ord", F.sum("v").over(w).alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_resample_interp_linear_edges(spark):
+    """Interior gaps land on the straight line between bracketing
+    observations; edge days clamp to the nearest observation;
+    observed days pass through untouched."""
+    from trino_demo_spark.operators.windows import resample_interp_linear
+
+    df = spark.createDataFrame(
+        [("a", "2020-01-02", 100), ("a", "2020-01-05", 400)],
+        "k string, d string, v long",
+    ).select("k", F.col("d").cast("date").alias("d"), "v")
+    out = {
+        str(r["d"]): (r["v"], r["filled"])
+        for r in resample_interp_linear(
+            df, "k", "d", "v", "2020-01-01", "2020-01-06"
+        ).collect()
+    }
+    assert out["2020-01-01"] == (100.0, True)   # left edge clamps
+    assert out["2020-01-02"] == (100.0, False)  # observation
+    assert out["2020-01-03"] == (200.0, True)   # 1/3 of the way
+    assert out["2020-01-04"] == (300.0, True)   # 2/3 of the way
+    assert out["2020-01-05"] == (400.0, False)  # observation
+    assert out["2020-01-06"] == (400.0, True)   # right edge clamps

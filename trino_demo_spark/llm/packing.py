@@ -129,3 +129,52 @@ def length_buckets(
             ),
         )
     )
+
+
+def budget_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    part_col: str = "lang",
+) -> DataFrame:
+    """Token-budget shard assignment: walk each language's documents in
+    a fixed order and cut a new training shard every `budget_tokens`
+    tokens — the step that turns a filtered corpus into
+    fixed-token-size dataloader files (a shard holds the docs whose
+    running token count falls inside its budget window; shard sizes
+    land within one document of the budget).
+
+    shard = floor((cum_tokens - n_tokens) / budget): a document belongs
+    to the shard its FIRST token falls in, so every shard except a
+    language's last one spans ≥ budget_tokens.
+
+    Scale shape: the running count uses the two-phase distributed
+    prefix sum (operators/windows.py::partitioned_prefix_sum), so one
+    language never serializes through a single window task — the
+    per-task bound is the prefix-sum bucket width, not the corpus; the
+    rest is one map-side projection.
+    """
+    from ..operators.windows import partitioned_prefix_sum
+
+    from .dedup import tokens_col
+
+    toks = df.select(
+        order_col,
+        part_col,
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    )
+    cum = partitioned_prefix_sum(
+        toks, part_col=part_col, order_col=order_col, value_col="n_tokens"
+    ).withColumnRenamed("__cum", "cum_tokens")
+    return cum.select(
+        order_col,
+        part_col,
+        "n_tokens",
+        "cum_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget_tokens)
+        )
+        .cast("int")
+        .alias("shard"),
+    )

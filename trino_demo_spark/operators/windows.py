@@ -115,3 +115,145 @@ def resample_ffill(
         F.last("__v", ignorenulls=True).over(w).alias(value_col),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+def resample_interp_linear(
+    df,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    start: str,
+    end: str,
+):
+    """Calendar resample + LINEAR interpolation: densify a sparse
+    per-(key, day) series onto every day in [start, end] and fill each
+    gap on the straight line between its bracketing observations —
+    pandas `resample('D').interpolate('linear')` as an engine-side
+    operator (the natural companion to `resample_ffill` for the
+    reference's market-closed price-series holes, where carrying the
+    last close flat biases returns).
+
+    Fill rule per spine day d: with prev = last observation at or
+    before d and nxt = first observation at or after d,
+    ``v = prev_v + (nxt_v - prev_v) * (d - prev_d) / (nxt_d - prev_d)``;
+    observed days reduce to their own value (prev_d = nxt_d = d), and
+    days before the first / after the last observation clamp to the
+    nearest one (edge extrapolation = nearest, like pandas
+    ``interpolate(limit_direction='both')``).
+
+    Scale shape: identical to resample_ffill — spine = keys × days
+    (independent of fact rows), then TWO frame-bounded running
+    accumulators (last-ignorenulls unbounded-preceding and
+    first-ignorenulls unbounded-following) over ONE hash partition by
+    key and ONE within-partition sort; Spark evaluates both frames in
+    a single Window physical node, no second exchange, no rescan per
+    gap.
+    """
+    lo = F.lit(start).cast("date")
+    hi = F.lit(end).cast("date")
+    obs = (
+        df.filter((F.col(date_col) >= lo) & (F.col(date_col) <= hi))
+        .groupBy(key_col, date_col)
+        .agg(F.sum(value_col).alias("__v"))
+    )
+    keys = obs.select(key_col).distinct()
+    spine = keys.join(
+        F.broadcast(
+            df.sparkSession.range(1).select(
+                F.explode(F.sequence(lo, hi)).alias(date_col)
+            )
+        )
+    )
+    wb = (
+        W.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    joined = spine.join(obs, [key_col, date_col], "left")
+    prev_v = F.last("__v", ignorenulls=True).over(wb)
+    prev_d = F.last(
+        F.when(F.col("__v").isNotNull(), F.col(date_col)), ignorenulls=True
+    ).over(wb)
+    nxt_v = F.first("__v", ignorenulls=True).over(wf)
+    nxt_d = F.first(
+        F.when(F.col("__v").isNotNull(), F.col(date_col)), ignorenulls=True
+    ).over(wf)
+    span = F.datediff(nxt_d, prev_d)
+    interp = F.when(prev_v.isNull(), nxt_v.cast("double")).otherwise(
+        F.when(nxt_v.isNull() | (span == 0), prev_v.cast("double")).otherwise(
+            prev_v
+            + (nxt_v - prev_v)
+            * F.datediff(F.col(date_col), prev_d)
+            / span
+        )
+    )
+    return joined.select(
+        key_col,
+        date_col,
+        F.round(interp + F.lit(1e-9), 4).alias(value_col),
+        F.col("__v").isNull().alias("filled"),
+    )
+
+
+def partitioned_prefix_sum(
+    df,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    bucket_width: int = 1024,
+):
+    """Distributed running sum of `value_col` over `order_col` within
+    each `part_col` group — WITHOUT putting a whole group into one
+    window task.
+
+    A plain ``sum().over(partitionBy(part).orderBy(ord))`` serializes
+    each partition-key's entire history through one task; when a single
+    key spans terabytes (one language of a pretraining corpus, one hot
+    ticker) that task is the job. This is the classic two-phase
+    parallel prefix sum expressed declaratively:
+
+    1. map-side: bucket = floor(order / bucket_width) — parallelism is
+       now (#keys × #buckets), not #keys;
+    2. per-(key, bucket) subtotals — ONE partial+final aggregate whose
+       result frame is tiny (≤ keys × buckets rows);
+    3. exclusive running sum of the subtotal frame — a window over the
+       TINY frame (cheap regardless of its partitioning);
+    4. broadcast the offsets back and add the intra-bucket running sum,
+       a window whose partitions are (key, bucket) — bounded by
+       bucket_width rows each, never a whole key.
+
+    Result is bit-identical to the naive single-window formulation
+    (asserted in tests) for any integral value column.
+    """
+    bucket = F.floor(F.col(order_col) / F.lit(bucket_width)).alias("__bkt")
+    src = df.withColumn("__bkt", bucket)
+    subtotals = src.groupBy(part_col, "__bkt").agg(
+        F.sum(value_col).alias("__sub")
+    )
+    w_off = (
+        W.partitionBy(part_col)
+        .orderBy("__bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = subtotals.select(
+        part_col,
+        "__bkt",
+        (F.sum("__sub").over(w_off) - F.col("__sub")).alias("__off"),
+    )
+    w_in = (
+        W.partitionBy(part_col, "__bkt")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        src.join(F.broadcast(offsets), [part_col, "__bkt"])
+        .withColumn(
+            "__cum", F.col("__off") + F.sum(value_col).over(w_in)
+        )
+        .drop("__bkt", "__off")
+    )

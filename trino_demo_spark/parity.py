@@ -5176,3 +5176,143 @@ def agg_winsorize(spark, sf_dir):
         "event_type",
         r_(F.col("value_clipped"), 4).alias("value_clipped"),
     )
+
+
+@parity(
+    "win_interp_linear",
+    sql="""
+    WITH obs AS (
+      SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT k, CAST(gs.d AS DATE) AS d
+      FROM (SELECT DISTINCT k FROM obs)
+      CROSS JOIN generate_series(DATE '1995-03-01', DATE '1995-04-30', INTERVAL 1 DAY) gs(d)
+    ),
+    m AS (
+      SELECT spine.k, spine.d, obs.v,
+             last_value(obs.v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN obs.v IS NOT NULL THEN obs.d END IGNORE NULLS) OVER wb AS pd,
+             first_value(obs.v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN obs.v IS NOT NULL THEN obs.d END IGNORE NULLS) OVER wf AS nd
+      FROM spine LEFT JOIN obs ON obs.k = spine.k AND obs.d = spine.d
+      WINDOW wb AS (PARTITION BY spine.k ORDER BY spine.d ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY spine.k ORDER BY spine.d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT k AS o_orderpriority, d AS o_orderdate,
+           ROUND(CASE WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                      WHEN nv IS NULL OR nd = pd THEN CAST(pv AS DOUBLE)
+                      ELSE pv + (nv - pv) * (d - pd) * 1.0 / (nd - pd) END
+                 + 1e-9, 4) AS rev_units,
+           v IS NULL AS filled
+    FROM m
+    """,
+    doc="Calendar resample + LINEAR interpolation (pandas "
+    "resample('D').interpolate('linear') engine-side): daily order-"
+    "revenue per priority densified onto every day of Mar-Apr 1995, "
+    "each gap filled on the straight line between its bracketing "
+    "observations, edges clamped to the nearest one. Same scale shape "
+    "as win_resample_ffill — spine = keys x days, one hash partition "
+    "by key, both the backward (last-ignorenulls) and forward "
+    "(first-ignorenulls) accumulators ride ONE Window node with no "
+    "second exchange. Inputs are exact cent units so the interpolation "
+    "arithmetic is the same IEEE sequence on both engines "
+    "(operators/windows.py::resample_interp_linear).",
+)
+def win_interp_linear(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn("rev_units", u2("o_totalprice"))
+    return win_ops.resample_interp_linear(
+        o,
+        key_col="o_orderpriority",
+        date_col="o_orderdate",
+        value_col="rev_units",
+        start="1995-03-01",
+        end="1995-04-30",
+    ).toDF("o_orderpriority", "o_orderdate", "rev_units", "filled")
+
+
+@parity(
+    "profile_drift_psi",
+    sql="""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS INT), 9) AS bucket,
+             CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END AS is_ref
+      FROM orders
+      WHERE year(o_orderdate) IN (1996, 2000)
+    ),
+    c AS (
+      SELECT gs.i AS bucket,
+             COALESCE(SUM(CASE WHEN is_ref = 1 THEN 1 ELSE 0 END), 0) AS n_ref,
+             COALESCE(SUM(CASE WHEN is_ref = 0 THEN 1 ELSE 0 END), 0) AS n_cur
+      FROM (SELECT CAST(u.i AS INT) AS i FROM UNNEST(range(0, 10)) u(i)) gs
+      LEFT JOIN b ON b.bucket = gs.i
+      GROUP BY gs.i
+    ),
+    t AS (SELECT SUM(n_ref) AS tot_ref, SUM(n_cur) AS tot_cur FROM c),
+    p AS (
+      SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             (n_ref + 1.0) / (t.tot_ref + 10.0) AS p_ref,
+             (n_cur + 1.0) / (t.tot_cur + 10.0) AS p_cur
+      FROM c CROSS JOIN t
+    )
+    SELECT bucket, n_ref, n_cur,
+           ROUND(p_ref + 1e-9, 6) AS p_ref,
+           ROUND(p_cur + 1e-9, 6) AS p_cur,
+           ROUND((p_ref - p_cur) * ln(p_ref / p_cur) + 1e-9, 6) AS psi_contrib
+    FROM p
+    """,
+    doc="Distribution-drift profiling via PSI (population stability "
+    "index): order-value histograms for a reference year (1996) vs a "
+    "current year (2000) on fixed $50k buckets, Laplace-smoothed "
+    "shares, per-bucket PSI contribution (p_ref - p_cur)·ln(p_ref/"
+    "p_cur) — the monitoring check a training-data pipeline runs "
+    "before trusting a new snapshot. ONE conditional-aggregate scan "
+    "produces both histograms (no per-period re-scan, no join of two "
+    "subqueries); the 10-row bucket spine and the 1-row totals "
+    "broadcast. Bucketing is exact integer cents so bucket edges "
+    "never float-flip.",
+)
+def profile_drift_psi(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    bucket = F.least(
+        F.floor(u2("o_totalprice") / F.lit(5_000_000.0)).cast("int"), F.lit(9)
+    )
+    counts = (
+        o.filter(yr.isin(1996, 2000))
+        .select(
+            bucket.alias("bucket"),
+            (yr == 1996).cast("int").alias("is_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    spine = o.sparkSession.range(10).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        spine.join(F.broadcast(counts), "bucket", "left")
+        .fillna(0, ["n_ref", "n_cur"])
+    )
+    totals = dense.agg(
+        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("tot_ref") + 10.0)
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("tot_cur") + 10.0)
+    return (
+        dense.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            r_(p_ref, 6).alias("p_ref"),
+            r_(p_cur, 6).alias("p_cur"),
+            r_((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("psi_contrib"),
+        )
+    )

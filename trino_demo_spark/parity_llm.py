@@ -2042,3 +2042,115 @@ def llm_dedup_semantic(spark, sf_dir):
             "is_canonical",
         )
     )
+
+
+@parity(
+    "llm_shard_budget",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, lang, len({_TOK}) AS n_tokens FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) / 2000.0) AS INT) AS shard
+    FROM tok
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="Token-budget shard assignment: each language's documents are "
+    "walked in doc_id order and a new training shard starts every "
+    "2000 tokens (a doc belongs to the shard its first token falls "
+    "in) — the corpus-to-dataloader-files step. The running count is "
+    "the TWO-PHASE distributed prefix sum (bucket subtotals → tiny "
+    "offsets frame → bounded intra-bucket windows, operators/"
+    "windows.py::partitioned_prefix_sum), so one language never "
+    "serializes through a single window task; the oracle states the "
+    "same result as the naive one-window cumsum.",
+)
+def llm_shard_budget(spark, sf_dir):
+    return packing.budget_shards(
+        _t(spark, sf_dir, "documents"), budget_tokens=2000
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        "shard",
+    )
+
+
+@parity(
+    "llm_format_dpo",
+    sql=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, text, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+      WHERE lang IN ('en', 'de')
+    ),
+    chosen AS (SELECT lang, rk AS pair_id, doc_id, text FROM ranked
+               WHERE rk <= n / 2),
+    rejected AS (SELECT lang, n + 1 - rk AS pair_id, doc_id, text FROM ranked
+                 WHERE rk > n - n / 2)
+    SELECT c.lang, CAST(c.pair_id AS BIGINT) AS pair_id,
+           c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+           concat(
+             '{{"prompt":"Write a long ', c.lang, ' document.",',
+             '"chosen":"',
+             replace(replace(replace(replace(replace(c.text,
+               '\', '\\'), '"', '\"'),
+               chr(10), '\n'), chr(13), '\r'), chr(9), '\t'),
+             '","rejected":"',
+             replace(replace(replace(replace(replace(r.text,
+               '\', '\\'), '"', '\"'),
+               chr(10), '\n'), chr(13), '\r'), chr(9), '\t'),
+             '"}}'
+           ) AS sample
+    FROM chosen c JOIN rejected r ON r.lang = c.lang AND r.pair_id = c.pair_id
+    """,
+    doc="Preference-pair (DPO/RLHF-style) sample rendering: per "
+    "language, rank documents by a deterministic quality proxy "
+    "(n_chars, doc_id tiebreak), pair rank i with rank n+1-i "
+    "(best-vs-worst), and render one JSON training sample per pair "
+    "via to_json over a struct — the oracle reproduces Spark's JSON "
+    "escaping byte-for-byte. One window ranking plus one equi-join on "
+    "(lang, pair_id): both sides hash-partition the same way, so the "
+    "pairing join co-locates; no crossJoin, no driver state.",
+)
+def llm_format_dpo(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(W.partitionBy("lang")).alias("n"),
+    )
+    half = (F.col("n") / 2).cast("long")
+    chosen = ranked.filter(F.col("rk") <= half).select(
+        "lang",
+        F.col("rk").alias("pair_id"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("text").alias("__c_text"),
+    )
+    rejected = ranked.filter(F.col("rk") > F.col("n") - half).select(
+        "lang",
+        (F.col("n") + 1 - F.col("rk")).alias("pair_id"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("text").alias("__r_text"),
+    )
+    joined = chosen.join(rejected, ["lang", "pair_id"])
+    sample = F.to_json(
+        F.struct(
+            F.concat(
+                F.lit("Write a long "), F.col("lang"), F.lit(" document.")
+            ).alias("prompt"),
+            F.col("__c_text").alias("chosen"),
+            F.col("__r_text").alias("rejected"),
+        )
+    )
+    return joined.select(
+        "lang", "pair_id", "chosen_id", "rejected_id", sample.alias("sample")
+    )
