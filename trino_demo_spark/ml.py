@@ -245,3 +245,41 @@ def pagerank(
     )
     nodes.unpersist()
     return out
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009, sklearn's
+    HashingVectorizer): token → feature index = h(token) mod dim, with
+    an independent hash bit choosing ±1 so colliding tokens cancel in
+    expectation instead of accumulating bias. Emits the sparse
+    representation (id, feat, v) — the form a downstream trainer or
+    similarity join actually consumes; densify only at the model
+    boundary.
+
+    Stateless by construction — no vocabulary to build, broadcast, or
+    version, which is the property that makes it the featurizer of
+    choice at corpus scale: any executor can featurize any shard with
+    zero coordination. Plan shape: map-side explode + ONE keyed
+    partial+final aggregate; output is bounded by rows × dim. Hash is
+    md5 (identical hex on any engine — the oracle reproduces index and
+    sign exactly).
+    """
+    from .llm.dedup import tokens_col
+
+    tok = df.select(id_col, F.explode(tokens_col(text_col)).alias("__tk"))
+    h = F.md5("__tk")
+    feat = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(dim)
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.groupBy(id_col, feat.alias("feat"))
+        .agg(F.sum(sign).alias("v"))
+    )

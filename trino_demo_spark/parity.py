@@ -5316,3 +5316,70 @@ def profile_drift_psi(spark, sf_dir):
             r_((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("psi_contrib"),
         )
     )
+
+
+@parity(
+    "sink_orc_roundtrip",
+    sql="""
+    SELECT l_orderkey, l_partkey,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_units,
+           CAST(l_shipdate AS DATE) AS l_shipdate
+    FROM lineitem WHERE l_shipdate >= DATE '1997-06-01'
+    """,
+    doc="Columnar-format interchange surface: a lineitem projection "
+    "written as ORC (Spark's second native columnar format — the one "
+    "a Hive/Trino warehouse hands over) and scanned back; every row "
+    "must survive the round trip, so the oracle reads the source "
+    "table. ORC carries the same min/max stripe statistics as "
+    "parquet, so the shipdate predicate pushes into the scan on "
+    "re-read exactly as it does for parquet.",
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "lineitem_orc")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-06-01").cast("date"))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            u2("l_quantity").alias("qty_units"),
+            "l_shipdate",
+        )
+    )
+    li.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@parity(
+    "sink_jsonl_roundtrip",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_units
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="Line-delimited-JSON interchange surface (the landing format "
+    "of every log/event pipeline): an orders projection written as "
+    "JSONL with an explicit read-back schema — no inference, so the "
+    "types are stable whatever the file contents. Dates cross the "
+    "text boundary as ISO strings (explicitly cast, not "
+    "serializer-dependent); money as exact integer units.",
+)
+def sink_jsonl_roundtrip(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "orders_jsonl")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
+            u2("o_totalprice").alias("price_units"),
+        )
+    )
+    o.write.mode("overwrite").json(path)
+    schema = (
+        "o_orderkey bigint, o_orderpriority string, "
+        "order_day string, price_units bigint"
+    )
+    return spark.read.schema(schema).json(path)

@@ -335,3 +335,27 @@ def ml_pagerank(spark, sf_dir):
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return ml.pagerank(edges, iters=4, round_to=6)
+
+
+@parity(
+    "ml_feature_hashing",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tk), 1, 8))::UBIGINT % 256 AS INT) AS feat,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5(tk), 9, 1))::UBIGINT % 2 = 0
+                         THEN 1 ELSE -1 END) AS BIGINT) AS v
+    FROM tok GROUP BY 1, 2
+    """,
+    doc="Hashing-trick featurization (HashingVectorizer semantics): "
+    "token → md5-derived feature index mod 256 with an independent "
+    "±1 sign bit, summed per (doc, feature) into the sparse "
+    "representation. Stateless — no vocabulary build/broadcast, any "
+    "executor featurizes any shard with zero coordination; map-side "
+    "explode + one keyed aggregate (ml.py::feature_hash).",
+)
+def ml_feature_hashing(spark, sf_dir):
+    return ml.feature_hash(_t(spark, sf_dir, "documents"))
