@@ -505,3 +505,50 @@ def test_e2e_llm_pipeline_single_scan(spark):
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_prefix_sum_no_whole_key_window(spark):
+    """partitioned_prefix_sum's promise: no window partitioned by the
+    group key alone (which would serialize a whole key through one
+    task). Every Window node must partition by (key, bucket) or run on
+    the tiny subtotal frame; the big-frame join of offsets must be a
+    broadcast."""
+    from trino_demo_spark.llm.packing import budget_shards
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    df = budget_shards(docs, budget_tokens=2000)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # offsets frame broadcasts back
+    # the intra-bucket window partitions by (lang, __bkt), never lang alone
+    import re
+
+    windows = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
+    big_frame_specs = [w for w in windows if "__bkt" in w or "lang" in w]
+    assert any("__bkt" in w and "lang" in w for w in big_frame_specs)
+
+
+def test_drift_psi_single_fact_scan(spark):
+    """profile_drift_psi reads the orders fact ONCE — both period
+    histograms come from one conditional aggregate, not per-period
+    re-scans."""
+    df = PARITY["profile_drift_psi"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 3
+
+
+def test_interp_linear_single_window_exchange(spark):
+    """Both interpolation accumulators (backward last / forward first)
+    ride the same (key) partitioning: exactly one Exchange feeds the
+    Window stage beyond the spine build."""
+    from trino_demo_spark.operators.windows import resample_interp_linear
+
+    o = load_table(spark, "orders", SF_SMOKE).withColumn(
+        "v", F.col("o_totalprice").cast("long")
+    )
+    df = resample_interp_linear(
+        o, "o_orderpriority", "o_orderdate", "v", "1995-03-01", "1995-04-30"
+    )
+    plan = _plan(df)
+    assert "Window" in plan
+    # no second sort+exchange between the two window frames
+    assert plan.count("hashpartitioning(o_orderpriority") <= 2
