@@ -267,3 +267,23 @@ def test_resample_interp_linear_edges(spark):
     assert out["2020-01-04"] == (300.0, True)   # 2/3 of the way
     assert out["2020-01-05"] == (400.0, False)  # observation
     assert out["2020-01-06"] == (400.0, True)   # right edge clamps
+
+
+def test_ewma_matches_pandas(spark):
+    """The closed-form windowed EWMA reproduces pandas
+    ewm(alpha, adjust=False).mean() — the independent reference
+    implementation of the recursion y_t = (1-a)y_{t-1} + a*x_t."""
+    import pandas as pd
+
+    from trino_demo_spark.operators.windows import ewma
+
+    vals = [3.0, 7.0, 1.0, 4.0, 9.0, 2.0, 8.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, i int, v double"
+    )
+    got = [
+        r["ewma"]
+        for r in ewma(df, "k", "i", "v", alpha=0.3).orderBy("i").collect()
+    ]
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().tolist()
+    assert got == pytest.approx(want, rel=1e-12)

@@ -257,3 +257,48 @@ def partitioned_prefix_sum(
         )
         .drop("__bkt", "__off")
     )
+
+
+def ewma(
+    df,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+):
+    """Per-key exponentially weighted moving average (pandas
+    ``ewm(alpha, adjust=False)`` semantics: y_0 = x_0,
+    y_t = (1-α)·y_{t-1} + α·x_t) — the recursive smoother every
+    time-series feature pipeline wants, expressed WITHOUT a recursive
+    loop so it stays one window pass.
+
+    Closed form: y_t = (1-α)^t · Σ_{i≤t} w_i·x_i with w_0 = 1,
+    w_i = α·(1-α)^{-i} — i.e. a weighted running sum (ROWS UNBOUNDED
+    PRECEDING, a streaming accumulator) times a per-row factor. ONE
+    hash partition by key + one within-partition sort, identical to a
+    plain cumsum; no self-join, no per-row driver recursion, no O(n²)
+    array fold.
+
+    Numeric range: the (1-α)^{-i} weight grows geometrically, so the
+    formulation is exact-in-double for series up to
+    ~log(1e300)/log(1/(1-α)) rows per key (α=0.2 → ~3000 rows; α=0.05
+    → ~13000). Beyond that, chunk the series (the same two-phase
+    trick as partitioned_prefix_sum: per-chunk EWMA + carry-in scaled
+    by (1-α)^chunk_len) — at daily/hourly grain this bound covers
+    decades per key.
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    i = F.row_number().over(
+        W.partitionBy(key_col).orderBy(order_col)
+    ) - F.lit(1)
+    decay = F.lit(1.0 - alpha)
+    weight = F.when(i == 0, F.lit(1.0)).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1.0) / decay, i)
+    )
+    c = F.sum(weight * F.col(value_col)).over(w)
+    return df.withColumn(out_col, F.pow(decay, i) * c)

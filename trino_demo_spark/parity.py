@@ -5383,3 +5383,59 @@ def sink_jsonl_roundtrip(spark, sf_dir):
         "order_day string, price_units bigint"
     )
     return spark.read.schema(schema).json(path)
+
+
+@parity(
+    "win_ewma",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT k, d, n,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY d) - 1 AS i
+      FROM daily
+    )
+    SELECT k AS o_orderpriority, d AS o_orderdate, n,
+           ROUND(pow(0.8, i) * SUM(
+             CASE WHEN i = 0 THEN 1.0 ELSE 0.2 * pow(1.0 / 0.8, i) END * n
+           ) OVER (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)
+           + 1e-9, 4) AS ewma
+    FROM m
+    """,
+    doc="Per-key EWMA (pandas ewm(alpha=0.2, adjust=False)) over the "
+    "daily order-count series — the recursive smoother y_t = "
+    "(1-a)y_{t-1} + a·x_t expressed as a CLOSED-FORM weighted running "
+    "sum times a per-row decay factor, so it runs as one window pass "
+    "(hash partition by key, streaming unbounded-preceding "
+    "accumulator) instead of a per-row recursion or O(n^2) fold "
+    "(operators/windows.py::ewma; the geometric-weight range bound "
+    "and the chunked carry-in for ultra-long series are documented "
+    "there).",
+)
+def win_ewma(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-04-30").cast("date"))
+        )
+        .groupBy(
+            F.col("o_orderpriority"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    out = win_ops.ewma(
+        daily,
+        key_col="o_orderpriority",
+        order_col="o_orderdate",
+        value_col="n",
+        alpha=0.2,
+    )
+    return out.select(
+        "o_orderpriority", "o_orderdate", "n", r_(F.col("ewma"), 4).alias("ewma")
+    )
