@@ -287,3 +287,23 @@ def test_ewma_matches_pandas(spark):
     ]
     want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().tolist()
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_rolling_median_matches_pandas(spark):
+    """Frame-bounded rolling median matches pandas
+    rolling(window, min_periods=1).median() including even-count
+    interpolation."""
+    from trino_demo_spark.operators.windows import rolling_median
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, i int, v double"
+    )
+    got = [
+        r["median"]
+        for r in rolling_median(df, "k", "i", "v", frame_rows=4)
+        .orderBy("i")
+        .collect()
+    ]
+    want = pd.Series(vals).rolling(4, min_periods=1).median().tolist()
+    assert got == pytest.approx(want)

@@ -302,3 +302,41 @@ def ewma(
     )
     c = F.sum(weight * F.col(value_col)).over(w)
     return df.withColumn(out_col, F.pow(decay, i) * c)
+
+
+def rolling_median(
+    df,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    frame_rows: int = 7,
+    out_col: str = "median",
+):
+    """Per-key rolling median over a trailing row frame — the robust
+    alternative to a moving average that no built-in window aggregate
+    provides. Implemented as sort_array(collect_list) over the frame
+    plus middle-element pick (averaging the two middles for even
+    counts, matching DuckDB/pandas interpolation).
+
+    Scale shape: one hash partition by key + one within-partition
+    sort, the same single window pass as any moving aggregate; the
+    collected frame is bounded by `frame_rows` (per-ROW working set =
+    O(frame), NOT O(partition)), so memory is flat regardless of key
+    size. For very wide frames (thousands of rows) switch to the
+    two-heap / indexable-skiplist streaming algorithm via
+    applyInPandas — at typical feature-engineering frames (7/30/90)
+    the array formulation wins on codegen simplicity.
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(frame_rows - 1), W.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double")
+    ).otherwise((lo + hi) / F.lit(2.0))
+    return df.withColumn(out_col, med)

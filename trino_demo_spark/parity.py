@@ -5439,3 +5439,53 @@ def win_ewma(spark, sf_dir):
     return out.select(
         "o_orderpriority", "o_orderdate", "n", r_(F.col("ewma"), 4).alias("ewma")
     )
+
+
+@parity(
+    "win_rolling_median",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      GROUP BY 1, 2
+    )
+    SELECT k AS o_orderpriority, d AS o_orderdate, n,
+           ROUND(CAST(median(n) OVER (
+             PARTITION BY k ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) + 1e-9, 2) AS med7
+    FROM daily
+    """,
+    doc="Trailing 7-row rolling MEDIAN of the daily order-count series "
+    "per priority — the outlier-robust moving statistic no built-in "
+    "window aggregate provides, as sort_array(collect_list) over the "
+    "bounded frame + middle pick (even counts average the two "
+    "middles, matching DuckDB's windowed median). Per-row working "
+    "set is O(frame), not O(partition); one window pass "
+    "(operators/windows.py::rolling_median, where the two-heap "
+    "streaming variant for very wide frames is documented).",
+)
+def win_rolling_median(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-04-30").cast("date"))
+        )
+        .groupBy(
+            F.col("o_orderpriority"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    out = win_ops.rolling_median(
+        daily,
+        key_col="o_orderpriority",
+        order_col="o_orderdate",
+        value_col="n",
+        frame_rows=7,
+        out_col="med7",
+    )
+    return out.select(
+        "o_orderpriority", "o_orderdate", "n", r_(F.col("med7"), 2).alias("med7")
+    )
