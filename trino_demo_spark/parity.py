@@ -5489,3 +5489,94 @@ def win_rolling_median(spark, sf_dir):
     return out.select(
         "o_orderpriority", "o_orderdate", "n", r_(F.col("med7"), 2).alias("med7")
     )
+
+
+@parity(
+    "agg_covariance_matrix",
+    sql="""
+    WITH u AS (
+      SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+      FROM lineitem
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+             CAST(SUM(d) AS DOUBLE) AS sd,
+             CAST(SUM(q * q) AS DOUBLE) AS sqq, CAST(SUM(q * p) AS DOUBLE) AS sqp,
+             CAST(SUM(q * d) AS DOUBLE) AS sqd, CAST(SUM(p * p) AS DOUBLE) AS spp,
+             CAST(SUM(p * d) AS DOUBLE) AS spd, CAST(SUM(d * d) AS DOUBLE) AS sdd
+      FROM u
+    )
+    SELECT col_a, col_b,
+           ROUND((n * sab - sa * sb) / (CAST(n AS DOUBLE) * n) / 10000.0 + 1e-9, 4) AS cov
+    FROM (
+      SELECT n, 'quantity' AS col_a, 'quantity' AS col_b, sqq AS sab, sq AS sa, sq AS sb FROM s
+      UNION ALL SELECT n, 'quantity', 'extendedprice', sqp, sq, sp FROM s
+      UNION ALL SELECT n, 'quantity', 'discount', sqd, sq, sd FROM s
+      UNION ALL SELECT n, 'extendedprice', 'extendedprice', spp, sp, sp FROM s
+      UNION ALL SELECT n, 'extendedprice', 'discount', spd, sp, sd FROM s
+      UNION ALL SELECT n, 'discount', 'discount', sdd, sd, sd FROM s
+    )
+    """,
+    doc="Feature covariance matrix (the PCA/whitening pre-pass) over "
+    "(l_quantity, l_extendedprice, l_discount) in ONE aggregate pass: "
+    "all 9 co-moments accumulate as exact split-long integer-unit "
+    "sums (same hi/lo discipline as agg_regression — Σp² overflows a "
+    "naive int64 long before 100 TB), recombined in decimal, and the "
+    "population covariances emerge in long form (col_a, col_b, cov) "
+    "from the 1-row moment frame. One partial+final aggregate over "
+    "one scan, partitioning-invariant by construction; O(d²) state "
+    "per partition, never O(rows).",
+)
+def agg_covariance_matrix(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q, p, d = u2("l_quantity"), u2("l_extendedprice"), u2("l_discount")
+
+    def moment(e):
+        lo = e.bitwiseAND(F.lit((1 << 20) - 1))
+        hi = F.shiftright(e, 20)
+        return (
+            F.sum(hi).cast("decimal(38,0)") * F.lit(1 << 20).cast("decimal(8,0)")
+            + F.sum(lo).cast("decimal(38,0)")
+        ).cast("double")
+
+    s = li.agg(
+        F.count("*").alias("n"),
+        moment(q).alias("sq"),
+        moment(p).alias("sp"),
+        moment(d).alias("sd"),
+        moment(q * q).alias("sqq"),
+        moment(q * p).alias("sqp"),
+        moment(q * d).alias("sqd"),
+        moment(p * p).alias("spp"),
+        moment(p * d).alias("spd"),
+        moment(d * d).alias("sdd"),
+    )
+    pairs = [
+        ("quantity", "quantity", "sqq", "sq", "sq"),
+        ("quantity", "extendedprice", "sqp", "sq", "sp"),
+        ("quantity", "discount", "sqd", "sq", "sd"),
+        ("extendedprice", "extendedprice", "spp", "sp", "sp"),
+        ("extendedprice", "discount", "spd", "sp", "sd"),
+        ("discount", "discount", "sdd", "sd", "sd"),
+    ]
+    long_rows = [
+        s.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round(
+                (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb))
+                / (F.col("n").cast("double") * F.col("n"))
+                / F.lit(10000.0)
+                + F.lit(EPS),
+                4,
+            ).alias("cov"),
+        )
+        for a, b, sab, sa, sb in pairs
+    ]
+    out = long_rows[0]
+    for r in long_rows[1:]:
+        out = out.unionAll(r)
+    return out

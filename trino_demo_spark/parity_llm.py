@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from .llm import dedup, mixing, multimodal, packing, similarity, text
 from .operators import relational as rel_ops
-from .parity import EPS, _t, parity
+from .parity import EPS, _t, parity, r_
 
 # Shared SQL fragments so the oracle tokenization matches
 # llm.dedup.tokens_col exactly.
@@ -2153,4 +2153,67 @@ def llm_format_dpo(spark, sf_dir):
     )
     return joined.select(
         "lang", "pair_id", "chosen_id", "rejected_id", sample.alias("sample")
+    )
+
+
+@parity(
+    "llm_source_overlap",
+    sql="""
+    WITH h AS (
+      SELECT DISTINCT
+             sha256(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS hash,
+             source
+      FROM documents),
+    tot AS (SELECT source, COUNT(*) AS n_docs FROM h GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared,
+           ROUND(COUNT(*) * 1.0 / LEAST(ta.n_docs, tb.n_docs) + 1e-9, 4) AS overlap
+    FROM h a
+    JOIN h b ON a.hash = b.hash AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source, ta.n_docs, tb.n_docs
+    """,
+    doc="Cross-source duplicate-overlap matrix: for every source pair, "
+    "how many distinct content fingerprints (sha2-256 of the 5-token "
+    "document prefix — the cheap head-fingerprint used before "
+    "committing to full-content dedup) appear in both, and the "
+    "overlap coefficient (shared / smaller side) — the diagnostic "
+    "that decides which corpus sources to dedup against each other "
+    "before mixing. The self-join carries 32-byte digests, not "
+    "document text; plan is the dedup shape: one hash-shuffle "
+    "self-join on the digest + a keyed count; per-source totals are "
+    "a tiny broadcast frame.",
+)
+def llm_source_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        F.sha2(
+            F.array_join(F.slice(dedup.tokens_col("text"), 1, 5), " "), 256
+        ).alias("hash"),
+        "source",
+    ).distinct()
+    tot = h.groupBy("source").agg(F.count("*").alias("n_docs"))
+    a = h.select(F.col("hash"), F.col("source").alias("src_a"))
+    b = h.select(F.col("hash"), F.col("source").alias("src_b"))
+    pairs = (
+        a.join(b, "hash")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = tot.select(
+        F.col("source").alias("src_a"), F.col("n_docs").alias("na")
+    )
+    tb = tot.select(
+        F.col("source").alias("src_b"), F.col("n_docs").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            r_(F.col("n_shared") / F.least("na", "nb"), 4).alias("overlap"),
+        )
     )
