@@ -5580,3 +5580,38 @@ def agg_covariance_matrix(spark, sf_dir):
     for r in long_rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@parity(
+    "f_variant_semistructured",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           json_extract(props, '$.missing') IS NULL AS missing_absent
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
+    """,
+    doc="Semi-structured fast path via Spark 4's VARIANT type: "
+    "parse_json once into the binary variant encoding, then typed "
+    "variant_get extractions ($.k as int and as string) and "
+    "absent-path null semantics, with the extracted predicate "
+    "filtering rows — the modern replacement for repeated "
+    "from_json/get_json_object string re-parsing (each of which "
+    "re-tokenizes the JSON text; variant parses once and navigates "
+    "an offset-indexed binary). Map-only projection in one scan; at "
+    "100 TB the win is parse-once amortization across every "
+    "extraction and predicate.",
+)
+def f_variant_semistructured(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    out = ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "string").isNull().alias(
+            "missing_absent"
+        ),
+    )
+    return out.filter(F.col("k") >= 50)
