@@ -307,3 +307,36 @@ def test_rolling_median_matches_pandas(spark):
     ]
     want = pd.Series(vals).rolling(4, min_periods=1).median().tolist()
     assert got == pytest.approx(want)
+
+
+def test_ewma_chunked_matches_plain_and_pandas(spark):
+    """The two-phase chunked EWMA (linear-recurrence analogue of the
+    distributed prefix sum) agrees with both the closed-form window
+    EWMA and pandas across chunk boundaries."""
+    from trino_demo_spark.operators.windows import ewma, ewma_chunked
+
+    vals = [((i * 37) % 19) - 4.0 for i in range(47)]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)]
+        + [("z", i, -v) for i, v in enumerate(vals[:29])],
+        "k string, i int, v double",
+    )
+    for key in ("k", "z"):
+        got = [
+            r["ewma"]
+            for r in ewma_chunked(df, "k", "i", "v", alpha=0.25, chunk_width=8)
+            .filter(F.col("k") == key)
+            .orderBy("i")
+            .collect()
+        ]
+        plain = [
+            r["ewma"]
+            for r in ewma(df, "k", "i", "v", alpha=0.25)
+            .filter(F.col("k") == key)
+            .orderBy("i")
+            .collect()
+        ]
+        series = vals if key == "k" else [-v for v in vals[:29]]
+        want = pd.Series(series).ewm(alpha=0.25, adjust=False).mean().tolist()
+        assert got == pytest.approx(want, rel=1e-9)
+        assert got == pytest.approx(plain, rel=1e-9)

@@ -340,3 +340,98 @@ def rolling_median(
         n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double")
     ).otherwise((lo + hi) / F.lit(2.0))
     return df.withColumn(out_col, med)
+
+
+def ewma_chunked(
+    df,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    chunk_width: int = 1024,
+    out_col: str = "ewma",
+):
+    """EWMA for series too long for the closed-form window (`ewma`'s
+    geometric weight overflows past ~log(1e300)/log(1/(1-α)) rows):
+    the same two-phase decomposition as `partitioned_prefix_sum`, but
+    for a LINEAR RECURRENCE y_t = (1-α)·y_{t-1} + α·x_t instead of a
+    sum.
+
+    Uniform per-row form with a chunk carry-in c:
+    ``y_j = ycf_j + (1-α)^{j+1}·c`` where ycf is the carry-free local
+    closed form (α-weighted running sum) and, for the key's FIRST
+    chunk, c = x_first (which makes y_0 = x_0 exactly — pandas
+    adjust=False semantics).
+
+    Phases:
+    1. chunk = floor(order / chunk_width) — map-side; the geometric
+       weights now span at most chunk_width rows, so they never
+       overflow regardless of series length;
+    2. per-(key, chunk) windows (bounded by chunk_width) compute ycf;
+    3. each chunk reduces to (A = carry-free end value,
+       B = (1-α)^len, F = first x): y_end(k) = A_k + B_k·y_end(k-1) —
+       a linear recurrence over the TINY chunk-summary frame, solved
+       exactly by a sequential fold over the per-key sorted summary
+       array (chunks per key = rows / chunk_width, driver-free);
+    4. carries broadcast back; one more bounded window adds the decay-
+       scaled carry to every row.
+
+    Agrees with `ewma` to float associativity (equivalence tested);
+    per-task working set is O(chunk_width + chunks_per_key).
+    """
+    decay = 1.0 - alpha
+    src = df.withColumn(
+        "__chunk", F.floor(F.col(order_col) / F.lit(chunk_width))
+    )
+    wloc = W.partitionBy(key_col, "__chunk").orderBy(order_col)
+    wloc_run = wloc.rowsBetween(W.unboundedPreceding, W.currentRow)
+    i = F.row_number().over(wloc) - F.lit(1)
+    term = F.pow(F.lit(1.0 / decay), i) * F.col(value_col)
+    ycf = (
+        F.lit(alpha) * F.pow(F.lit(decay), i) * F.sum(term).over(wloc_run)
+    )
+    rows = src.withColumn("__i", i).withColumn("__ycf", ycf)
+    summaries = rows.groupBy(key_col, "__chunk").agg(
+        F.max_by("__ycf", "__i").alias("__A"),
+        F.pow(F.lit(decay), F.count("*")).alias("__B"),
+        F.min_by(F.col(value_col), "__i").cast("double").alias("__F"),
+    )
+    # Exact sequential solve of y_end(k) = A_k + B_k * y_end(k-1) per key,
+    # initialized with carry = F of the first chunk; emits each chunk's
+    # carry-IN. The summary array is tiny (chunks per key), so the
+    # quadratic array build of the fold is irrelevant.
+    carry_rows = (
+        summaries.groupBy(key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__chunk", "__A", "__B", "__F"))
+            ).alias("__s")
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.expr(
+                    "aggregate(__s, "
+                    "named_struct('prev', CAST(NULL AS DOUBLE), "
+                    "             'out', CAST(array() AS ARRAY<STRUCT<chunk: BIGINT, carry: DOUBLE>>)), "
+                    "(acc, s) -> named_struct("
+                    "  'prev', s.__A + s.__B * coalesce(acc.prev, s.__F), "
+                    "  'out', concat(acc.out, array(named_struct("
+                    "    'chunk', s.__chunk, "
+                    "    'carry', coalesce(acc.prev, s.__F))))), "
+                    "acc -> acc.out)"
+                )
+            ).alias("__c"),
+        )
+        .select(
+            key_col,
+            F.col("__c.chunk").alias("__chunk"),
+            F.col("__c.carry").alias("__carry"),
+        )
+    )
+    out = rows.join(F.broadcast(carry_rows), [key_col, "__chunk"]).withColumn(
+        out_col,
+        F.col("__ycf")
+        + F.pow(F.lit(decay), F.col("__i") + 1) * F.col("__carry"),
+    )
+    return out.drop("__chunk", "__i", "__ycf", "__carry")

@@ -5615,3 +5615,67 @@ def f_variant_semistructured(spark, sf_dir):
         ),
     )
     return out.filter(F.col("k") >= 50)
+
+
+@parity(
+    "win_ewma_chunked",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority AS k,
+             datediff('day', DATE '1995-03-01', CAST(o_orderdate AS DATE)) AS di,
+             CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT k, d, di, n,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY di) - 1 AS i
+      FROM daily
+    )
+    SELECT k AS o_orderpriority, d AS o_orderdate, n,
+           ROUND(pow(0.8, i) * SUM(
+             CASE WHEN i = 0 THEN 1.0 ELSE 0.2 * pow(1.0 / 0.8, i) END * n
+           ) OVER (PARTITION BY k ORDER BY di ROWS UNBOUNDED PRECEDING)
+           + 1e-9, 4) AS ewma
+    FROM m
+    """,
+    doc="Same EWMA series as win_ewma but through the TWO-PHASE "
+    "chunked linear-recurrence operator (operators/windows.py::"
+    "ewma_chunked, chunk_width=16): per-chunk carry-free closed "
+    "forms, the chunk recurrence y_end = A + B·y_prev solved by an "
+    "exact fold over the tiny per-key summary array, carries "
+    "broadcast back. This is the formulation that survives series "
+    "of ANY length per key (the plain closed form's geometric weight "
+    "overflows past ~3000 rows at α=0.2) — and it must agree with "
+    "the one-window oracle to the last rounded digit, which is what "
+    "this entry checks.",
+)
+def win_ewma_chunked(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-04-30").cast("date"))
+        )
+        .groupBy(
+            F.col("o_orderpriority"),
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "di",
+            F.datediff("o_orderdate", F.lit("1995-03-01").cast("date")),
+        )
+    )
+    out = win_ops.ewma_chunked(
+        daily,
+        key_col="o_orderpriority",
+        order_col="di",
+        value_col="n",
+        alpha=0.2,
+        chunk_width=16,
+    )
+    return out.select(
+        "o_orderpriority", "o_orderdate", "n", r_(F.col("ewma"), 4).alias("ewma")
+    )
