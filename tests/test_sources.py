@@ -143,3 +143,55 @@ def test_pyjsonl_partitions_per_file(spark, tmp_path):
     )
     r = [t for t in map(tuple, df2.collect()) if t[0] == 99][0]
     assert r == (99, None, None)
+
+
+def test_events_nanos_and_micros_encodings_normalize_identically(spark, tmp_path):
+    """Regression pin for the landing-zone flip that cost round 3 a day:
+    the driver has shipped events.ts as BOTH int64 TIMESTAMP(NANOS)
+    (readable only via nanosAsLong) and native timestamp[us]. The
+    registry must sniff either physical encoding and produce the same
+    logical (ts TIMESTAMP, ts_ns BIGINT) rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trino_demo_spark.registry import load_table
+
+    base = [
+        (1, 1_700_000_000_123_456_000, 7, "click", 1.5, '{"k": 1}'),
+        (2, 1_700_000_060_500_000_000, 8, "view", 2.5, '{"k": 2}'),
+    ]
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    nanos_dir.mkdir()
+    micros_dir.mkdir()
+    cols = {
+        "event_id": pa.array([r[0] for r in base], pa.int64()),
+        "user_id": pa.array([r[2] for r in base], pa.int64()),
+        "event_type": pa.array([r[3] for r in base]),
+        "value": pa.array([r[4] for r in base], pa.float64()),
+        "props": pa.array([r[5] for r in base]),
+    }
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([r[1] for r in base], pa.int64())}),
+        nanos_dir / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                **cols,
+                "ts": pa.array(
+                    [r[1] // 1000 for r in base], pa.timestamp("us")
+                ),
+            }
+        ),
+        micros_dir / "events.parquet",
+    )
+    a = {
+        r["event_id"]: (str(r["ts"]), r["ts_ns"] // 1000, r["user_id"])
+        for r in load_table(spark, "events", str(nanos_dir)).collect()
+    }
+    b = {
+        r["event_id"]: (str(r["ts"]), r["ts_ns"] // 1000, r["user_id"])
+        for r in load_table(spark, "events", str(micros_dir)).collect()
+    }
+    assert a == b and len(a) == 2
