@@ -780,3 +780,47 @@ def test_cms_estimates_never_underestimate(spark):
     narrow = agg.cms_estimates(df, "grp", "val", truth, depth=3, width=8)
     j2 = truth.join(narrow, ["grp", "val"]).collect()
     assert all(r.cms_est >= r.true_cnt for r in j2)  # lower bound always holds
+
+
+def test_format_sft_dpo_json_escaping_parity(spark, tmp_path):
+    """The sft/dpo oracles reproduce Spark's to_json escaping for
+    documents containing backslashes, quotes, newlines, CRs, and tabs
+    — characters absent from the generated corpus, which would
+    otherwise mask an escape-chain regression (a Python-level
+    string-literal mangling bug hid here once)."""
+    import duckdb
+    import pandas as pd
+
+    from trino_demo_spark.parity import PARITY
+
+    texts = [
+        'plain words only here to satisfy the length filter okay',
+        'has "quotes" and a back\\slash plus more filler words here',
+        'line\nbreak and\ttab and\rcarriage filler words to pass n',
+        'trailing backslash \\ and "mix\\" of\n everything\t here ok',
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en", "de", "en", "de"],
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pdf.to_parquet(d / "documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    for name in ("llm_format_sft", "llm_format_dpo"):
+        p = PARITY[name]
+        spdf = p.fn(spark, str(d)).toPandas()
+        dpdf = con.sql(p.sql).df()
+        cols = sorted(spdf.columns)
+        srows = sorted(map(tuple, spdf[cols].astype(str).itertuples(index=False)))
+        drows = sorted(map(tuple, dpdf[cols].astype(str).itertuples(index=False)))
+        assert srows == drows, (name, srows, drows)
+        assert len(srows) > 0, name

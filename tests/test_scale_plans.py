@@ -508,32 +508,42 @@ def test_e2e_llm_pipeline_single_scan(spark):
 
 
 def test_prefix_sum_no_whole_key_window(spark):
-    """partitioned_prefix_sum's promise: no window partitioned by the
-    group key alone (which would serialize a whole key through one
-    task). Every Window node must partition by (key, bucket) or run on
-    the tiny subtotal frame; the big-frame join of offsets must be a
-    broadcast."""
+    """partitioned_prefix_sum's promise: the only window partitioned by
+    the group key ALONE is the offsets recurrence over the tiny
+    subtotal frame (ordered by the bucket id); every big-frame window
+    partitions by (key, bucket), and the offsets frame broadcasts
+    back. A regression that windows the full input by the bare key —
+    the shape that serializes a whole key through one task — fails
+    here."""
+    import re
+
     from trino_demo_spark.llm.packing import budget_shards
 
     docs = load_table(spark, "documents", SF_SMOKE)
     df = budget_shards(docs, budget_tokens=2000)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan  # offsets frame broadcasts back
-    # the intra-bucket window partitions by (lang, __bkt), never lang alone
-    import re
-
-    windows = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
-    big_frame_specs = [w for w in windows if "__bkt" in w or "lang" in w]
-    assert any("__bkt" in w and "lang" in w for w in big_frame_specs)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    key_only = [s for s in specs if "lang" in s and "__bkt" not in s]
+    both = [s for s in specs if "lang" in s and "__bkt" in s]
+    # tiny-frame recurrence: key-alone windows must order by the bucket id
+    for s in key_only:
+        assert "__bkt" in s or "__bkt" in plan.split(s)[0][-200:], s
+    # Stronger: a key-alone spec ordering by the ROW order column is the
+    # forbidden whole-key shape.
+    assert not [s for s in key_only if "doc_id" in s], key_only
+    assert both, specs  # the bounded intra-bucket window exists
 
 
 def test_drift_psi_single_fact_scan(spark):
-    """profile_drift_psi reads the orders fact ONCE — both period
-    histograms come from one conditional aggregate, not per-period
-    re-scans."""
+    """profile_drift_psi reads the orders fact exactly ONCE — both
+    period histograms come from one conditional aggregate and the
+    totals from a window over the 10-row bucket frame, never a second
+    aggregate branch re-scanning the fact."""
     df = PARITY["profile_drift_psi"].fn(spark, SF_SMOKE)
     plan = _plan(df)
-    assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 3
+    assert plan.count("orders.parquet") == 1, plan
 
 
 def test_interp_linear_single_window_exchange(spark):
@@ -552,3 +562,11 @@ def test_interp_linear_single_window_exchange(spark):
     assert "Window" in plan
     # no second sort+exchange between the two window frames
     assert plan.count("hashpartitioning(o_orderpriority") <= 2
+
+
+def test_covariance_matrix_single_fact_scan(spark):
+    """agg_covariance_matrix's long-form output comes from stack() over
+    the one-row moment frame — exactly one lineitem scan in the plan,
+    not a 6-way union of aggregate branches."""
+    df = PARITY["agg_covariance_matrix"].fn(spark, SF_SMOKE)
+    assert _plan(df).count("lineitem.parquet") == 1

@@ -340,3 +340,21 @@ def test_ewma_chunked_matches_plain_and_pandas(spark):
         want = pd.Series(series).ewm(alpha=0.25, adjust=False).mean().tolist()
         assert got == pytest.approx(want, rel=1e-9)
         assert got == pytest.approx(plain, rel=1e-9)
+
+
+def test_ewma_alpha_validation_and_unit_alpha(spark):
+    from trino_demo_spark.operators.windows import ewma, ewma_chunked
+
+    df = spark.createDataFrame(
+        [("k", 0, 3.0), ("k", 1, 7.0)], "k string, i int, v double"
+    )
+    for fn in (ewma, ewma_chunked):
+        with pytest.raises(ValueError):
+            fn(df, "k", "i", "v", alpha=0.0)
+        with pytest.raises(ValueError):
+            fn(df, "k", "i", "v", alpha=1.5)
+        got = [
+            r["ewma"]
+            for r in fn(df, "k", "i", "v", alpha=1.0).orderBy("i").collect()
+        ]
+        assert got == [3.0, 7.0]  # alpha=1 -> y_t = x_t, no NaNs

@@ -153,7 +153,10 @@ def budget_shards(
     prefix sum (operators/windows.py::partitioned_prefix_sum), so one
     language never serializes through a single window task — the
     per-task bound is the prefix-sum bucket width, not the corpus; the
-    rest is one map-side projection.
+    rest is one map-side projection. The default order column doc_id
+    is a dense id, which the prefix sum's bucketing requires (see its
+    PRECONDITION note); densify or widen bucket_width for sparse
+    ordering keys.
     """
     from ..operators.windows import partitioned_prefix_sum
 

@@ -195,7 +195,7 @@ def resample_interp_linear(
     return joined.select(
         key_col,
         date_col,
-        F.round(interp + F.lit(1e-9), 4).alias(value_col),
+        interp.alias(value_col),
         F.col("__v").isNull().alias("filled"),
     )
 
@@ -229,6 +229,17 @@ def partitioned_prefix_sum(
 
     Result is bit-identical to the naive single-window formulation
     (asserted in tests) for any integral value column.
+
+    PRECONDITION — dense order values: buckets come from
+    ``floor(order / bucket_width)``, so the subtotal/offset frame has
+    one row per OCCUPIED bucket: ~rows/bucket_width for dense ids
+    (doc_id, day index), but up to one per row for sparse domains
+    (raw nanosecond timestamps, hash ids) — which makes the broadcast
+    as big as the input and fails loudly at the broadcast-size limit.
+    For sparse order columns, first densify (dict-encode the order
+    values, itself a prefix-sum-free job: distinct + zipWithIndex or a
+    day/hour truncation) or raise bucket_width to match the domain
+    spacing.
     """
     bucket = F.floor(F.col(order_col) / F.lit(bucket_width)).alias("__bkt")
     src = df.withColumn("__bkt", bucket)
@@ -288,6 +299,10 @@ def ewma(
     by (1-α)^chunk_len) — at daily/hourly grain this bound covers
     decades per key.
     """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if alpha == 1.0:  # y_t = x_t exactly; avoid 1/(1-alpha)
+        return df.withColumn(out_col, F.col(value_col).cast("double"))
     w = (
         W.partitionBy(key_col)
         .orderBy(order_col)
@@ -379,6 +394,10 @@ def ewma_chunked(
     Agrees with `ewma` to float associativity (equivalence tested);
     per-task working set is O(chunk_width + chunks_per_key).
     """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if alpha == 1.0:  # y_t = x_t exactly; avoid 1/(1-alpha)
+        return df.withColumn(out_col, F.col(value_col).cast("double"))
     decay = 1.0 - alpha
     src = df.withColumn(
         "__chunk", F.floor(F.col(order_col) / F.lit(chunk_width))

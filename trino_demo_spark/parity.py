@@ -5226,7 +5226,7 @@ def agg_winsorize(spark, sf_dir):
 )
 def win_interp_linear(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").withColumn("rev_units", u2("o_totalprice"))
-    return win_ops.resample_interp_linear(
+    out = win_ops.resample_interp_linear(
         o,
         key_col="o_orderpriority",
         date_col="o_orderdate",
@@ -5234,6 +5234,8 @@ def win_interp_linear(spark, sf_dir):
         start="1995-03-01",
         end="1995-04-30",
     ).toDF("o_orderpriority", "o_orderdate", "rev_units", "filled")
+    # canonicalization belongs at the oracle boundary, not in the operator
+    return out.withColumn("rev_units", r_(F.col("rev_units"), 4))
 
 
 @parity(
@@ -5300,13 +5302,20 @@ def profile_drift_psi(spark, sf_dir):
         spine.join(F.broadcast(counts), "bucket", "left")
         .fillna(0, ["n_ref", "n_cur"])
     )
-    totals = dense.agg(
-        F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur")
+    # Totals via an unpartitioned window over the 10-row bucket frame —
+    # NOT a second aggregate branch over the fact (which would duplicate
+    # the orders scan in the plan); a single-partition window is fine
+    # because the frame is histogram-sized, never fact-sized.
+    from pyspark.sql import Window as _W
+
+    wall = _W.partitionBy()
+    dense = dense.withColumn("tot_ref", F.sum("n_ref").over(wall)).withColumn(
+        "tot_cur", F.sum("n_cur").over(wall)
     )
     p_ref = (F.col("n_ref") + 1.0) / (F.col("tot_ref") + 10.0)
     p_cur = (F.col("n_cur") + 1.0) / (F.col("tot_cur") + 10.0)
     return (
-        dense.crossJoin(F.broadcast(totals))
+        dense
         .select(
             "bucket",
             "n_ref",
@@ -5562,24 +5571,28 @@ def agg_covariance_matrix(spark, sf_dir):
         ("extendedprice", "discount", "spd", "sp", "sd"),
         ("discount", "discount", "sdd", "sd", "sd"),
     ]
-    long_rows = [
-        s.select(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
+    # Long form via stack() over the single 1-row moment frame — NOT a
+    # 6-way union of selects, which would leave six copies of the
+    # aggregate subtree in the plan and rely on exchange reuse to
+    # avoid six fact scans.
+    covs = s.select(
+        *[
             F.round(
                 (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb))
                 / (F.col("n").cast("double") * F.col("n"))
                 / F.lit(10000.0)
                 + F.lit(EPS),
                 4,
-            ).alias("cov"),
-        )
-        for a, b, sab, sa, sb in pairs
-    ]
-    out = long_rows[0]
-    for r in long_rows[1:]:
-        out = out.unionAll(r)
-    return out
+            ).alias(f"__c{i}")
+            for i, (_, _, sab, sa, sb) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c{i}" for i, (a, b, _, _, _) in enumerate(pairs)
+    )
+    return covs.selectExpr(
+        f"stack(6, {stack_args}) AS (col_a, col_b, cov)"
+    )
 
 
 @parity(

@@ -1482,7 +1482,7 @@ def llm_classify_nb(spark, sf_dir):
 
 @parity(
     "llm_format_sft",
-    sql=f"""
+    sql=rf"""
     SELECT doc_id,
            concat(
              '{{"messages":[',
@@ -2078,7 +2078,7 @@ def llm_shard_budget(spark, sf_dir):
 
 @parity(
     "llm_format_dpo",
-    sql=f"""
+    sql=rf"""
     WITH ranked AS (
       SELECT doc_id, lang, text, n_chars,
              ROW_NUMBER() OVER (PARTITION BY lang
