@@ -214,3 +214,63 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     )
     assert final.exceptAll(batch).count() == 0
     assert batch.exceptAll(final).count() == 0
+
+
+def test_ewma_stateful_matches_batch(spark, stream):
+    """Streaming per-key EWMA (applyInPandasWithState, one scalar of
+    state per key) converges to the batch closed-form windowed EWMA:
+    after an AvailableNow pass over the bounded stream, each user's
+    final smoothed value equals ewma() evaluated over the same rows in
+    the same (ts_ns, event_id) order."""
+    from pyspark.sql import Window as W
+
+    from trino_demo_spark.operators.windows import ewma
+    from trino_demo_spark.streaming.kafka_shape import ewma_stateful
+
+    q = (
+        ewma_stateful(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.sql("SELECT * FROM ewma_state")
+    # update-mode sink: the row with the highest n_events per user is
+    # the final state
+    final = {
+        r["user_id"]: r["ewma"]
+        for r in sink.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    ev = load_table(spark, "events", SF_SMOKE)
+    # batch twin over a dense per-user order key mirroring the stream's
+    # (ts_ns, event_id) fold order
+    ordered = ev.withColumn(
+        "ord",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        ),
+    )
+    batch = ewma(ordered, "user_id", "ord", "value", alpha=0.3)
+    last = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("ord").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "ewma")
+    )
+    want = {r["user_id"]: r["ewma"] for r in last.collect()}
+    assert set(final) == set(want) and len(final) >= 10
+    for uid, got_y in final.items():
+        assert got_y == pytest.approx(want[uid], rel=1e-9), uid

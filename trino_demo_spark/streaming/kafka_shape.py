@@ -343,3 +343,73 @@ def streaming_rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ewma_stateful(
+    stream: DataFrame,
+    alpha: float = 0.2,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: per-user streaming EWMA of `value` —
+    the online form of operators/windows.py::ewma (y_0 = x_0,
+    y_t = (1-α)y_{t-1} + α·x_t), carried across micro-batches in one
+    scalar of state per key.
+
+    applyInPandasWithState folds each batch's events in event-time
+    order into the carried (last_ts_ns, y, n) state and emits the
+    key's current smoothed value every update. State is O(keys) and
+    constant per key — the recurrence needs nothing but its last
+    value, which is what makes EWMA the streaming-friendly smoother
+    (contrast a rolling median, which must retain its whole frame).
+    Within-batch ordering is by event time; ACROSS batches the fold
+    applies arriving batches in arrival order, the standard
+    online-smoother semantics (an event older than the carried
+    last_ts_ns still updates the smoother — flagged via out_of_order
+    count rather than reordered, since reordering across triggers
+    would need unbounded buffering)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    out_schema = (
+        "user_id BIGINT, ewma DOUBLE, n_events BIGINT, out_of_order BIGINT"
+    )
+    state_schema = "last_ts_ns BIGINT, y DOUBLE, n BIGINT, ooo BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_ts, y, n, ooo = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts_ns", "event_id"])
+            for r in rows.itertuples(index=False):
+                ts_ns, v = int(r.ts_ns), float(r.value)
+                if last_ts is not None and ts_ns < last_ts:
+                    ooo += 1
+                y = v if y is None else alpha * v + (1.0 - alpha) * y
+                last_ts = ts_ns if last_ts is None else max(last_ts, ts_ns)
+                n += 1
+        state.update((last_ts, y, n, ooo))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ewma": [y],
+                "n_events": [n],
+                "out_of_order": [ooo],
+            }
+        )
+
+    keyed = stream.withWatermark("ts", watermark)
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
