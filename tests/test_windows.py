@@ -358,3 +358,40 @@ def test_ewma_alpha_validation_and_unit_alpha(spark):
             for r in fn(df, "k", "i", "v", alpha=1.0).orderBy("i").collect()
         ]
         assert got == [3.0, 7.0]  # alpha=1 -> y_t = x_t, no NaNs
+
+
+def test_asof_join_nearest_matches_pandas(spark):
+    """direction='nearest' + tolerance matches pandas merge_asof on a
+    numeric key, including backward tie-break and out-of-tolerance
+    nulls."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    left = sorted(int(t) for t in rng.randint(0, 300, size=60))
+    right = sorted({int(t) for t in rng.randint(0, 300, size=18)})
+    ldf = spark.createDataFrame([(t,) for t in left], "t long")
+    rdf = spark.createDataFrame(
+        [(t, f"v{t}") for t in right], "t long, v string"
+    )
+    got = {}
+    for r in rel.asof_join_nearest(
+        ldf, rdf, on="t", right_value_cols=["v"], tolerance=10
+    ).collect():
+        got.setdefault(r.t, r.v)
+    lpd = pd.DataFrame({"t": left}).drop_duplicates()
+    rpd = pd.DataFrame({"t": right, "v": [f"v{t}" for t in right]})
+    exp_df = pd.merge_asof(
+        lpd, rpd, on="t", direction="nearest", tolerance=10
+    )
+    exp = {
+        int(r.t): (None if pd.isna(r.v) else r.v)
+        for r in exp_df.itertuples(index=False)
+    }
+    assert got == exp and len(exp) > 30
+    # explicit equidistant tie: backward wins (pandas semantics)
+    ldf2 = spark.createDataFrame([(5,)], "t long")
+    rdf2 = spark.createDataFrame([(3, "a"), (7, "b")], "t long, v string")
+    r = rel.asof_join_nearest(
+        ldf2, rdf2, on="t", right_value_cols=["v"]
+    ).collect()[0]
+    assert (r.v, r["__asof_dist"]) == ("a", 2)

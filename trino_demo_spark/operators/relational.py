@@ -523,3 +523,95 @@ def weighted_sample_topk(
         .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_value_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    tolerance: int | None = None,
+) -> DataFrame:
+    """As-of join, direction='nearest' (pandas merge_asof semantics):
+    each left row takes the right row with the smallest |right.on −
+    left.on|, backward winning ties; `tolerance` (in the units of a
+    numeric/date-diff `on`) nulls matches farther than the bound.
+
+    Same union-merge shape as asof_join — ONE shuffle on
+    (partition_cols, on) — with BOTH a backward carry
+    (last-ignorenulls over ascending order) and a forward carry
+    (last-ignorenulls over descending order) evaluated on the merged
+    frame; the two specs share the partitioning, so Spark plans one
+    Exchange and two in-partition sorts, never a range/cross join.
+    Emits `__asof_dist` (distance to the chosen match, NULL when no
+    match) alongside the value columns.
+    """
+    lcols = left.columns
+    l_tagged = left.withColumn("__side", F.lit(1)).select(
+        *lcols,
+        "__side",
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+    )
+    keep = {on, *partition_cols}
+    r_tagged = right.select(
+        *[
+            F.col(c)
+            if c in keep
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    wb = (
+        W.partitionBy(*partition_cols)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy(*partition_cols)
+        .orderBy(F.col(on).desc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r_on = F.when(F.col("__side") == 0, F.col(on))
+    carried = merged.select(
+        *lcols,
+        "__side",
+        F.last(r_on, ignorenulls=True).over(wb).alias("__b_on"),
+        F.last(r_on, ignorenulls=True).over(wf).alias("__f_on"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in right_value_cols
+        ],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in right_value_cols
+        ],
+    ).filter(F.col("__side") == 1)
+    db = F.abs(F.col(on) - F.col("__b_on"))
+    df_ = F.abs(F.col("__f_on") - F.col(on))
+    use_b = F.col("__f_on").isNull() | (
+        F.col("__b_on").isNotNull() & (db <= df_)
+    )
+    dist = F.when(use_b, db).otherwise(df_)
+    if tolerance is not None:
+        in_tol = dist <= F.lit(tolerance)
+    else:
+        in_tol = F.lit(True)
+    picked = [
+        F.when(
+            in_tol,
+            F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+        ).alias(c)
+        for c in right_value_cols
+    ]
+    return carried.select(
+        *lcols,
+        *picked,
+        F.when(in_tol, dist).alias("__asof_dist"),
+    )

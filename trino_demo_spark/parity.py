@@ -5692,3 +5692,74 @@ def win_ewma_chunked(spark, sf_dir):
     return out.select(
         "o_orderpriority", "o_orderdate", "n", r_(F.col("ewma"), 4).alias("ewma")
     )
+
+
+@parity(
+    "join_asof_nearest",
+    sql="""
+    WITH l AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             datediff('day', DATE '1995-03-01', CAST(o_orderdate AS DATE)) AS di,
+             COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT di, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_units
+      FROM (
+        SELECT datediff('day', DATE '1995-03-01', CAST(o_orderdate AS DATE)) AS di,
+               o_totalprice
+        FROM orders
+        WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      ) WHERE di % 7 = 0 GROUP BY di
+    )
+    SELECT l.d AS o_orderdate, l.n,
+           m.rev_units AS nearest_anchor_rev, m.dist AS day_dist
+    FROM l LEFT JOIN LATERAL (
+      SELECT r.rev_units, abs(r.di - l.di) AS dist
+      FROM r WHERE abs(r.di - l.di) <= 3
+      ORDER BY abs(r.di - l.di), r.di LIMIT 1
+    ) m ON TRUE
+    """,
+    doc="As-of join, direction=NEAREST with tolerance (pandas "
+    "merge_asof(nearest, tolerance=3) semantics, backward tie-break): "
+    "every day of Mar-Apr 1995 attaches the revenue of its nearest "
+    "weekly anchor day within 3 days. Engine side is the union-merge shape with "
+    "BOTH a backward and a forward ignorenulls carry on one "
+    "partitioning (one Exchange, two in-partition sorts — never a "
+    "range/cross join; operators/relational.py::asof_join_nearest); "
+    "the oracle states the same result as a lateral "
+    "min-distance-limit-1, which IS the range-explosion shape the "
+    "engine avoids. Anchor days are 7 apart and tolerance is 3, so "
+    "no equidistant tie exists and both tie rules agree.",
+)
+def join_asof_nearest(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1995-04-30").cast("date"))
+    )
+    base = o.withColumn(
+        "di", F.datediff("o_orderdate", F.lit("1995-03-01").cast("date"))
+    )
+    left = base.groupBy(
+        F.to_date("o_orderdate").alias("o_orderdate"), F.col("di")
+    ).agg(F.count("*").alias("n"))
+    right = (
+        base.filter(F.col("di") % 7 == 0)
+        .groupBy("di")
+        .agg(F.sum(u2("o_totalprice")).alias("rev_units"))
+    )
+    out = rel_ops.asof_join_nearest(
+        left.select("di", "o_orderdate", "n"),
+        right,
+        on="di",
+        right_value_cols=["rev_units"],
+        tolerance=3,
+    )
+    return out.select(
+        "o_orderdate",
+        "n",
+        F.col("rev_units").alias("nearest_anchor_rev"),
+        F.col("__asof_dist").alias("day_dist"),
+    )
