@@ -5763,3 +5763,126 @@ def join_asof_nearest(spark, sf_dir):
         F.col("rev_units").alias("nearest_anchor_rev"),
         F.col("__asof_dist").alias("day_dist"),
     )
+
+
+@parity(
+    "agg_ab_test",
+    sql="""
+    WITH s AS (
+      SELECT
+        COUNT(*) FILTER (event_type = 'click') AS na,
+        AVG(value) FILTER (event_type = 'click') AS ma,
+        var_samp(value) FILTER (event_type = 'click') AS va,
+        COUNT(*) FILTER (event_type = 'view') AS nb,
+        AVG(value) FILTER (event_type = 'view') AS mb,
+        var_samp(value) FILTER (event_type = 'view') AS vb
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma + 1e-9, 4) AS mean_a, ROUND(mb + 1e-9, 4) AS mean_b,
+           ROUND(ma - mb + 1e-9, 4) AS mean_diff,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb) + 1e-9, 4) AS t_stat,
+           ROUND(pow(va / na + vb / nb, 2)
+                 / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))
+                 + 1e-9, 2) AS welch_df
+    FROM s
+    """,
+    doc="Two-sample Welch t-test between the 'click' and 'view' event "
+    "populations (the A/B-experimentation primitive): group means, "
+    "sample variances, t statistic, and Welch-Satterthwaite degrees "
+    "of freedom — ALL from one conditional-aggregate pass over one "
+    "scan (FILTER-style conditional aggregates, no per-group "
+    "sub-queries, no join of two scans). 1-row output; at 100 TB "
+    "this is a partial+final aggregate and nothing else.",
+)
+def agg_ab_test(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "view"
+    s = ev.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.avg(F.when(is_a, F.col("value"))).alias("ma"),
+        F.var_samp(F.when(is_a, F.col("value"))).alias("va"),
+        F.count(F.when(is_b, 1)).alias("nb"),
+        F.avg(F.when(is_b, F.col("value"))).alias("mb"),
+        F.var_samp(F.when(is_b, F.col("value"))).alias("vb"),
+    )
+    na, ma, va = F.col("na"), F.col("ma"), F.col("va")
+    nb, mb, vb = F.col("nb"), F.col("mb"), F.col("vb")
+    se2 = va / na + vb / nb
+    return s.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        r_(ma, 4).alias("mean_a"),
+        r_(mb, 4).alias("mean_b"),
+        r_(ma - mb, 4).alias("mean_diff"),
+        r_((ma - mb) / F.sqrt(se2), 4).alias("t_stat"),
+        r_(
+            F.pow(se2, 2)
+            / (F.pow(va / na, 2) / (na - 1) + F.pow(vb / nb, 2) / (nb - 1)),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@parity(
+    "win_zscore_anomaly",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT d, n,
+             AVG(n) OVER w AS mu,
+             stddev_pop(n) OVER w AS sd,
+             COUNT(*) OVER w AS frame_n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d AS o_orderdate, n,
+           ROUND(mu + 1e-9, 4) AS mu,
+           ROUND((n - mu) / sd + 1e-9, 4) AS zscore,
+           (frame_n >= 7 AND sd > 0 AND abs((n - mu) / sd) > 3.0) AS is_anomaly
+    FROM m WHERE frame_n >= 7
+    """,
+    doc="Rolling z-score anomaly detection on the daily order-count "
+    "series: each day scored against the mean/stddev of the TRAILING "
+    "14-day frame ending YESTERDAY (the exclusion keeps today's value "
+    "out of its own baseline — the standard leakage guard), flagged "
+    "at |z| > 3 once at least 7 baseline days exist. One window pass, "
+    "frame-bounded working set; the monitoring primitive that watches "
+    "a 100 TB ingest for volume regressions.",
+)
+def win_zscore_anomaly(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-06-30").cast("date"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy("o_orderdate").rowsBetween(-14, -1)
+    scored = daily.select(
+        "o_orderdate",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_pop("n").over(w).alias("sd"),
+        F.count("*").over(w).alias("frame_n"),
+    ).filter(F.col("frame_n") >= 7)
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return scored.select(
+        "o_orderdate",
+        "n",
+        r_(F.col("mu"), 4).alias("mu"),
+        r_(z, 4).alias("zscore"),
+        (
+            (F.col("frame_n") >= 7) & (F.col("sd") > 0) & (F.abs(z) > 3.0)
+        ).alias("is_anomaly"),
+    )
