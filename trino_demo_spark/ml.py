@@ -283,3 +283,112 @@ def feature_hash(
         tok.groupBy(id_col, feat.alias("feat"))
         .agg(F.sum(sign).alias("v"))
     )
+
+
+def als_fit(
+    ratings: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    iters: int = 5,
+    lamb: float = 0.1,
+):
+    """Alternating least squares matrix factorization with k=2 latent
+    factors (Koren/Bell/Volinsky 2009, public) — the recommender-system
+    fit, structured so the USER solve (the big side) is entirely
+    engine-side:
+
+    - item factors live on the driver (n_items × 2 floats — the same
+      bounded-state discipline as kmeans/logreg) and broadcast into the
+      plan as a literal lookup each half-step;
+    - the user half-step solves each user's 2×2 ridge normal equations
+      (A = Σ q qᵀ + λI, b = Σ q·r over the user's rated items) in
+      CLOSED FORM as column arithmetic after ONE keyed aggregate — no
+      UDF, no per-user driver work, scales with users;
+    - the item half-step needs only Σ u uᵀ and Σ u·r per item: one
+      keyed aggregate producing an n_items-row frame, solved on the
+      driver (2×2 each).
+
+    Per iteration: two aggregates over the ratings, one broadcast.
+    Returns (item_factors: {item: (q1, q2)}, user_factors DataFrame
+    (user, u1, u2))."""
+    from pyspark.sql import functions as F
+
+    items = [r[0] for r in ratings.select(item_col).distinct().orderBy(item_col).collect()]
+    # deterministic non-degenerate init
+    q = {it: (1.0, 0.1 * (i + 1)) for i, it in enumerate(items)}
+
+    def user_solve(qmap):
+        q1 = F.create_map(
+            *[x for it, v in qmap.items() for x in (F.lit(it), F.lit(v[0]))]
+        )[F.col(item_col)]
+        q2 = F.create_map(
+            *[x for it, v in qmap.items() for x in (F.lit(it), F.lit(v[1]))]
+        )[F.col(item_col)]
+        agg = ratings.groupBy(user_col).agg(
+            F.sum(q1 * q1).alias("a11"),
+            F.sum(q1 * q2).alias("a12"),
+            F.sum(q2 * q2).alias("a22"),
+            F.sum(q1 * F.col(rating_col)).alias("b1"),
+            F.sum(q2 * F.col(rating_col)).alias("b2"),
+        )
+        a11 = F.col("a11") + F.lit(lamb)
+        a22 = F.col("a22") + F.lit(lamb)
+        det = a11 * a22 - F.col("a12") * F.col("a12")
+        return agg.select(
+            user_col,
+            ((a22 * F.col("b1") - F.col("a12") * F.col("b2")) / det).alias("u1"),
+            ((a11 * F.col("b2") - F.col("a12") * F.col("b1")) / det).alias("u2"),
+        )
+
+    users = None
+    for _ in range(iters):
+        users = user_solve(q)
+        joined = ratings.join(F.broadcast(users), user_col)
+        rows = (
+            joined.groupBy(item_col)
+            .agg(
+                F.sum(F.col("u1") * F.col("u1")).alias("s11"),
+                F.sum(F.col("u1") * F.col("u2")).alias("s12"),
+                F.sum(F.col("u2") * F.col("u2")).alias("s22"),
+                F.sum(F.col("u1") * F.col(rating_col)).alias("t1"),
+                F.sum(F.col("u2") * F.col(rating_col)).alias("t2"),
+            )
+            .collect()
+        )
+        q = {}
+        for r in rows:
+            s11, s22 = r["s11"] + lamb, r["s22"] + lamb
+            det = s11 * s22 - r["s12"] * r["s12"]
+            q[r[item_col]] = (
+                (s22 * r["t1"] - r["s12"] * r["t2"]) / det,
+                (s11 * r["t2"] - r["s12"] * r["t1"]) / det,
+            )
+    # final user half-step so the returned user factors are the ridge
+    # solution AGAINST the returned item factors (mutually consistent)
+    users = user_solve(q)
+    return q, users
+
+
+def als_rmse(
+    ratings: DataFrame,
+    item_factors,
+    user_factors: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    rating_col: str = "rating",
+):
+    """Reconstruction RMSE of the factorization — engine-side join +
+    one aggregate; the model-quality scalar."""
+    from pyspark.sql import functions as F
+
+    q1 = F.create_map(
+        *[x for it, v in item_factors.items() for x in (F.lit(it), F.lit(v[0]))]
+    )[F.col(item_col)]
+    q2 = F.create_map(
+        *[x for it, v in item_factors.items() for x in (F.lit(it), F.lit(v[1]))]
+    )[F.col(item_col)]
+    pred = ratings.join(F.broadcast(user_factors), user_col).select(
+        (F.col(rating_col) - (F.col("u1") * q1 + F.col("u2") * q2)).alias("e")
+    )
+    return pred.agg(F.sqrt(F.avg(F.col("e") * F.col("e")))).first()[0]

@@ -359,3 +359,46 @@ def ml_pagerank(spark, sf_dir):
 )
 def ml_feature_hashing(spark, sf_dir):
     return ml.feature_hash(_t(spark, sf_dir, "documents"))
+
+
+@parity(
+    "ml_als_recommend",
+    sql="""
+    WITH r AS (
+      SELECT user_id, event_type AS item, AVG(value) AS rating
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items,
+           ROUND(stddev_pop(rating) + 1e-9, 4) AS baseline_rmse,
+           TRUE AS als_beats_baseline
+    FROM r
+    """,
+    doc="ALS matrix-factorization recommender (k=2, 5 alternations) on "
+    "the implicit user x event-type rating matrix, verified through "
+    "the repo's verdict pattern: the oracle states the exactly-"
+    "computable facts (matrix dimensions and the global-mean "
+    "predictor's RMSE = stddev of ratings) and the engine must "
+    "additionally certify its factorization beats that baseline. The "
+    "user half-step is pure engine: one keyed aggregate + closed-form "
+    "2x2 ridge solve in column arithmetic (no UDF); driver state is "
+    "n_items x 2 floats (ml.py::als_fit).",
+)
+def ml_als_recommend(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ratings = ev.groupBy(
+        "user_id", F.col("event_type").alias("item")
+    ).agg(F.avg("value").alias("rating"))
+    ratings = ratings.persist()
+    q, users = ml.als_fit(ratings)
+    rmse = ml.als_rmse(ratings, q, users)
+    out = ratings.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("item").alias("n_items"),
+        r_(F.stddev_pop("rating"), 4).alias("baseline_rmse"),
+    ).withColumn(
+        "als_beats_baseline",
+        F.lit(rmse) < F.col("baseline_rmse") + F.lit(1e-9),
+    )
+    ratings.unpersist()
+    return out
