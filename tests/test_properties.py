@@ -143,3 +143,108 @@ def test_merge_rollup_any_split_matches_full(spark, rows):
     got = {(r.k, r.n, r.s) for r in merged.collect()}
     want = {(r.k, r.n, r.s) for r in full.collect()}
     assert got == want
+
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # order key (may collide)
+        st.integers(min_value=-1000, max_value=1000),  # value
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],  # unique order values, arbitrary gaps
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_series, st.integers(min_value=1, max_value=64))
+def test_prefix_sum_property(spark, rows, bucket_width):
+    """partitioned_prefix_sum == plain Python running sum for any
+    gap-riddled order domain and any bucket width (incl. width 1 and a
+    width larger than the whole domain)."""
+    from trino_demo_spark.operators.windows import partitioned_prefix_sum
+
+    df = spark.createDataFrame(
+        [("k", o, v) for o, v in rows], "k string, ord long, v long"
+    )
+    got = {
+        r["ord"]: r["__cum"]
+        for r in partitioned_prefix_sum(
+            df, "k", "ord", "v", bucket_width=bucket_width
+        ).collect()
+    }
+    acc, want = 0, {}
+    for o, v in sorted(rows):
+        acc += v
+        want[o] = acc
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    st.floats(min_value=0.05, max_value=0.95),
+    st.integers(min_value=1, max_value=16),
+)
+def test_ewma_chunked_property(spark, vals, alpha, chunk_width):
+    """ewma_chunked == pandas ewm(adjust=False) for any series, any
+    alpha, any chunk width."""
+    import pytest as _pytest
+
+    from trino_demo_spark.operators.windows import ewma_chunked
+
+    df = spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "k string, i int, v double",
+    )
+    got = [
+        r["ewma"]
+        for r in ewma_chunked(
+            df, "k", "i", "v", alpha=alpha, chunk_width=chunk_width
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    want = pd.Series(vals).ewm(alpha=alpha, adjust=False).mean().tolist()
+    assert got == _pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 400), min_size=1, max_size=30, unique=True),
+    st.lists(st.integers(0, 400), min_size=1, max_size=12, unique=True),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+)
+def test_asof_nearest_property(spark, left, right, tolerance):
+    """asof_join_nearest == pandas merge_asof(direction='nearest',
+    tolerance) for arbitrary key sets, including empty-overlap and
+    zero tolerance."""
+    from trino_demo_spark.operators import relational as rel
+
+    left, right = sorted(left), sorted(right)
+    ldf = spark.createDataFrame([(t,) for t in left], "t long")
+    rdf = spark.createDataFrame(
+        [(t, f"v{t}") for t in right], "t long, v string"
+    )
+    got = {
+        r.t: r.v
+        for r in rel.asof_join_nearest(
+            ldf, rdf, on="t", right_value_cols=["v"], tolerance=tolerance
+        ).collect()
+    }
+    exp_df = pd.merge_asof(
+        pd.DataFrame({"t": left}),
+        pd.DataFrame({"t": right, "v": [f"v{t}" for t in right]}),
+        on="t",
+        direction="nearest",
+        tolerance=tolerance,
+    )
+    exp = {
+        int(r.t): (None if pd.isna(r.v) else r.v)
+        for r in exp_df.itertuples(index=False)
+    }
+    assert got == exp
