@@ -5886,3 +5886,49 @@ def win_zscore_anomaly(spark, sf_dir):
             (F.col("frame_n") >= 7) & (F.col("sd") > 0) & (F.abs(z) > 3.0)
         ).alias("is_anomaly"),
     )
+
+
+@parity(
+    "analytics_markov_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type) + 1e-9, 4) AS p
+    FROM t
+    """,
+    doc="Behavioral Markov chain: first-order transition matrix between "
+    "event types per user session stream — lead() over (user, time) "
+    "pairs consecutive events, one keyed count, then row-normalize "
+    "per source state. The product-analytics primitive behind "
+    "next-action prediction and funnel leakage. One hash partition "
+    "by user for the pairing window, one aggregate on the (from, to) "
+    "key, and the normalizing window runs on the states×states "
+    "frame — tiny regardless of event volume.",
+)
+def analytics_markov_transitions(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wn = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        r_(F.col("n") / F.sum("n").over(wn), 4).alias("p"),
+    )

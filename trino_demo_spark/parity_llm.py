@@ -2217,3 +2217,77 @@ def llm_source_overlap(spark, sf_dir):
             r_(F.col("n_shared") / F.least("na", "nb"), 4).alias("overlap"),
         )
     )
+
+
+@parity(
+    "llm_subsample_frequent",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS w
+      FROM (SELECT doc_id, {_TOK} AS t FROM documents),
+           UNNEST(range(1, len(t) + 1)) u(i)
+    ),
+    freq AS (
+      SELECT w, COUNT(*) AS cnt, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM tok) AS f
+      FROM tok GROUP BY w
+    ),
+    scored AS (
+      SELECT tok.doc_id, tok.pos, tok.w, freq.cnt,
+             LEAST(sqrt(0.001 / freq.f), 1.0) AS p_keep,
+             (((xor(hash_key, 99) & 2147483647) * 2654435761) % 2147483647)
+               / 2147483647.0 AS u
+      FROM (
+        SELECT doc_id, pos, w,
+               doc_id * 1000003 + pos AS hash_key
+        FROM tok
+      ) tok JOIN freq ON freq.w = tok.w
+    )
+    SELECT doc_id, pos, w, CAST(cnt AS BIGINT) AS corpus_count,
+           ROUND(p_keep + 1e-9, 4) AS p_keep
+    FROM scored
+    WHERE u < p_keep
+    """,
+    doc="Frequent-word subsampling (word2vec-style, Mikolov et al. "
+    "2013): each token kept with p = min(sqrt(t/f), 1) where f is its "
+    "corpus frequency — the step that deflates stopword mass before "
+    "embedding training. The keep decision is a DETERMINISTIC hash "
+    "threshold on (doc_id, position) — the same seeded Knuth-"
+    "multiplicative realization as the repo's samplers, so any engine "
+    "reproduces the exact kept set (no RNG state). Plan: one explode, "
+    "one word-frequency aggregate joined back (broadcast at vocab "
+    "scale vs corpus), one map-side filter.",
+)
+def llm_subsample_frequent(spark, sf_dir):
+    from .llm.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col("text")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    total = tok.count()
+    freq = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    freq = freq.withColumn("f", F.col("cnt") / F.lit(float(total)))
+    p_keep = F.least(F.sqrt(F.lit(0.001) / F.col("f")), F.lit(1.0))
+    hash_key = F.col("doc_id") * F.lit(1000003) + F.col("pos")
+    u = (
+        (
+            hash_key.bitwiseXOR(F.lit(99)).bitwiseAND(F.lit(2147483647))
+            * F.lit(2654435761)
+        )
+        % F.lit(2147483647)
+    ) / F.lit(2147483647.0)
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .select(
+            "doc_id",
+            "pos",
+            "w",
+            F.col("cnt").alias("corpus_count"),
+            r_(p_keep, 4).alias("p_keep"),
+            u.alias("__u"),
+            p_keep.alias("__p"),
+        )
+        .filter(F.col("__u") < F.col("__p"))
+        .drop("__u", "__p")
+    )
