@@ -2291,3 +2291,113 @@ def llm_subsample_frequent(spark, sf_dir):
         .filter(F.col("__u") < F.col("__p"))
         .drop("__u", "__p")
     )
+
+
+@parity(
+    "llm_augment_spanmask",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    spans AS (
+      SELECT doc_id, CAST(i AS INT) AS span_idx,
+             array_to_string(t[(CAST(i AS INT)*3+1):(CAST(i AS INT)*3+3)], ' ') AS span_text
+      FROM tok, UNNEST(range(0, 128)) u(i)
+      WHERE CAST(i AS INT)*3 < len(t)
+    ),
+    flagged AS (
+      SELECT doc_id, span_idx, span_text,
+             (((xor(doc_id * 131 + span_idx, 17) & 2147483647) * 2654435761)
+               % 2147483647) % 100 < 15 AS masked
+      FROM spans
+    ),
+    keyed AS (
+      SELECT doc_id, span_idx, span_text, masked,
+             CASE WHEN masked THEN
+               ROW_NUMBER() OVER (PARTITION BY doc_id, masked ORDER BY span_idx) - 1
+             END AS k
+      FROM flagged
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN masked THEN '<extra_id_' || k || '>'
+                           ELSE span_text END, ' ' ORDER BY span_idx) AS corrupted,
+           string_agg(CASE WHEN masked THEN '<extra_id_' || k || '> ' || span_text END,
+                      ' ' ORDER BY span_idx) AS targets,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+    FROM keyed
+    GROUP BY doc_id
+    """,
+    doc="T5-style span corruption (Raffel et al. 2020 denoising "
+    "objective): tokens partitioned into 3-token spans, ~15% of spans "
+    "masked by a DETERMINISTIC hash on (doc_id, span_idx) (same "
+    "seeded Knuth-multiplicative realization as the samplers — the "
+    "corrupted/target pair reproduces exactly on any engine), masked "
+    "spans replaced by ordinal <extra_id_K> sentinels in the input "
+    "and emitted after their sentinel in the target. Plan: one "
+    "explode to spans, one window for K, one ordered re-aggregation "
+    "per doc — no UDF, per-doc working set bounded by doc length.",
+)
+def llm_augment_spanmask(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from .llm.dedup import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens_col("text").alias("t"))
+    spans = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST((size(t) - 1) / 3 AS INT)), "
+                "i -> array_join(slice(t, i * 3 + 1, 3), ' '))"
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    hashed = (
+        (F.col("doc_id") * F.lit(131) + F.col("span_idx"))
+        .bitwiseXOR(F.lit(17))
+        .bitwiseAND(F.lit(2147483647))
+        * F.lit(2654435761)
+    ) % F.lit(2147483647)
+    flagged = spans.withColumn("masked", hashed % 100 < 15)
+    wk = W.partitionBy("doc_id", "masked").orderBy("span_idx")
+    keyed = flagged.withColumn(
+        "k",
+        F.when(F.col("masked"), F.row_number().over(wk) - 1),
+    )
+    inp = F.when(
+        F.col("masked"), F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">"))
+    ).otherwise(F.col("span_text"))
+    tgt = F.when(
+        F.col("masked"),
+        F.concat(
+            F.lit("<extra_id_"), F.col("k"), F.lit("> "), F.col("span_text")
+        ),
+    )
+    agg = keyed.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", inp.alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("corrupted"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("masked"),
+                            F.struct("span_idx", tgt.alias("s")),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("targets"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"),
+    )
+    return agg.withColumn(
+        "targets", F.when(F.col("n_masked") > 0, F.col("targets"))
+    )
