@@ -2401,3 +2401,76 @@ def llm_augment_spanmask(spark, sf_dir):
     return agg.withColumn(
         "targets", F.when(F.col("n_masked") > 0, F.col("targets"))
     )
+
+
+@parity(
+    "ml_eval_confusion",
+    sql=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS hits_en,
+             len(list_filter({_TOK}, x -> x IN ('el', 'la', 'de', 'que', 'y'))) AS hits_es,
+             len(list_filter({_TOK}, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS hits_de,
+             len(list_filter({_TOK}, x -> x IN ('le', 'la', 'et', 'les', 'des'))) AS hits_fr,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS n_cjk
+      FROM documents
+    ),
+    p AS (
+      SELECT lang AS true_lang,
+             CASE WHEN n_cjk > 0 THEN 'zh'
+                  WHEN greatest(hits_en, hits_es, hits_de, hits_fr) <= 0 THEN 'und'
+                  WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                  WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                  WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM h
+    ),
+    cm AS (SELECT true_lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2),
+    stats AS (
+      SELECT cm.*,
+             SUM(n) OVER (PARTITION BY true_lang) AS n_true,
+             SUM(n) OVER (PARTITION BY pred_lang) AS n_pred
+      FROM cm
+    )
+    SELECT true_lang, pred_lang, n,
+           ROUND(CASE WHEN true_lang = pred_lang THEN n * 1.0 / n_pred END + 1e-9, 4) AS precision,
+           ROUND(CASE WHEN true_lang = pred_lang THEN n * 1.0 / n_true END + 1e-9, 4) AS recall,
+           ROUND(CASE WHEN true_lang = pred_lang
+                      THEN 2.0 * n / (n_true + n_pred) END + 1e-9, 4) AS f1
+    FROM stats
+    """,
+    doc="Classifier evaluation as an operator: confusion matrix of the "
+    "language-ID heuristic against the labeled lang column, with "
+    "per-class precision / recall / F1 carried on the diagonal rows — "
+    "the eval primitive every model in the pipeline reports through. "
+    "One prediction projection (map-side), one (true, pred) keyed "
+    "count, and the class marginals via two windows over the tiny "
+    "classes² frame; at 100 TB the only fact-sized work is the scan "
+    "and one aggregate.",
+)
+def ml_eval_confusion(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from .llm.text import lang_pred_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    pred, _ = lang_pred_expr("text")
+    p = docs.select(
+        F.col("lang").alias("true_lang"), pred.alias("pred_lang")
+    )
+    cm = p.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+    wt = W.partitionBy("true_lang")
+    wp = W.partitionBy("pred_lang")
+    diag = F.col("true_lang") == F.col("pred_lang")
+    n_true = F.sum("n").over(wt)
+    n_pred = F.sum("n").over(wp)
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.when(diag, r_(F.col("n") / n_pred, 4)).alias("precision"),
+        F.when(diag, r_(F.col("n") / n_true, 4)).alias("recall"),
+        F.when(diag, r_(F.lit(2.0) * F.col("n") / (n_true + n_pred), 4)).alias(
+            "f1"
+        ),
+    )

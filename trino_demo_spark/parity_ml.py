@@ -402,3 +402,47 @@ def ml_als_recommend(spark, sf_dir):
     )
     ratings.unpersist()
     return out
+
+
+@parity(
+    "ml_residual_bins",
+    sql="""
+    WITH fit AS (
+      SELECT regr_slope(l_extendedprice, l_quantity) AS slope,
+             regr_intercept(l_extendedprice, l_quantity) AS intercept
+      FROM lineitem
+    ),
+    scored AS (
+      SELECT LEAST(CAST(FLOOR(l_quantity / 10.0) AS INT), 4) AS qty_bin,
+             l_extendedprice - (fit.intercept + fit.slope * l_quantity) AS resid
+      FROM lineitem CROSS JOIN fit
+    )
+    SELECT qty_bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(resid) + 1e-9, 2) AS mean_resid,
+           ROUND(stddev_samp(resid) + 1e-9, 2) AS sd_resid
+    FROM scored GROUP BY qty_bin
+    """,
+    doc="Regression residual analysis (the model-diagnostic step after "
+    "ml_linreg_fit): residuals of the price~quantity OLS fit bucketed "
+    "by quantity band, per-band mean and spread — a nonzero banded "
+    "mean exposes nonlinearity the global fit hides. The 1-row fit "
+    "broadcasts into the scoring projection; one scan, one keyed "
+    "aggregate; mirrors DuckDB's regr_* closed form.",
+)
+def ml_residual_bins(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    fit = ml.linreg_fit(li, "l_quantity", "l_extendedprice")
+    scored = li.crossJoin(F.broadcast(fit)).select(
+        F.least(
+            F.floor(F.col("l_quantity") / F.lit(10.0)).cast("int"), F.lit(4)
+        ).alias("qty_bin"),
+        (
+            F.col("l_extendedprice")
+            - (F.col("intercept") + F.col("slope") * F.col("l_quantity"))
+        ).alias("resid"),
+    )
+    return scored.groupBy("qty_bin").agg(
+        F.count("*").alias("n"),
+        r_(F.avg("resid"), 2).alias("mean_resid"),
+        r_(F.stddev_samp("resid"), 2).alias("sd_resid"),
+    )
