@@ -5932,3 +5932,141 @@ def analytics_markov_transitions(spark, sf_dir):
         "n",
         r_(F.col("n") / F.sum("n").over(wn), 4).alias("p"),
     )
+
+
+@parity(
+    "sink_scd2_history",
+    sql="""
+    WITH snap_a AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1
+    ),
+    snap_b AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderdate < DATE '1999-01-01' GROUP BY 1
+    )
+    SELECT a.custkey, a.n_orders,
+           DATE '1997-01-01' AS valid_from, DATE '1999-01-01' AS valid_to,
+           FALSE AS is_current
+    FROM snap_a a JOIN snap_b b ON b.custkey = a.custkey
+    WHERE b.n_orders <> a.n_orders
+    UNION ALL
+    SELECT b.custkey, b.n_orders,
+           CASE WHEN a.custkey IS NULL OR a.n_orders <> b.n_orders
+                THEN DATE '1999-01-01' ELSE DATE '1997-01-01' END AS valid_from,
+           DATE '9999-12-31' AS valid_to, TRUE AS is_current
+    FROM snap_b b LEFT JOIN snap_a a ON a.custkey = b.custkey
+    """,
+    doc="SCD Type-2 history build (the warehouse dimension-versioning "
+    "pattern): two snapshots of per-customer order counts (as-of 1997 "
+    "and as-of 1999) merged into validity-interval rows — changed "
+    "keys close their old version at the new snapshot date and open "
+    "a current one; unchanged keys keep one open row; new keys open "
+    "at the new date. ONE full-outer-join-shaped compare "
+    "co-partitioned on the key (expressed as a join pair over the "
+    "aggregated snapshots — both sides are post-aggregate, "
+    "customer-sized); at 100 TB store the snapshot bucketed by key "
+    "and the compare is exchange-free.",
+)
+def sink_scd2_history(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def snap(upper):
+        return (
+            o.filter(F.col("o_orderdate") < F.lit(upper).cast("date"))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").alias("n_orders"))
+        )
+
+    a = snap("1997-01-01")
+    b = snap("1999-01-01")
+    d97 = F.lit("1997-01-01").cast("date")
+    d99 = F.lit("1999-01-01").cast("date")
+    dmax = F.lit("9999-12-31").cast("date")
+    closed = (
+        a.alias("a")
+        .join(b.alias("b"), "custkey")
+        .filter(F.col("a.n_orders") != F.col("b.n_orders"))
+        .select(
+            "custkey",
+            F.col("a.n_orders").alias("n_orders"),
+            d97.alias("valid_from"),
+            d99.alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    current = (
+        b.alias("b")
+        .join(
+            a.select("custkey", F.col("n_orders").alias("__a_n")),
+            "custkey",
+            "left",
+        )
+        .select(
+            "custkey",
+            F.col("n_orders"),
+            F.when(
+                F.col("__a_n").isNull() | (F.col("__a_n") != F.col("n_orders")),
+                d99,
+            )
+            .otherwise(d97)
+            .alias("valid_from"),
+            dmax.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed.unionByName(current)
+
+
+@parity(
+    "agg_gini",
+    sql="""
+    WITH cust AS (
+      SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+             COUNT(*) OVER () AS n, SUM(rev) OVER () AS tot
+      FROM cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(SUM((2.0 * i - n - 1) * rev) / (MAX(n) * 1.0 * MAX(tot)) + 1e-9, 4) AS gini
+    FROM ranked
+    """,
+    doc="Revenue-concentration Gini coefficient across customers "
+    "(sort-based formula sum((2i-n-1)x_i)/(n*sum(x)), deterministic "
+    "tiebreak): the inequality metric behind whale-customer and "
+    "data-source-concentration dashboards. Exact integer-cent "
+    "revenues make the ranked weighted sum bit-stable. The global "
+    "rank runs on the POST-AGGREGATE customer frame (customers, not "
+    "orders); at 100 TB that frame is the dimension cardinality — if "
+    "even that is too large for one sort partition, swap the rank for "
+    "the distributed prefix-sum machinery used by llm_shard_budget.",
+)
+def agg_gini(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(u2("o_totalprice")).alias("rev"))
+    )
+    w = W.orderBy("rev", "o_custkey")
+    wall = W.partitionBy()
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        r_(
+            F.sum(
+                (F.lit(2.0) * F.col("i") - F.col("n") - 1) * F.col("rev")
+            )
+            / (F.max("n") * F.lit(1.0) * F.max("tot")),
+            4,
+        ).alias("gini"),
+    )
