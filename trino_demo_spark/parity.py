@@ -6070,3 +6070,63 @@ def agg_gini(spark, sf_dir):
             4,
         ).alias("gini"),
     )
+
+
+@parity(
+    "win_max_drawdown",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    cums AS (
+      SELECT user_id, ts_us,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily
+    ),
+    c AS (
+      SELECT user_id, cum,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) AS run_peak
+      FROM cums
+    )
+    SELECT user_id,
+           ROUND(MAX(run_peak - cum) + 1e-9, 2) AS max_drawdown,
+           ROUND(MAX(cum) + 1e-9, 2) AS peak_cum,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM c GROUP BY user_id
+    """,
+    doc="Maximum drawdown per entity over the cumulative value series "
+    "(the risk metric of the reference's stock domain, "
+    "localTrinoTest.ipynb price series): running sum, running peak of "
+    "that sum, and the largest peak-to-trough gap — every stage a "
+    "frame-bounded streaming accumulator over ONE hash partition per "
+    "key and ONE within-partition sort (the nested max-of-cumsum "
+    "rides the same window definition; no self-join against the "
+    "prefix, which is the O(n²) formulation this replaces).",
+)
+def win_max_drawdown(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("value").over(w)
+    c = ev.select(
+        "user_id",
+        cum.alias("cum"),
+        F.max(cum).over(w).alias("run_peak"),
+    )
+    return c.groupBy("user_id").agg(
+        r_(F.max(F.col("run_peak") - F.col("cum")), 2).alias("max_drawdown"),
+        r_(F.max("cum"), 2).alias("peak_cum"),
+        F.count("*").alias("n_events"),
+    )
