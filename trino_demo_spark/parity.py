@@ -6130,3 +6130,55 @@ def win_max_drawdown(spark, sf_dir):
         r_(F.max("cum"), 2).alias("peak_cum"),
         F.count("*").alias("n_events"),
     )
+
+
+@parity(
+    "scan_csv_malformed",
+    sql="""
+    WITH src AS (
+      SELECT i, (i % 11 = 5) AS corrupt, 3 * i AS v
+      FROM range(0, 1000) r(i)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN NOT corrupt THEN v ELSE 0 END) AS BIGINT) AS v_sum
+    FROM src
+    """,
+    doc="Malformed-record tolerance on the CSV decode path (the "
+    "reference ingests raw CSVs — fillMongoDB.ipynb:176-185, "
+    "fill_postgresql.sql COPY): every 11th-ish line is written with a "
+    "non-numeric value in a BIGINT column, scanned in PERMISSIVE mode "
+    "with columnNameOfCorruptRecord — bad lines surface as NULL "
+    "fields plus the raw line for quarantine instead of failing the "
+    "COPY. Oracle recomputes expected good/corrupt/value totals from "
+    "the generation rule, so silent drops or mis-parses of either "
+    "class break the match.",
+)
+def scan_csv_malformed(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "csv_malformed")
+    line = F.when(
+        F.col("id") % 11 == 5,
+        F.concat(F.col("id").cast("string"), F.lit(",not_a_number")),
+    ).otherwise(
+        F.concat(
+            F.col("id").cast("string"),
+            F.lit(","),
+            (F.col("id") * 3).cast("string"),
+        )
+    )
+    spark.range(1000).select(line.alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+    scanned = (
+        spark.read.schema("id BIGINT, v BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return scanned.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_good"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(F.coalesce("v", F.lit(0))).alias("v_sum"),
+    )
