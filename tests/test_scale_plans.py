@@ -570,3 +570,13 @@ def test_covariance_matrix_single_fact_scan(spark):
     not a 6-way union of aggregate branches."""
     df = PARITY["agg_covariance_matrix"].fn(spark, SF_SMOKE)
     assert _plan(df).count("lineitem.parquet") == 1
+
+
+def test_interval_overlap_join_is_hash_join(spark):
+    """The bucketized interval-overlap join plans a hash equi-join on
+    the bucket id — no BroadcastNestedLoopJoin / CartesianProduct
+    (the theta-join shapes it replaces)."""
+    df = PARITY["join_interval_overlap"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan

@@ -615,3 +615,49 @@ def asof_join_nearest(
         *picked,
         F.when(in_tol, dist).alias("__asof_dist"),
     )
+
+
+def interval_overlap_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (half-open [start, end)) as a
+    bucketized equi-join — the scale path when BOTH interval sets are
+    too large to broadcast, completing the family next to
+    range_join_bucketed (point-in-interval):
+
+    each side explodes into the fixed-width buckets its interval
+    touches (map-side, rows × interval_len/bucket_width), the join
+    runs as a HASH equi-join on the bucket id, a residual
+    ``a.start < b.end AND b.start < a.end`` restores exact overlap
+    semantics, and a distinct collapses intervals that share several
+    buckets. Result-identical to the direct theta join (which plans
+    as a broadcast nested loop — O(|L|·|R|) compares); here compares
+    are confined to co-bucketed pairs. Interval columns must be
+    numeric (cast dates to day indexes).
+    """
+    def burst(df, s, e, side):
+        return df.withColumn(
+            f"__bkt_{side}",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(bucket_width)),
+                    F.floor((F.col(e) - 1) / F.lit(bucket_width)),
+                )
+            ),
+        )
+
+    l = burst(left, left_start, left_end, "l")
+    r = burst(right, right_start, right_end, "r")
+    joined = l.join(
+        r,
+        (F.col("__bkt_l") == F.col("__bkt_r"))
+        & (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end)),
+    )
+    return joined.drop("__bkt_l", "__bkt_r").distinct()

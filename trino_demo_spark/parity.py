@@ -6182,3 +6182,60 @@ def scan_csv_malformed(spark, sf_dir):
         F.count("_corrupt_record").alias("n_corrupt"),
         F.sum(F.coalesce("v", F.lit(0))).alias("v_sum"),
     )
+
+
+@parity(
+    "join_interval_overlap",
+    sql="""
+    WITH l AS (
+      SELECT o_orderkey,
+             datediff('day', DATE '1995-03-01', CAST(o_orderdate AS DATE)) AS f_start,
+             datediff('day', DATE '1995-03-01', CAST(o_orderdate AS DATE))
+               + (o_orderkey % 14) + 1 AS f_end
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+    ),
+    p AS (
+      SELECT CAST(i AS INT) AS promo_id,
+             CAST(i AS INT) * 20 AS p_start, CAST(i AS INT) * 20 + 10 AS p_end
+      FROM UNNEST(range(0, 4)) u(i)
+    )
+    SELECT l.o_orderkey, p.promo_id, l.f_start, l.f_end
+    FROM l JOIN p ON l.f_start < p.p_end AND p.p_start < l.f_end
+    """,
+    doc="Interval x interval OVERLAP join: per-order fulfillment "
+    "windows [orderdate, orderdate + 1..14d) against 10-day promo "
+    "windows — matched when the half-open intervals overlap. Engine "
+    "side buckets BOTH interval sets into fixed 16-day buckets and "
+    "hash-equi-joins on the bucket with a residual overlap predicate "
+    "(operators/relational.py::interval_overlap_join_bucketed) — the "
+    "shape that survives when neither side broadcasts; the oracle "
+    "states the same result as the direct theta join the bucketing "
+    "replaces (a broadcast nested loop at demo scale, O(|L|x|R|) at "
+    "any scale).",
+)
+def join_interval_overlap(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+        & (F.col("o_orderdate") <= F.lit("1995-04-30").cast("date"))
+    )
+    l = o.select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1995-03-01").cast("date")).alias(
+            "f_start"
+        ),
+        (
+            F.datediff("o_orderdate", F.lit("1995-03-01").cast("date"))
+            + (F.col("o_orderkey") % 14)
+            + 1
+        ).alias("f_end"),
+    )
+    p = spark.range(4).select(
+        F.col("id").cast("int").alias("promo_id"),
+        (F.col("id") * 20).cast("int").alias("p_start"),
+        (F.col("id") * 20 + 10).cast("int").alias("p_end"),
+    )
+    out = rel_ops.interval_overlap_join_bucketed(
+        l, p, "f_start", "f_end", "p_start", "p_end", bucket_width=16
+    )
+    return out.select("o_orderkey", "promo_id", "f_start", "f_end")
