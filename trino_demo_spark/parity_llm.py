@@ -2474,3 +2474,73 @@ def ml_eval_confusion(spark, sf_dir):
             "f1"
         ),
     )
+
+
+@parity(
+    "llm_dataset_card",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, n_chars, len({_TOK}) AS n_tokens, text
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             COUNT(DISTINCT text) AS n_unique_texts,
+             CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS median_tokens,
+             MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+      FROM tok
+    )
+    SELECT n_docs, total_tokens, total_chars, n_langs, n_sources,
+           ROUND((n_docs - n_unique_texts) * 1.0 / n_docs + 1e-9, 4) AS dup_rate,
+           median_tokens, CAST(min_tokens AS BIGINT) AS min_tokens,
+           CAST(max_tokens AS BIGINT) AS max_tokens
+    FROM stats
+    """,
+    doc="Dataset card: the one-row corpus summary a data release ships "
+    "with — doc/token/char totals, language and source cardinalities, "
+    "exact-duplicate rate (1 - distinct texts / docs), and the "
+    "token-length min/median/max. ONE aggregate pass (distinct-count "
+    "aggregates expand to partial sketchless distincts under a single "
+    "scan; the median is the exact discrete percentile). The "
+    "provenance/summary artifact generated after every pipeline run.",
+)
+def llm_dataset_card(spark, sf_dir):
+    from .llm.dedup import tokens_col
+
+    tok = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        F.size(tokens_col("text")).alias("n_tokens"),
+    )
+    s = tok.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("long")
+        .alias("median_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+    return s.select(
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "n_langs",
+        "n_sources",
+        r_(
+            (F.col("n_docs") - F.col("n_unique_texts")) / F.col("n_docs"), 4
+        ).alias("dup_rate"),
+        "median_tokens",
+        "min_tokens",
+        "max_tokens",
+    )
