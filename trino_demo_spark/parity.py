@@ -6239,3 +6239,130 @@ def join_interval_overlap(spark, sf_dir):
         l, p, "f_start", "f_end", "p_start", "p_end", bucket_width=16
     )
     return out.select("o_orderkey", "promo_id", "f_start", "f_end")
+
+
+@parity(
+    "win_cusum_alarm",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d, COUNT(*) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    thr AS (SELECT AVG(x) + 2.0 AS t FROM daily),
+    rec AS (
+      SELECT k, rn, GREATEST(0.0, x - thr.t) AS s
+      FROM daily CROSS JOIN thr WHERE rn = 1
+      UNION ALL
+      SELECT d.k, d.rn, GREATEST(0.0, rec.s + d.x - thr.t)
+      FROM daily d
+      CROSS JOIN thr
+      JOIN rec ON d.k = rec.k AND d.rn = rec.rn + 1
+    )
+    SELECT k AS event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
+           ROUND(MAX(s) + 1e-9, 4) AS max_cusum,
+           MAX(s) > 15.0 AS alarm
+    FROM rec GROUP BY k
+    """,
+    doc="CUSUM upward change detection per event type (Page 1954): the "
+    "one-sided recursion S_t = max(0, S_{t-1} + x_t - threshold) over "
+    "each type's daily count series, reporting the peak statistic and "
+    "an alarm flag. The recursion has a max() inside, so no closed "
+    "form exists (contrast win_ewma) — it runs as ONE sequential "
+    "aggregate() fold over the per-key SORTED day array (pure "
+    "codegen, scalar state, O(series) per key with no O(n^2) array "
+    "build); the oracle states the identical recursion as a "
+    "recursive CTE. The threshold is a 1-row broadcast (global mean "
+    "+ drift allowance). Per-key series are day-counts — bounded; "
+    "for ultra-long series this is the fold the ewma_chunked "
+    "two-phase trick does NOT apply to (max() breaks linearity), "
+    "which is exactly why the fold formulation matters.",
+)
+def win_cusum_alarm(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("x"))
+    thr = daily.agg((F.avg("x") + F.lit(2.0)).alias("t"))
+    arr = (
+        daily.crossJoin(F.broadcast(thr))
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("d", "x"))
+            ).alias("__series"),
+            F.first("t").alias("t"),
+            F.count("*").alias("n_days"),
+        )
+    )
+    fold = F.expr(
+        "aggregate(__series, "
+        "named_struct('s', CAST(0.0 AS DOUBLE), 'm', CAST(0.0 AS DOUBLE)), "
+        "(acc, e) -> named_struct("
+        "  's', greatest(CAST(0.0 AS DOUBLE), acc.s + e.x - t), "
+        "  'm', greatest(acc.m, greatest(CAST(0.0 AS DOUBLE), acc.s + e.x - t))), "
+        "acc -> acc.m)"
+    )
+    return arr.select(
+        "event_type",
+        F.col("n_days"),
+        r_(fold, 4).alias("max_cusum"),
+        (fold > F.lit(15.0)).alias("alarm"),
+    )
+
+
+@parity(
+    "agg_chi_square",
+    sql="""
+    WITH c AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS cohort, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.*,
+             SUM(n) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(n) OVER (PARTITION BY cohort) AS col_tot,
+             SUM(n) OVER () AS tot
+      FROM c
+    )
+    SELECT CAST(COUNT(*) - COUNT(DISTINCT event_type) - COUNT(DISTINCT cohort) + 1 AS BIGINT) AS dof,
+           ROUND(SUM(pow(n - row_tot * 1.0 * col_tot / tot, 2)
+                     / (row_tot * 1.0 * col_tot / tot)) + 1e-9, 4) AS chi2
+    FROM m
+    """,
+    doc="Chi-square independence test of event_type vs a user cohort "
+    "split (the categorical counterpart of agg_ab_test): observed "
+    "contingency counts from ONE keyed aggregate, expected counts and "
+    "the statistic from windows over the tiny cells frame "
+    "(types x cohorts rows). dof computed as cells - rows - cols + 1 "
+    "(= (r-1)(c-1) for a complete table). Only the contingency "
+    "aggregate touches fact-sized data.",
+)
+def agg_chi_square(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("cohort")
+    ).agg(F.count("*").alias("n"))
+    wr = W.partitionBy("event_type")
+    wc = W.partitionBy("cohort")
+    wall = W.partitionBy()
+    m = c.select(
+        "event_type",
+        "cohort",
+        "n",
+        F.sum("n").over(wr).alias("row_tot"),
+        F.sum("n").over(wc).alias("col_tot"),
+        F.sum("n").over(wall).alias("tot"),
+    )
+    exp = F.col("row_tot") * F.lit(1.0) * F.col("col_tot") / F.col("tot")
+    return m.agg(
+        (
+            F.count("*")
+            - F.countDistinct("event_type")
+            - F.countDistinct("cohort")
+            + 1
+        ).alias("dof"),
+        r_(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
+    )
