@@ -5844,7 +5844,7 @@ def agg_ab_test(spark, sf_dir):
     )
     SELECT d AS o_orderdate, n,
            ROUND(mu + 1e-9, 4) AS mu,
-           ROUND((n - mu) / sd + 1e-9, 4) AS zscore,
+           ROUND(CASE WHEN sd > 0 THEN (n - mu) / sd END + 1e-9, 4) AS zscore,
            (frame_n >= 7 AND sd > 0 AND abs((n - mu) / sd) > 3.0) AS is_anomaly
     FROM m WHERE frame_n >= 7
     """,
@@ -5876,14 +5876,19 @@ def win_zscore_anomaly(spark, sf_dir):
         F.stddev_pop("n").over(w).alias("sd"),
         F.count("*").over(w).alias("frame_n"),
     ).filter(F.col("frame_n") >= 7)
-    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    # ANSI mode raises on /0 — a constant trailing frame (sd = 0) is
+    # legal data, so the score is NULL there and never an anomaly.
+    z = F.when(
+        F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd")
+    )
     return scored.select(
         "o_orderdate",
         "n",
         r_(F.col("mu"), 4).alias("mu"),
         r_(z, 4).alias("zscore"),
-        (
-            (F.col("frame_n") >= 7) & (F.col("sd") > 0) & (F.abs(z) > 3.0)
+        F.coalesce(
+            (F.col("frame_n") >= 7) & (F.col("sd") > 0) & (F.abs(z) > 3.0),
+            F.lit(False),
         ).alias("is_anomaly"),
     )
 
