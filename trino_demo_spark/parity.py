@@ -6371,3 +6371,82 @@ def agg_chi_square(spark, sf_dir):
         ).alias("dof"),
         r_(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
     )
+
+
+@parity(
+    "agg_ks_test",
+    sql="""
+    WITH s AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    tot AS (
+      SELECT SUM(is_a) AS na, COUNT(*) - SUM(is_a) AS nb FROM s
+    ),
+    e AS (
+      SELECT value,
+             SUM(is_a) OVER (ORDER BY value
+                             ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(1 - is_a) OVER (ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS cb
+      FROM s
+    ),
+    m AS (
+      SELECT value, MAX(ca) AS ca, MAX(cb) AS cb
+      FROM e GROUP BY value
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(ca * 1.0 / tot.na - cb * 1.0 / tot.nb)) + 1e-9, 4) AS ks_d
+    FROM m CROSS JOIN tot
+    GROUP BY tot.na, tot.nb
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the 'click' "
+    "and 'view' value distributions (the nonparametric companion to "
+    "agg_ab_test — detects any distributional difference, not just a "
+    "mean shift): both empirical CDFs ride ONE ordered running-sum "
+    "window over the union sample, collapsed to per-distinct-value "
+    "steps, D = max |F_a - F_b|. The order-global cumulative is the "
+    "same class as agg_gini's rank (post-filter sample frame; "
+    "prefix-sum remedy documented there); totals broadcast.",
+)
+def agg_ks_test(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "view")
+        )
+        .select(
+            "value",
+            (F.col("event_type") == "click").cast("int").alias("is_a"),
+        )
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    e = s.select(
+        "value",
+        F.sum("is_a").over(w).alias("ca"),
+        F.sum(1 - F.col("is_a")).over(w).alias("cb"),
+    )
+    m = e.groupBy("value").agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    tot = s.agg(
+        F.sum("is_a").alias("na"), (F.count("*") - F.sum("is_a")).alias("nb")
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.col("na")).cast("long").alias("n_a"),
+            F.max(F.col("nb")).cast("long").alias("n_b"),
+            r_(
+                F.max(
+                    F.abs(
+                        F.col("ca") * F.lit(1.0) / F.col("na")
+                        - F.col("cb") * F.lit(1.0) / F.col("nb")
+                    )
+                ),
+                4,
+            ).alias("ks_d"),
+        )
+    )

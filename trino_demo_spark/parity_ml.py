@@ -446,3 +446,62 @@ def ml_residual_bins(spark, sf_dir):
         r_(F.avg("resid"), 2).alias("mean_resid"),
         r_(F.stddev_samp("resid"), 2).alias("sd_resid"),
     )
+
+
+@parity(
+    "ml_eval_auc",
+    sql="""
+    WITH scored AS (
+      SELECT n_chars * 1.0 AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    ranked AS (
+      SELECT y, AVG(rn) OVER (PARTITION BY score) AS r
+      FROM (SELECT score, y, ROW_NUMBER() OVER (ORDER BY score) AS rn
+            FROM scored)
+    ),
+    s AS (
+      SELECT SUM(CASE WHEN y = 1 THEN r END) AS pos_rank_sum,
+             SUM(y) AS n_pos, COUNT(*) - SUM(y) AS n_neg
+      FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * 1.0 * n_neg) + 1e-9, 4) AS auc
+    FROM s
+    """,
+    doc="AUC-ROC as a rank statistic (Mann-Whitney U identity — no "
+    "threshold sweep, no curve materialization): mid-ranks of the "
+    "score (ties averaged, the textbook correction), positive rank "
+    "sum, AUC = (R+ - n+(n+ + 1)/2) / (n+ n-). Scoring column is "
+    "document length, label = lang=='en' — a deterministic eval "
+    "fixture. One global rank over the scored frame + one aggregate; "
+    "ranks over scores are the one inherently order-global step (same "
+    "caveat + prefix-sum remedy as agg_gini).",
+)
+def ml_eval_auc(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") * F.lit(1.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    rn = F.row_number().over(W.orderBy("score"))
+    ranked = d.select("score", "y", rn.alias("rn")).withColumn(
+        "r", F.avg("rn").over(W.partitionBy("score"))
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("pos_rank_sum"),
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+    )
+    return s.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        r_(
+            (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.lit(1.0) * F.col("n_neg")),
+            4,
+        ).alias("auc"),
+    )
