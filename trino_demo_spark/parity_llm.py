@@ -2544,3 +2544,40 @@ def llm_dataset_card(spark, sf_dir):
         "min_tokens",
         "max_tokens",
     )
+
+
+@parity(
+    "llm_multimodal_resize",
+    sql="""
+    WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
+               FROM documents WHERE doc_id < 50),
+    o AS (
+      SELECT doc_id, w, h, CAST(i AS INT) % 3 AS c,
+             (CAST(i AS INT) // 3) % 4 AS x, (CAST(i AS INT) // 3) // 4 AS y
+      FROM d, UNNEST(range(0, 48)) u(i)
+    ),
+    m AS (
+      SELECT doc_id, w, h,
+             (doc_id * 7 + 3 * (CAST(FLOOR(y * h / 4.0) AS INT) * w
+                                + CAST(FLOOR(x * w / 4.0) AS INT)) + c) % 256 AS px
+      FROM o
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height,
+           CAST(4 AS BIGINT) AS out_width, CAST(4 AS BIGINT) AS out_height,
+           CAST(SUM(px) AS BIGINT) AS resized_sum,
+           ROUND(SUM(px) / 48.0 + 1e-9, 4) AS resized_mean
+    FROM m GROUP BY doc_id, w, h
+    """,
+    doc="Image RESIZE through the engine (the pre-batching geometric "
+    "transform): binary PPM decoded, nearest-neighbor resampled to "
+    "4x4 with vectorized numpy index arithmetic (sx = x*w // 4 floor "
+    "mapping — a real kernel, not a stub) inside one Arrow "
+    "mapInPandas pass; features come from the RESIZED raster and the "
+    "oracle recomputes every resampled pixel from the source formula "
+    "and the same floor mapping, so an off-by-one in the index "
+    "arithmetic breaks the match "
+    "(llm/multimodal.py::ppm_resize_features).",
+)
+def llm_multimodal_resize(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.ppm_resize_features(docs)
