@@ -460,3 +460,57 @@ def ppm_resize_features(
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=RESIZE_FEATURE_SCHEMA)
+
+
+RESAMPLE_FEATURE_SCHEMA = (
+    "doc_id LONG, src_rate LONG, out_rate LONG, n_src LONG, n_out LONG, "
+    "sum_out LONG, rms_out DOUBLE"
+)
+
+
+def wav_resample_features(
+    docs: DataFrame, factor: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio RESAMPLE through the engine — the rate-normalization step
+    every audio-training pipeline runs before batching: decode the
+    RIFF/WAVE payload, decimate the PCM stream by `factor` (keep every
+    factor-th sample — the real integer-factor downsampling kernel;
+    swap in a polyphase filter via scipy when available, same plan
+    shape), emit features of the RESAMPLED signal. One Arrow
+    mapInPandas pass, numpy-vectorized slicing, no per-sample Python
+    loop."""
+    import math
+
+    import numpy as np
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = 8000 + (doc_id % 5) * 1000
+                payload = encode_wav_pcm16(_synth_samples(doc_id), rate)
+                decoded = decode_audio(payload)
+                src = np.asarray(decoded["samples"], dtype=np.int64)
+                out = src[::factor]
+                total = int(out.sum())
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "src_rate": decoded["sample_rate"],
+                        "out_rate": decoded["sample_rate"] // factor,
+                        "n_src": len(src),
+                        "n_out": len(out),
+                        "sum_out": total,
+                        "rms_out": round(
+                            math.sqrt(float((out * out).sum()) / len(out))
+                            + 1e-9,
+                            4,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=RESAMPLE_FEATURE_SCHEMA)

@@ -2581,3 +2581,33 @@ def llm_dataset_card(spark, sf_dir):
 def llm_multimodal_resize(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return multimodal.ppm_resize_features(docs)
+
+
+@parity(
+    "llm_multimodal_resample",
+    sql="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, i FROM d, UNNEST(range(0, 59)) u(i)
+          WHERE i < (doc_id % 50) + 10 AND i % 2 = 0),
+    v AS (SELECT doc_id, ((doc_id * 31 + i * 17) % 4096) - 2048 AS smp FROM s)
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS src_rate,
+           CAST((8000 + (doc_id % 5) * 1000) // 2 AS BIGINT) AS out_rate,
+           CAST((doc_id % 50) + 10 AS BIGINT) AS n_src,
+           COUNT(*) AS n_out,
+           CAST(SUM(smp) AS BIGINT) AS sum_out,
+           ROUND(sqrt(SUM(smp * smp) * 1.0 / COUNT(*)) + 1e-9, 4) AS rms_out
+    FROM v GROUP BY doc_id
+    """,
+    doc="Audio RESAMPLE through the engine (rate normalization before "
+    "batching): WAV decode + integer-factor decimation (keep every "
+    "2nd sample — numpy-vectorized, the real downsampling kernel) in "
+    "one Arrow mapInPandas pass; features come from the RESAMPLED "
+    "signal and the oracle recomputes them from the source formula "
+    "restricted to even sample indexes, so an off-by-one in the "
+    "decimation stride breaks the match "
+    "(llm/multimodal.py::wav_resample_features).",
+)
+def llm_multimodal_resample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.wav_resample_features(docs)
