@@ -395,3 +395,24 @@ def test_asof_join_nearest_matches_pandas(spark):
         ldf2, rdf2, on="t", right_value_cols=["v"]
     ).collect()[0]
     assert (r.v, r["__asof_dist"]) == ("a", 2)
+
+
+def test_interval_overlap_preserves_multiplicity(spark):
+    """The bucketized overlap join must emit duplicate input rows the
+    same number of times the theta join would — the canonical-bucket
+    predicate dedups multi-bucket matches of one pair WITHOUT
+    collapsing genuinely duplicate rows."""
+    l = spark.createDataFrame(
+        [(0, 40), (0, 40), (5, 8)], "s long, e long"  # duplicate interval
+    )
+    r = spark.createDataFrame([(30, 50), (0, 3)], "rs long, re long")
+    got = rel.interval_overlap_join_bucketed(
+        l, r, "s", "e", "rs", "re", bucket_width=16
+    ).collect()
+    theta = l.join(
+        r, (F.col("s") < F.col("re")) & (F.col("rs") < F.col("e"))
+    ).collect()
+    key = lambda rows: sorted((x.s, x.e, x.rs, x.re) for x in rows)
+    assert key(got) == key(theta)
+    # the duplicate left interval appears twice per matching right row
+    assert key(got).count((0, 40, 30, 50)) == 2

@@ -431,7 +431,6 @@ def ppm_resize_features(
     ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        xs = None
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:

@@ -90,6 +90,40 @@ def chrono_split_by_cutoff(
     return tagged, str(cutoff)
 
 
+def _asof_tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_value_cols: Sequence[str],
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Shared scaffolding of the union-merge as-of joins: tag the left
+    side 1 / right side 0, null-pad each side to a common schema, and
+    union — the frame both the directional and nearest variants window
+    over. Any schema-alignment fix lands here once."""
+    lcols = left.columns
+    l_tagged = left.withColumn("__side", F.lit(1)).select(
+        *lcols,
+        "__side",
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+    )
+    keep = {on, *partition_cols}
+    r_tagged = right.select(
+        *[
+            F.col(c)
+            if c in keep
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    return l_tagged.unionByName(r_tagged)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -114,22 +148,9 @@ def asof_join(
     right side first (e.g. keep_last) when that matters.
     """
     lcols = left.columns
-    tag = F.lit(1)
-    l_tagged = left.withColumn("__side", tag).select(
-        *lcols,
-        "__side",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    merged = _asof_tagged_union(
+        left, right, on, right_value_cols, partition_cols
     )
-    keep = {on, *partition_cols}
-    r_tagged = right.select(
-        *[
-            F.col(c) if c in keep else F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in lcols
-        ],
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
-    )
-    merged = l_tagged.unionByName(r_tagged)
     order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         W.partitionBy(*partition_cols)
@@ -548,26 +569,9 @@ def asof_join_nearest(
     match) alongside the value columns.
     """
     lcols = left.columns
-    l_tagged = left.withColumn("__side", F.lit(1)).select(
-        *lcols,
-        "__side",
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in right_value_cols
-        ],
+    merged = _asof_tagged_union(
+        left, right, on, right_value_cols, partition_cols
     )
-    keep = {on, *partition_cols}
-    r_tagged = right.select(
-        *[
-            F.col(c)
-            if c in keep
-            else F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in lcols
-        ],
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
-    )
-    merged = l_tagged.unionByName(r_tagged)
     wb = (
         W.partitionBy(*partition_cols)
         .orderBy(F.col(on).asc(), F.col("__side").asc())
@@ -635,11 +639,14 @@ def interval_overlap_join_bucketed(
     touches (map-side, rows × interval_len/bucket_width), the join
     runs as a HASH equi-join on the bucket id, a residual
     ``a.start < b.end AND b.start < a.end`` restores exact overlap
-    semantics, and a distinct collapses intervals that share several
-    buckets. Result-identical to the direct theta join (which plans
-    as a broadcast nested loop — O(|L|·|R|) compares); here compares
-    are confined to co-bucketed pairs. Interval columns must be
-    numeric (cast dates to day indexes).
+    semantics, and a CANONICAL-BUCKET predicate (the pair only counts
+    in the bucket containing max(starts) — the first bucket where
+    both intervals coexist) de-duplicates multi-bucket matches
+    WITHOUT a distinct, so input row multiplicity is preserved
+    exactly like the theta join. Result-identical to the direct
+    theta join (which plans as a broadcast nested loop — O(|L|·|R|)
+    compares); here compares are confined to co-bucketed pairs.
+    Interval columns must be numeric (cast dates to day indexes).
     """
     def burst(df, s, e, side):
         return df.withColumn(
@@ -654,10 +661,14 @@ def interval_overlap_join_bucketed(
 
     l = burst(left, left_start, left_end, "l")
     r = burst(right, right_start, right_end, "r")
+    canonical = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / F.lit(bucket_width)
+    )
     joined = l.join(
         r,
         (F.col("__bkt_l") == F.col("__bkt_r"))
         & (F.col(left_start) < F.col(right_end))
-        & (F.col(right_start) < F.col(left_end)),
+        & (F.col(right_start) < F.col(left_end))
+        & (F.col("__bkt_l") == canonical),
     )
-    return joined.drop("__bkt_l", "__bkt_r").distinct()
+    return joined.drop("__bkt_l", "__bkt_r")

@@ -6081,18 +6081,18 @@ def agg_gini(spark, sf_dir):
     "win_max_drawdown",
     sql="""
     WITH daily AS (
-      SELECT user_id, epoch_us(ts) AS ts_us, value
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
       FROM events WHERE value IS NOT NULL
     ),
     cums AS (
-      SELECT user_id, ts_us,
-             SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us
+      SELECT user_id, event_id, ts_us,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                               ROWS UNBOUNDED PRECEDING) AS cum
       FROM daily
     ),
     c AS (
       SELECT user_id, cum,
-             MAX(cum) OVER (PARTITION BY user_id ORDER BY ts_us
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                             ROWS UNBOUNDED PRECEDING) AS run_peak
       FROM cums
     )
@@ -6117,11 +6117,17 @@ def win_max_drawdown(spark, sf_dir):
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
     )
+    # (ts_us, event_id) — deterministic under same-user ts collisions
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = F.sum("value").over(w)

@@ -2265,9 +2265,14 @@ def llm_subsample_frequent(spark, sf_dir):
         "doc_id",
         F.posexplode(tokens_col("text")).alias("pos0", "w"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
-    total = tok.count()
+    from pyspark.sql import Window as W
+
     freq = tok.groupBy("w").agg(F.count("*").alias("cnt"))
-    freq = freq.withColumn("f", F.col("cnt") / F.lit(float(total)))
+    # total tokens = sum of vocab counts — derived on the TINY vocab
+    # frame (window over the aggregate), not a second corpus scan
+    freq = freq.withColumn(
+        "f", F.col("cnt") / F.sum("cnt").over(W.partitionBy())
+    )
     p_keep = F.least(F.sqrt(F.lit(0.001) / F.col("f")), F.lit(1.0))
     hash_key = F.col("doc_id") * F.lit(1000003) + F.col("pos")
     u = (
@@ -2300,7 +2305,7 @@ def llm_subsample_frequent(spark, sf_dir):
     spans AS (
       SELECT doc_id, CAST(i AS INT) AS span_idx,
              array_to_string(t[(CAST(i AS INT)*3+1):(CAST(i AS INT)*3+3)], ' ') AS span_text
-      FROM tok, UNNEST(range(0, 128)) u(i)
+      FROM tok, UNNEST(range(0, len(t) + 1)) u(i)
       WHERE CAST(i AS INT)*3 < len(t)
     ),
     flagged AS (

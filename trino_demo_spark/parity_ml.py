@@ -390,18 +390,30 @@ def ml_als_recommend(spark, sf_dir):
         "user_id", F.col("event_type").alias("item")
     ).agg(F.avg("value").alias("rating"))
     ratings = ratings.persist()
-    q, users = ml.als_fit(ratings)
-    rmse = ml.als_rmse(ratings, q, users)
-    out = ratings.agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct("item").alias("n_items"),
-        r_(F.stddev_pop("rating"), 4).alias("baseline_rmse"),
-    ).withColumn(
-        "als_beats_baseline",
-        F.lit(rmse) < F.col("baseline_rmse") + F.lit(1e-9),
+    try:
+        q, users = ml.als_fit(ratings)
+        rmse = ml.als_rmse(ratings, q, users)
+        # materialize the verdict row while the cache is alive — the
+        # returned frame is collected by the harness AFTER this
+        # function exits, so a lazy aggregate would recompute ratings
+        row = ratings.agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("item").alias("n_items"),
+            r_(F.stddev_pop("rating"), 4).alias("baseline_rmse"),
+        ).first()
+    finally:
+        ratings.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                row["n_users"],
+                row["n_items"],
+                float(row["baseline_rmse"]),
+                bool(rmse < row["baseline_rmse"] + 1e-9),
+            )
+        ],
+        "n_users long, n_items long, baseline_rmse double, als_beats_baseline boolean",
     )
-    ratings.unpersist()
-    return out
 
 
 @parity(
