@@ -6456,3 +6456,67 @@ def agg_ks_test(spark, sf_dir):
             ).alias("ks_d"),
         )
     )
+
+
+@parity(
+    "agg_brr_ci",
+    sql="""
+    WITH s AS (
+      SELECT event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    reps AS (
+      SELECT CAST(r.r AS INT) AS rep, AVG(s.value) AS m
+      FROM s CROSS JOIN UNNEST(range(0, 20)) r(r)
+      WHERE ((xor(s.event_id * 2654435761, CAST(r.r AS BIGINT) * 40503)
+              & 2147483647) % 2) = 0
+      GROUP BY 1
+    ),
+    full_m AS (SELECT AVG(value) AS theta, COUNT(*) AS n FROM s)
+    SELECT CAST(full_m.n AS BIGINT) AS n,
+           ROUND(full_m.theta + 1e-9, 4) AS mean_value,
+           ROUND(sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) AS se_brr,
+           ROUND(full_m.theta - 1.96 * sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) AS ci_lo,
+           ROUND(full_m.theta + 1.96 * sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) AS ci_hi
+    FROM reps CROSS JOIN full_m
+    GROUP BY full_m.theta, full_m.n
+    """,
+    doc="Distribution-free confidence interval for the mean via "
+    "balanced-repeated-replication-style half-samples: 20 "
+    "DETERMINISTIC hash-selected half-samples (the same seeded "
+    "Knuth-multiplicative realization as the samplers — no RNG "
+    "state, any engine reproduces the replicas), SE = sqrt(mean of "
+    "(replica mean - full mean)^2), normal-theory 95% band. At scale "
+    "this is the resampling scheme that works distributed: replica "
+    "membership is a map-side hash predicate, all 20 replica means "
+    "are conditional aggregates in ONE pass (here expressed as a "
+    "20-way unnest join for oracle clarity — the engine side uses "
+    "FILTER-style conditional sums, no row blow-up).",
+)
+def agg_brr_ci(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def member(r):
+        h = (
+            (F.col("event_id") * F.lit(2654435761)).bitwiseXOR(
+                F.lit(r * 40503)
+            )
+        ).bitwiseAND(F.lit(2147483647))
+        return (h % 2) == 0
+
+    aggs = [F.count("*").alias("n"), F.avg("value").alias("theta")]
+    for r in range(20):
+        aggs.append(
+            F.avg(F.when(member(r), F.col("value"))).alias(f"m{r}")
+        )
+    s = ev.agg(*aggs)
+    sq = [
+        F.pow(F.col(f"m{r}") - F.col("theta"), 2) for r in range(20)
+    ]
+    se = F.sqrt(sum(sq[1:], sq[0]) / F.lit(20.0))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        r_(F.col("theta"), 4).alias("mean_value"),
+        r_(se, 4).alias("se_brr"),
+        r_(F.col("theta") - F.lit(1.96) * se, 4).alias("ci_lo"),
+        r_(F.col("theta") + F.lit(1.96) * se, 4).alias("ci_hi"),
+    )
