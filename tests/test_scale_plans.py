@@ -580,3 +580,14 @@ def test_interval_overlap_join_is_hash_join(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_funnel_and_brr_single_scan(spark):
+    """The observability aggregates promise ONE pass: the filter
+    funnel's cumulative stage counts and the BRR replica means are all
+    conditional aggregates over a single scan — no per-stage or
+    per-replica re-reads."""
+    plan = _plan(PARITY["llm_filter_funnel"].fn(spark, SF_SMOKE))
+    assert plan.count("documents.parquet") == 1, plan
+    plan = _plan(PARITY["agg_brr_ci"].fn(spark, SF_SMOKE))
+    assert plan.count("events.parquet") == 1, plan
