@@ -6467,8 +6467,8 @@ def agg_ks_test(spark, sf_dir):
     reps AS (
       SELECT CAST(r.r AS INT) AS rep, AVG(s.value) AS m
       FROM s CROSS JOIN UNNEST(range(0, 20)) r(r)
-      WHERE ((xor(s.event_id * 2654435761, CAST(r.r AS BIGINT) * 40503)
-              & 2147483647) % 2) = 0
+      WHERE ((((xor(s.event_id, CAST(r.r AS BIGINT) * 40503) & 2147483647)
+               * 2654435761) & 2147483647) % 2) = 0
       GROUP BY 1
     ),
     full_m AS (SELECT AVG(value) AS theta, COUNT(*) AS n FROM s)
@@ -6496,10 +6496,15 @@ def agg_brr_ci(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
     def member(r):
+        # mask to 31 bits BEFORE the Knuth multiply (same overflow
+        # discipline as mixing.shuffle_key_expr — ANSI mode raises on
+        # int64 overflow, and event ids at full scale exceed the safe
+        # pre-multiply range)
         h = (
-            (F.col("event_id") * F.lit(2654435761)).bitwiseXOR(
-                F.lit(r * 40503)
+            F.col("event_id").bitwiseXOR(F.lit(r * 40503)).bitwiseAND(
+                F.lit(2147483647)
             )
+            * F.lit(2654435761)
         ).bitwiseAND(F.lit(2147483647))
         return (h % 2) == 0
 
