@@ -591,3 +591,22 @@ def test_funnel_and_brr_single_scan(spark):
     assert plan.count("documents.parquet") == 1, plan
     plan = _plan(PARITY["agg_brr_ci"].fn(spark, SF_SMOKE))
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_asof_nearest_single_exchange_no_theta(spark):
+    """asof_join_nearest's promise: the union-merge shape shuffles ONCE
+    on the (partition, order) keys and never plans the theta-join
+    shapes (broadcast nested loop / cartesian) its lateral oracle
+    formulation implies."""
+    from trino_demo_spark.operators import relational as rel
+
+    ldf = spark.range(0, 200).select(F.col("id").alias("t"))
+    rdf = spark.range(0, 50).select(
+        (F.col("id") * 4).alias("t"), F.col("id").alias("v")
+    )
+    df = rel.asof_join_nearest(ldf, rdf, on="t", right_value_cols=["v"])
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one exchange for the merged frame; both window specs reuse it
+    assert plan.count("Exchange") <= 2, plan  # union sides may each show one pre-AQE
