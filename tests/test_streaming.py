@@ -274,3 +274,44 @@ def test_ewma_stateful_matches_batch(spark, stream):
     assert set(final) == set(want) and len(final) >= 10
     for uid, got_y in final.items():
         assert got_y == pytest.approx(want[uid], rel=1e-9), uid
+
+
+def test_corpus_clean_stream_matches_batch(spark):
+    """The incremental corpus-cleaning pipeline keeps exactly the batch
+    e2e keep set (quality bar + language allowlist + exact dedup) —
+    one kept row per distinct surviving content."""
+    from trino_demo_spark.llm.text import lang_pred_expr, quality_exprs
+    from trino_demo_spark.streaming.kafka_shape import (
+        corpus_clean_stream,
+        stream_documents,
+    )
+
+    stream = stream_documents(spark, SF_SMOKE)
+    q = (
+        corpus_clean_stream(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_clean")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["content_hash"]
+        for r in spark.sql("SELECT * FROM corpus_clean").collect()
+    }
+    docs = load_table(spark, "documents", SF_SMOKE)
+    _, _, _, quality = quality_exprs("text")
+    pred, _ = lang_pred_expr("text")
+    batch = (
+        docs.select(
+            F.sha2("text", 256).alias("content_hash"),
+            quality.alias("quality"),
+            pred.alias("pred_lang"),
+        )
+        .filter((F.col("quality") >= 0.5) & F.col("pred_lang").isin("en", "de"))
+        .select("content_hash")
+        .distinct()
+    )
+    want = {r["content_hash"] for r in batch.collect()}
+    assert got == want and len(want) > 5

@@ -413,3 +413,50 @@ def ewma_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan of the documents corpus as a file stream — the
+    landing-zone tail of a crawl/ingest pipeline (new parquet drops
+    appear as new micro-batches; schema declared upfront as file
+    streams require)."""
+    raw = (
+        spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+            "n_chars BIGINT"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    return raw
+
+
+def corpus_clean_stream(stream: DataFrame) -> DataFrame:
+    """The corpus-cleaning cascade as an INCREMENTAL pipeline: quality
+    score + language ID (stateless map-side expressions, identical to
+    the batch e2e_llm_data_pipeline stages) then exact-dedup via
+    dropDuplicates on the content hash — streaming state is one
+    32-byte digest per distinct kept document, the incremental twin of
+    the batch min(doc_id)-per-text rule. Late/duplicate re-crawls of
+    already-kept content are dropped across micro-batches; the first
+    arrival wins (arrival order replaces the batch min-doc_id
+    tiebreak — the standard incremental-dedup semantics, same contract
+    as llm_dedup_incremental's Bloom variant)."""
+    from pyspark.sql import functions as F
+
+    from ..llm.text import lang_pred_expr, quality_exprs
+
+    _, _, _, quality = quality_exprs("text")
+    pred, _ = lang_pred_expr("text")
+    scored = stream.select(
+        "doc_id",
+        "text",
+        F.sha2("text", 256).alias("content_hash"),
+        quality.alias("quality"),
+        pred.alias("pred_lang"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & F.col("pred_lang").isin("en", "de")
+    )
+    return kept.dropDuplicates(["content_hash"])
