@@ -6525,3 +6525,82 @@ def agg_brr_ci(spark, sf_dir):
         r_(F.col("theta") - F.lit(1.96) * se, 4).alias("ci_lo"),
         r_(F.col("theta") + F.lit(1.96) * se, 4).alias("ci_hi"),
     )
+
+
+@parity(
+    "sink_manifest_integrity",
+    sql="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_units
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_units) AS BIGINT) AS sum_units,
+           CAST(SUM(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                                        || o_orderpriority), 1, 8))::UBIGINT)
+                AS BIGINT) AS digest_sum,
+           TRUE AS roundtrip_ok
+    FROM src
+    """,
+    doc="Sink integrity manifest (the trust-but-verify step after any "
+    "bulk write): a filtered orders projection is written to parquet "
+    "and read back, and BOTH sides reduce to an order-independent "
+    "manifest — row count, exact value total, and a content digest "
+    "sum (md5-derived 32-bit token per row, summed — commutative, so "
+    "file/partition order is irrelevant). roundtrip_ok asserts the "
+    "read-back manifest equals the pre-write manifest; the oracle "
+    "recomputes the same manifest from the source table, so a row "
+    "lost, duplicated, or altered ANYWHERE in the write-read cycle "
+    "flips at least one column. One scan per side + a 1-row compare; "
+    "at 100 TB this is the cheap full-fidelity audit that replaces "
+    "row-by-row diffing.",
+)
+def sink_manifest_integrity(spark, sf_dir):
+    path = os.path.join(_scratch(sf_dir), "orders_manifest")
+    src = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            u2("o_totalprice").alias("price_units"),
+        )
+    )
+
+    def manifest(df):
+        digest = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price_units").alias("sum_units"),
+            F.sum(digest).alias("digest_sum"),
+        )
+
+    src.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    pre = manifest(src).first()
+    post = manifest(back)
+    return post.select(
+        "n_rows",
+        "sum_units",
+        "digest_sum",
+        (
+            (F.col("n_rows") == F.lit(pre["n_rows"]))
+            & (F.col("sum_units") == F.lit(pre["sum_units"]))
+            & (F.col("digest_sum") == F.lit(pre["digest_sum"]))
+        ).alias("roundtrip_ok"),
+    )
