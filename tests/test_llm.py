@@ -865,3 +865,38 @@ def test_als_fit_reduces_rmse_and_matches_numpy_solve(spark):
     want = np.linalg.solve(A, b)
     got = users.filter(F.col("user_id") == uid).collect()[0]
     assert [got["u1"], got["u2"]] == pytest.approx(want.tolist(), rel=1e-9)
+
+
+def test_minhash_short_docs_never_pair(spark):
+    """Docs shorter than the shingle width carry NULL signatures and
+    must produce ZERO candidate pairs — not spurious est_jaccard=1.0
+    matches via NULL<=>NULL signature agreement (regression pin for
+    the array-signature estimate join)."""
+    from trino_demo_spark.llm.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "hi there"),
+            (2, "buy gold"),
+            (3, "totally unrelated pair of words here indeed yes"),
+            (4, "totally unrelated pair of words here indeed yes"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, n=3, threshold=0.5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) not in ids  # both sub-n docs: no signature, no pair
+    assert (3, 4) in ids  # identical long docs still pair
+
+
+def test_filter_funnel_reconciles_with_e2e_pipeline(spark):
+    """The funnel's after_dedup must equal e2e_llm_data_pipeline's
+    actual output row count — same stages, same order, same dedup
+    rule."""
+    import trino_demo_spark.parity_llm  # noqa: F401  (registers entries)
+    from trino_demo_spark.parity import PARITY
+
+    sf = "/root/testdata/sf0.001"
+    funnel = PARITY["llm_filter_funnel"].fn(spark, sf).first()
+    e2e_rows = PARITY["e2e_llm_data_pipeline"].fn(spark, sf).count()
+    assert funnel["after_dedup"] == e2e_rows

@@ -277,10 +277,13 @@ def test_ewma_stateful_matches_batch(spark, stream):
 
 
 def test_corpus_clean_stream_matches_batch(spark):
-    """The incremental corpus-cleaning pipeline keeps exactly the batch
-    e2e keep set (quality bar + language allowlist + exact dedup) —
-    one kept row per distinct surviving content."""
-    from trino_demo_spark.llm.text import lang_pred_expr, quality_exprs
+    """The incremental corpus-cleaning pipeline keeps exactly the
+    BATCH e2e pipeline's keep set — the comparison target is
+    e2e_llm_data_pipeline's actual output (content-identified), not a
+    re-statement of the stream's own expressions, so a drift in
+    either pipeline's stages breaks this test."""
+    import trino_demo_spark.parity_llm  # noqa: F401  (registers entries)
+    from trino_demo_spark.parity import PARITY
     from trino_demo_spark.streaming.kafka_shape import (
         corpus_clean_stream,
         stream_documents,
@@ -300,17 +303,12 @@ def test_corpus_clean_stream_matches_batch(spark):
         r["content_hash"]
         for r in spark.sql("SELECT * FROM corpus_clean").collect()
     }
+    e2e = PARITY["e2e_llm_data_pipeline"].fn(spark, SF_SMOKE)
     docs = load_table(spark, "documents", SF_SMOKE)
-    _, _, _, quality = quality_exprs("text")
-    pred, _ = lang_pred_expr("text")
     batch = (
-        docs.select(
-            F.sha2("text", 256).alias("content_hash"),
-            quality.alias("quality"),
-            pred.alias("pred_lang"),
-        )
-        .filter((F.col("quality") >= 0.5) & F.col("pred_lang").isin("en", "de"))
-        .select("content_hash")
+        e2e.select("doc_id")
+        .join(docs, "doc_id")
+        .select(F.sha2("text", 256).alias("content_hash"))
         .distinct()
     )
     want = {r["content_hash"] for r in batch.collect()}

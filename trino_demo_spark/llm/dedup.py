@@ -183,7 +183,16 @@ def minhash_lsh_pairs(
     Training Data Makes Language Models Better").
     """
     r = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm).cache()
+    # Docs shorter than n tokens carry all-NULL signatures (empty
+    # shingle set) — they can't be near-duplicates of anything, and
+    # xxhash64 skips NULL inputs so they'd all collide into ONE band
+    # bucket (quadratic useless pairs with est_jaccard counted over
+    # NULL<=>NULL matches). Drop them before banding.
+    sig = (
+        minhash_signatures(df, id_col, text_col, n, num_perm)
+        .filter(F.col("mh_0").isNotNull())
+        .cache()
+    )
     # All bands in ONE pass over the signatures (posexplode of a literal
     # band array), instead of `bands` unioned scans.
     band_arr = F.array(

@@ -6468,7 +6468,7 @@ def agg_ks_test(spark, sf_dir):
       SELECT CAST(r.r AS INT) AS rep, AVG(s.value) AS m
       FROM s CROSS JOIN UNNEST(range(0, 20)) r(r)
       WHERE ((((xor(s.event_id, CAST(r.r AS BIGINT) * 40503) & 2147483647)
-               * 2654435761) & 2147483647) % 2) = 0
+               * 2654435761) % 2147483647) % 2) = 0
       GROUP BY 1
     ),
     full_m AS (SELECT AVG(value) AS theta, COUNT(*) AS n FROM s)
@@ -6496,16 +6496,17 @@ def agg_brr_ci(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
     def member(r):
-        # mask to 31 bits BEFORE the Knuth multiply (same overflow
-        # discipline as mixing.shuffle_key_expr — ANSI mode raises on
-        # int64 overflow, and event ids at full scale exceed the safe
-        # pre-multiply range)
+        # mask to 31 bits BEFORE the Knuth multiply (ANSI overflow
+        # safety), then reduce MOD the Mersenne prime like
+        # mixing.shuffle_key_expr — a power-of-two AND would preserve
+        # bit 0 through the odd multiplier and collapse all replicas
+        # into two complementary parity classes
         h = (
             F.col("event_id").bitwiseXOR(F.lit(r * 40503)).bitwiseAND(
                 F.lit(2147483647)
             )
             * F.lit(2654435761)
-        ).bitwiseAND(F.lit(2147483647))
+        ) % F.lit(2147483647)
         return (h % 2) == 0
 
     aggs = [F.count("*").alias("n"), F.avg("value").alias("theta")]
@@ -6538,7 +6539,8 @@ def agg_brr_ci(spark, sf_dir):
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(price_units) AS BIGINT) AS sum_units,
            CAST(SUM(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
-                                        || o_orderpriority), 1, 8))::UBIGINT)
+                                        || o_orderpriority || '|'
+                                        || CAST(price_units AS VARCHAR)), 1, 8))::UBIGINT)
                 AS BIGINT) AS digest_sum,
            TRUE AS roundtrip_ok
     FROM src
@@ -6569,6 +6571,11 @@ def sink_manifest_integrity(spark, sf_dir):
     )
 
     def manifest(df):
+        # digest covers the FULL row content (key, attrs, value) — a
+        # value swapped between rows flips it even though sum_units
+        # cannot; 32-bit tokens summed through the hi/lo split so the
+        # accumulator stays exact past ~4e9 rows (ANSI overflow
+        # discipline, same as the money sums)
         digest = F.conv(
             F.substring(
                 F.md5(
@@ -6576,6 +6583,7 @@ def sink_manifest_integrity(spark, sf_dir):
                         "|",
                         F.col("o_orderkey").cast("string"),
                         F.col("o_orderpriority"),
+                        F.col("price_units").cast("string"),
                     )
                 ),
                 1,
@@ -6584,10 +6592,17 @@ def sink_manifest_integrity(spark, sf_dir):
             16,
             10,
         ).cast("long")
+        lo = digest.bitwiseAND(F.lit((1 << 20) - 1))
+        hi = F.shiftright(digest, 20)
+        digest_sum = (
+            F.sum(hi).cast("decimal(38,0)")
+            * F.lit(1 << 20).cast("decimal(8,0)")
+            + F.sum(lo).cast("decimal(38,0)")
+        ).cast("long")
         return df.agg(
             F.count("*").alias("n_rows"),
             F.sum("price_units").alias("sum_units"),
-            F.sum(digest).alias("digest_sum"),
+            digest_sum.alias("digest_sum"),
         )
 
     src.write.mode("overwrite").parquet(path)

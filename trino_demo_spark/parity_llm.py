@@ -2622,68 +2622,80 @@ def llm_multimodal_resample(spark, sf_dir):
     "llm_filter_funnel",
     sql=f"""
     WITH q AS (
-      SELECT doc_id, text, lang,
+      SELECT doc_id, text,
              ROUND(0.4 * least(len({_TOK}) / 50.0, 1.0)
                    + 0.3 * (1.0 - ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4))
                    + 0.3 * ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4)
                    + 1e-9, 4) AS quality,
-             n_chars
-      FROM documents
+             CASE WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) > 0 THEN 'zh'
+                  WHEN greatest(hits_en, hits_es, hits_de, hits_fr) <= 0 THEN 'und'
+                  WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+                  WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+                  WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT doc_id, text,
+               len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS hits_en,
+               len(list_filter({_TOK}, x -> x IN ('el', 'la', 'de', 'que', 'y'))) AS hits_es,
+               len(list_filter({_TOK}, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS hits_de,
+               len(list_filter({_TOK}, x -> x IN ('le', 'la', 'et', 'les', 'des'))) AS hits_fr
+        FROM documents
+      )
     ),
     flags AS (
-      SELECT doc_id,
-             (n_chars >= 40) AS pass_len,
-             (quality >= 0.5) AS pass_quality,
-             (lang IN ('en', 'de')) AS pass_lang,
-             doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text) AS pass_dedup
+      SELECT doc_id, quality >= 0.5 AS pass_quality,
+             pred_lang IN ('en', 'de') AS pass_lang,
+             doc_id = MIN(CASE WHEN quality >= 0.5 AND pred_lang IN ('en', 'de')
+                               THEN doc_id END)
+                      OVER (PARTITION BY text) AS pass_dedup
       FROM q
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
-           CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS after_len,
-           CAST(SUM(CASE WHEN pass_len AND pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
-           CAST(SUM(CASE WHEN pass_len AND pass_quality AND pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
-           CAST(SUM(CASE WHEN pass_len AND pass_quality AND pass_lang AND pass_dedup THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
-           ROUND(SUM(CASE WHEN pass_len AND pass_quality AND pass_lang AND pass_dedup THEN 1 ELSE 0 END) * 1.0
+           CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+           CAST(SUM(CASE WHEN pass_quality AND pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+           CAST(SUM(CASE WHEN pass_quality AND pass_lang AND pass_dedup THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+           ROUND(SUM(CASE WHEN pass_quality AND pass_lang AND pass_dedup THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*) + 1e-9, 4) AS retention
     FROM flags
     """,
     doc="Filter-cascade attrition report (pipeline observability): how "
-    "many documents survive each stage of the cleaning cascade — "
-    "length floor → quality bar → language allowlist → exact dedup — "
-    "plus end-to-end retention, in ONE pass: every stage is a boolean "
-    "flag column and the funnel is cumulative-AND conditional counts "
-    "(no per-stage re-filtering, no N scans). The report every "
-    "corpus-cleaning run logs next to its output; stages reuse the "
-    "exact expressions of llm_quality_filter / e2e_llm_data_pipeline "
-    "so the funnel numbers reconcile with the pipeline's actual "
-    "keep set.",
+    "many documents survive each stage of e2e_llm_data_pipeline's "
+    "EXACT cascade — quality bar → predicted-language allowlist → "
+    "post-filter exact dedup (min surviving doc_id per content, the "
+    "same rule and order as the pipeline) — plus end-to-end "
+    "retention, in ONE pass: every stage is a boolean flag column "
+    "and the funnel is cumulative-AND conditional counts (no "
+    "per-stage re-filtering, no N scans). after_dedup equals the e2e "
+    "pipeline's output row count by construction (asserted in "
+    "tests).",
 )
 def llm_filter_funnel(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    from .llm.dedup import tokens_col
-    from .llm.text import quality_exprs
+    from .llm.text import lang_pred_expr, quality_exprs
 
     docs = _t(spark, sf_dir, "documents")
     _, _, _, quality = quality_exprs("text")
-    flagged = docs.select(
+    pred, _ = lang_pred_expr("text")
+    scored = docs.select(
         "doc_id",
-        (F.col("n_chars") >= 40).alias("pass_len"),
+        "text",
         (quality >= 0.5).alias("pass_quality"),
-        F.col("lang").isin("en", "de").alias("pass_lang"),
-        (
-            F.col("doc_id") == F.min("doc_id").over(W.partitionBy("text"))
-        ).alias("pass_dedup"),
+        pred.isin("en", "de").alias("pass_lang"),
     )
-    c1 = F.col("pass_len")
-    c2 = c1 & F.col("pass_quality")
-    c3 = c2 & F.col("pass_lang")
-    c4 = c3 & F.col("pass_dedup")
+    surv_min = F.min(
+        F.when(F.col("pass_quality") & F.col("pass_lang"), F.col("doc_id"))
+    ).over(W.partitionBy("text"))
+    flagged = scored.withColumn(
+        "pass_dedup", F.col("doc_id") == surv_min
+    )
+    c1 = F.col("pass_quality")
+    c2 = c1 & F.col("pass_lang")
+    c3 = c2 & F.col("pass_dedup")
     return flagged.agg(
         F.count("*").alias("n_input"),
-        F.sum(c1.cast("long")).alias("after_len"),
-        F.sum(c2.cast("long")).alias("after_quality"),
-        F.sum(c3.cast("long")).alias("after_lang"),
-        F.sum(c4.cast("long")).alias("after_dedup"),
-        r_(F.sum(c4.cast("long")) / F.count("*"), 4).alias("retention"),
+        F.sum(c1.cast("long")).alias("after_quality"),
+        F.sum(c2.cast("long")).alias("after_lang"),
+        F.sum(c3.cast("long")).alias("after_dedup"),
+        r_(F.sum(c3.cast("long")) / F.count("*"), 4).alias("retention"),
     )

@@ -443,8 +443,6 @@ def corpus_clean_stream(stream: DataFrame) -> DataFrame:
     arrival wins (arrival order replaces the batch min-doc_id
     tiebreak — the standard incremental-dedup semantics, same contract
     as llm_dedup_incremental's Bloom variant)."""
-    from pyspark.sql import functions as F
-
     from ..llm.text import lang_pred_expr, quality_exprs
 
     _, _, _, quality = quality_exprs("text")
