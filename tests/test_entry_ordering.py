@@ -1,0 +1,75 @@
+"""Pins for __spark_entry__'s driver-queue logic — the exact spot where
+round 3 lost verification coverage (a rows_match-only green test parked
+two hash-failing queries in the 'proven' tail forever)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_test", os.path.join(_ROOT, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_hash_fail_is_not_proven():
+    """A CORRECTNESS row with rows_match=True but hash_match=False must
+    classify as 'fail' (→ re-verified first), never 'green' — the
+    round-3 regression."""
+    E = _load_entry()
+    st = E._driver_status()
+    # every green entry must have come from a fully matching row
+    import glob
+    import json
+
+    latest: dict[str, dict] = {}
+    for p in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+        with open(p) as fh:
+            for name, row in json.load(fh).items():
+                if isinstance(row, dict):
+                    latest[name] = row
+    for name, verdict in st.items():
+        row = latest[name]
+        if verdict == "green":
+            assert row.get("rows_match") and row.get("schema_match") and row.get(
+                "hash_match"
+            ), (name, row)
+        if (
+            row.get("err") is None
+            and row.get("rows_match")
+            and not row.get("hash_match")
+        ):
+            assert verdict == "fail", (name, row)
+
+
+def test_unproven_entries_ordered_before_proven():
+    """queries() must list every non-green entry before every green one
+    so a driver cap always extends the proven set."""
+    E = _load_entry()
+    st = E._driver_status()
+    names = list(E.queries())
+    seen_green = False
+    for n in names:
+        if st.get(n) == "green":
+            seen_green = True
+        else:
+            assert not seen_green, (
+                f"unproven entry {n} ordered after a proven one"
+            )
+
+
+def test_oracle_keys_subset_of_queries():
+    """Every oracle_sql key must be a queries() key (the driver joins
+    on the name), and column-name contracts require non-empty SQL."""
+    E = _load_entry()
+    qs = set(E.queries())
+    for name, sql in E.oracle_sql().items():
+        assert name in qs
+        assert sql and sql.strip()
