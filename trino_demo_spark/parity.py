@@ -6619,3 +6619,87 @@ def sink_manifest_integrity(spark, sf_dir):
             & (F.col("digest_sum") == F.lit(pre["digest_sum"]))
         ).alias("roundtrip_ok"),
     )
+
+
+@parity(
+    "win_seasonal_decompose",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS di,
+             COUNT(*) * 1.0 AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+      GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT d, di, n,
+             CASE WHEN COUNT(*) OVER w = 7 THEN AVG(n) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (SELECT *, n - trend AS detr, di % 7 AS phase FROM tr),
+    seas AS (
+      SELECT phase, AVG(detr) AS seasonal
+      FROM det WHERE detr IS NOT NULL GROUP BY phase
+    )
+    SELECT det.d AS o_orderdate, CAST(det.n AS BIGINT) AS n,
+           ROUND(det.trend + 1e-9, 4) AS trend,
+           ROUND(seas.seasonal + 1e-9, 4) AS seasonal,
+           ROUND(det.detr - seas.seasonal + 1e-9, 4) AS residual
+    FROM det JOIN seas ON seas.phase = det.phase
+    WHERE det.trend IS NOT NULL
+    """,
+    doc="Classical additive seasonal decomposition of the daily "
+    "order-count series (trend + weekly seasonal + residual — the "
+    "moving-average method of statsmodels' seasonal_decompose): trend "
+    "= centered 7-day average (full-frame only), weekly seasonal = "
+    "per-phase mean of the detrended series with phase = day-index "
+    "mod 7 (calendar-convention-free), residual = remainder. One "
+    "frame-bounded window over the daily aggregate, one tiny 7-row "
+    "phase aggregate broadcast back — the fact is touched once by the "
+    "daily rollup and never again.",
+)
+def win_seasonal_decompose(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-06-30").cast("date"))
+        )
+        .groupBy(
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.datediff(
+                "o_orderdate", F.lit("1995-01-01").cast("date")
+            ).alias("di"),
+        )
+        .agg((F.count("*") * F.lit(1.0)).alias("n"))
+    )
+    w = W.orderBy("di").rowsBetween(-3, 3)
+    tr = daily.select(
+        "o_orderdate",
+        "di",
+        "n",
+        F.when(F.count("*").over(w) == 7, F.avg("n").over(w)).alias("trend"),
+    )
+    det = tr.withColumn("detr", F.col("n") - F.col("trend")).withColumn(
+        "phase", F.col("di") % 7
+    )
+    seas = (
+        det.filter(F.col("detr").isNotNull())
+        .groupBy("phase")
+        .agg(F.avg("detr").alias("seasonal"))
+    )
+    return (
+        det.join(F.broadcast(seas), "phase")
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "o_orderdate",
+            F.col("n").cast("long").alias("n"),
+            r_(F.col("trend"), 4).alias("trend"),
+            r_(F.col("seasonal"), 4).alias("seasonal"),
+            r_(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
+        )
+    )
