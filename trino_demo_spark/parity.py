@@ -6703,3 +6703,73 @@ def win_seasonal_decompose(spark, sf_dir):
             r_(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
         )
     )
+
+
+@parity(
+    "win_holt_linear",
+    sql="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT k, rn, x AS l, CAST(0.0 AS DOUBLE) AS b FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.k, d.rn,
+             0.3 * d.x + 0.7 * (rec.l + rec.b) AS l,
+             0.1 * (0.3 * d.x + 0.7 * (rec.l + rec.b) - rec.l) + 0.9 * rec.b AS b
+      FROM daily d JOIN rec ON d.k = rec.k AND d.rn = rec.rn + 1
+    ),
+    last AS (
+      SELECT r.k, r.l, r.b, r.rn
+      FROM rec r JOIN (SELECT k, MAX(rn) AS mx FROM rec GROUP BY k) m
+        ON m.k = r.k AND m.mx = r.rn
+    )
+    SELECT k AS event_type, CAST(rn AS BIGINT) AS n_days,
+           ROUND(l + 1e-9, 4) AS level,
+           ROUND(b + 1e-9, 4) AS trend,
+           ROUND(l + b + 1e-9, 4) AS forecast_1,
+           ROUND(l + 7 * b + 1e-9, 4) AS forecast_7
+    FROM last
+    """,
+    doc="Holt's linear-trend smoothing (double exponential, "
+    "alpha=0.3 beta=0.1, l_0 = x_0, b_0 = 0) per event type over the "
+    "daily count series, emitting the final (level, trend) state and "
+    "the 1-day / 7-day forecasts — the step up from EWMA when the "
+    "series drifts. The recursion carries a 2-D state with a max-free "
+    "LINEAR update, but the per-row closed form needs matrix powers, "
+    "so like win_cusum_alarm it runs as ONE sequential aggregate() "
+    "fold with (l, b) scalar state over the per-key sorted day array "
+    "— pure codegen, O(series) per key, no O(n^2) array build; the "
+    "oracle states the identical recursion as a recursive CTE. "
+    "(For unbounded series the chunked carry generalizes: each "
+    "chunk's affine map (A_k, c_k) composes over the tiny summary "
+    "frame exactly like ewma_chunked's scalar recurrence.)",
+)
+def win_holt_linear(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("d")
+    ).agg((F.count("*") * F.lit(1.0)).alias("x"))
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("__s"),
+        F.count("*").alias("n_days"),
+    )
+    fold = F.expr(
+        "aggregate(slice(__s, 2, size(__s) - 1), "
+        "named_struct('l', CAST(__s[0].x AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)), "
+        "(acc, e) -> named_struct("
+        "  'l', 0.3 * e.x + 0.7 * (acc.l + acc.b), "
+        "  'b', 0.1 * (0.3 * e.x + 0.7 * (acc.l + acc.b) - acc.l) + 0.9 * acc.b))"
+    )
+    st = arr.withColumn("__st", fold)
+    return st.select(
+        "event_type",
+        "n_days",
+        r_(F.col("__st.l"), 4).alias("level"),
+        r_(F.col("__st.b"), 4).alias("trend"),
+        r_(F.col("__st.l") + F.col("__st.b"), 4).alias("forecast_1"),
+        r_(F.col("__st.l") + 7 * F.col("__st.b"), 4).alias("forecast_7"),
+    )
