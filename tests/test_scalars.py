@@ -99,11 +99,8 @@ def test_stats_ops_match_independent_python(spark, duck):
     cross-engine parity alone can share a formula bug (both sides are
     written by the same author), so each statistic is re-derived here
     with plain Python/pandas/numpy from the raw data."""
-    import math
-
     import numpy as np
 
-    import trino_demo_spark.parity_llm  # noqa: F401  (registers entries)
     import trino_demo_spark.parity_ml  # noqa: F401  (registers entries)
     from trino_demo_spark.parity import PARITY
 

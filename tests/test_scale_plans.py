@@ -612,3 +612,10 @@ def test_asof_nearest_single_exchange_no_theta(spark):
     # share the same partitioning, so a second shuffle is the exact
     # regression this pins
     assert plan.count("Exchange") == 1, plan
+
+
+def test_seasonal_decompose_single_fact_scan(spark):
+    """Both decomposition windows (trend frame and phase mean) ride the
+    SAME daily aggregate — exactly one orders scan in the plan."""
+    df = PARITY["win_seasonal_decompose"].fn(spark, SF_SMOKE)
+    assert _plan(df).count("orders.parquet") == 1

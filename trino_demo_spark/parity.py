@@ -6687,13 +6687,13 @@ def win_seasonal_decompose(spark, sf_dir):
     det = tr.withColumn("detr", F.col("n") - F.col("trend")).withColumn(
         "phase", F.col("di") % 7
     )
-    seas = (
-        det.filter(F.col("detr").isNotNull())
-        .groupBy("phase")
-        .agg(F.avg("detr").alias("seasonal"))
-    )
+    # phase means via a window over the SAME daily frame (AVG ignores
+    # the NULL detr edges) — a groupBy+join branch here would scan and
+    # re-aggregate the fact a second time
+    seas_w = W.partitionBy("phase")
+    det = det.withColumn("seasonal", F.avg("detr").over(seas_w))
     return (
-        det.join(F.broadcast(seas), "phase")
+        det
         .filter(F.col("trend").isNotNull())
         .select(
             "o_orderdate",
@@ -6702,7 +6702,7 @@ def win_seasonal_decompose(spark, sf_dir):
             r_(F.col("seasonal"), 4).alias("seasonal"),
             r_(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
         )
-    )
+    )  # one orders scan (asserted in tests/test_scale_plans.py)
 
 
 @parity(
