@@ -6773,3 +6773,111 @@ def win_holt_linear(spark, sf_dir):
         r_(F.col("__st.l") + F.col("__st.b"), 4).alias("forecast_1"),
         r_(F.col("__st.l") + 7 * F.col("__st.b"), 4).alias("forecast_7"),
     )
+
+
+@parity(
+    "ts_subseq_search",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT k, d,
+             list(n) OVER w AS w,
+             COUNT(*) OVER w AS cnt
+      FROM daily
+      WINDOW w AS (PARTITION BY k ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    fullw AS (
+      SELECT k, d, w, list_avg(w) AS mu,
+             sqrt(list_avg(list_transform(w, x -> (x - list_avg(w)) * (x - list_avg(w))))) AS sd
+      FROM win WHERE cnt = 7
+    ),
+    z AS (
+      SELECT k, d, list_transform(w, x -> (x - mu) / sd) AS z
+      FROM fullw WHERE sd > 0
+    ),
+    q AS (SELECT k AS qk, d AS qd, z AS qz FROM z
+          WHERE k = '1-URGENT' ORDER BY d DESC LIMIT 1),
+    scored AS (
+      SELECT z.k, z.d,
+             ROUND(list_sum(list_transform(list_zip(z.z, q.qz),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) + 1e-9, 4) AS dist
+      FROM z CROSS JOIN q
+      WHERE NOT (z.k = q.qk AND z.d = q.qd)
+    )
+    SELECT k, d AS window_end, dist
+    FROM scored ORDER BY dist, k, d LIMIT 5
+    """,
+    doc="Time-series subsequence similarity search (the distributed "
+    "trajectory/TS-similarity workload of the retrieved EDBT/ICDE "
+    "papers, reduced to its core): z-normalized length-7 sliding "
+    "windows over every key's daily series, Euclidean distance to the "
+    "query pattern (the latest full window of the 1-URGENT series), "
+    "top-5 nearest. Windows come from a bounded collect over the "
+    "frame (O(len) per row, same shape as rolling_median), the "
+    "z-normalization and distance are pure array codegen, the 1-row "
+    "query broadcasts, and the top-5 is TakeOrderedAndProject — no "
+    "pairwise window join, no global materialization of the "
+    "subsequence space beyond one row per (key, day).",
+)
+def ts_subseq_search(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-04-30").cast("date"))
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("k"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    w = W.partitionBy("k").orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "k",
+        "d",
+        F.collect_list("n").over(w).alias("w"),
+        F.count("*").over(w).alias("cnt"),
+    ).filter(F.col("cnt") == 7)
+    mu = F.expr("aggregate(w, 0.0D, (a, x) -> a + x) / 7.0")
+    fullw = win.withColumn("mu", mu).withColumn(
+        "sd",
+        F.sqrt(
+            F.expr(
+                "aggregate(w, 0.0D, (a, x) -> a + (x - mu) * (x - mu)) / 7.0"
+            )
+        ),
+    )
+    z = (
+        fullw.filter(F.col("sd") > 0)
+        .withColumn(
+            "z", F.expr("transform(w, x -> (x - mu) / sd)")
+        )
+        .select("k", "d", "z")
+    )
+    q = (
+        z.filter(F.col("k") == "1-URGENT")
+        .orderBy(F.col("d").desc())
+        .limit(1)
+        .select(
+            F.col("k").alias("qk"), F.col("d").alias("qd"), F.col("z").alias("qz")
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(z, qz, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    scored = (
+        z.crossJoin(F.broadcast(q))
+        .filter(~((F.col("k") == F.col("qk")) & (F.col("d") == F.col("qd"))))
+        .select("k", F.col("d").alias("window_end"), r_(dist, 4).alias("dist"))
+    )
+    return scored.orderBy("dist", "k", "window_end").limit(5)
