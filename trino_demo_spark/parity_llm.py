@@ -2699,3 +2699,52 @@ def llm_filter_funnel(spark, sf_dir):
         F.sum(c3.cast("long")).alias("after_dedup"),
         r_(F.sum(c3.cast("long")) / F.count("*"), 4).alias("retention"),
     )
+
+
+@parity(
+    "llm_sentiment_lexicon",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, lang, {_TOK} AS t FROM documents),
+    h AS (
+      SELECT doc_id, lang, len(t) AS n_tokens,
+             len(list_filter(t, x -> x IN ('fast', 'good', 'best', 'up'))) AS pos_hits,
+             len(list_filter(t, x -> x IN ('slow', 'bad', 'worst', 'down'))) AS neg_hits
+      FROM tok
+    )
+    SELECT doc_id, lang, CAST(pos_hits AS BIGINT) AS pos_hits,
+           CAST(neg_hits AS BIGINT) AS neg_hits,
+           ROUND((pos_hits - neg_hits) * 1.0 / n_tokens + 1e-9, 4) AS polarity,
+           CASE WHEN pos_hits > neg_hits THEN 'pos'
+                WHEN neg_hits > pos_hits THEN 'neg' ELSE 'neu' END AS label
+    FROM h
+    """,
+    doc="Lexicon-based sentiment scoring (the 'Large Scale Sentiment "
+    "Analysis with Spark' EDBT workload shape, lexicon-matching "
+    "variant): per-document positive/negative lexicon hit counts, "
+    "length-normalized polarity in [-1, 1], argmax label with "
+    "deterministic neutral ties. Pure map-side expression over one "
+    "scan — the same array_filter codegen family as language ID; at "
+    "100 TB a real lexicon (thousands of entries) broadcasts as an "
+    "array literal or joins token-exploded against a lexicon table, "
+    "both engine-side.",
+)
+def llm_sentiment_lexicon(spark, sf_dir):
+    from .llm.dedup import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    pos = F.size(F.filter(t, lambda x: x.isin("fast", "good", "best", "up")))
+    neg = F.size(
+        F.filter(t, lambda x: x.isin("slow", "bad", "worst", "down"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pos.cast("long").alias("pos_hits"),
+        neg.cast("long").alias("neg_hits"),
+        r_((pos - neg) / F.size(t), 4).alias("polarity"),
+        F.when(pos > neg, F.lit("pos"))
+        .when(neg > pos, F.lit("neg"))
+        .otherwise(F.lit("neu"))
+        .alias("label"),
+    )
