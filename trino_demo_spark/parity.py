@@ -6881,3 +6881,49 @@ def ts_subseq_search(spark, sf_dir):
         .select("k", F.col("d").alias("window_end"), r_(dist, 4).alias("dist"))
     )
     return scored.orderBy("dist", "k", "window_end").limit(5)
+
+
+@parity(
+    "stream_sliding_window",
+    sql="""
+    WITH e AS (
+      SELECT ts, event_type, value,
+             time_bucket(INTERVAL '1 hour', ts) AS h
+      FROM events
+    ),
+    assigned AS (
+      SELECT event_type, value,
+             h - INTERVAL (o.off) HOUR AS win_start
+      FROM e, (SELECT 0 AS off UNION ALL SELECT 1) o
+    )
+    SELECT win_start, event_type, COUNT(*) AS cnt,
+           ROUND(SUM(value) + 1e-9, 2) AS sum_value
+    FROM assigned GROUP BY 1, 2
+    """,
+    doc="SLIDING event-time windows (2-hour length, 1-hour slide — "
+    "each event lands in TWO overlapping windows), the overlapping "
+    "counterpart of stream_window_agg's tumbling buckets and the same "
+    "F.window operator the streaming path uses with a slideDuration. "
+    "Spark expands the window assignment map-side (explode of the "
+    "covering windows, x2 rows) before ONE keyed aggregate; the "
+    "oracle states the identical assignment as an hour-bucket shift "
+    "join. Window start is the bucket boundary so results are "
+    "calendar-stable across engines.",
+)
+def stream_sliding_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value") + F.lit(EPS), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
