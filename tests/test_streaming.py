@@ -313,3 +313,36 @@ def test_corpus_clean_stream_matches_batch(spark):
     )
     want = {r["content_hash"] for r in batch.collect()}
     assert got == want and len(want) > 5
+
+
+def test_sliding_window_stream_matches_batch(spark, stream):
+    """Sliding (overlapping) event-time windows through the streaming
+    path equal the batch F.window aggregation — each event lands in
+    two windows on both paths."""
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window"]["start"]), r["event_type"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    batch = (
+        load_table(spark, "events", SF_SMOKE)
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = {
+        (str(r["window"]["start"]), r["event_type"]): r["cnt"]
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 100
