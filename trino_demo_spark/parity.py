@@ -6927,3 +6927,74 @@ def stream_sliding_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@parity(
+    "agg_rank_correlation",
+    sql="""
+    WITH a AS (
+      SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1
+    ),
+    j AS (
+      SELECT a.o_custkey,
+             ROW_NUMBER() OVER (ORDER BY a.rev DESC, a.o_custkey) AS ra,
+             ROW_NUMBER() OVER (ORDER BY b.rev DESC, a.o_custkey) AS rb
+      FROM a JOIN b ON b.o_custkey = a.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(1.0 - 6.0 * SUM(CAST((ra - rb) * (ra - rb) AS DOUBLE))
+                 / (COUNT(*) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1))
+                 + 1e-9, 4) AS spearman_rho
+    FROM j
+    """,
+    doc="Rank-stability analytics: Spearman's rho between customer "
+    "revenue RANKINGS in two periods (1996 vs 2000) over the common "
+    "customers — the 'did the leaderboard reshuffle' metric behind "
+    "cohort and assortment dashboards. Exact integer-cent revenues "
+    "and fully tie-broken row_number ranks (rev desc, custkey) make "
+    "the rank vectors identical on any engine; rho from the "
+    "closed-form 1 - 6*sum(d^2)/(n(n^2-1)). Two keyed aggregates, one "
+    "co-partitioned join, ranks over the POST-AGGREGATE customer "
+    "frame (same caveat + prefix-sum remedy as agg_gini).",
+)
+def agg_rank_correlation(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+
+    def period(year):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(u2("o_totalprice")).alias("rev"))
+        )
+
+    a = period(1996)
+    b = period(2000).select(
+        F.col("o_custkey"), F.col("rev").alias("rev_b")
+    )
+    j = a.join(b, "o_custkey")
+    ra = F.row_number().over(
+        W.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    )
+    rb = F.row_number().over(
+        W.orderBy(F.col("rev_b").desc(), F.col("o_custkey"))
+    )
+    ranked = j.select(
+        ra.alias("ra").cast("double"), rb.alias("rb").cast("double")
+    )
+    n = F.count("*")
+    d2 = F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+    return ranked.agg(
+        n.cast("long").alias("n_common"),
+        r_(
+            F.lit(1.0)
+            - F.lit(6.0) * d2 / (n * (n.cast("double") * n - 1)),
+            4,
+        ).alias("spearman_rho"),
+    )
