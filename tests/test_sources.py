@@ -195,3 +195,41 @@ def test_events_nanos_and_micros_encodings_normalize_identically(spark, tmp_path
         for r in load_table(spark, "events", str(micros_dir)).collect()
     }
     assert a == b and len(a) == 2
+
+
+def test_observation_metrics_without_second_scan(spark):
+    """Spark's Observation API: pipeline health metrics (row count,
+    null count, value total) ride the SAME action as the real job —
+    no second scan, no .count() re-run. The observed values must
+    equal independently aggregated ones."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from trino_demo_spark.registry import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, "events", SF_SMOKE)
+    obs = Observation("ingest_health")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))) + 1e-9, 2).alias(
+            "sum_value"
+        ),
+    )
+    # one real action drives both the job and the metrics
+    kept = observed.filter(F.col("value").isNotNull()).count()
+    got = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))) + 1e-9, 2).alias(
+            "sum_value"
+        ),
+    ).first()
+    assert got["n_rows"] == direct["n_rows"]
+    assert got["n_null_value"] == direct["n_null_value"]
+    assert got["sum_value"] == direct["sum_value"]
+    assert kept == direct["n_rows"] - direct["n_null_value"]
