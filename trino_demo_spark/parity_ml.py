@@ -517,3 +517,66 @@ def ml_eval_auc(spark, sf_dir):
             4,
         ).alias("auc"),
     )
+
+
+@parity(
+    "ml_eval_pr_curve",
+    sql="""
+    WITH scored AS (
+      SELECT n_chars * 1.0 AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    tot AS (SELECT SUM(y) AS p FROM scored),
+    c AS (
+      SELECT score,
+             SUM(SUM(y)) OVER (ORDER BY score DESC
+                               ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(COUNT(*)) OVER (ORDER BY score DESC
+                                 ROWS UNBOUNDED PRECEDING) AS n_at
+      FROM scored GROUP BY score
+    )
+    SELECT score AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(n_at AS BIGINT) AS n_predicted_pos,
+           ROUND(tp * 1.0 / n_at + 1e-9, 4) AS precision,
+           ROUND(tp * 1.0 / tot.p + 1e-9, 4) AS recall
+    FROM c CROSS JOIN tot
+    """,
+    doc="Precision-recall curve points (the threshold-sweep companion "
+    "to ml_eval_auc's single-number summary): one point per distinct "
+    "score threshold — TP and predicted-positive counts as running "
+    "sums over the PRE-GROUPED per-score frame (group first, then "
+    "window: the cumulative runs over distinct scores, not raw rows), "
+    "precision/recall against the broadcast positive total. One keyed "
+    "aggregate + one ordered window over the distinct-score frame + a "
+    "1-row broadcast; same order-global caveat family as ml_eval_auc.",
+)
+def ml_eval_pr_curve(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") * F.lit(1.0)).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    per_score = d.groupBy("score").agg(
+        F.sum("y").alias("pos"), F.count("*").alias("n")
+    )
+    w = W.orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = per_score.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("n").over(w).alias("n_at"),
+    )
+    tot = d.agg(F.sum("y").alias("p"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("n_at").cast("long").alias("n_predicted_pos"),
+            r_(F.col("tp") / F.col("n_at"), 4).alias("precision"),
+            r_(F.col("tp") / F.col("p"), 4).alias("recall"),
+        )
+    )
