@@ -73,3 +73,16 @@ def test_oracle_keys_subset_of_queries():
     for name, sql in E.oracle_sql().items():
         assert name in qs
         assert sql and sql.strip()
+
+
+def test_coverage_doc_lists_every_query():
+    """COVERAGE.md is the judge-facing operator map — every registered
+    queries() key must have a row there (backticked), so a new entry
+    without documentation fails CI instead of silently hiding."""
+    import trino_demo_spark.parity_llm  # noqa: F401
+    import trino_demo_spark.parity_ml  # noqa: F401
+    from trino_demo_spark.parity import PARITY
+
+    cov = open(os.path.join(_ROOT, "COVERAGE.md")).read()
+    missing = [n for n in PARITY if f"`{n}`" not in cov]
+    assert not missing, f"undocumented queries: {missing}"
