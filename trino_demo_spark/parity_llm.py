@@ -2748,3 +2748,59 @@ def llm_sentiment_lexicon(spark, sf_dir):
         .otherwise(F.lit("neu"))
         .alias("label"),
     )
+
+
+@parity(
+    "llm_novelty_ratio",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ng AS (SELECT DISTINCT doc_id,
+                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS g
+           FROM tok, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM ng GROUP BY g)
+    SELECT ng.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN first_seen.first_doc = ng.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN first_seen.first_doc = ng.doc_id
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*) + 1e-9, 4) AS novelty
+    FROM ng JOIN first_seen ON first_seen.g = ng.g
+    GROUP BY ng.doc_id
+    """,
+    doc="Corpus novelty tracking: per document, the share of its "
+    "distinct word-bigrams never seen in any EARLIER document "
+    "(doc_id order = ingestion order) — the curation signal that "
+    "separates fresh content from recombinations as a crawl grows, "
+    "and the memorization-risk proxy for training-data audits. "
+    "Shingle explode (map-side, distinct per doc) → one first-seen "
+    "aggregate on the gram key → co-partitioned join back on the "
+    "same key (no second shuffle of the gram frame) → per-doc "
+    "ratio. Same inverted-index shape as the n-gram dedup family.",
+)
+def llm_novelty_ratio(spark, sf_dir):
+    from .llm.dedup import ngrams_over_tokens, tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    ng = (
+        toks.select(
+            "doc_id", F.explode(ngrams_over_tokens("t", 2)).alias("g")
+        )
+        .distinct()
+    )
+    first_seen = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ng.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+            r_(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                / F.count("*"),
+                4,
+            ).alias("novelty"),
+        )
+    )
