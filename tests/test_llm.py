@@ -900,3 +900,29 @@ def test_filter_funnel_reconciles_with_e2e_pipeline(spark):
     funnel = PARITY["llm_filter_funnel"].fn(spark, sf).first()
     e2e_rows = PARITY["e2e_llm_data_pipeline"].fn(spark, sf).count()
     assert funnel["after_dedup"] == e2e_rows
+
+
+def test_span_dedup_planted_duplicate_block(spark):
+    """A 10-word block repeated across docs (and twice within one doc)
+    survives only at its globally first (doc, position) occurrence;
+    unique spans are untouched and re-assembled in position order."""
+    block = " ".join(f"w{i}" for i in range(10))        # repeated span
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    tail = "t0 t1 t2"                                    # partial span
+    df = spark.createDataFrame(
+        [
+            (1, f"{block} {uniq_a} {block}"),            # dup within doc
+            (2, f"{uniq_b} {block}"),                    # dup across docs
+            (3, block),                                  # fully removed
+            (4, tail),                                   # short doc, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.span_dedup(df).collect()}
+    assert out[1].clean_text == f"{block} {uniq_a}"
+    assert (out[1].n_spans, out[1].n_kept) == (3, 2)
+    assert out[2].clean_text == uniq_b
+    assert (out[2].n_spans, out[2].n_kept) == (2, 1)
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[4].clean_text == tail and out[4].n_kept == 1

@@ -533,3 +533,88 @@ def incremental_dedup(
         F.col(id_col),
         F.sha2(F.col(text_col), 256).alias("content_hash"),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style span-level dedup: slice every document into consecutive
+    non-overlapping ``span_words``-word spans, keep only the globally
+    FIRST occurrence of each distinct span (ordered by (doc, position)),
+    and re-assemble each document from its surviving spans.
+
+    This is the intra-corpus "remove any three-sentence span occurring
+    more than once" rule of C4 (Raffel et al. 2020, §2.2) re-expressed
+    over whitespace tokens (the synthetic corpus has no sentence
+    delimiters). Reference analog: the reference corpus has no span
+    dedup; this extends the `llm_dedup_*` family for training-data
+    pipelines.
+
+    Plan shape (all built-in expressions, whole-stage codegen):
+      1. One fold (``aggregate``) turns the token array into the span
+         array — O(tokens) per row, no outer-column references inside
+         lambdas (see ngrams_over_tokens' perf note), then posexplode.
+      2. ``groupBy(span).agg(min(rank))`` finds first occurrences —
+         map-side partial aggregation makes hub spans (one span shared
+         by 10% of docs) shuffle |distinct spans|, not |occurrences|.
+      3. Join back on span marks survivors; rows-per-span bounded by
+         occurrence count, never quadratic.
+      4. ``groupBy(doc)`` re-assembles surviving spans in position
+         order (sort_array over (idx, span) structs — deterministic).
+
+    At 100 TB: group/join on xxhash64(span) instead of the raw string to
+    shrink shuffle width (kept as raw text here for oracle parity, same
+    trade as exact_dedup). The rank ``doc_id * 1e6 + span_idx`` assumes
+    doc_id < ~9e12 and < 1e6 spans/doc; use a struct min at larger ids.
+    """
+    k = span_words
+    toks = tokens_col(text_col)
+    empty = "CAST(array() AS ARRAY<STRING>)"
+    spans_arr = F.expr(
+        f"aggregate(__t, named_struct('spans', {empty}, 'cur', {empty}), "
+        f"(acc, x) -> CASE WHEN size(acc.cur) = {k - 1} THEN "
+        "  named_struct('spans', concat(acc.spans, array(array_join(concat(acc.cur, array(x)), ' '))), "
+        f"               'cur', {empty}) "
+        "ELSE named_struct('spans', acc.spans, 'cur', concat(acc.cur, array(x))) END, "
+        "acc -> CASE WHEN size(acc.cur) = 0 THEN acc.spans "
+        "       ELSE concat(acc.spans, array(array_join(acc.cur, ' '))) END)"
+    )
+    spans = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            F.col(id_col),
+            F.posexplode(spans_arr).alias("span_idx", "span"),
+        )
+        .withColumn(
+            "rank",
+            F.col(id_col).cast("long") * F.lit(1_000_000)
+            + F.col("span_idx").cast("long"),
+        )
+    )
+    firsts = spans.groupBy("span").agg(F.min("rank").alias("first_rank"))
+    kept = spans.join(firsts, "span").where(
+        F.col("rank") == F.col("first_rank")
+    )
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_spans"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

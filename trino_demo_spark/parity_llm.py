@@ -1325,6 +1325,39 @@ def llm_select_dsir(spark, sf_dir):
 
 
 @parity(
+    "llm_dedup_span",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    spans AS (
+      SELECT doc_id, CAST(gs AS BIGINT) AS span_idx,
+             array_to_string(t[(gs*10+1):(gs*10+10)], ' ') AS span
+      FROM tok, UNNEST(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) u(gs)
+    ),
+    ranked AS (SELECT *, doc_id * 1000000 + span_idx AS rank FROM spans),
+    firsts AS (SELECT span, MIN(rank) AS first_rank FROM ranked GROUP BY span),
+    kept AS (SELECT r.doc_id, r.span_idx, r.span FROM ranked r
+             JOIN firsts f ON r.span = f.span AND r.rank = f.first_rank),
+    totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(string_agg(k.span, ' ' ORDER BY k.span_idx), '') AS clean_text,
+           t.n_spans,
+           COUNT(k.span) AS n_kept
+    FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n_spans
+    """,
+    doc="C4-style span-level dedup (Raffel et al. 2020 §2.2): every "
+    "10-word span occurring more than once in the corpus is removed "
+    "except its globally first (doc, position) occurrence; documents "
+    "are re-assembled from surviving spans. One fold builds spans "
+    "(O(tokens)/row), first-occurrence via map-side-combined "
+    "groupBy(span).min(rank) — hub spans shuffle |distinct|, not "
+    "|occurrences| — then a bounded join-back and per-doc re-assembly.",
+)
+def llm_dedup_span(spark, sf_dir):
+    return dedup.span_dedup(_t(spark, sf_dir, "documents"))
+
+
+@parity(
     "llm_dedup_url_canon",
     sql="""
     WITH raw AS (

@@ -339,7 +339,7 @@ def ml_pagerank(spark, sf_dir):
 
 @parity(
     "ml_feature_hashing",
-    sql="""
+    sql=r"""
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
       FROM documents
