@@ -926,3 +926,27 @@ def test_span_dedup_planted_duplicate_block(spark):
     assert (out[2].n_spans, out[2].n_kept) == (2, 1)
     assert out[3].clean_text == "" and out[3].n_kept == 0
     assert out[4].clean_text == tail and out[4].n_kept == 1
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a doc ranked in BOTH legs beats single-leg docs of similar
+    rank; single-leg docs carry rank 0 in the missing leg (never NULL);
+    final ordering is (score desc, id)."""
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (40, 2), (50, 3)], "doc_id long, rank long"
+    )
+    out = similarity.rrf_fuse(lex, vec, topk=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 20 is in both legs -> highest fused score, rank 1
+    assert out[0].doc_id == 20 and out[0].rank == 1
+    assert by_id[20].lex_rank == 2 and by_id[20].vec_rank == 1
+    # single-leg docs: missing leg surfaces 0, score is the single term
+    assert by_id[10].vec_rank == 0 and by_id[40].lex_rank == 0
+    assert abs(by_id[10].rrf_score - 1 / 61) < 1e-5
+    # equal single-leg scores tie-break by doc_id: lex rank1 (10) before
+    # vec rank1 would tie only with same rank; 10 (1/61) > 40 (1/62)
+    ids = [r.doc_id for r in out]
+    assert ids == [20, 10, 40, 30, 50]

@@ -706,3 +706,52 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "sim", "rank")
     )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    topk: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, public) of
+    a lexical and a vector retrieval leg: rrf(d) = Σ_legs 1/(k + rank_d),
+    the standard score-free hybrid-search combiner (BM25 ⊕ ANN) of a
+    RAG/retrieval pipeline.
+
+    Inputs are (id, rank) frames — each leg's top-k, already bounded —
+    so the fusion is a full outer join of two ≤k-row frames followed by
+    a ≤2k-row top-k: trivially broadcastable at any corpus scale; all
+    the heavy lifting stays in the legs. Ranks surface COALESCE-0 (never
+    NULL) so the int columns hash identically across engines, and the
+    fused score is rounded with the repo EPS before the deterministic
+    (score desc, id) tie-break."""
+    l = lex.select(F.col(id_col), F.col("rank").alias("lex_rank"))
+    v = vec.select(F.col(id_col), F.col("rank").alias("vec_rank"))
+    fused = l.join(v, [id_col], "outer")
+
+    def contrib(c: str):
+        return F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(c)), F.lit(0.0)
+        )
+
+    scored = fused.select(
+        F.col(id_col),
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        F.round(
+            contrib("lex_rank") + contrib("vec_rank") + F.lit(EPS), round_to
+        ).alias("rrf_score"),
+    )
+    return (
+        scored.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(topk)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.col("rrf_score").desc(), F.col(id_col)))
+            .cast("long"),
+        )
+    )

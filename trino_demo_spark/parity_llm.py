@@ -1325,6 +1325,77 @@ def llm_select_dsir(spark, sf_dir):
 
 
 @parity(
+    "llm_search_hybrid",
+    sql=f"""
+    WITH dl AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl),
+    tok AS (SELECT doc_id, lower(unnest({_TOK})) AS w FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+           WHERE w IN ('join', 'window', 'scan') GROUP BY 1, 2),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.sum_dl / s.n_docs))) AS contrib
+      FROM tf JOIN dfreq d USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    bmagg AS (SELECT doc_id, ROUND(SUM(contrib) + 1e-9, 4) AS score FROM bm GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+            FROM bmagg ORDER BY score DESC, doc_id LIMIT 20),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+    corp AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id IN (SELECT doc_id FROM documents) AND vec_id <> 7),
+    sims AS (
+      SELECT c.vec_id AS doc_id,
+             ROUND((SELECT SUM(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))
+             / (sqrt((SELECT SUM(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))
+              * sqrt((SELECT SUM(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))))
+             + 1e-9, 4) AS sim
+      FROM corp c CROSS JOIN q
+    ),
+    vecl AS (SELECT doc_id,
+                    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rank
+             FROM sims ORDER BY sim DESC, doc_id LIMIT 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(v.vec_rank, 0) AS vec_rank,
+             ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+                 + COALESCE(1.0 / (60 + v.vec_rank), 0) + 1e-9, 6) AS rrf_score
+      FROM lex l FULL OUTER JOIN vecl v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval: BM25 top-20 (bag-of-terms query) ⊕ "
+    "brute-cosine top-20 ('more like doc 7' against the doc-aligned "
+    "embedding slice) fused by reciprocal-rank fusion "
+    "(1/(60+rank), Cormack et al. 2009). The legs do all the scale "
+    "work (term-filtered explode / broadcast query); fusion itself "
+    "is a full outer join of two ≤20-row frames — broadcastable at "
+    "any corpus size. Ranks surface COALESCE-0 so int columns hash "
+    "identically across engines.",
+)
+def llm_search_hybrid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    aligned = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+    )
+    lex = text.bm25_search(docs, ["join", "window", "scan"], k=20)
+    vec = similarity.brute_force_topk(
+        aligned, aligned.filter(F.col("vec_id") == 7), k=20
+    )
+    return similarity.rrf_fuse(
+        lex.select("doc_id", "rank"),
+        vec.select(F.col("n_id").alias("doc_id"), "rank"),
+    )
+
+
+@parity(
     "llm_dedup_span",
     sql=f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
