@@ -619,3 +619,20 @@ def test_seasonal_decompose_single_fact_scan(spark):
     SAME daily aggregate — exactly one orders scan in the plan."""
     df = PARITY["win_seasonal_decompose"].fn(spark, SF_SMOKE)
     assert _plan(df).count("orders.parquet") == 1
+
+
+def test_best_of_n_is_aggregate_only(spark):
+    """llm_best_of_n promises argmax WITHOUT a per-group window sort:
+    the plan must be HashAggregate (map-side partial + final), with no
+    Window operator and no Sort before the aggregate."""
+    plan = _plan(PARITY["llm_best_of_n"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_rrf_fusion_legs_bounded(spark):
+    """llm_search_hybrid's fused frame is built from two limited legs:
+    the plan must carry the leg limits (TakeOrderedAndProject /
+    GlobalLimit), so the fusion join input is ≤k rows per leg."""
+    plan = _plan(PARITY["llm_search_hybrid"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan

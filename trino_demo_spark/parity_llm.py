@@ -1325,6 +1325,69 @@ def llm_select_dsir(spark, sf_dir):
 
 
 @parity(
+    "llm_best_of_n",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, doc_id % 50 AS prompt_id, {_TOK} AS t FROM documents),
+    scored AS (
+      SELECT doc_id, prompt_id,
+             ROUND(len(list_distinct(t)) * 1.0 / len(t) + 1e-9, 4) AS reward
+      FROM tok
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY prompt_id) AS n_candidates
+      FROM scored
+    )
+    SELECT prompt_id, doc_id AS best_doc_id, reward AS best_reward, n_candidates
+    FROM r WHERE rn = 1
+    """,
+    doc="Best-of-n / rejection-sampling selection (public recipe: keep "
+    "the highest-reward candidate per prompt, e.g. Llama-2 RLHF data "
+    "curation): candidate pools simulated as doc_id % 50, reward = "
+    "distinct-token ratio. Engine side is AGGREGATE-ONLY: the argmax "
+    "is packed into ONE orderable BIGINT (reward-units << 40 | "
+    "inverted doc_id; max(struct) would force SortAggregate — a "
+    "per-partition sort of the whole fact — while max(long) stays "
+    "HashAggregate with map-side combine, asserted in "
+    "test_scale_plans). A prompt with millions of candidates costs "
+    "one combine-reduced shuffle key, never a sorted partition. Ties "
+    "break to the smallest doc id on both engines. Assumes doc_id < "
+    "2^40 and reward rounded to 4 decimals in [0, 1].",
+)
+def llm_best_of_n(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    mask = (1 << 40) - 1
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("prompt_id"),
+        r_(F.size(F.array_distinct(t)) / F.size(t), 4).alias("reward"),
+    )
+    packed = scored.select(
+        "prompt_id",
+        (
+            F.round(F.col("reward") * 10000, 0).cast("long") * F.lit(1 << 40)
+            + (F.lit(mask) - F.col("doc_id"))
+        ).alias("pack"),
+    )
+    best = packed.groupBy("prompt_id").agg(
+        F.max("pack").alias("pack"), F.count("*").alias("n_candidates")
+    )
+    return best.select(
+        "prompt_id",
+        (F.lit(mask) - F.col("pack").bitwiseAND(F.lit(mask))).alias(
+            "best_doc_id"
+        ),
+        (
+            F.shiftrightunsigned(F.col("pack"), 40).cast("double")
+            / F.lit(10000.0)
+        ).alias("best_reward"),
+        "n_candidates",
+    )
+
+
+@parity(
     "llm_search_hybrid",
     sql=f"""
     WITH dl AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
