@@ -208,8 +208,7 @@ def pagerank(
         .union(edges.select(F.col(dst_col)))
         .distinct()
     )
-    nodes.persist().count()
-    n = nodes.count()
+    n = nodes.persist().count()
     out_deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for _ in range(iters):
@@ -240,6 +239,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # Truncate lineage every round (same discipline as
+        # dedup_clusters): ranks feeds BOTH next-round branches
+        # (contribs and dangling), so without this the plan re-executes
+        # all prior rounds per branch — measured 366 file scans for 4
+        # rounds. On a cluster use reliable checkpointing instead.
+        ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select(
         "node", F.round(F.col("rank") + F.lit(1e-9), round_to).alias("rank")
     )
