@@ -416,3 +416,23 @@ def test_interval_overlap_preserves_multiplicity(spark):
     assert key(got) == key(theta)
     # the duplicate left interval appears twice per matching right row
     assert key(got).count((0, 40, 30, 50)) == 2
+
+
+def test_rolling_median_null_frames(spark):
+    """A frame containing only NULLs (collect_list drops them) must
+    yield NULL, not crash with INVALID_INDEX_OF_ZERO — regression for
+    the n==0 branch evaluating element_at(arr, 0)."""
+    from trino_demo_spark.operators.windows import rolling_median
+
+    df = spark.createDataFrame(
+        [("k", 0, None), ("k", 1, None), ("k", 2, 5.0), ("k", 3, None)],
+        "k string, i int, v double",
+    )
+    got = [
+        r["median"]
+        for r in rolling_median(df, "k", "i", "v", frame_rows=2)
+        .orderBy("i")
+        .collect()
+    ]
+    # frames: [N], [N,N], [N,5], [5,N] -> None, None, 5.0, 5.0
+    assert got == [None, None, 5.0, 5.0]

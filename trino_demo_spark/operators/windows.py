@@ -349,9 +349,12 @@ def rolling_median(
     )
     arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
     n = F.size(arr)
-    lo = F.element_at(arr, (n / 2).cast("int"))
+    # n == 0 (frame holds only NULLs — collect_list drops them) must
+    # yield NULL, and must not even FORM element_at(arr, 0): Spark
+    # rejects index 0 eagerly, so the even branch guards the index.
+    lo = F.element_at(arr, F.greatest((n / 2).cast("int"), F.lit(1)))
     hi = F.element_at(arr, (n / 2).cast("int") + 1)
-    med = F.when(
+    med = F.when(n == 0, F.lit(None).cast("double")).when(
         n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double")
     ).otherwise((lo + hi) / F.lit(2.0))
     return df.withColumn(out_col, med)

@@ -5131,7 +5131,10 @@ def agg_cms_heavy_hitters(spark, sf_dir):
         .drop("r")
     )
     est = agg_ops.cms_estimates(ev, "event_type", "user_id", top)
-    ng = ev.groupBy("event_type").agg(F.count("*").alias("n_g"))
+    # per-type totals derive from the already-reduced cnt frame — a
+    # third fact-sized scan of events for the same number was the
+    # round-4 review's efficiency catch
+    ng = cnt.groupBy("event_type").agg(F.sum("true_cnt").alias("n_g"))
     return (
         top.join(est, ["event_type", "user_id"])
         .join(F.broadcast(ng), "event_type")
@@ -6779,10 +6782,9 @@ def win_holt_linear(spark, sf_dir):
     "ts_subseq_search",
     sql="""
     WITH daily AS (
-      SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
+      SELECT event_type AS k, CAST(ts AS DATE) AS d,
              CAST(COUNT(*) AS DOUBLE) AS n
-      FROM orders
-      WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
+      FROM events
       GROUP BY 1, 2
     ),
     win AS (
@@ -6790,19 +6792,19 @@ def win_holt_linear(spark, sf_dir):
              list(n) OVER w AS w,
              COUNT(*) OVER w AS cnt
       FROM daily
-      WINDOW w AS (PARTITION BY k ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      WINDOW w AS (PARTITION BY k ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     ),
     fullw AS (
       SELECT k, d, w, list_avg(w) AS mu,
              sqrt(list_avg(list_transform(w, x -> (x - list_avg(w)) * (x - list_avg(w))))) AS sd
-      FROM win WHERE cnt = 7
+      FROM win WHERE cnt = 5
     ),
     z AS (
       SELECT k, d, list_transform(w, x -> (x - mu) / sd) AS z
       FROM fullw WHERE sd > 0
     ),
     q AS (SELECT k AS qk, d AS qd, z AS qz FROM z
-          WHERE k = '1-URGENT' ORDER BY d DESC LIMIT 1),
+          WHERE k = 'click' ORDER BY d DESC LIMIT 1),
     scored AS (
       SELECT z.k, z.d,
              ROUND(list_sum(list_transform(list_zip(z.z, q.qz),
@@ -6815,9 +6817,13 @@ def win_holt_linear(spark, sf_dir):
     """,
     doc="Time-series subsequence similarity search (the distributed "
     "trajectory/TS-similarity workload of the retrieved EDBT/ICDE "
-    "papers, reduced to its core): z-normalized length-7 sliding "
-    "windows over every key's daily series, Euclidean distance to the "
-    "query pattern (the latest full window of the 1-URGENT series), "
+    "papers, reduced to its core): z-normalized length-5 sliding "
+    "windows over each event_type's daily event-count series (events "
+    "is dense and varying at EVERY SF — the original orders series "
+    "was all-constant at the sf0.001 smoke slice, so z-filtering left "
+    "an empty, vacuously-green result that never exercised the "
+    "distance logic), Euclidean distance to the "
+    "query pattern (the latest full window of the 'click' series), "
     "top-5 nearest. Windows come from a bounded collect over the "
     "frame (O(len) per row, same shape as rolling_median), the "
     "z-normalization and distance are pure array codegen, the 1-row "
@@ -6829,30 +6835,26 @@ def ts_subseq_search(spark, sf_dir):
     from pyspark.sql import Window as W
 
     daily = (
-        _t(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1995-03-01").cast("date"))
-            & (F.col("o_orderdate") <= F.lit("1995-04-30").cast("date"))
-        )
+        _t(spark, sf_dir, "events")
         .groupBy(
-            F.col("o_orderpriority").alias("k"),
-            F.to_date("o_orderdate").alias("d"),
+            F.col("event_type").alias("k"),
+            F.to_date("ts").alias("d"),
         )
         .agg(F.count("*").cast("double").alias("n"))
     )
-    w = W.partitionBy("k").orderBy("d").rowsBetween(-6, 0)
+    w = W.partitionBy("k").orderBy("d").rowsBetween(-4, 0)
     win = daily.select(
         "k",
         "d",
         F.collect_list("n").over(w).alias("w"),
         F.count("*").over(w).alias("cnt"),
-    ).filter(F.col("cnt") == 7)
-    mu = F.expr("aggregate(w, 0.0D, (a, x) -> a + x) / 7.0")
+    ).filter(F.col("cnt") == 5)
+    mu = F.expr("aggregate(w, 0.0D, (a, x) -> a + x) / 5.0")
     fullw = win.withColumn("mu", mu).withColumn(
         "sd",
         F.sqrt(
             F.expr(
-                "aggregate(w, 0.0D, (a, x) -> a + (x - mu) * (x - mu)) / 7.0"
+                "aggregate(w, 0.0D, (a, x) -> a + (x - mu) * (x - mu)) / 5.0"
             )
         ),
     )
@@ -6864,7 +6866,7 @@ def ts_subseq_search(spark, sf_dir):
         .select("k", "d", "z")
     )
     q = (
-        z.filter(F.col("k") == "1-URGENT")
+        z.filter(F.col("k") == "click")
         .orderBy(F.col("d").desc())
         .limit(1)
         .select(

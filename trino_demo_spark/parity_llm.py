@@ -144,7 +144,13 @@ def llm_dedup_minhash(spark, sf_dir):
         .agg(
             F.count("*").alias("n_exact_pairs"),
             (
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                # empty exact-pair set: sum() is NULL -> coalesce so the
+                # verdict is (0 >= 0) = true, matching the oracle's
+                # literal `true` (a corpus slice with no near-dups must
+                # not fail the gate with recall_ok = NULL)
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0)
+                )
                 >= F.count("*") * F.lit(0.6)
             ).alias("recall_ok"),
         )
@@ -188,7 +194,13 @@ def llm_dedup_simhash(spark, sf_dir):
         .agg(
             F.count("*").alias("n_exact_pairs"),
             (
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                # empty exact-pair set: sum() is NULL -> coalesce so the
+                # verdict is (0 >= 0) = true, matching the oracle's
+                # literal `true` (a corpus slice with no near-dups must
+                # not fail the gate with recall_ok = NULL)
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0)
+                )
                 >= F.count("*") * F.lit(0.6)
             ).alias("recall_ok"),
         )
@@ -1357,7 +1369,7 @@ def llm_select_dsir(spark, sf_dir):
 )
 def llm_best_of_n(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
+    t = dedup.tokens_col("text")
     mask = (1 << 40) - 1
     scored = docs.select(
         "doc_id",
