@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "win_dedup_keeplast",    # keep-last window dedup over the stream table
     "win_sliding_seq",       # sliding sequence windows per entity
     "llm_dedup_minhash",     # MinHash-LSH near-dup over documents
+    "llm_dedup_span",        # C4-style span-level dedup + doc re-assembly
     "llm_similarity_topk",   # brute-force cosine top-k over embeddings
     "llm_text_quality",      # text quality scoring sweep
     "e2e_llm_data_pipeline", # fused quality→langid→dedup→buckets→shards
