@@ -105,6 +105,11 @@ _PRIORITY = [
     "llm_tokenizer_bpe_apply",
     "llm_perplexity",
     "llm_quality_filter",
+    # round-4-continuation additions — verify at first opportunity
+    "llm_dedup_span",
+    "llm_search_hybrid",
+    "llm_best_of_n",
+    "ts_subseq_search",
 ]
 
 
