@@ -65,6 +65,9 @@ BASELINE_SEC = {
     "win_dedup_keeplast": 0.355,
     "win_sliding_seq": 0.405,
     "llm_dedup_minhash": 1.567,
+    # pinned round-4 continuation: best-of-3, canary 0.50 / scan 0.66
+    # (fast host — interpret future ratios against the canaries)
+    "llm_dedup_span": 1.569,
     "llm_similarity_topk": 0.668,
     "llm_text_quality": 0.371,
 }
