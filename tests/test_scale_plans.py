@@ -636,3 +636,56 @@ def test_rrf_fusion_legs_bounded(spark):
     GlobalLimit), so the fusion join input is ≤k rows per leg."""
     plan = _plan(PARITY["llm_search_hybrid"].fn(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_review_hardening_regressions(spark):
+    """Round-4 second-review catches, pinned: NULL-key upsert replaces
+    (not duplicates), same-named salted-join keys resolve, NULL inputs
+    don't abort the weighted-mean UDAF, fractional interval bounds
+    don't skip the last bucket, and degenerate intervals don't kill
+    range_join_bucketed."""
+    import datetime
+
+    from trino_demo_spark.operators import aggregates as agg_ops
+
+    # merge_upsert: NULL-keyed update replaces the NULL-keyed row
+    snap = spark.createDataFrame([(None, "old"), (1, "a")], "k int, v string")
+    upd = spark.createDataFrame([(None, "new")], "k int, v string")
+    got = {r.k: r.v for r in rel.merge_upsert(snap, upd, ["k"]).collect()}
+    assert got == {None: "new", 1: "a"}
+
+    # salted_join: same column name on both sides
+    l = spark.createDataFrame([(1, "x")], "k int, lv string")
+    r = spark.createDataFrame([(1, "y")], "k int, rv string").withColumnRenamed("k", "k")
+    out = rel.salted_join(l, r, "k", "k", salt=4)
+    assert out.count() == 1
+
+    # weighted-mean UDAF skips NULL rows like built-ins
+    wmean = agg_ops.weighted_mean_udaf()
+    df = spark.createDataFrame(
+        [(1, 100, 2), (1, None, 3), (1, None, None)],
+        "g int, p long, q long",
+    )
+    row = df.groupBy("g").agg(wmean("p", "q").alias("m")).first()
+    assert row.m == pytest.approx(1.0)  # 100 units * 2 / 2 / 100
+
+    # fractional interval bounds: (15.9,16.2)x(16.0,16.1) overlaps
+    li = spark.createDataFrame([(1, 15.9, 16.2)], "lid long, ls double, le double")
+    ri = spark.createDataFrame([(2, 16.0, 16.1)], "rid long, rs double, re double")
+    assert (
+        rel.interval_overlap_join_bucketed(li, ri, "ls", "le", "rs", "re", 16).count()
+        == 1
+    )
+
+    # zero-length interval row must not abort range_join_bucketed
+    facts = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 12))], "fid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            ("a", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2)),
+            ("b", datetime.datetime(2024, 1, 5), datetime.datetime(2024, 1, 5)),
+        ],
+        "name string, s timestamp, e timestamp",
+    )
+    assert rel.range_join_bucketed(facts, iv, "ts", "s", "e").count() == 1

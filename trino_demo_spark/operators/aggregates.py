@@ -134,8 +134,13 @@ def weighted_mean_udaf():
 
     @pandas_udf("double")
     def wmean_units(price_units: pd.Series, qty: pd.Series) -> float:
-        pw = int(price_units.astype("int64").mul(qty.astype("int64")).sum())
-        wq = int(qty.astype("int64").sum())
+        # NULLs arrive as NaN in a float series; astype('int64') raises
+        # on non-finite values, which aborted the whole query on the
+        # first NULL price/qty. Built-in aggregates skip NULL rows —
+        # match that.
+        ok = price_units.notna() & qty.notna()
+        pw = int(price_units[ok].astype("int64").mul(qty[ok].astype("int64")).sum())
+        wq = int(qty[ok].astype("int64").sum())
         if wq == 0:
             return float("nan")
         return (pw / wq) / 100.0

@@ -200,7 +200,11 @@ def salted_join(
     )
     joined = l_tag.join(
         r_tag,
-        (F.col(left_key) == F.col(right_key)) & (l_tag["__salt"] == r_tag["__salt"]),
+        # side-qualified refs: F.col(left_key) == F.col(right_key) is
+        # AMBIGUOUS_REFERENCE whenever both sides name the key the same
+        # (the common case — only prefix-distinct TPC-H keys hid this)
+        (l_tag[left_key] == r_tag[right_key])
+        & (l_tag["__salt"] == r_tag["__salt"]),
         how,
     )
     return joined.drop("__salt")
@@ -325,7 +329,10 @@ def merge_upsert(
     u = updates.select(*[F.col(c).alias(f"__u_{c}") for c in updates.columns])
     cond = None
     for k in keys:
-        c = snapshot[k] == u[f"__u_{k}"]
+        # eqNullSafe like merge_rollup/snapshot_diff: a NULL-keyed
+        # update must REPLACE the NULL-keyed snapshot row, not
+        # full-outer into a duplicate pair
+        c = snapshot[k].eqNullSafe(u[f"__u_{k}"])
         cond = c if cond is None else (cond & c)
     merged = snapshot.join(u, cond, "full_outer")
     return merged.select(
@@ -357,10 +364,42 @@ def global_rank_by_key(
     A naive row_number() OVER (ORDER BY key) collapses all data onto one
     task; this plan's only data-size shuffle is the bucket hash
     partition. Buckets are key *ranges*, so concatenating buckets in
-    bucket order preserves global key order."""
+    bucket order preserves global key order. `n_buckets` must be in
+    1..256 (buckets derive from the first two hex chars of the key:
+    256 raw values, scaled down monotonically — scaling, not modulo,
+    because bucket order must follow key order); non-hex keys raise
+    rather than silently vanish from the inner offset join."""
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(
+            f"n_buckets must be in 1..256, got {n_buckets} (buckets "
+            "derive from a 2-hex-char prefix: 256 distinguishable values)"
+        )
     spark = df.sparkSession
+    hexval = F.conv(F.substring(F.col(out_key), 1, 2), 16, 10).cast("int")
     keyed = df.withColumn(out_key, key).withColumn(
-        "__bucket", (F.conv(F.substring(F.col(out_key), 1, 2), 16, 10)).cast("int")
+        "__bucket",
+        # conv() parses partial prefixes and yields 0 for garbage (no
+        # NULL to detect), so hexness is validated explicitly — a
+        # non-hex key would otherwise bucket out of key order and
+        # corrupt the global ranking silently
+        F.when(
+            # lowercase-only: digits sort before lowercase letters in
+            # both string order and hex value, so the bucket is monotone
+            # in key order; mixed case would break that ('AF' < 'aa'
+            # lexically, but conv says 175 > 170)
+            F.col(out_key).rlike("^[0-9a-f]{2}"),
+            (hexval * n_buckets / F.lit(256)).cast("int"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "global_rank_by_key: key lacks a lowercase "
+                        "2-hex-char prefix: "
+                    ),
+                    F.col(out_key),
+                )
+            ).cast("int")
+        ),
     )
     counts = {
         r["__bucket"]: r["n"]
@@ -490,7 +529,10 @@ def range_join_bucketed(
     bucket, and a residual range filter restores exact [start, end)
     semantics. Result-identical to the direct theta join; plan-asserted
     (no BroadcastNestedLoopJoin) in tests/test_scale_plans.py."""
-    b = intervals.withColumn(
+    # Empty/inverted intervals (end <= start) contribute zero matches in
+    # the direct theta join; sequence() with start > stop THROWS, so
+    # guard them out instead of letting one degenerate row kill the job.
+    b = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -646,16 +688,25 @@ def interval_overlap_join_bucketed(
     exactly like the theta join. Result-identical to the direct
     theta join (which plans as a broadcast nested loop — O(|L|·|R|)
     compares); here compares are confined to co-bucketed pairs.
-    Interval columns must be numeric (cast dates to day indexes).
+    Interval columns may be any numeric (ints, epoch-seconds doubles —
+    cast dates to day indexes); empty intervals (end <= start) overlap
+    nothing and are filtered out rather than fed to sequence(), which
+    throws on inverted bounds.
     """
     def burst(df, s, e, side):
-        return df.withColumn(
+        # Last touched bucket of half-open [s, e): floor(e/w), minus 1
+        # when e sits exactly on a bucket boundary. The former
+        # floor((e-1)/w) form is only correct on an integer grid — for
+        # fractional bounds (e.g. 16.2 with w=16) it skipped the last
+        # bucket and silently dropped genuine overlaps.
+        lastb = F.floor(F.col(e) / F.lit(bucket_width)) - F.when(
+            F.col(e) == F.floor(F.col(e) / F.lit(bucket_width)) * F.lit(bucket_width),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        return df.filter(F.col(e) > F.col(s)).withColumn(
             f"__bkt_{side}",
             F.explode(
-                F.sequence(
-                    F.floor(F.col(s) / F.lit(bucket_width)),
-                    F.floor((F.col(e) - 1) / F.lit(bucket_width)),
-                )
+                F.sequence(F.floor(F.col(s) / F.lit(bucket_width)), lastb)
             ),
         )
 

@@ -151,6 +151,23 @@ def resolve_name(name: str) -> str:
     raise KeyError(f"unknown table: {name!r}")
 
 
+def event_ts_columns(ts_is_long: bool) -> tuple:
+    """The (ts, ts_ns) normalization expressions for the two physical
+    encodings of events.ts — THE single definition, shared by the batch
+    path (_normalize_events) and the streaming twin
+    (streaming.kafka_shape.stream_events) so a future encoding change
+    cannot silently diverge between them."""
+    if ts_is_long:
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+        ts_ns = F.col("ts").alias("ts_ns")
+    else:
+        ts = F.col("ts").cast("timestamp").alias("ts")
+        ts_ns = (
+            F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        ).alias("ts_ns")
+    return ts, ts_ns
+
+
 def _normalize_events(df: DataFrame) -> DataFrame:
     """Physical→logical normalization for the stream table.
 
@@ -169,14 +186,9 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     Either way the logical schema is identical. Pure column arithmetic —
     stays in whole-stage codegen, no UDF.
     """
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
-        ts_ns = F.col("ts").alias("ts_ns")
-    else:
-        ts = F.col("ts").cast("timestamp").alias("ts")
-        ts_ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias(
-            "ts_ns"
-        )
+    ts, ts_ns = event_ts_columns(
+        isinstance(df.schema["ts"].dataType, T.LongType)
+    )
     return df.select(
         F.col("event_id").cast("long"),
         ts,

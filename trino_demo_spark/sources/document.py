@@ -19,9 +19,15 @@ from pyspark.sql import types as T
 
 
 def connector_available(spark: SparkSession) -> bool:
-    """True when the Spark-MongoDB connector is on the classpath."""
+    """True when the Spark-MongoDB connector is on the classpath.
+
+    py4j resolves a MISSING class to a JavaPackage placeholder instead
+    of raising, so bare attribute access always "succeeds" — the class
+    must be loaded explicitly via Class.forName."""
     try:
-        spark._jvm.com.mongodb.spark.sql.connector.MongoTableProvider  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "com.mongodb.spark.sql.connector.MongoTableProvider"
+        )
         return True
     except Exception:
         return False

@@ -30,6 +30,12 @@ def read_table(
     dims, wrong for facts)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "read_table: partition_column requires BOTH lower_bound "
+                "and upper_bound (str(None) would reach the JDBC source "
+                "as the literal 'None')"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

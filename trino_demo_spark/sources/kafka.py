@@ -18,7 +18,7 @@ itself is exercised only when a broker URL is supplied.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -82,7 +82,16 @@ def bounded_scan_options(
     Kafka batch scan options (startingTimestamp/endingTimestamp take
     epoch-millis). Trino pushes the payload-date predicate into the scan
     when force-push-down is enabled; Spark's equivalent is bounding by
-    broker timestamp at the source."""
+    broker timestamp at the source. Naive datetimes are interpreted as
+    UTC (the engine pins spark.sql.session.timeZone=UTC): stdlib
+    ``.timestamp()`` would apply the HOST's local zone and silently
+    shift the scan bound on any non-UTC machine."""
+
+    def _epoch_ms(dt: datetime) -> str:
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return str(int(dt.timestamp() * 1000))
+
     opts = {
         "kafka.bootstrap.servers": brokers,
         "subscribe": topic,
@@ -90,10 +99,10 @@ def bounded_scan_options(
         "endingOffsets": "latest",
     }
     if lower is not None:
-        opts["startingTimestamp"] = str(int(lower.timestamp() * 1000))
+        opts["startingTimestamp"] = _epoch_ms(lower)
         del opts["startingOffsets"]
     if upper is not None:
-        opts["endingTimestamp"] = str(int(upper.timestamp() * 1000))
+        opts["endingTimestamp"] = _epoch_ms(upper)
         del opts["endingOffsets"]
     return opts
 

@@ -54,14 +54,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if ts_phys == "bigint":
-        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
-        ts_ns = F.col("ts").alias("ts_ns")
-    else:
-        ts = F.col("ts").cast("timestamp").alias("ts")
-        ts_ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias(
-            "ts_ns"
-        )
+    from trino_demo_spark.registry import event_ts_columns
+
+    ts, ts_ns = event_ts_columns(ts_phys == "bigint")
     return raw.select("event_id", ts, ts_ns, "user_id", "event_type", "value", "props")
 
 
