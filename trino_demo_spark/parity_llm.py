@@ -2337,7 +2337,7 @@ def llm_format_dpo(spark, sf_dir):
 
 @parity(
     "llm_source_overlap",
-    sql="""
+    sql=r"""
     WITH h AS (
       SELECT DISTINCT
              sha256(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS hash,
