@@ -154,6 +154,9 @@ def main() -> None:
     # min-of-2 reports the engine's steady-state cost (see PERF.md).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # Progress marker on stderr (stdout stays the one-JSON-line
+        # contract) so a crash mid-suite is attributable to a query.
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
         fn = overrides.get(name) or PARITY[name].fn
         best = float("inf")
         for _ in range(2):
@@ -162,6 +165,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     # Fail-soft ratio vs the pinned baseline (only meaningful at the

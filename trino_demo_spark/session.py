@@ -53,10 +53,20 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # Local mode packs the driver AND all executor threads into one JVM;
+    # Spark's 1g default heap is the cluster-driver default, not an
+    # executor budget, and it broke first at the sf1-equivalent scale
+    # study (BroadcastExchange: "Not enough memory to build and
+    # broadcast" — a 150k-row dim that any real executor would hold
+    # trivially). Size the JVM like the N-executor cluster it stands in
+    # for (~1g/core, capped); static conf, so it only applies when this
+    # call actually launches the JVM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{min(cpus, 48)}g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
