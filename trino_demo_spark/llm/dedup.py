@@ -181,6 +181,21 @@ def minhash_lsh_pairs(
     volume is O(n·bands), pair generation only within buckets. This is the
     100 TB near-dedup shape (MinHashLSH as in Lee et al., "Deduplicating
     Training Data Makes Language Models Better").
+
+    Identical-signature collapse: real corpora carry exact-duplicate
+    clusters (boilerplate repeated 100s-1000000s of times), and every
+    member of such a cluster has the SAME signature. Banding raw docs
+    makes candidate generation quadratic in cluster size times `bands`
+    (measured: 10× data with 100-copy clusters cost 36× — the one
+    super-linear query in the sf10-equivalent scaling study, PERF.md).
+    So LSH runs over DISTINCT signatures only; member pairs are expanded
+    afterwards from the per-signature member lists. Both est_jaccard and
+    band candidacy depend only on the signatures, so the output is
+    row-for-row identical — compute is linear in corpus size, and only
+    the pair OUTPUT stays quadratic in cluster size (inherent to the
+    pair contract; `dedup_clusters` is the representation that avoids
+    even that for mega-clusters, which would also bloat the per-signature
+    member arrays here).
     """
     r = num_perm // bands
     # Docs shorter than n tokens carry all-NULL signatures (empty
@@ -188,24 +203,48 @@ def minhash_lsh_pairs(
     # xxhash64 skips NULL inputs so they'd all collide into ONE band
     # bucket (quadratic useless pairs with est_jaccard counted over
     # NULL<=>NULL matches). Drop them before banding.
-    sig = (
-        minhash_signatures(df, id_col, text_col, n, num_perm)
-        .filter(F.col("mh_0").isNotNull())
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm).filter(
+        F.col("mh_0").isNotNull()
+    )
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_perm)])
+    groups = (
+        sig.select("id", sig_arr.alias("sig"))
+        .groupBy("sig")
+        .agg(F.array_sort(F.collect_list("id")).alias("members"))
+        .withColumn("rep", F.element_at("members", 1))
         .cache()
     )
-    # All bands in ONE pass over the signatures (posexplode of a literal
-    # band array), instead of `bands` unioned scans.
+    # Within-cluster pairs: identical signatures estimate to exactly 1.0
+    # (and always share every band), so they bypass LSH entirely. Sorted
+    # member combinations keep the id_a < id_b output invariant.
+    within = (
+        groups.filter(F.size("members") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("est_jaccard"))
+    )
+    # All bands in ONE pass over the distinct signatures (explode of a
+    # literal band array), instead of `bands` unioned scans.
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias("bh"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * r + i + 1) for i in range(r)]
+                ).alias("bh"),
             )
             for b in range(bands)
         ]
     )
-    buckets = sig.select("id", F.explode(band_arr).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    buckets = groups.select("rep", F.explode(band_arr).alias("bb")).select(
+        "rep", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     a = buckets.alias("a")
     b_ = buckets.alias("b")
@@ -214,29 +253,49 @@ def minhash_lsh_pairs(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .distinct()
     )
     # One ARRAY column per side through the estimate joins, not
-    # num_perm scalar columns: the shuffled row narrows to (id, array)
+    # num_perm scalar columns: the shuffled row narrows to (rep, array)
     # and the match count is a single zip_with/aggregate expression —
     # measured ~15% off the query at sf0.1 vs the 32-column form.
-    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_perm)])
-    sa = sig.select(F.col("id").alias("id_a"), sig_arr.alias("__sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), sig_arr.alias("__sig_b"))
+    sa = groups.select(
+        F.col("rep").alias("rep_a"),
+        F.col("sig").alias("__sig_a"),
+        F.col("members").alias("__ma"),
+    )
+    sb = groups.select(
+        F.col("rep").alias("rep_b"),
+        F.col("sig").alias("__sig_b"),
+        F.col("members").alias("__mb"),
+    )
     matches = F.expr(
         "aggregate(zip_with(__sig_a, __sig_b, (x, y) -> IF(x <=> y, 1, 0)), "
         "0, (acc, v) -> acc + v)"
     )
     est = (matches / F.lit(float(num_perm))).alias("est_jaccard")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est + F.lit(EPS), 4).alias("est_jaccard"))
+    cross = (
+        cand.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .select(
+            "__ma", "__mb", F.round(est + F.lit(EPS), 4).alias("est_jaccard")
+        )
         .filter(F.col("est_jaccard") >= threshold)
+        # Expand cluster-pair → member pairs only AFTER the threshold
+        # filter; member ids of distinct clusters interleave, so
+        # normalize the pair order.
+        .select(F.explode("__ma").alias("id_x"), "__mb", "est_jaccard")
+        .select("id_x", F.explode("__mb").alias("id_y"), "est_jaccard")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "est_jaccard",
+        )
     )
+    return within.unionAll(cross)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
