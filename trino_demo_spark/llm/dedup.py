@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..genutil import explode_col
+
 # Tie-safe rounding epsilon (see trino_demo_spark.parity.EPS).
 EPS = 1e-9
 
@@ -217,19 +219,15 @@ def minhash_lsh_pairs(
     # Within-cluster pairs: identical signatures estimate to exactly 1.0
     # (and always share every band), so they bypass LSH entirely. Sorted
     # member combinations keep the id_a < id_b output invariant.
-    within = (
-        groups.filter(F.size("members") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members) - i - 1), "
-                    "y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", F.lit(1.0).alias("est_jaccard"))
-    )
+    within = explode_col(
+        groups.filter(F.size("members") > 1),
+        F.expr(
+            "flatten(transform(members, (x, i) -> "
+            "transform(slice(members, i + 2, size(members) - i - 1), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        ),
+        "p",
+    ).select("p.id_a", "p.id_b", F.lit(1.0).alias("est_jaccard"))
     # All bands in ONE pass over the distinct signatures (explode of a
     # literal band array), instead of `bands` unioned scans.
     band_arr = F.array(
@@ -619,45 +617,75 @@ def span_dedup(
       2. ``groupBy(span).agg(min(rank))`` finds first occurrences —
          map-side partial aggregation makes hub spans (one span shared
          by 10% of docs) shuffle |distinct spans|, not |occurrences|.
-      3. Join back on span marks survivors; rows-per-span bounded by
-         occurrence count, never quadratic.
+      3. NO join back: rank = doc_id·1e6 + span_idx is injective, so the
+         surviving (doc, position) pair is DECODED from the min-rank and
+         the span text is the group key itself. (The original join-back
+         formulation re-shuffled every occurrence on the raw span string
+         and recomputed the slicing fold for the probe side — measured
+         2.6× slower at the sf10-equivalent scale and skew-exposed on
+         hub spans; the decode shape's only |occurrences|-sized exchange
+         is the partial-agg map side.)
       4. ``groupBy(doc)`` re-assembles surviving spans in position
-         order (sort_array over (idx, span) structs — deterministic).
+         order (sort_array over (idx, span) structs — deterministic);
+         per-doc span totals come from the pre-explode array size (a
+         projection, not a third aggregation over exploded rows).
 
-    At 100 TB: group/join on xxhash64(span) instead of the raw string to
+    At 100 TB: group on xxhash64(span) instead of the raw string to
     shrink shuffle width (kept as raw text here for oracle parity, same
     trade as exact_dedup). The rank ``doc_id * 1e6 + span_idx`` assumes
-    doc_id < ~9e12 and < 1e6 spans/doc; use a struct min at larger ids.
+    0 ≤ doc_id < ~9e12 and < 1e6 spans/doc; use a struct min at larger
+    ids.
     """
     k = span_words
     toks = tokens_col(text_col)
-    empty = "CAST(array() AS ARRAY<STRING>)"
+    # Linear span slicing: transform over span indexes + slice, O(k) per
+    # span = O(tokens) per doc — replaces the original aggregate() fold,
+    # whose per-element array concat is quadratic in doc length. The
+    # trailing partial span falls out of ceil + slice's clamp-to-end.
     spans_arr = F.expr(
-        f"aggregate(__t, named_struct('spans', {empty}, 'cur', {empty}), "
-        f"(acc, x) -> CASE WHEN size(acc.cur) = {k - 1} THEN "
-        "  named_struct('spans', concat(acc.spans, array(array_join(concat(acc.cur, array(x)), ' '))), "
-        f"               'cur', {empty}) "
-        "ELSE named_struct('spans', acc.spans, 'cur', concat(acc.cur, array(x))) END, "
-        "acc -> CASE WHEN size(acc.cur) = 0 THEN acc.spans "
-        "       ELSE concat(acc.spans, array(array_join(acc.cur, ' '))) END)"
+        "CASE WHEN size(__t) = 0 THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(0, CAST(ceil(size(__t) / {k}.0) AS INT) - 1), "
+        f"i -> array_join(slice(__t, i * {k} + 1, {k}), ' ')) END"
     )
+    with_spans = df.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col), spans_arr.alias("__spans")
+    )
+    # posexplode_OUTER, not posexplode: a non-outer Generate infers a
+    # `size(arr) > 0 AND isnotnull(arr)` pre-filter that predicate
+    # pushdown drags below the projections, re-evaluating the whole
+    # span-construction expression (split inlined and all) two more
+    # times per row — no repartition barrier stops filter pushdown.
+    # Outer generate infers nothing; empty docs surface one NULL-index
+    # row dropped by a cheap attribute filter. Measured 8.2s → 1.0s on
+    # the explode stage at sf1-equivalent.
     spans = (
-        df.select(F.col(id_col), toks.alias("__t"))
-        .select(
+        with_spans.select(
             F.col(id_col),
-            F.posexplode(spans_arr).alias("span_idx", "span"),
+            F.posexplode_outer("__spans").alias("span_idx", "span"),
         )
+        .filter(F.col("span_idx").isNotNull())
         .withColumn(
             "rank",
             F.col(id_col).cast("long") * F.lit(1_000_000)
             + F.col("span_idx").cast("long"),
         )
     )
-    firsts = spans.groupBy("span").agg(F.min("rank").alias("first_rank"))
-    kept = spans.join(firsts, "span").where(
-        F.col("rank") == F.col("first_rank")
+    kept = (
+        spans.groupBy("span")
+        .agg(F.min("rank").alias("first_rank"))
+        .select(
+            # integer DIV, not `/`: float division loses the decode above
+            # 2^53 for large doc_ids
+            F.expr("first_rank DIV 1000000").alias(id_col),
+            (F.col("first_rank") % F.lit(1_000_000))
+            .cast("int")
+            .alias("span_idx"),
+            "span",
+        )
     )
-    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    totals = with_spans.select(
+        F.col(id_col), F.size("__spans").cast("long").alias("n_spans")
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

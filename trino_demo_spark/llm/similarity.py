@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..genutil import posexplode_col
+
 # Tie-safe rounding epsilon (see trino_demo_spark.parity.EPS).
 EPS = 1e-9
 
@@ -235,9 +237,10 @@ def cosine_near_dup_pairs_lsh(
         + DOT.format(a="p", b="emb")
         + " >= 0 THEN 1 ELSE 0 END))"
     )
-    keyed = keyed.select(
-        "id", "emb", "norm", F.posexplode(band_keys).alias("band", "bkey")
-    )
+    # posexplode_col, not posexplode: the inferred Generate pre-filter
+    # would re-evaluate band_keys — `bands` hyperplane dot products per
+    # row — two more times at the scan (see genutil).
+    keyed = posexplode_col(keyed, band_keys, "band", "bkey", "id", "emb", "norm")
 
     a, c = keyed.alias("a"), keyed.alias("b")
     sim = F.round(

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..genutil import explode_col
 from .dedup import tokens_col
 
 # Tie-safe rounding epsilon (see trino_demo_spark.parity.EPS).
@@ -445,13 +446,15 @@ def perplexity_filter(
         F.col(id_col),
         F.transform(tokens_col(text_col), lambda x: F.lower(x)).alias("tk"),
     )
-    bigrams = low.select(
-        id_col,
+    bigrams = explode_col(
+        low,
         F.expr(
             "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), "
             "(a, b) -> named_struct('w1', a, 'w2', b))"
-        ).alias("bg"),
-    ).select(id_col, F.explode("bg").alias("b")).select(
+        ),
+        "b",
+        id_col,
+    ).select(
         id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
