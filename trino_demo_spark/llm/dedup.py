@@ -621,9 +621,10 @@ def span_dedup(
          surviving (doc, position) pair is DECODED from the min-rank and
          the span text is the group key itself. (The original join-back
          formulation re-shuffled every occurrence on the raw span string
-         and recomputed the slicing fold for the probe side — measured
-         2.6× slower at the sf10-equivalent scale and skew-exposed on
-         hub spans; the decode shape's only |occurrences|-sized exchange
+         and recomputed the slicing for the probe side — part of the
+         6× end-to-end win at the sf10-equivalent scale (107.9s → 17.8s
+         together with the linear slicing and the posexplode_outer
+         shape below) and skew-exposed on hub spans; the decode shape's only |occurrences|-sized exchange
          is the partial-agg map side.)
       4. ``groupBy(doc)`` re-assembles surviving spans in position
          order (sort_array over (idx, span) structs — deterministic);
