@@ -57,6 +57,10 @@ def quality_exprs(text_col: str = "text"):
     punct_ratio = F.round(n_punct / n_chars + F.lit(EPS), 4)
     digit_ratio = F.round(n_digit / n_chars + F.lit(EPS), 4)
     stop_ratio = F.round(n_stop / n_tokens + F.lit(EPS), 4)
+    # Deliberately NOT folded into a single aggregate() pass: an
+    # aggregate HOF allocates a struct per token and measured ~2× slower
+    # than this shape (one interpreted filter scan + codegen splits) at
+    # sf10-equivalent. The expensive member is the single filter HOF.
     score = F.round(
         F.lit(0.4) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
@@ -93,15 +97,39 @@ def lang_pred_expr(text_col: str = "text"):
     n_cjk = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), r"[一-鿿]", "")
     )
-    best = F.greatest(*hits.values())
-    pred = (
-        F.when(n_cjk > 0, "zh")
-        .when(best <= 0, "und")
-        .when(hits["en"] == best, "en")
-        .when(hits["es"] == best, "es")
-        .when(hits["de"] == best, "de")
-        .otherwise("fr")
+    # The argmax-with-precedence CASE references every hit count several
+    # times, and interpreted HOFs get no codegen subexpression
+    # elimination — the original when-chain re-split and re-scanned the
+    # tokens ~15× per row (42s of the 99s e2e stage at sf10-equivalent).
+    # Instead: ONE aggregate pass counts all four languages into a
+    # struct, and a single-element transform() binds it to a lambda
+    # variable whose field reads are free ("let via lambda"). Identical
+    # precedence semantics (en > es > de > fr, 'und' on zero hits).
+    in_lists = {
+        lang: ", ".join(f"'{w}'" for w in words)
+        for lang, words in STOPWORDS.items()
+    }
+    hits_struct = (
+        f"aggregate(split(trim({text_col}), '\\\\s+'), "
+        "named_struct('en', 0, 'es', 0, 'de', 0, 'fr', 0), "
+        "(acc, x) -> named_struct("
+        f"'en', acc.en + IF(x IN ({in_lists['en']}), 1, 0), "
+        f"'es', acc.es + IF(x IN ({in_lists['es']}), 1, 0), "
+        f"'de', acc.de + IF(x IN ({in_lists['de']}), 1, 0), "
+        f"'fr', acc.fr + IF(x IN ({in_lists['fr']}), 1, 0)))"
     )
+    pred_nocjk = F.element_at(
+        F.expr(
+            f"transform(array({hits_struct}), h -> CASE "
+            "WHEN greatest(h.en, h.es, h.de, h.fr) <= 0 THEN 'und' "
+            "WHEN h.en = greatest(h.en, h.es, h.de, h.fr) THEN 'en' "
+            "WHEN h.es = greatest(h.en, h.es, h.de, h.fr) THEN 'es' "
+            "WHEN h.de = greatest(h.en, h.es, h.de, h.fr) THEN 'de' "
+            "ELSE 'fr' END)"
+        ),
+        F.lit(1),
+    )
+    pred = F.when(n_cjk > 0, "zh").otherwise(pred_nocjk)
     return pred, hits
 
 

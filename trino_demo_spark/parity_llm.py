@@ -2157,12 +2157,22 @@ def e2e_llm_data_pipeline(spark, sf_dir):
         pred.alias("pred_lang"),
         (shuffle_key_expr("doc_id", 3) % 4).cast("int").alias("shard"),
     )
-    kept = enriched.filter(
-        (F.col("quality") >= 0.5) & F.col("pred_lang").isin("en", "de")
-    )
-    surv = kept.withColumn(
+    # Window BEFORE the quality/lang filter: quality and pred_lang are
+    # pure functions of text (the window's partition key), so every
+    # text-group passes or fails the filter as a whole and the survivor
+    # set is identical either way. Ordering it this way matters because
+    # a filter above a Project gets pushed into the scan with the
+    # quality/langid expressions INLINED — evaluating the two most
+    # expensive expressions in the pipeline twice per row (measured 99s
+    # vs 53s for the expression stage at sf10-equivalent) — while a
+    # non-partition-key predicate is NOT pushed through a Window.
+    surv = enriched.withColumn(
         "__keep", F.min("doc_id").over(W.partitionBy("text"))
-    ).filter(F.col("doc_id") == F.col("__keep"))
+    ).filter(
+        (F.col("quality") >= 0.5)
+        & F.col("pred_lang").isin("en", "de")
+        & (F.col("doc_id") == F.col("__keep"))
+    )
     return surv.select(
         "doc_id",
         "pred_lang",
