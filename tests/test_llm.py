@@ -950,3 +950,87 @@ def test_rrf_fuse_semantics(spark):
     # vec rank1 would tie only with same rank; 10 (1/61) > 40 (1/62)
     ids = [r.doc_id for r in out]
     assert ids == [20, 10, 40, 30, 50]
+
+
+def test_minhash_collapse_matches_brute_reference(spark):
+    """Semantic pin for the identical-signature collapse: the pair set
+    (and every est_jaccard value) must equal a brute-force reference
+    computed directly from the signatures — all pairs that fully agree
+    on some band, estimated as matching-component fraction. Exercises
+    exact-dup clusters (within-group 1.0 pairs), near-dup cross-group
+    pairs, unique docs, and sub-n-token docs (excluded entirely)."""
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen quality liquor jugs now",
+        "how vexingly quick daft zebras jump around the field",
+    ]
+    rows = []
+    did = 0
+    for t in base:
+        for _ in range(4):  # exact-dup cluster of 4
+            rows.append((did, t)); did += 1
+        rows.append((did, t + " extra trailing words appended here")); did += 1
+    rows.append((did, "completely different unrelated content about engines and parquet files")); did += 1
+    rows.append((did, "too short")); did += 1  # < n tokens: no signature
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    num_perm, bands, thr = 32, 8, 0.3
+    r = num_perm // bands
+    sig = {
+        row["id"]: tuple(row[f"mh_{i}"] for i in range(num_perm))
+        for row in dedup.minhash_signatures(df, "doc_id", "text", 3, num_perm).collect()
+        if row["mh_0"] is not None
+    }
+    expect = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sig[a], sig[b]
+            if any(
+                sa[k * r:(k + 1) * r] == sb[k * r:(k + 1) * r]
+                for k in range(bands)
+            ):
+                est = round(
+                    sum(x == y for x, y in zip(sa, sb)) / num_perm + 1e-9, 4
+                )
+                if est >= thr:
+                    expect[(a, b)] = est
+    got = {
+        (p.id_a, p.id_b): p.est_jaccard
+        for p in dedup.minhash_lsh_pairs(
+            df, num_perm=num_perm, bands=bands, threshold=thr
+        ).collect()
+    }
+    assert got == expect
+    # exact-dup clusters must contribute all C(4,2) within pairs at 1.0
+    for c in range(3):
+        lo = c * 5
+        for x in range(lo, lo + 4):
+            for y in range(x + 1, lo + 4):
+                assert got[(x, y)] == 1.0
+
+
+def test_span_dedup_rank_decode_edges(spark):
+    """Decode-shape edges: empty doc (0 spans, empty clean_text), doc
+    shorter than one span (trailing partial kept), duplicate span owned
+    by the earliest (doc, position), and intra-doc repeated spans."""
+    k = 3
+    df = spark.createDataFrame(
+        [
+            (10, "a b c d e f"),          # spans: "a b c", "d e f"
+            (11, "a b c x"),              # "a b c" dup (loses to doc 10), "x" partial kept
+            (12, ""),                     # empty -> 0 spans
+            (13, "d e f"),                # dup of doc 10's 2nd span
+            (14, "z z z z z z"),          # intra-doc repeat: 2nd "z z z" dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.span_dedup(df, span_words=k).collect()}
+    assert (out[10].clean_text, out[10].n_spans, out[10].n_kept) == ("a b c d e f", 2, 2)
+    assert (out[11].clean_text, out[11].n_spans, out[11].n_kept) == ("x", 2, 1)
+    # split(trim(''), '\s+') yields [''] — one empty token → one empty
+    # span, unique in this corpus, so it survives (same as the original
+    # fold formulation).
+    assert (out[12].clean_text, out[12].n_spans, out[12].n_kept) == ("", 1, 1)
+    assert (out[13].clean_text, out[13].n_spans, out[13].n_kept) == ("", 1, 0)
+    assert (out[14].clean_text, out[14].n_spans, out[14].n_kept) == ("z z z", 2, 1)
