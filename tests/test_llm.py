@@ -995,12 +995,13 @@ def test_minhash_collapse_matches_brute_reference(spark):
                 )
                 if est >= thr:
                     expect[(a, b)] = est
-    got = {
-        (p.id_a, p.id_b): p.est_jaccard
-        for p in dedup.minhash_lsh_pairs(
-            df, num_perm=num_perm, bands=bands, threshold=thr
-        ).collect()
-    }
+    rows = dedup.minhash_lsh_pairs(
+        df, num_perm=num_perm, bands=bands, threshold=thr
+    ).collect()
+    # row-count first: a duplicate emission (same pair from the within
+    # AND cross paths) would vanish inside the dict comprehension
+    assert len(rows) == len(expect)
+    got = {(p.id_a, p.id_b): p.est_jaccard for p in rows}
     assert got == expect
     # exact-dup clusters must contribute all C(4,2) within pairs at 1.0
     for c in range(3):

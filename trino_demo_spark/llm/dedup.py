@@ -209,25 +209,40 @@ def minhash_lsh_pairs(
         F.col("mh_0").isNotNull()
     )
     sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_perm)])
+    # collect_SET, not collect_list: a doc_id that reaches this operator
+    # twice (upstream union/append slip) must not become a self-pair —
+    # the pre-collapse band join's a.id < b.id made that structurally
+    # impossible, and the expansion below relies on member uniqueness
+    # for the same guarantee.
     groups = (
         sig.select("id", sig_arr.alias("sig"))
         .groupBy("sig")
-        .agg(F.array_sort(F.collect_list("id")).alias("members"))
+        .agg(F.array_sort(F.collect_set("id")).alias("members"))
         .withColumn("rep", F.element_at("members", 1))
         .cache()
     )
+    # Narrow exploded member frame (rep, mid) — feeds both the
+    # within-cluster pair self-join and the cross-cluster expansion.
+    mem = explode_col(groups, "members", "mid", "rep")
     # Within-cluster pairs: identical signatures estimate to exactly 1.0
-    # (and always share every band), so they bypass LSH entirely. Sorted
-    # member combinations keep the id_a < id_b output invariant.
-    within = explode_col(
-        groups.filter(F.size("members") > 1),
-        F.expr(
-            "flatten(transform(members, (x, i) -> "
-            "transform(slice(members, i + 2, size(members) - i - 1), "
-            "y -> struct(x AS id_a, y AS id_b))))"
-        ),
-        "p",
-    ).select("p.id_a", "p.id_b", F.lit(1.0).alias("est_jaccard"))
+    # (and always share every band), so they bypass LSH entirely. The
+    # pairs come from a rep-keyed self-join of the exploded member list
+    # (id_a < id_b on the sorted ids), NOT from materializing the
+    # C(m,2) combination array inside one row: a boilerplate cluster of
+    # ~200k identical docs would otherwise build ~2e10 structs in a
+    # single task's single row before exploding (executor OOM), while
+    # the join streams the same quadratic OUTPUT through spillable
+    # operators.
+    ma, mb = mem.alias("wa"), mem.alias("wb")
+    within = ma.join(
+        mb,
+        (F.col("wa.rep") == F.col("wb.rep"))
+        & (F.col("wa.mid") < F.col("wb.mid")),
+    ).select(
+        F.col("wa.mid").alias("id_a"),
+        F.col("wb.mid").alias("id_b"),
+        F.lit(1.0).alias("est_jaccard"),
+    )
     # All bands in ONE pass over the distinct signatures (explode of a
     # literal band array), instead of `bands` unioned scans.
     band_arr = F.array(
@@ -260,33 +275,32 @@ def minhash_lsh_pairs(
     # num_perm scalar columns: the shuffled row narrows to (rep, array)
     # and the match count is a single zip_with/aggregate expression —
     # measured ~15% off the query at sf0.1 vs the 32-column form.
-    sa = groups.select(
-        F.col("rep").alias("rep_a"),
-        F.col("sig").alias("__sig_a"),
-        F.col("members").alias("__ma"),
-    )
-    sb = groups.select(
-        F.col("rep").alias("rep_b"),
-        F.col("sig").alias("__sig_b"),
-        F.col("members").alias("__mb"),
-    )
+    sa = groups.select(F.col("rep").alias("rep_a"), F.col("sig").alias("__sig_a"))
+    sb = groups.select(F.col("rep").alias("rep_b"), F.col("sig").alias("__sig_b"))
     matches = F.expr(
         "aggregate(zip_with(__sig_a, __sig_b, (x, y) -> IF(x <=> y, 1, 0)), "
         "0, (acc, v) -> acc + v)"
     )
     est = (matches / F.lit(float(num_perm))).alias("est_jaccard")
-    cross = (
+    cpairs = (
         cand.join(sa, "rep_a")
         .join(sb, "rep_b")
         .select(
-            "__ma", "__mb", F.round(est + F.lit(EPS), 4).alias("est_jaccard")
+            "rep_a", "rep_b", F.round(est + F.lit(EPS), 4).alias("est_jaccard")
         )
         .filter(F.col("est_jaccard") >= threshold)
-        # Expand cluster-pair → member pairs only AFTER the threshold
-        # filter; member ids of distinct clusters interleave, so
-        # normalize the pair order.
-        .select(F.explode("__ma").alias("id_x"), "__mb", "est_jaccard")
-        .select("id_x", F.explode("__mb").alias("id_y"), "est_jaccard")
+    )
+    # Expand cluster-pair → member pairs only AFTER the threshold filter,
+    # via two joins against the NARROW exploded member frame — never by
+    # exploding one member array while the other rides along as a column
+    # (each output row would copy the full partner array: a mega-cluster
+    # pair would materialize |A|·|B| longs per row batch). Member ids of
+    # distinct clusters interleave, so normalize the pair order.
+    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
+    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
+    cross = (
+        cpairs.join(xa, "rep_a")
+        .join(xb, "rep_b")
         .select(
             F.least("id_x", "id_y").alias("id_a"),
             F.greatest("id_x", "id_y").alias("id_b"),
@@ -648,8 +662,15 @@ def span_dedup(
         f"ELSE transform(sequence(0, CAST(ceil(size(__t) / {k}.0) AS INT) - 1), "
         f"i -> array_join(slice(__t, i * {k} + 1, {k}), ' ')) END"
     )
-    with_spans = df.select(F.col(id_col), toks.alias("__t")).select(
-        F.col(id_col), spans_arr.alias("__spans")
+    # NULL-text docs must be omitted entirely (the pre-decode formulation
+    # dropped them via its non-outer explode, and the DuckDB oracle's
+    # UNNEST does too). Filter on the RAW column — a predicate on
+    # __spans would be pushed to the scan with the whole span
+    # construction inlined (measured 2.5s → 6.4s at sf1).
+    with_spans = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), spans_arr.alias("__spans"))
     )
     # posexplode_OUTER, not posexplode: a non-outer Generate infers a
     # `size(arr) > 0 AND isnotnull(arr)` pre-filter that predicate

@@ -1497,7 +1497,8 @@ def llm_search_hybrid(spark, sf_dir):
     "are re-assembled from surviving spans. One fold builds spans "
     "(O(tokens)/row), first-occurrence via map-side-combined "
     "groupBy(span).min(rank) — hub spans shuffle |distinct|, not "
-    "|occurrences| — then a bounded join-back and per-doc re-assembly.",
+    "|occurrences| — then the survivor (doc, position) is DECODED from "
+    "the min-rank itself (no join-back) and docs re-assemble per key.",
 )
 def llm_dedup_span(spark, sf_dir):
     return dedup.span_dedup(_t(spark, sf_dir, "documents"))
