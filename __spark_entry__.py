@@ -110,6 +110,7 @@ _PRIORITY = [
     "llm_search_hybrid",
     "llm_best_of_n",
     "ts_subseq_search",
+    "llm_similarity_topk_arrow",
 ]
 
 

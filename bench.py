@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "llm_dedup_minhash",     # MinHash-LSH near-dup over documents
     "llm_dedup_span",        # C4-style span-level dedup + doc re-assembly
     "llm_similarity_topk",   # brute-force cosine top-k over embeddings
+    "llm_similarity_topk_arrow",  # same, Arrow/numpy matmul production shape
     "llm_text_quality",      # text quality scoring sweep
     "e2e_llm_data_pipeline", # fused quality→langid→dedup→buckets→shards
 ]
@@ -69,6 +70,8 @@ BASELINE_SEC = {
     # (fast host — interpret future ratios against the canaries)
     "llm_dedup_span": 1.569,
     "llm_similarity_topk": 0.668,
+    # pinned round-4 continuation (idle host, best-of-3, canary ~0.6-0.7)
+    "llm_similarity_topk_arrow": 0.621,
     "llm_text_quality": 0.371,
 }
 

@@ -1035,3 +1035,21 @@ def test_span_dedup_rank_decode_edges(spark):
     assert (out[12].clean_text, out[12].n_spans, out[12].n_kept) == ("", 1, 1)
     assert (out[13].clean_text, out[13].n_spans, out[13].n_kept) == ("", 1, 0)
     assert (out[14].clean_text, out[14].n_spans, out[14].n_kept) == ("z z z", 2, 1)
+
+
+def test_brute_force_topk_arrow_row_identical(spark, emb):
+    """The Arrow/matmul brute force must be ROW-identical to the
+    expression-fold brute force (same EPS-round, same tie-break) — it
+    shares the expr version's DuckDB oracle on that basis."""
+    q = emb.filter(F.col("vec_id") < 20)
+    a = sorted(map(tuple, similarity.brute_force_topk(emb, q, k=3).collect()))
+    b = sorted(
+        map(tuple, similarity.brute_force_topk_arrow(emb, q, k=3).collect())
+    )
+    assert a == b and len(a) > 0
+    # empty query set -> empty frame with the contract schema
+    none = similarity.brute_force_topk_arrow(
+        emb, emb.filter(F.col("vec_id") < 0), k=3
+    )
+    assert none.columns == ["q_id", "n_id", "sim", "rank"]
+    assert none.count() == 0
