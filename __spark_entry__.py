@@ -111,6 +111,7 @@ _PRIORITY = [
     "llm_best_of_n",
     "ts_subseq_search",
     "llm_similarity_topk_arrow",
+    "llm_embed_neardup_arrow",
 ]
 
 

@@ -1053,3 +1053,20 @@ def test_brute_force_topk_arrow_row_identical(spark, emb):
     )
     assert none.columns == ["q_id", "n_id", "sim", "rank"]
     assert none.count() == 0
+
+
+def test_cosine_near_dup_arrow_row_identical(spark, emb):
+    """Blocked-matmul all-pairs must be ROW-identical to the expression
+    fold (shared oracle contract), including the chunk boundaries."""
+    a = sorted(
+        map(tuple, similarity.cosine_near_dup_pairs(emb, threshold=0.4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.cosine_near_dup_pairs_arrow(emb, threshold=0.4).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+    empty = similarity.cosine_near_dup_pairs_arrow(emb.filter("vec_id < 0"))
+    assert empty.columns == ["id_a", "id_b", "sim"] and empty.count() == 0

@@ -271,6 +271,77 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_arrow(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Brute-force near-dup pairs via blocked numpy matmul — row-identical
+    to cosine_near_dup_pairs (same EPS-round-then-threshold, id_a < id_b)
+    and sharing its oracle, but each task multiplies its Arrow batch
+    against the full corpus matrix instead of running 64 interpreted fold
+    ops per pair. Same QUADRATIC compute contract as the expression
+    version (this is the exact baseline the LSH path is recall-checked
+    against — at true 100 TB scale use cosine_near_dup_pairs_lsh); the
+    corpus is shipped once per executor as a broadcast (n × dim float64),
+    so it applies to bounded corpora only. The batch-side matmul is
+    chunked to a fixed memory budget so a task never materializes more
+    than ~64 MB of similarity scores at once.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return spark.createDataFrame([], "id_a long, id_b long, sim double")
+    all_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    b_ids = spark.sparkContext.broadcast(all_ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+    eps, rt, thr = EPS, round_to, threshold
+
+    def pairs_gen(batches):
+        import pandas as pd
+
+        ids_all, m_all, n_all = b_ids.value, b_mat.value, b_norms.value
+        n = len(ids_all)
+        chunk = max(16, (64 * 1024 * 1024 // 8) // max(n, 1))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nn = np.sqrt((m * m).sum(axis=1))
+            for lo in range(0, len(ids), chunk):
+                hi = lo + chunk
+                sims = np.round(
+                    (m[lo:hi] @ m_all.T)
+                    / (nn[lo:hi, None] * n_all[None, :])
+                    + eps,
+                    rt,
+                )
+                keep = (sims >= thr) & (ids[lo:hi, None] < ids_all[None, :])
+                ai, bj = np.nonzero(keep)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids[lo:hi][ai],
+                            "id_b": ids_all[bj],
+                            "sim": sims[ai, bj],
+                        }
+                    )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        pairs_gen, "id_a long, id_b long, sim double"
+    )
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.95,

@@ -321,6 +321,33 @@ def llm_embed_neardup(spark, sf_dir):
     )
 
 
+@parity(
+    "llm_embed_neardup_arrow",
+    sql="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+              FROM range(1, 65) r(i)) /
+             (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
+              sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
+    WHERE ROUND(cos + 1e-9, 4) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs via blocked numpy matmul "
+    "(mapInPandas, corpus broadcast once per executor) — row-identical "
+    "to llm_embed_neardup (same oracle, same EPS-round-then-threshold). "
+    "Same quadratic exact-baseline contract, ~100× the throughput of "
+    "the interpreted fold; cosine_near_dup_pairs_lsh remains the "
+    "sub-quadratic scale path.",
+)
+def llm_embed_neardup_arrow(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs_arrow(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 # Deterministic index-dependent perturbation used to plant near-duplicate
 # vectors (the testdata has no natural pairs above cosine ~0.51): copy of
 # vec_id v gets id v+10000 and embedding[i] *= (1 + 0.001·(i mod 7)).
