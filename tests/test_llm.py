@@ -1070,3 +1070,18 @@ def test_cosine_near_dup_arrow_row_identical(spark, emb):
     assert a == b and len(a) > 0
     empty = similarity.cosine_near_dup_pairs_arrow(emb.filter("vec_id < 0"))
     assert empty.columns == ["id_a", "id_b", "sim"] and empty.count() == 0
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """Pointer jumping must close a path graph whose diameter far
+    exceeds the round budget (plain propagation needs O(diameter)
+    rounds and raised a convergence error on exactly this shape in the
+    sf1-equivalent scaling study)."""
+    n = 200
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_clusters(ids, chain, max_iters=10).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_canonical for r in out) == 1

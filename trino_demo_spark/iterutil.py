@@ -1,0 +1,48 @@
+"""Lineage + stats hygiene for iterative DataFrame algorithms.
+
+Two separate traps hit any loop of the form ``df = f(df)``:
+
+1. **Lineage growth** — if ``df`` feeds two branches of the next round
+   (a self-join, or a main/convergence-check pair), the logical plan
+   doubles per round and every action re-executes all prior rounds.
+   ``localCheckpoint`` fixes this.
+
+2. **Estimated-stats growth** — ``localCheckpoint`` (and reliable
+   ``checkpoint``) wrap the materialized RDD in a ``LogicalRDD`` that
+   PRESERVES the origin plan's estimated ``Statistics``. Catalyst's
+   size-only estimate for a join is the BigInt PRODUCT of its
+   children's ``sizeInBytes``, so an iterated self-join doubles the
+   *digit count* of the estimate every round: by round ~18 the driver
+   spends minutes per round inside ``BigInteger.multiply`` during
+   planning (measured on a 2 000-row frame: 0.3 s/round flat with the
+   reset below vs 14 s at round 22 / 219 s at round 24 without — pure
+   driver CPU in ``SizeInBytesOnlyStatsPlanVisitor.visitJoin``).
+
+``materialize`` breaks both: persisting and counting first makes the
+optimized plan an ``InMemoryRelation`` whose stats are the ACTUAL
+cached byte size, so the subsequent ``localCheckpoint`` snapshots
+small, true stats instead of the compounded product; the checkpoint
+then truncates lineage as usual and the temporary cache is dropped.
+
+At real cluster scale the same discipline applies — swap
+``localCheckpoint`` for reliable ``checkpoint`` (executor loss safety);
+the persist-before-checkpoint ordering is what resets the stats either
+way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` with lineage truncated AND estimated stats
+    reset to the actual cached size (see module docstring). Returns the
+    checkpointed frame; the temporary cache is unpersisted before
+    returning, so no storage is pinned beyond the checkpoint blocks."""
+    df.persist()
+    try:
+        df.count()
+        return df.localCheckpoint(eager=True)
+    finally:
+        df.unpersist()

