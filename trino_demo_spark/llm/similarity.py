@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..genutil import posexplode_col
+from ..genutil import explode_col, posexplode_col
 
 # Tie-safe rounding epsilon (see trino_demo_spark.parity.EPS).
 EPS = 1e-9
@@ -371,13 +371,53 @@ def cosine_near_dup_pairs_lsh(
     Each band key is computed directly from the plane slice (single
     aggregate over element vars) — no intermediate bit-array column whose
     defining expression Catalyst would inline per band (see PERF.md on
-    projection-collapse fan-out)."""
+    projection-collapse fan-out).
+
+    Identical-vector collapse (same shape as minhash_lsh_pairs, same
+    measured reason): exact-duplicate docs carry bit-identical
+    embeddings, every member of such a cluster lands in every band
+    bucket together, and the bucket self-join goes quadratic in cluster
+    size — the sf1-equivalent scaling study clocked this as the one
+    remaining super-linear query (13.8×/decade). LSH therefore runs
+    over DISTINCT vectors only; within-cluster pairs are emitted
+    directly (identical vectors ⇒ sim exactly 1.0 after the
+    +EPS-round), and cross-cluster rep pairs expand to member pairs
+    only after the threshold filter. Output is row-identical; compute
+    is linear in corpus size, and only the pair OUTPUT stays quadratic
+    in cluster size (inherent to the pair contract —
+    `dedup_clusters` is the linear-output representation)."""
     planes = _hyperplanes(dim, num_planes)
     planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
     b = num_planes // bands
 
+    groups = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+        # collect_SET + sort: a doc id reaching this operator twice must
+        # not become a self-pair (mirrors minhash_lsh_pairs).
+        .groupBy("emb")
+        .agg(F.array_sort(F.collect_set("id")).alias("members"))
+        .withColumn("rep", F.element_at("members", 1))
+        .cache()
+    )
+    mem = explode_col(groups, "members", "mid", "rep")
+    # Identical vectors: cos is 1.0 to the ulp, and round(1±ulp+EPS, 4)
+    # is exactly 1.0 — always ≥ any meaningful threshold, no LSH needed.
+    within = (
+        mem.alias("wa")
+        .join(
+            mem.alias("wb"),
+            (F.col("wa.rep") == F.col("wb.rep"))
+            & (F.col("wa.mid") < F.col("wb.mid")),
+        )
+        .select(
+            F.col("wa.mid").alias("id_a"),
+            F.col("wb.mid").alias("id_b"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+
     keyed = with_norm(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb")),
+        groups.select(F.col("rep").alias("id"), "emb"),
         "emb",
         "norm",
     ).withColumn("__planes", planes_lit)
@@ -397,17 +437,32 @@ def cosine_near_dup_pairs_lsh(
     sim = F.round(
         cosine_expr("a.emb", "b.emb", "a.norm", "b.norm") + F.lit(EPS), round_to
     ).alias("sim")
-    return (
+    rep_pairs = (
         a.join(
             c,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim)
+        .select(F.col("a.id").alias("rep_a"), F.col("b.id").alias("rep_b"), sim)
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+    # Expand cluster-pair → member pairs AFTER the threshold filter via
+    # the narrow exploded member frame; member ids of distinct clusters
+    # interleave, so normalize pair order with least/greatest.
+    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
+    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
+    cross = (
+        rep_pairs.join(xa, "rep_a")
+        .join(xb, "rep_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "sim",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def _argmin_centroid(vec_col: str, centroids_lit, metric_dot: bool = False):
