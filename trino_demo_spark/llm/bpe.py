@@ -166,19 +166,40 @@ def bpe_apply(
     per-document token statistics come out of one aggregate. This is
     the train→apply handoff of a real tokenizer: merges are a tiny
     driver-side list compiled INTO the expression tree, so application
-    is embarrassingly parallel at any corpus size."""
-    words = df.select(
-        F.col(id_col),
-        F.explode(tokens_col(text_col)).alias("w"),
-    ).select(id_col, F.lower("w").alias("w"))
-    segmented = words.withColumn("syms", F.expr("transform(split(w, ''), c -> c)"))
+    is embarrassingly parallel at any corpus size.
+
+    The fold chain runs over the DISTINCT-word frame, not per word
+    instance — the same Heaps'-law collapse the training loop already
+    exploits: the chained merge folds are interpreted HOFs (the
+    dominant cost; n_merges sequential passes over each symbol array),
+    so segmenting each distinct word once and joining the subtoken
+    count back to the (doc, word, count) frame cuts the fold work from
+    corpus-sized to vocabulary-sized (sf1-equivalent: 97s → the join
+    plus a vocabulary-sized fold pass). The join key is the word; the
+    segmented vocabulary is small next to the corpus, so AQE broadcasts
+    it when it fits and shuffle-joins otherwise."""
+    wc = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens_col(text_col)).alias("w"),
+        )
+        .select(id_col, F.lower("w").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        wc.select("w")
+        .distinct()
+        .withColumn("syms", F.expr("transform(split(w, ''), c -> c)"))
+    )
     for x, y in merges:
-        segmented = segmented.withColumn("syms", _merge_fold(x, y))
+        vocab = vocab.withColumn("syms", _merge_fold(x, y))
+    seg = vocab.select("w", F.size("syms").alias("n_subtokens"))
     return (
-        segmented.select(id_col, F.size("syms").alias("n_subtokens"))
+        wc.join(seg, "w")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_words"),
-            F.sum("n_subtokens").cast("long").alias("n_bpe_tokens"),
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_subtokens")).cast("long").alias("n_bpe_tokens"),
         )
     )
