@@ -3663,6 +3663,10 @@ def win_lag_features(spark, sf_dir):
     sql="""
     WITH m AS (
       SELECT user_id, value, epoch_us(ts) AS ts_us,
+             -- Strict >: session_window MERGES an event exactly gap
+             -- after the previous one (gap-inclusive; verified on a
+             -- synthetic exact-30min pair — one session, n_events=2),
+             -- so only a strictly-larger gap starts a new session.
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
