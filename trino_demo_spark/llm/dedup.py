@@ -426,109 +426,114 @@ def dedup_clusters(
     ids: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    max_iters: int = 10,
+    max_iters: int = 25,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → canonical doc
     per cluster (cluster id = min doc id in the component). Completes the
     dedup flow: pairs from any of the near-dup ops (ngram / MinHash /
-    SimHash / embedding-cosine) become keep/drop decisions.
+    SimHash / embedding-cosine) become keep/drop decisions. `pairs`
+    must reference ids drawn from `ids` (every pair generator here
+    derives from the same corpus frame, so that holds by construction).
 
-    Label propagation WITH path compression (Shiloach-Vishkin style):
-    each round every node takes the min label among itself and its
-    neighbors (one join + one groupBy), then pointer-jumps through its
-    label's label REPEATEDLY until the jump is a fixpoint. Each jump is
-    one self-join (no fan-out, one row per node) and doubles the
-    distance covered in the label-pointer forest, so compression costs
-    O(log tree-depth) cheap joins and collapses every pointer chain the
-    step round created. A single jump is NOT enough: the min label of a
-    chain segment usually points at a locally-minimal node whose own
-    label is itself, so one hop adds no reach — the sf0.1 semantic-dedup
-    graph (sparse, max degree 6, long thin components) needed 11 rounds
-    under single-jump propagation but 3 with full compression, and the
-    sf1-equivalent scaling study's chained-replica components that blew
-    a 10-round plain-propagation budget close in 2. The loop runs on
-    the driver but touches only DataFrames plus scalar convergence
-    counts.
+    Alternating large-star / small-star (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — the published
+    MapReduce-scale CC algorithm): each round rewrites the EDGE set
+    with two groupBy+join passes; at convergence every component is a
+    star rooted at its minimum id. Guaranteed O(log² n) rounds
+    (observed O(log n): a 200-node path — diameter 199 — closes in 9
+    rounds; the sf0.1 semantic graph in 6). Min-label propagation was
+    tried first and retired: plain propagation is O(diameter) rounds,
+    and even with pointer-jump path compression a new minimum entering
+    a flattened tree at a border node still crawls edge-by-edge to the
+    old root before compression can broadcast it — the same sf0.1
+    graph needed 11 rounds (measured; identical changed-count
+    trajectory with and without jumps). The loop runs on the driver
+    but touches only DataFrames plus a scalar edge-delta per round.
 
     Every per-round frame goes through iterutil.materialize, not a
     bare localCheckpoint: LogicalRDD checkpoints preserve the origin
     plan's ESTIMATED stats, and Catalyst's size-only join estimate is
-    the BigInt product of its children, so an iterated self-join doubles
+    the BigInt product of its children, so iterated self-joins double
     the sizeInBytes digit count every round — the driver ends up inside
     BigInteger.multiply for minutes per round (see iterutil docstring
-    for the measurements)."""
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    for the measurements). Materializing also evaluates the upstream
+    pair generator (all-pairs cosine / LSH banding / shingle join)
+    exactly ONCE instead of once per round."""
+    e = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
         .distinct()
     )
-    # The pair generator upstream (all-pairs cosine / LSH banding /
-    # shingle join) is the expensive part of the whole op; edges are
-    # re-joined every round, so materialize them ONCE here instead
-    # of re-deriving the pair graph each iteration.
-    edges = materialize(edges)
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    changed = 0
+    e = materialize(e)
+    converged = False
     for _ in range(max_iters):
-        neighbor_labels = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), F.col("label"))
+        # large-star: for every node u (symmetric view), connect each
+        # STRICTLY LARGER neighbor v to m(u) = min(Γ(u) ∪ {u}).
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        stepped = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
         )
-        # Path compression: label <- min(label, label[label]) iterated
-        # to fixpoint. Labels are always node ids of the same component,
-        # so the lookup always hits; left join + coalesce keeps the row
-        # even if a label's row were missing. Each jump doubles pointer
-        # distance, so the inner loop is O(log chain-depth) ≤ 48.
-        cur = materialize(stepped)
-        for _jump in range(48):
-            lut = cur.select(
-                F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
-            jumped = materialize(
-                cur.join(lut, cur["label"] == lut["__lid"], "left").select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce("__llabel", "label")
-                    ).alias("label"),
-                )
-            )
-            j_changed = (
-                cur.alias("o")
-                .join(jumped.alias("n"), "id")
-                .filter(F.col("o.label") != F.col("n.label"))
-                .count()
-            )
-            cur = jumped
-            if j_changed == 0:
-                break
-        new_labels = cur
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
+            .distinct()
         )
-        labels = new_labels
-        if changed == 0:
+        ls = materialize(ls)
+        # small-star: direct every edge toward its larger endpoint;
+        # connect each smaller neighbor (and the node itself) to the
+        # minimum of that in-neighborhood.
+        dirn = ls.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        mins2 = dirn.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ss = (
+            dirn.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        ss = materialize(ss)
+        delta = ss.exceptAll(e).count() + e.exceptAll(ss).count()
+        e = ss
+        if delta == 0:
+            converged = True
             break
-    if changed > 0:
+    if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge within max_iters={max_iters} "
-            f"({changed} labels still changing): a component's diameter "
-            "exceeds the iteration budget — returning would silently split "
-            "clusters. Raise max_iters (rounds needed = O(component "
-            "diameter); near-dup graphs are shallow, so this signals an "
-            "unexpectedly long chain)."
+            "rounds of large-star/small-star: returning would silently "
+            "split clusters. The bound is O(log² n) rounds (observed "
+            "O(log n)), so hitting this signals either max_iters set far "
+            "too low or a pathological pair graph."
         )
-    return labels.select(
-        F.col("id").alias(id_col),
-        F.col("label").alias("cluster_id"),
-        (F.col("id") == F.col("label")).alias("is_canonical"),
+    # Converged edge set is a union of stars (center u = component min,
+    # u < v for every member v). Nodes absent from any pair label
+    # themselves.
+    lab = e.select(F.col("v").alias("id"), F.col("u").alias("label"))
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(lab, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias("cluster_id"),
+            (F.col("id") == F.coalesce("label", "id")).alias("is_canonical"),
+        )
     )
 
 
