@@ -422,6 +422,19 @@ def ngram_jaccard_pairs_capped(
     )
 
 
+def _edge_fingerprint(df: DataFrame) -> tuple:
+    """Order-insensitive (count, xor-of-xxhash64) fingerprint of a
+    (u, v) edge frame — one map-side-combined aggregate, 1 row to the
+    driver."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def dedup_clusters(
     ids: DataFrame,
     pairs: DataFrame,
@@ -469,6 +482,7 @@ def dedup_clusters(
     )
     e = materialize(e)
     converged = False
+    fp_prev = None
     for _ in range(max_iters):
         # large-star: for every node u (symmetric view), connect each
         # STRICTLY LARGER neighbor v to m(u) = min(Γ(u) ∪ {u}).
@@ -509,11 +523,23 @@ def dedup_clusters(
             .distinct()
         )
         ss = materialize(ss)
-        delta = ss.exceptAll(e).count() + e.exceptAll(ss).count()
+        # Convergence = edge set unchanged. Both passes are monotone
+        # (each strictly decreases the sum-of-endpoints potential until
+        # the star fixpoint), so no A→B→A cycling is possible and an
+        # order-insensitive fingerprint — (count, xor of per-edge
+        # hashes) — suffices: a false stop would need two DIFFERENT
+        # consecutive edge sets with equal count AND colliding 64-bit
+        # xor (~2⁻⁶⁴). The fingerprint is ONE map-side-combined
+        # aggregate (vs exceptAll's full shuffle twice), and the
+        # previous round's value is carried over instead of recomputed.
+        if fp_prev is None:
+            fp_prev = _edge_fingerprint(e)
+        fp_new = _edge_fingerprint(ss)
         e = ss
-        if delta == 0:
+        if fp_new == fp_prev:
             converged = True
             break
+        fp_prev = fp_new
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge within max_iters={max_iters} "
