@@ -248,3 +248,53 @@ def test_asof_nearest_property(spark, left, right, tolerance):
         for r in exp_df.itertuples(index=False)
     }
     assert got == exp
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(25, 30),
+)
+def test_dedup_clusters_matches_union_find(spark, edges, n_nodes):
+    """Large-star/small-star connected components must agree with a
+    reference union-find on arbitrary random graphs (self-loops,
+    duplicate and reversed edges included): same partition into
+    components, cluster id = component minimum, exactly one canonical
+    node per cluster."""
+    from trino_demo_spark.llm.dedup import dedup_clusters
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for v in range(n_nodes):
+        r = find(v)
+        expected.setdefault(r, set()).add(v)
+    exp_cluster = {v: min(m) for m in expected.values() for v in m}
+
+    ids = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    if edges:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(ids, pairs).collect()
+    }
+    assert len(got) == n_nodes
+    for v in range(n_nodes):
+        assert got[v][0] == exp_cluster[v], (v, got[v], exp_cluster[v])
+        assert got[v][1] == (v == exp_cluster[v])
