@@ -100,25 +100,80 @@ def ngram_jaccard_pairs(
     hot shingles should be frequency-capped upstream (drop shingles with
     document frequency > df_max) — see minhash_lsh_pairs for the
     sub-quadratic path.
-    """
+
+    Identical-shingle-SET collapse (the exact-op twin of the minhash
+    signature collapse and the sign-LSH vector collapse, same measured
+    reason): duplicate-heavy corpora put every member of an exact-dup
+    cluster into every shingle posting list, making the inverted-index
+    join quadratic in cluster size — at sf10-equivalent (100-copy
+    clusters) the join materialized ~2.5e9 intermediate rows. Jaccard
+    depends only on the shingle SET, so the join runs over distinct
+    sets: identical-set pairs are emitted directly (Jaccard exactly
+    1.0), cross-set rep pairs expand to member pairs after the
+    threshold filter. Row-identical output; compute linear in corpus
+    size, only the pair OUTPUT stays quadratic in cluster size
+    (inherent to the pair contract — dedup_clusters is the
+    linear-output representation)."""
     sh = ngram_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    doc_sets = sh.groupBy("id").agg(F.array_sort(F.collect_set("g")).alias("gs"))
+    groups = (
+        doc_sets.groupBy("gs")
+        .agg(F.array_sort(F.collect_set("id")).alias("members"))
+        .withColumn("rep", F.element_at("members", 1))
+        .withColumn("n_sh", F.size("gs"))
+        .cache()
+    )
+    mem = explode_col(
+        groups.select("rep", "members"), "members", "mid", "rep"
+    )
+    # Identical sets: common = |A| = |A∪B| → Jaccard exactly 1.0 after
+    # the +EPS round; always ≥ any threshold ≤ 1.0.
+    within = (
+        mem.alias("wa")
+        .join(
+            mem.alias("wb"),
+            (F.col("wa.rep") == F.col("wb.rep"))
+            & (F.col("wa.mid") < F.col("wb.mid")),
+        )
+        .select(
+            F.col("wa.mid").alias("id_a"),
+            F.col("wb.mid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rsh = explode_col(groups.select("rep", "gs"), "gs", "g", "rep")
+    a = rsh.alias("a")
+    b = rsh.alias("b")
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rep") < F.col("b.rep")))
+        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .agg(F.count("*").alias("common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = groups.select(F.col("rep").alias("rep_a"), F.col("n_sh").alias("n_a"))
+    sb = groups.select(F.col("rep").alias("rep_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac + F.lit(EPS), 4).alias("jaccard"))
+    cpairs = (
+        inter.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .select(
+            "rep_a", "rep_b", F.round(jac + F.lit(EPS), 4).alias("jaccard")
+        )
         .filter(F.col("jaccard") >= threshold)
     )
+    # Expand cluster-pair → member pairs AFTER the threshold filter;
+    # member ids of distinct clusters interleave, so normalize order.
+    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
+    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
+    cross = (
+        cpairs.join(xa, "rep_a")
+        .join(xb, "rep_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def minhash_signatures(
