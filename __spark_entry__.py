@@ -78,6 +78,25 @@ def _driver_status() -> dict[str, str]:
     return status
 
 
+# Entries whose ENGINE implementation changed after their last green
+# CORRECTNESS row (round-4 continuation: star-CC rewrite, identical-
+# signature/vector/shingle-set collapses, BPE distinct-word apply,
+# iterutil stats reset). A proven row for the OLD code proves nothing
+# about the new one, so these re-enter the driver queue ahead of the
+# never-tested backlog — the inverse of the r3 bug where changed code
+# hid behind stale green rows. Drop names from this list once a green
+# row POST-dates the change.
+_RECHECK = [
+    "llm_dedup_clusters",
+    "llm_dedup_semantic",
+    "llm_dedup_ngram",
+    "llm_dedup_minhash",
+    "llm_embed_neardup_lsh",
+    "llm_tokenizer_apply",
+    "llm_tokenizer_bpe",
+    "ml_pagerank",
+]
+
 # Never-driver-tested entries most valuable to a reference user, verified
 # first when the driver caps its per-round sample (VERDICT r3 §next-round-2).
 _PRIORITY = [
@@ -154,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Within never-tested: explicit user-impact priorities first, then the
     # rest with core and llm/ml extensions interleaved so a driver cap
     # still samples both families.
+    recheck = [n for n in _RECHECK if n in names and n not in failed]
     prio = [n for n in _PRIORITY if n in pending]
     rest = [n for n in pending if n not in prio]
     core = [n for n in rest if not n.startswith(("llm_", "ml_", "udtf_"))]
@@ -164,7 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             interleaved.append(core[i])
         if i < len(ext):
             interleaved.append(ext[i])
-    ordered = failed + upgraded + prio + interleaved + rows_only + proven
+    ordered = failed + upgraded + recheck + prio + interleaved + rows_only + proven
+    # de-dup while preserving first position (a recheck name may also be
+    # pending/rows_only/proven)
+    seen: set[str] = set()
+    ordered = [n for n in ordered if not (n in seen or seen.add(n))]
     return {name: wrap(name) for name in ordered}
 
 
