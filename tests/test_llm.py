@@ -1086,3 +1086,16 @@ def test_dedup_clusters_long_chain_converges(spark):
     out = dedup.dedup_clusters(ids, chain, max_iters=10).collect()
     assert all(r.cluster_id == 0 for r in out)
     assert sum(r.is_canonical for r in out) == 1
+
+
+def test_capped_jaccard_keeps_exact_dup_clusters(spark):
+    """df capping must never drop exact-duplicate clusters: under
+    raw-document df, a 100-copy cluster with df_max=5 lost every
+    shingle and produced ZERO pairs. df is now counted over distinct
+    shingle-sets and identical-set pairs bypass the posting lists, so
+    all C(100,2) pairs survive at Jaccard exactly 1.0."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs_capped(docs, df_max=5)
+    assert out.count() == 100 * 99 // 2
+    assert out.filter("jaccard != 1.0").count() == 0

@@ -449,32 +449,80 @@ def ngram_jaccard_pairs_capped(
     threshold: float = 0.2,
     df_max: int = 1000,
 ) -> DataFrame:
-    """ngram_jaccard_pairs with hot-shingle capping: shingles appearing in
-    more than df_max documents are dropped before the self-join. At 100 TB
-    a boilerplate shingle ("all rights reserved") appears in millions of
-    docs and would alone produce O(df²) join rows; capping bounds the
-    worst shingle's contribution at df_max². Jaccard becomes a slight
-    underestimate for pairs sharing only hot shingles — exactly the pairs
-    that aren't near-duplicates."""
+    """ngram_jaccard_pairs with hot-shingle capping: shingles whose
+    document frequency exceeds df_max are dropped before the self-join.
+    At 100 TB a boilerplate shingle ("all rights reserved") appears in
+    millions of docs and would alone produce O(df²) join rows; capping
+    bounds the worst shingle's contribution at df_max². Jaccard becomes
+    a slight underestimate for pairs sharing only hot shingles —
+    exactly the pairs that aren't near-duplicates.
+
+    Two dedup-robustness properties on top of the raw-df formulation:
+    (1) df is counted over DISTINCT shingle-sets, so a million exact
+    copies of one page don't make its shingles "hot" — hotness means
+    many DIFFERENT documents share the shingle, which is what
+    boilerplate is; (2) identical-set pairs are emitted directly
+    (Jaccard exactly 1.0) and never pass through the posting lists, so
+    the cap can no longer silently drop whole exact-duplicate clusters
+    (with raw-doc df, a 100-copy cluster under df_max=5 lost ALL its
+    shingles and produced zero pairs — a recall cliff on precisely the
+    highest-confidence duplicates). Same identical-set collapse as
+    ngram_jaccard_pairs, so compute is also linear in corpus size."""
     sh = ngram_shingles(df, id_col, text_col, n)
-    freq = sh.groupBy("g").agg(F.count("*").alias("df"))
-    cold = sh.join(freq.filter(F.col("df") <= df_max).select("g"), "g")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    doc_sets = sh.groupBy("id").agg(F.array_sort(F.collect_set("g")).alias("gs"))
+    groups = (
+        doc_sets.groupBy("gs")
+        .agg(F.array_sort(F.collect_set("id")).alias("members"))
+        .withColumn("rep", F.element_at("members", 1))
+        .withColumn("n_sh", F.size("gs"))
+        .cache()
+    )
+    mem = explode_col(groups.select("rep", "members"), "members", "mid", "rep")
+    within = (
+        mem.alias("wa")
+        .join(
+            mem.alias("wb"),
+            (F.col("wa.rep") == F.col("wb.rep"))
+            & (F.col("wa.mid") < F.col("wb.mid")),
+        )
+        .select(
+            F.col("wa.mid").alias("id_a"),
+            F.col("wb.mid").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rsh = explode_col(groups.select("rep", "gs"), "gs", "g", "rep")
+    freq = rsh.groupBy("g").agg(F.count("*").alias("df"))
+    cold = rsh.join(freq.filter(F.col("df") <= df_max).select("g"), "g")
     a, b = cold.alias("a"), cold.alias("b")
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rep") < F.col("b.rep")))
+        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .agg(F.count("*").alias("common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = groups.select(F.col("rep").alias("rep_a"), F.col("n_sh").alias("n_a"))
+    sb = groups.select(F.col("rep").alias("rep_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac + F.lit(EPS), 4).alias("jaccard"))
+    cpairs = (
+        inter.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .select(
+            "rep_a", "rep_b", F.round(jac + F.lit(EPS), 4).alias("jaccard")
+        )
         .filter(F.col("jaccard") >= threshold)
     )
+    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
+    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
+    cross = (
+        cpairs.join(xa, "rep_a")
+        .join(xb, "rep_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def _edge_fingerprint(df: DataFrame) -> tuple:

@@ -77,26 +77,44 @@ def llm_dedup_ngram(spark, sf_dir):
     ng AS (SELECT DISTINCT doc_id,
                   t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
            FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
-    freq AS (SELECT g, COUNT(*) AS df FROM ng GROUP BY g),
-    cold AS (SELECT ng.doc_id, ng.g FROM ng JOIN freq USING (g) WHERE df <= 5),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-              FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT id_a, id_b, ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.1
+    ds AS (SELECT doc_id, list_sort(list(g)) AS gs FROM ng GROUP BY doc_id),
+    grp AS (SELECT gs, list_sort(list(doc_id)) AS members,
+                   min(doc_id) AS rep, len(gs) AS n
+            FROM ds GROUP BY gs),
+    mem AS (SELECT rep, UNNEST(members) AS m FROM grp),
+    within AS (SELECT a.m AS id_a, b.m AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+               FROM mem a JOIN mem b ON a.rep = b.rep AND a.m < b.m),
+    rg AS (SELECT rep, UNNEST(gs) AS g FROM grp),
+    freq AS (SELECT g, COUNT(*) AS df FROM rg GROUP BY g),
+    cold AS (SELECT rg.rep, rg.g FROM rg JOIN freq USING (g) WHERE df <= 5),
+    inter AS (SELECT a.rep AS rep_a, b.rep AS rep_b, COUNT(*) AS common
+              FROM cold a JOIN cold b ON a.g = b.g AND a.rep < b.rep
+              GROUP BY 1, 2),
+    cp AS (SELECT rep_a, rep_b,
+                  ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard
+           FROM inter
+           JOIN grp sa ON sa.rep = rep_a
+           JOIN grp sb ON sb.rep = rep_b
+           WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.1),
+    crossx AS (SELECT LEAST(x.m, y.m) AS id_a, GREATEST(x.m, y.m) AS id_b, jaccard
+               FROM cp JOIN mem x ON x.rep = rep_a
+                       JOIN mem y ON y.rep = rep_b)
+    SELECT * FROM within UNION ALL SELECT * FROM crossx
     """,
     doc="Hot-shingle-capped n-gram Jaccard (df_max=5) — the declared "
-    "100 TB path for exact-Jaccard dedup: shingles in > df_max docs are "
-    "dropped before the inverted-index self-join, bounding the worst "
-    "shingle's contribution at df_max² join rows (a boilerplate shingle "
-    "at 100 TB would alone produce O(df²) pairs). The union size stays "
-    "uncapped, so Jaccard only underestimates for pairs sharing nothing "
-    "but boilerplate — exactly the non-near-dups. Uncapped twin "
-    "(llm_dedup_ngram) remains the exactness baseline.",
+    "100 TB path for exact-Jaccard dedup: shingles whose document "
+    "frequency exceeds df_max are dropped before the inverted-index "
+    "self-join, bounding the worst shingle's contribution at df_max² "
+    "join rows (a boilerplate shingle at 100 TB would alone produce "
+    "O(df²) pairs). df is counted over DISTINCT shingle-sets (replica "
+    "count isn't boilerplate-ness) and identical-set pairs bypass the "
+    "posting lists entirely (Jaccard exactly 1.0) — with raw-doc df a "
+    "100-copy exact-dup cluster under df_max=5 lost every shingle and "
+    "produced ZERO pairs, a recall cliff on the highest-confidence "
+    "duplicates. The union size stays uncapped, so Jaccard only "
+    "underestimates for pairs sharing nothing but boilerplate — "
+    "exactly the non-near-dups. Uncapped twin (llm_dedup_ngram) "
+    "remains the exactness baseline.",
 )
 def llm_dedup_ngram_capped(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_capped(
