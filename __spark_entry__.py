@@ -90,6 +90,7 @@ _RECHECK = [
     "llm_dedup_clusters",
     "llm_dedup_semantic",
     "llm_dedup_ngram",
+    "llm_dedup_ngram_capped",
     "llm_dedup_minhash",
     "llm_embed_neardup_lsh",
     "llm_tokenizer_apply",
