@@ -92,6 +92,7 @@ _RECHECK = [
     "llm_dedup_ngram",
     "llm_dedup_ngram_capped",
     "llm_dedup_minhash",
+    "llm_dedup_simhash",
     "llm_embed_neardup_lsh",
     "llm_tokenizer_apply",
     "llm_tokenizer_bpe",

@@ -290,10 +290,11 @@ def test_dedup_clusters_matches_union_find(spark, edges, n_nodes):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     else:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
-    got = {
-        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
-        for r in dedup_clusters(ids, pairs).collect()
-    }
+    rows = dedup_clusters(ids, pairs).collect()
+    # exactly one output row per doc — assert BEFORE dict-ifying, which
+    # would silently collapse duplicate rows
+    assert len(rows) == n_nodes
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in rows}
     assert len(got) == n_nodes
     for v in range(n_nodes):
         assert got[v][0] == exp_cluster[v], (v, got[v], exp_cluster[v])

@@ -85,6 +85,77 @@ def ngram_shingles(
     return out.distinct() if distinct else out
 
 
+def collapse_identical(df: DataFrame, key_col: str, id_col: str):
+    """Identical-key collapse shared by the exact/capped Jaccard and the
+    sign-LSH near-dup paths: group ids whose `key_col` value (shingle
+    set, embedding vector, ...) is bit-identical. Returns (groups, mem):
+    groups = (key_col, members sorted-id-array, rep = min member) and
+    mem = the narrow exploded (rep, mid) frame.
+
+    collect_SET + sort: an id reaching the operator twice must not
+    become a self-pair downstream — expansion relies on member
+    uniqueness for the same guarantee the pre-collapse ``a.id < b.id``
+    joins gave structurally.
+
+    The groups frame is cached, not materialized-and-unpersisted: the
+    returned plans are lazy, so the cache must outlive this function.
+    The cache lives until the session drops it (the driver sweep clears
+    caches between queries); it is vocabulary/distinct-key-sized, not
+    corpus-sized."""
+    groups = (
+        df.groupBy(key_col)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("members"))
+        .withColumn("rep", F.element_at("members", 1))
+        .cache()
+    )
+    mem = explode_col(groups.select("rep", "members"), "members", "mid", "rep")
+    return groups, mem
+
+
+def within_group_pairs(mem: DataFrame, value_name: str, value: float) -> DataFrame:
+    """All (id_a < id_b) pairs inside each collapse group, tagged with
+    the constant similarity an identical pair has (Jaccard/cosine of a
+    value with itself is exactly 1.0 after the +EPS round)."""
+    return (
+        mem.alias("wa")
+        .join(
+            mem.alias("wb"),
+            (F.col("wa.rep") == F.col("wb.rep"))
+            & (F.col("wa.mid") < F.col("wb.mid")),
+        )
+        .select(
+            F.col("wa.mid").alias("id_a"),
+            F.col("wb.mid").alias("id_b"),
+            F.lit(value).alias(value_name),
+        )
+    )
+
+
+def expand_cross_pairs(
+    cpairs: DataFrame, mem: DataFrame, value_name: str
+) -> DataFrame:
+    """Expand threshold-surviving (rep_a, rep_b, <value>) cluster pairs
+    to member pairs via two joins against the NARROW exploded member
+    frame — never by exploding one member array while the other rides
+    along as a column (a mega-cluster pair would copy |A|·|B| ids per
+    row batch). Member ids of distinct clusters interleave, so the pair
+    order is normalized; the id_a != id_b guard keeps the pair contract
+    when one id appears in two different collapse groups (possible for
+    keyed-by-vector collapse if an id ships two distinct embeddings)."""
+    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
+    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
+    return (
+        cpairs.join(xa, "rep_a")
+        .join(xb, "rep_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            value_name,
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -114,66 +185,7 @@ def ngram_jaccard_pairs(
     size, only the pair OUTPUT stays quadratic in cluster size
     (inherent to the pair contract — dedup_clusters is the
     linear-output representation)."""
-    sh = ngram_shingles(df, id_col, text_col, n)
-    doc_sets = sh.groupBy("id").agg(F.array_sort(F.collect_set("g")).alias("gs"))
-    groups = (
-        doc_sets.groupBy("gs")
-        .agg(F.array_sort(F.collect_set("id")).alias("members"))
-        .withColumn("rep", F.element_at("members", 1))
-        .withColumn("n_sh", F.size("gs"))
-        .cache()
-    )
-    mem = explode_col(
-        groups.select("rep", "members"), "members", "mid", "rep"
-    )
-    # Identical sets: common = |A| = |A∪B| → Jaccard exactly 1.0 after
-    # the +EPS round; always ≥ any threshold ≤ 1.0.
-    within = (
-        mem.alias("wa")
-        .join(
-            mem.alias("wb"),
-            (F.col("wa.rep") == F.col("wb.rep"))
-            & (F.col("wa.mid") < F.col("wb.mid")),
-        )
-        .select(
-            F.col("wa.mid").alias("id_a"),
-            F.col("wb.mid").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    rsh = explode_col(groups.select("rep", "gs"), "gs", "g", "rep")
-    a = rsh.alias("a")
-    b = rsh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rep") < F.col("b.rep")))
-        .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = groups.select(F.col("rep").alias("rep_a"), F.col("n_sh").alias("n_a"))
-    sb = groups.select(F.col("rep").alias("rep_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    cpairs = (
-        inter.join(sa, "rep_a")
-        .join(sb, "rep_b")
-        .select(
-            "rep_a", "rep_b", F.round(jac + F.lit(EPS), 4).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    # Expand cluster-pair → member pairs AFTER the threshold filter;
-    # member ids of distinct clusters interleave, so normalize order.
-    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
-    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
-    cross = (
-        cpairs.join(xa, "rep_a")
-        .join(xb, "rep_b")
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-            "jaccard",
-        )
-    )
-    return within.unionByName(cross)
+    return _set_jaccard_pairs(df, id_col, text_col, n, threshold, df_max=None)
 
 
 def minhash_signatures(
@@ -468,40 +480,39 @@ def ngram_jaccard_pairs_capped(
     shingles and produced zero pairs — a recall cliff on precisely the
     highest-confidence duplicates). Same identical-set collapse as
     ngram_jaccard_pairs, so compute is also linear in corpus size."""
+    return _set_jaccard_pairs(df, id_col, text_col, n, threshold, df_max=df_max)
+
+
+def _set_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    df_max: int | None,
+) -> DataFrame:
+    """Shared body of the exact and df-capped n-gram Jaccard ops: the
+    only difference is the optional hot-shingle filter on the distinct-
+    set posting lists."""
     sh = ngram_shingles(df, id_col, text_col, n)
     doc_sets = sh.groupBy("id").agg(F.array_sort(F.collect_set("g")).alias("gs"))
-    groups = (
-        doc_sets.groupBy("gs")
-        .agg(F.array_sort(F.collect_set("id")).alias("members"))
-        .withColumn("rep", F.element_at("members", 1))
-        .withColumn("n_sh", F.size("gs"))
-        .cache()
-    )
-    mem = explode_col(groups.select("rep", "members"), "members", "mid", "rep")
-    within = (
-        mem.alias("wa")
-        .join(
-            mem.alias("wb"),
-            (F.col("wa.rep") == F.col("wb.rep"))
-            & (F.col("wa.mid") < F.col("wb.mid")),
-        )
-        .select(
-            F.col("wa.mid").alias("id_a"),
-            F.col("wb.mid").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
+    groups, mem = collapse_identical(doc_sets, "gs", "id")
+    # Identical sets: common = |A| = |A∪B| → Jaccard exactly 1.0 after
+    # the +EPS round; always ≥ any threshold ≤ 1.0.
+    within = within_group_pairs(mem, "jaccard", 1.0)
     rsh = explode_col(groups.select("rep", "gs"), "gs", "g", "rep")
-    freq = rsh.groupBy("g").agg(F.count("*").alias("df"))
-    cold = rsh.join(freq.filter(F.col("df") <= df_max).select("g"), "g")
-    a, b = cold.alias("a"), cold.alias("b")
+    if df_max is not None:
+        freq = rsh.groupBy("g").agg(F.count("*").alias("df"))
+        rsh = rsh.join(freq.filter(F.col("df") <= df_max).select("g"), "g")
+    a, b = rsh.alias("a"), rsh.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rep") < F.col("b.rep")))
         .groupBy(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .agg(F.count("*").alias("common"))
     )
-    sa = groups.select(F.col("rep").alias("rep_a"), F.col("n_sh").alias("n_a"))
-    sb = groups.select(F.col("rep").alias("rep_b"), F.col("n_sh").alias("n_b"))
+    sizes = groups.select("rep", F.size("gs").alias("n_sh"))
+    sa = sizes.select(F.col("rep").alias("rep_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("rep").alias("rep_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     cpairs = (
         inter.join(sa, "rep_a")
@@ -511,18 +522,7 @@ def ngram_jaccard_pairs_capped(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
-    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
-    cross = (
-        cpairs.join(xa, "rep_a")
-        .join(xb, "rep_b")
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-            "jaccard",
-        )
-    )
-    return within.unionByName(cross)
+    return within.unionByName(expand_cross_pairs(cpairs, mem, "jaccard"))
 
 
 def _edge_fingerprint(df: DataFrame) -> tuple:

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..genutil import explode_col, posexplode_col
+from ..genutil import posexplode_col
 
 # Tie-safe rounding epsilon (see trino_demo_spark.parity.EPS).
 EPS = 1e-9
@@ -386,35 +386,26 @@ def cosine_near_dup_pairs_lsh(
     is linear in corpus size, and only the pair OUTPUT stays quadratic
     in cluster size (inherent to the pair contract —
     `dedup_clusters` is the linear-output representation)."""
+    from .dedup import collapse_identical, expand_cross_pairs, within_group_pairs
+
     planes = _hyperplanes(dim, num_planes)
     planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
     b = num_planes // bands
 
-    groups = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
-        # collect_SET + sort: a doc id reaching this operator twice must
-        # not become a self-pair (mirrors minhash_lsh_pairs).
-        .groupBy("emb")
-        .agg(F.array_sort(F.collect_set("id")).alias("members"))
-        .withColumn("rep", F.element_at("members", 1))
-        .cache()
+    rows = with_norm(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb")),
+        "emb",
+        "norm",
     )
-    mem = explode_col(groups, "members", "mid", "rep")
+    # NULL embeddings and zero vectors have no cosine (the brute
+    # baseline's sim comes out NULL/NaN and never survives its
+    # threshold filter) — exclude them BEFORE the collapse so they
+    # can't group together and masquerade as sim-1.0 duplicates.
+    rows = rows.filter(F.col("emb").isNotNull() & (F.col("norm") > 0))
+    groups, mem = collapse_identical(rows.select("id", "emb"), "emb", "id")
     # Identical vectors: cos is 1.0 to the ulp, and round(1±ulp+EPS, 4)
     # is exactly 1.0 — always ≥ any meaningful threshold, no LSH needed.
-    within = (
-        mem.alias("wa")
-        .join(
-            mem.alias("wb"),
-            (F.col("wa.rep") == F.col("wb.rep"))
-            & (F.col("wa.mid") < F.col("wb.mid")),
-        )
-        .select(
-            F.col("wa.mid").alias("id_a"),
-            F.col("wb.mid").alias("id_b"),
-            F.lit(1.0).alias("sim"),
-        )
-    )
+    within = within_group_pairs(mem, "sim", 1.0)
 
     keyed = with_norm(
         groups.select(F.col("rep").alias("id"), "emb"),
@@ -448,21 +439,7 @@ def cosine_near_dup_pairs_lsh(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
-    # Expand cluster-pair → member pairs AFTER the threshold filter via
-    # the narrow exploded member frame; member ids of distinct clusters
-    # interleave, so normalize pair order with least/greatest.
-    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
-    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
-    cross = (
-        rep_pairs.join(xa, "rep_a")
-        .join(xb, "rep_b")
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-            "sim",
-        )
-    )
-    return within.unionByName(cross)
+    return within.unionByName(expand_cross_pairs(rep_pairs, mem, "sim"))
 
 
 def _argmin_centroid(vec_col: str, centroids_lit, metric_dot: bool = False):

@@ -906,13 +906,15 @@ def llm_similarity_ivfpq(spark, sf_dir):
            MIN(dst) = src AS is_canonical
     FROM reach GROUP BY src
     """,
-    doc="Near-dup clustering: connected components (min-label propagation) "
-    "over the exact-Jaccard pair graph → canonical doc per cluster + "
-    "keep/drop flag. Iterative (O(component diameter) rounds, each one "
-    "join+groupBy); driver loop holds only a convergence counter. The "
-    "oracle reproduces the components as a transitive-closure recursive "
-    "CTE over the same exact-Jaccard ≥ 0.5 edges (min reachable id = "
-    "cluster id). Transitivity + planted-cluster tests in tests/test_llm.py.",
+    doc="Near-dup clustering: connected components (alternating "
+    "large-star/small-star, Kiveris et al. 2014 — O(log² n) rounds "
+    "guaranteed, O(log n) observed) over the exact-Jaccard pair graph "
+    "→ canonical doc per cluster + keep/drop flag. Each round is two "
+    "groupBy+join edge rewrites; the driver loop holds only a scalar "
+    "edge-set fingerprint. The oracle reproduces the components as a "
+    "transitive-closure recursive CTE over the same exact-Jaccard "
+    "≥ 0.5 edges (min reachable id = cluster id). Transitivity + "
+    "planted-cluster + union-find property tests in tests/.",
 )
 def llm_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
