@@ -277,21 +277,6 @@ def minhash_lsh_pairs(
         F.col("mh_0").isNotNull()
     )
     sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_perm)])
-    # collect_SET, not collect_list: a doc_id that reaches this operator
-    # twice (upstream union/append slip) must not become a self-pair —
-    # the pre-collapse band join's a.id < b.id made that structurally
-    # impossible, and the expansion below relies on member uniqueness
-    # for the same guarantee.
-    groups = (
-        sig.select("id", sig_arr.alias("sig"))
-        .groupBy("sig")
-        .agg(F.array_sort(F.collect_set("id")).alias("members"))
-        .withColumn("rep", F.element_at("members", 1))
-        .cache()
-    )
-    # Narrow exploded member frame (rep, mid) — feeds both the
-    # within-cluster pair self-join and the cross-cluster expansion.
-    mem = explode_col(groups, "members", "mid", "rep")
     # Within-cluster pairs: identical signatures estimate to exactly 1.0
     # (and always share every band), so they bypass LSH entirely. The
     # pairs come from a rep-keyed self-join of the exploded member list
@@ -301,16 +286,8 @@ def minhash_lsh_pairs(
     # single task's single row before exploding (executor OOM), while
     # the join streams the same quadratic OUTPUT through spillable
     # operators.
-    ma, mb = mem.alias("wa"), mem.alias("wb")
-    within = ma.join(
-        mb,
-        (F.col("wa.rep") == F.col("wb.rep"))
-        & (F.col("wa.mid") < F.col("wb.mid")),
-    ).select(
-        F.col("wa.mid").alias("id_a"),
-        F.col("wb.mid").alias("id_b"),
-        F.lit(1.0).alias("est_jaccard"),
-    )
+    groups, mem = collapse_identical(sig.select("id", sig_arr.alias("sig")), "sig", "id")
+    within = within_group_pairs(mem, "est_jaccard", 1.0)
     # All bands in ONE pass over the distinct signatures (explode of a
     # literal band array), instead of `bands` unioned scans.
     band_arr = F.array(
@@ -358,24 +335,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
-    # Expand cluster-pair → member pairs only AFTER the threshold filter,
-    # via two joins against the NARROW exploded member frame — never by
-    # exploding one member array while the other rides along as a column
-    # (each output row would copy the full partner array: a mega-cluster
-    # pair would materialize |A|·|B| longs per row batch). Member ids of
-    # distinct clusters interleave, so normalize the pair order.
-    xa = mem.select(F.col("rep").alias("rep_a"), F.col("mid").alias("id_x"))
-    xb = mem.select(F.col("rep").alias("rep_b"), F.col("mid").alias("id_y"))
-    cross = (
-        cpairs.join(xa, "rep_a")
-        .join(xb, "rep_b")
-        .select(
-            F.least("id_x", "id_y").alias("id_a"),
-            F.greatest("id_x", "id_y").alias("id_b"),
-            "est_jaccard",
-        )
-    )
-    return within.unionAll(cross)
+    return within.unionAll(expand_cross_pairs(cpairs, mem, "est_jaccard"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
