@@ -413,6 +413,17 @@ _PLANT_DUCK = (
     "brute force is also asserted in tests/test_llm.py.",
 )
 def llm_embed_neardup_lsh(spark, sf_dir):
+    return similarity.cosine_near_dup_pairs_lsh(
+        _planted_embeddings(spark, sf_dir), threshold=0.95, num_planes=16, bands=4
+    )
+
+
+def _planted_embeddings(spark, sf_dir):
+    """Embeddings augmented with 25 deterministic near-duplicates
+    (vec_id + 10000, per-dimension ×(1 + 0.001·(i mod 7))) — the
+    testdata has no natural pairs above ~0.51, so the near-dup planting
+    is shared by every ≥0.95-threshold embedding surface (identical
+    construction in the oracles via _PLANT_DUCK)."""
     emb = _t(spark, sf_dir, "embeddings")
     orig = emb.select(
         "vec_id",
@@ -422,9 +433,58 @@ def llm_embed_neardup_lsh(spark, sf_dir):
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.expr(_PLANT_SPARK).alias("embedding"),
     )
-    aug = orig.unionByName(planted)
-    return similarity.cosine_near_dup_pairs_lsh(
+    return orig.unionByName(planted)
+
+
+@parity(
+    "llm_dedup_semantic_lsh",
+    sql=f"""
+    WITH RECURSIVE aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, {_PLANT_DUCK} AS v
+      FROM embeddings WHERE vec_id < 25
+    ),
+    pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE ROUND(
+        (SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i)) /
+        (sqrt((SELECT SUM(a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)]) FROM range(1, 65) r(i))) *
+         sqrt((SELECT SUM(b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i))))
+        + 1e-9, 4) >= 0.95
+    ),
+    ed AS (SELECT id_a AS a, id_b AS b FROM pr
+           UNION ALL SELECT id_b, id_a FROM pr),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM aug
+      UNION
+      SELECT r.src, ed.b FROM reach r JOIN ed ON ed.a = r.dst
+    )
+    SELECT src AS vec_id, MIN(dst) AS cluster_id,
+           MIN(dst) = src AS is_canonical
+    FROM reach GROUP BY src
+    """,
+    doc="END-TO-END 100 TB semantic dedup: banded sign-LSH candidate "
+    "pairs (never all-pairs — candidates only within (band, "
+    "bit-pattern) buckets, identical-vector clusters collapsed before "
+    "banding) feed the same large-star/small-star connected-components "
+    "clustering as llm_dedup_semantic. This is the composition a real "
+    "corpus runs — llm_dedup_semantic (exact all-pairs graph) is its "
+    "correctness baseline, and this entry proves the LSH-pair→cluster "
+    "pipeline end-to-end against the all-pairs transitive-closure "
+    "oracle (exact at sim ≥ 0.95 on the planted near-dups, where "
+    "banded recall is 1).",
+)
+def llm_dedup_semantic_lsh(spark, sf_dir):
+    aug = _planted_embeddings(spark, sf_dir)
+    pairs = similarity.cosine_near_dup_pairs_lsh(
         aug, threshold=0.95, num_planes=16, bands=4
+    ).select("id_a", "id_b")
+    ids = aug.select(F.col("vec_id").alias("doc_id"))
+    return dedup.dedup_clusters(ids, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
     )
 
 
