@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "llm_similarity_topk",   # brute-force cosine top-k over embeddings
     "llm_similarity_topk_arrow",  # same, Arrow/numpy matmul production shape
     "llm_text_quality",      # text quality scoring sweep
+    "llm_dedup_clusters",    # exact pairs → large-star/small-star CC
+    "llm_dedup_semantic_lsh",  # sign-LSH pairs → star CC (100 TB shape)
     "e2e_llm_data_pipeline", # fused quality→langid→dedup→buckets→shards
 ]
 
@@ -73,6 +75,11 @@ BASELINE_SEC = {
     # pinned round-4 continuation (idle host, best-of-3, canary ~0.6-0.7)
     "llm_similarity_topk_arrow": 0.621,
     "llm_text_quality": 0.371,
+    # pinned round-4 continuation, after the star-CC rewrite + collapse
+    # fixes (idle host, best-of-3, canary ~0.7/1.1): the iterative CC
+    # rounds dominate both — mostly fixed per-round cost at this SF
+    "llm_dedup_clusters": 4.737,
+    "llm_dedup_semantic_lsh": 4.258,
 }
 
 # Canary pin: first clean-machine measurement (round 2, idle local[32],
