@@ -689,3 +689,25 @@ def test_review_hardening_regressions(spark):
         "name string, s timestamp, e timestamp",
     )
     assert rel.range_join_bucketed(facts, iv, "ts", "s", "e").count() == 1
+
+
+def test_star_cc_plans_have_no_cartesian(spark):
+    """The large-star/small-star CC rounds and the sign-LSH bucket join
+    must plan as hash equi-joins — never BroadcastNestedLoopJoin or
+    CartesianProduct. Checked on the full llm_dedup_semantic_lsh
+    composition (LSH pairs → star CC): every join in the final labels
+    plan and in the pair-generation plan is keyed."""
+    from trino_demo_spark.llm import similarity
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    pairs = similarity.cosine_near_dup_pairs_lsh(
+        emb, threshold=0.95, num_planes=16, bands=4
+    )
+    p = _plan(pairs)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    from trino_demo_spark.llm import dedup
+
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    labels = dedup.dedup_clusters(ids, pairs.select("id_a", "id_b"))
+    lp = _plan(labels)
+    assert "CartesianProduct" not in lp and "BroadcastNestedLoop" not in lp, lp
