@@ -299,3 +299,52 @@ def test_dedup_clusters_matches_union_find(spark, edges, n_nodes):
     for v in range(n_nodes):
         assert got[v][0] == exp_cluster[v], (v, got[v], exp_cluster[v])
         assert got[v][1] == (v == exp_cluster[v])
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=8),
+            st.integers(1, 3),  # copies of this text
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([0.2, 0.5]),
+)
+def test_ngram_jaccard_matches_python_reference(spark, texts, threshold):
+    """The identical-set collapse must be output-invisible on arbitrary
+    corpora (duplicate clusters included): (id_a, id_b, jaccard) matches
+    a direct pure-Python all-pairs 3-gram Jaccard."""
+    from trino_demo_spark.llm.dedup import ngram_jaccard_pairs
+
+    rows, i = [], 0
+    for tokens, copies in texts:
+        for _ in range(copies):
+            rows.append((i, " ".join(tokens)))
+            i += 1
+
+    def shingles(tokens):
+        return {" ".join(tokens[j : j + 3]) for j in range(len(tokens) - 2)}
+
+    sets = {rid: shingles(text.split()) for rid, text in rows if text}
+    sets = {rid: s for rid, s in sets.items() if s}
+    expected = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            jac = round(inter / len(sets[a] | sets[b]) + 1e-9, 4)
+            if jac >= threshold:
+                expected[(a, b)] = jac
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert got == expected
