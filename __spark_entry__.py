@@ -97,6 +97,11 @@ _RECHECK = [
     "llm_tokenizer_apply",
     "llm_tokenizer_bpe",
     "ml_pagerank",
+    # Arrow argmin assignment replaced the expression fold (round-4 cont.)
+    "llm_similarity_ivf",
+    "llm_similarity_pq",
+    "llm_similarity_ivfpq",
+    "ml_kmeans_profile",
 ]
 
 # Never-driver-tested entries most valuable to a reference user, verified

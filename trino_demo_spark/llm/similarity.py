@@ -442,9 +442,74 @@ def cosine_near_dup_pairs_lsh(
     return within.unionByName(expand_cross_pairs(rep_pairs, mem, "sim"))
 
 
+def centroid_assign_udf(centroids):
+    """Vectorized nearest-centroid (L2) assignment: one Arrow batch →
+    one numpy matmul (argmin over ||x||² − 2x·c + ||c||², with the
+    per-row ||x||² constant dropped). Replaces the interpreted
+    `_argmin_centroid` expression fold (k × dim ops per row) on
+    full-corpus assignment passes — measured 70% of ivf_topk at
+    sf1-equivalent. Ties break to the lowest index (np.argmin), same as
+    the fold's strict `<`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    prof = (-2.0) * C.T
+    cc = (C * C).sum(axis=1)
+
+    def assign(v):
+        if v.empty:
+            return pd.Series([], dtype="int32")
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        return pd.Series((X @ prof + cc[None, :]).argmin(axis=1).astype("int32"))
+
+    # no type hints on purpose: pandas is imported locally, so string
+    # annotations would not resolve in the module namespace — the
+    # hint-less form defaults to a scalar series→series pandas UDF.
+    return pandas_udf(assign, "int")
+
+
+def _kmeans_moments(df: DataFrame, vec_col: str, centroids) -> DataFrame:
+    """One mapInPandas pass over the corpus: blocked-matmul argmin
+    assignment AND per-batch partial (cluster, count, sum-vector)
+    moments. The shuffle then carries ~partitions × k rows instead of
+    rows × dim posexploded values, and the driver only ever sees the
+    k×dim reduced sums."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    prof = (-2.0) * C.T
+    cc = (C * C).sum(axis=1)
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            cl = (X @ prof + cc[None, :]).argmin(axis=1)
+            uniq = np.unique(cl)
+            yield pd.DataFrame(
+                {
+                    "cluster": uniq.astype("int32"),
+                    "cnt": [int((cl == c).sum()) for c in uniq],
+                    "sums": [X[cl == c].sum(axis=0).tolist() for c in uniq],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(
+        gen, "cluster int, cnt long, sums array<double>"
+    )
+
+
 def _argmin_centroid(vec_col: str, centroids_lit, metric_dot: bool = False):
     """Index of the nearest centroid (L2) for a vector column, computed
-    with array expressions against a broadcast literal centroid array."""
+    with array expressions against a broadcast literal centroid array.
+    Kept for QUERY-side probe computation (a handful of rows); corpus-
+    side assignment goes through centroid_assign_udf/_kmeans_moments."""
     dist = (
         "aggregate(zip_with({c}, {v}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
@@ -481,22 +546,30 @@ def kmeans_fit(
     )
     centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(iters):
-        cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in centroids])
-        assigned = df.withColumn("__cents", cents_lit).withColumn(
-            "cluster", _argmin_centroid(vec_col, None)
-        )
-        new = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+        parts = _kmeans_moments(df, vec_col, centroids)
+        counts = {
+            r["cluster"]: r["n"]
+            for r in parts.groupBy("cluster")
+            .agg(F.sum("cnt").alias("n"))
+            .collect()
+        }
+        sums = (
+            parts.select("cluster", F.posexplode("sums").alias("pos", "s"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.sum("s").alias("s"))
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
-        for r in new:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["s"]
         dim = len(centroids[0])
         centroids = [
-            [by_cluster.get(ci, {}).get(d, centroids[ci][d]) for d in range(dim)]
+            [
+                by_cluster[ci][d] / counts[ci]
+                if counts.get(ci)
+                else centroids[ci][d]
+                for d in range(dim)
+            ]
             for ci in range(len(centroids))
         ]
     return centroids
@@ -526,9 +599,7 @@ def ivf_topk(
         corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")),
         "n_emb",
         "n_norm",
-    ).withColumn("__cents", cents_lit).withColumn(
-        "cluster", _argmin_centroid("n_emb", None)
-    ).drop("__cents")
+    ).withColumn("cluster", centroid_assign_udf(centroids)("n_emb"))
 
     # queries probe the nprobe nearest centroids: compute all distances,
     # keep the nprobe smallest indices (array sort over (dist, idx) structs)
@@ -824,9 +895,7 @@ def ivfpq_topk(
             "n_emb",
             "n_norm",
         )
-        .withColumn("__cents", cents_lit)
-        .withColumn("cluster", _argmin_centroid("n_emb", None))
-        .drop("__cents")
+        .withColumn("cluster", centroid_assign_udf(coarse)("n_emb"))
         .withColumn("__pq", books_lit)
         .withColumn("codes", codes_expr)
         .drop("__pq")
