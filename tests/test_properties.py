@@ -348,3 +348,73 @@ def test_ngram_jaccard_matches_python_reference(spark, texts, threshold):
         for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcde"), min_size=3, max_size=7),
+            st.integers(1, 4),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 3),
+)
+def test_capped_jaccard_matches_python_model(spark, texts, df_max):
+    """Capped-Jaccard semantics pin: df counted over DISTINCT shingle
+    sets, identical-set pairs bypass the cap at Jaccard exactly 1.0,
+    cross-set Jaccard computed on cap-filtered intersections but
+    uncapped union sizes."""
+    from trino_demo_spark.llm.dedup import ngram_jaccard_pairs_capped
+
+    rows, i = [], 0
+    for tokens, copies in texts:
+        for _ in range(copies):
+            rows.append((i, " ".join(tokens)))
+            i += 1
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[j : j + 3]) for j in range(len(t) - 2)}
+
+    sets = {rid: shingles(txt) for rid, txt in rows}
+    sets = {rid: s for rid, s in sets.items() if s}
+    # distinct-set groups
+    by_set: dict[frozenset, list] = {}
+    for rid, s in sets.items():
+        by_set.setdefault(frozenset(s), []).append(rid)
+    expected = {}
+    for members in by_set.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                expected[(ms[x], ms[y])] = 1.0
+    # df over distinct sets
+    df_count: dict[str, int] = {}
+    for gs in by_set:
+        for g in gs:
+            df_count[g] = df_count.get(g, 0) + 1
+    cold = {g for g, c in df_count.items() if c <= df_max}
+    reps = sorted(by_set.items(), key=lambda kv: min(kv[1]))
+    for x in range(len(reps)):
+        for y in range(x + 1, len(reps)):
+            (sa, ma), (sb, mb) = reps[x], reps[y]
+            inter = len((sa & sb) & cold)
+            if not inter:
+                continue
+            jac = round(inter / (len(sa) + len(sb) - inter) + 1e-9, 4)
+            if jac >= 0.2:
+                for a in ma:
+                    for b in mb:
+                        expected[(min(a, b), max(a, b))] = jac
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_capped(
+            df, threshold=0.2, df_max=df_max
+        ).collect()
+    }
+    assert got == expected
