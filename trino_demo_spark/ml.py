@@ -205,13 +205,21 @@ def pagerank(
     aggregates (N, dangling mass). Driver state: nothing but the loop
     counter — ranks stay distributed. Iterations are sequential by
     definition; the edge list is never mutated."""
+    # The edge list (and anything derived from the caller's upstream
+    # plan) is re-joined every iteration — materialize it once instead
+    # of re-running the upstream derivation per round. Same for the
+    # out-degree table. (On a cluster, bucket/pre-partition edges by
+    # src for an exchange-free join every round.)
+    edges = materialize(edges.select(src_col, dst_col))
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col)))
         .distinct()
     )
     n = nodes.persist().count()
-    out_deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    out_deg = materialize(
+        edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    )
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for _ in range(iters):
         contribs = (
