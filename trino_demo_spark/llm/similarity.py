@@ -544,7 +544,11 @@ def kmeans_fit(
     init = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
-    centroids = [[float(x) for x in r[0]] for r in init]
+    centroids = [[float(x) for x in r[0]] for r in init if r[0] is not None]
+    if not centroids:
+        # Empty corpus (a legal outcome of an upstream filter at any
+        # scale): no centroids to fit. Callers short-circuit on [].
+        return []
     for _ in range(iters):
         parts = _kmeans_moments(df, vec_col, centroids)
         counts = {
@@ -575,6 +579,18 @@ def kmeans_fit(
     return centroids
 
 
+def _empty_topk(queries: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (q_id, n_id, sim, rank) frame with id types taken from
+    the query side — the graceful result of every ANN path when the
+    corpus (hence the fitted quantizer) is empty."""
+    return queries.limit(0).select(
+        F.col(id_col).alias("q_id"),
+        F.col(id_col).alias("n_id"),
+        F.lit(0.0).alias("sim"),
+        F.lit(0).cast("long").alias("rank"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -593,6 +609,8 @@ def ivf_topk(
     set is too large to broadcast against the whole corpus (the sign-LSH
     variant is the hash-based alternative with the same contract)."""
     centroids = kmeans_fit(corpus, vec_col, id_col, k=num_centroids, iters=iters)
+    if not centroids:
+        return _empty_topk(queries, id_col)
     cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in centroids])
 
     c = with_norm(
@@ -660,6 +678,8 @@ def pca_fit(
 
     def partials(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
             m = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
             yield pd.DataFrame(
                 {
@@ -672,6 +692,10 @@ def pca_fit(
     rows = df.select(vec_col).mapInPandas(
         partials, "n long, s array<double>, g array<double>"
     ).collect()
+    if not rows:
+        # Empty corpus: nothing to fit. ([], [], []) — pca_project on an
+        # empty component list degrades to the id column alone.
+        return [], [], []
     n = sum(r["n"] for r in rows)
     d = len(rows[0]["s"])
     s = np.zeros(d)
@@ -704,6 +728,9 @@ def pca_project(
     the k×d component matrix ride along as broadcast array literals and
     each score is a zip_with/aggregate dot product — JVM-side array
     math, no UDF, map-only (zero shuffle at any scale)."""
+    if not components:
+        # Empty fit (empty corpus): no projection columns to compute.
+        return df.limit(0).select(F.col(id_col))
     mu_lit = F.array(*[F.lit(float(x)) for x in mean])
     centered = F.zip_with(F.col(vec_col).cast("array<double>"), mu_lit, lambda x, m: x - m)
     out = df.withColumn("__c", centered)
@@ -780,6 +807,8 @@ def pq_topk(
     """
     dsub = dim // m
     books = pq_codebooks(corpus, vec_col, id_col, dim, m, ksub, iters)
+    if not books or not books[0]:
+        return _empty_topk(queries, id_col)
     books_lit = F.array(*[
         F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in book])
         for book in books
@@ -870,6 +899,8 @@ def ivfpq_topk(
     probed lists, and nothing but the k×dim centroid matrix and the
     ksub·dim codebook ever leaves the executors."""
     coarse = kmeans_fit(corpus, vec_col, id_col, k=num_centroids, iters=iters)
+    if not coarse:
+        return _empty_topk(queries, id_col)
     cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in coarse])
     books = pq_codebooks(corpus, vec_col, id_col, dim, m, ksub, iters)
     books_lit = F.array(*[

@@ -115,6 +115,10 @@ def logreg_fit(
     from pyspark.sql import functions as F
 
     n = df.count()
+    if n == 0:
+        # Nothing to fit: zero weights, zero bias, no loss trace — the
+        # model that predicts p=0.5 everywhere (and scores 0 rows).
+        return [0.0] * dims, 0.0, []
     feats = df.select(
         F.slice(F.col(vec_col).cast("array<double>"), 1, dims).alias("x"),
         F.col(label_col).cast("double").alias("y"),
@@ -217,6 +221,13 @@ def pagerank(
         .distinct()
     )
     n = nodes.persist().count()
+    if n == 0:
+        # Empty edge list: no nodes, no ranks. Keep the (node, rank)
+        # contract with zero rows.
+        nodes.unpersist()
+        return edges.limit(0).select(
+            F.col(src_col).alias("node"), F.lit(0.0).alias("rank")
+        )
     out_deg = materialize(
         edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
     )
@@ -333,6 +344,13 @@ def als_fit(
     from pyspark.sql import functions as F
 
     items = [r[0] for r in ratings.select(item_col).distinct().orderBy(item_col).collect()]
+    if not items:
+        # No ratings: empty factor map + zero-row user-factor frame
+        # (create_map over an empty item set is untypable, so guard).
+        empty_users = ratings.limit(0).select(
+            F.col(user_col), F.lit(0.0).alias("u1"), F.lit(0.0).alias("u2")
+        )
+        return {}, empty_users
     # deterministic non-degenerate init
     q = {it: (1.0, 0.1 * (i + 1)) for i, it in enumerate(items)}
 
@@ -397,9 +415,12 @@ def als_rmse(
     rating_col: str = "rating",
 ):
     """Reconstruction RMSE of the factorization — engine-side join +
-    one aggregate; the model-quality scalar."""
+    one aggregate; the model-quality scalar. None when the factorization
+    is empty (no ratings) — there is no reconstruction to score."""
     from pyspark.sql import functions as F
 
+    if not item_factors:
+        return None
     q1 = F.create_map(
         *[x for it, v in item_factors.items() for x in (F.lit(it), F.lit(v[0]))]
     )[F.col(item_col)]

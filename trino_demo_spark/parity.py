@@ -3921,9 +3921,18 @@ def scan_zonemap_pruned(spark, sf_dir):
     lo_ts = _dt.datetime(1997, 6, 1)
     hi_ts = _dt.datetime(1997, 9, 1)
     keep = [z["file"] for z in zones if z["hi"] >= lo_ts and z["lo"] < hi_ts]
-    if not (0 < len(keep) < len(zones)):
+    if not zones:
+        # Empty table → zero files written, nothing to skip or read.
+        return li.limit(0).select(
+            "l_orderkey", F.to_date("l_shipdate").alias("ship_day"), "l_quantity"
+        )
+    if len(zones) > 1 and not (0 < len(keep) < len(zones)):
         raise AssertionError(
             f"zone map must prune: kept {len(keep)} of {len(zones)} files"
+        )
+    if not keep:  # predicate range misses every zone → empty result
+        return li.limit(0).select(
+            "l_orderkey", F.to_date("l_shipdate").alias("ship_day"), "l_quantity"
         )
     return (
         spark.read.parquet(*keep)
@@ -3979,6 +3988,8 @@ def scan_zorder_2d(spark, sf_dir):
         F.min("l_suppkey").alias("s0"), F.max("l_suppkey").alias("s1"),
     ).first()
     p0, p1, s0, s1 = stats["p0"], stats["p1"], stats["s0"], stats["s1"]
+    if p0 is None:  # empty table → no layout to build, no rows to serve
+        return li.limit(0).select("l_orderkey", "l_partkey", "l_suppkey")
     pn = F.floor(
         (F.col("l_partkey") - F.lit(p0)) * F.lit((2 ** bits) - 1)
         / F.lit(max(p1 - p0, 1))
@@ -4853,8 +4864,12 @@ def sink_compact_files(spark, sf_dir):
     )
     n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
     n_comp = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
-    if not (n_comp < n_frag and n_comp <= 4):
+    # An empty/tiny table never fragments (AQE collapses empty shuffle
+    # partitions to 0-1 files) — only assert when fragmentation existed.
+    if n_frag > 4 and not (n_comp < n_frag and n_comp <= 4):
         raise AssertionError(f"compaction failed: {n_frag} -> {n_comp} files")
+    if n_comp == 0:
+        return li.limit(0)
     return spark.read.parquet(compact)
 
 
@@ -4896,12 +4911,24 @@ def stream_rollup_mv(spark, sf_dir):
     )
     q = ks.streaming_rollup_sink(stream, snap, ckpt)
     q.awaitTermination(180)
-    versions = sorted(
-        int(d.split("=")[1]) for d in os.listdir(snap) if d.startswith("v=")
+    versions = (
+        sorted(
+            int(d.split("=")[1]) for d in os.listdir(snap) if d.startswith("v=")
+        )
+        if os.path.isdir(snap)
+        else []
     )
-    if len(versions) < 2:
+    n_land = len([f for f in os.listdir(land) if f.endswith(".parquet")])
+    # maxFilesPerTrigger=1 → one micro-batch per landed file; only a
+    # degenerate (empty) landing zone is allowed to produce fewer than 2.
+    if n_land >= 2 and len(versions) < 2:
         raise AssertionError(
             f"expected multiple micro-batches, got versions {versions}"
+        )
+    if not versions:
+        return ev.limit(0).groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("v_milli"),
         )
     return spark.read.parquet(f"{snap}/v={versions[-1]}")
 

@@ -2124,6 +2124,10 @@ def llm_quality_filter(spark, sf_dir):
 def llm_embed_pca(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     mean, comps, _ = similarity.pca_fit(emb, k=4)
+    if not comps:  # empty corpus → zero rows, stable (vec_id, pc1..pc4)
+        return emb.limit(0).select(
+            "vec_id", *[F.lit(0.0).alias(f"pc{j}") for j in range(1, 5)]
+        )
     return similarity.pca_project(emb, mean, comps).orderBy("vec_id")
 
 
@@ -2141,6 +2145,12 @@ def llm_embed_pca(spark, sf_dir):
 def ml_kmeans_profile(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    if not cents:  # empty corpus → zero rows, stable profile schema
+        return emb.limit(0).select(
+            F.lit(0).alias("cluster"),
+            F.lit(0).cast("long").alias("n_members"),
+            F.lit(0.0).alias("avg_dist"),
+        )
     cents_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in row]) for row in cents]
     )

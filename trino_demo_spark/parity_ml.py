@@ -85,6 +85,10 @@ def ml_pandas_udf_infer(spark, sf_dir):
         r_(F.col("slope"), 6).alias("slope"), r_(F.col("intercept"), 6).alias("intercept")
     )
     row = fit.first()
+    if row is None or row["slope"] is None:  # empty table → no model
+        return li.limit(0).select(
+            "l_orderkey", "l_linenumber", F.lit(0.0).alias("pred")
+        )
     out = ml.predict_with_pandas_udf(li, row, "l_quantity")
     return out.select("l_orderkey", "l_linenumber", r_(F.col("pred"), 2).alias("pred"))
 
@@ -122,8 +126,12 @@ def ml_ar_forecast(spark, sf_dir):
         r_(F.col("slope"), 6).alias("slope"), r_(F.col("intercept"), 6).alias("intercept")
     )
     row = fit.first()
-    last = series.orderBy(F.col("day").desc()).limit(1).first()["order_value"]
-    fc = ml.autoregressive_forecast(spark, row, last, steps=16)
+    last_row = series.orderBy(F.col("day").desc()).limit(1).first()
+    if row is None or row["slope"] is None or last_row is None:
+        # Empty series → nothing to roll out (oracle's recursive CTE
+        # seeds from an empty lastv and yields zero rows too).
+        return spark.createDataFrame([], "step int, forecast double")
+    fc = ml.autoregressive_forecast(spark, row, last_row["order_value"], steps=16)
     return fc.select("step", r_(F.col("forecast"), 2).alias("forecast"))
 
 
@@ -142,13 +150,16 @@ def ml_ar_forecast(spark, sf_dir):
 def sink_parquet_partitioned(spark, sf_dir):
     path = os.path.join(_scratch(sf_dir), "lineitem_by_year")
     li = _t(spark, sf_dir, "lineitem")
-    (
-        li.withColumn("ship_year", F.year("l_shipdate"))
-        .write.mode("overwrite")
-        .partitionBy("ship_year")
-        .parquet(path)
-    )
-    back = spark.read.parquet(path).filter(F.col("ship_year") == 1997)
+    written = li.withColumn("ship_year", F.year("l_shipdate"))
+    written.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    try:
+        back = spark.read.parquet(path)
+    except Exception:
+        # An empty source writes zero partition directories — nothing to
+        # infer a schema from. Serve the empty result with the contract
+        # schema instead of failing the read-back.
+        back = written.limit(0)
+    back = back.filter(F.col("ship_year") == 1997)
     return (
         back.groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(F.count("*").alias("cnt"))
@@ -403,13 +414,17 @@ def ml_als_recommend(spark, sf_dir):
         ).first()
     finally:
         ratings.unpersist()
+    base = row["baseline_rmse"]
+    # Empty rating matrix: no factorization and no baseline — mirror the
+    # oracle's NULL stddev + vacuous TRUE verdict.
+    beats = True if (rmse is None or base is None) else bool(rmse < base + 1e-9)
     return spark.createDataFrame(
         [
             (
                 row["n_users"],
                 row["n_items"],
-                float(row["baseline_rmse"]),
-                bool(rmse < row["baseline_rmse"] + 1e-9),
+                float(base) if base is not None else None,
+                beats,
             )
         ],
         "n_users long, n_items long, baseline_rmse double, als_beats_baseline boolean",
