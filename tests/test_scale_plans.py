@@ -711,3 +711,36 @@ def test_star_cc_plans_have_no_cartesian(spark):
     labels = dedup.dedup_clusters(ids, pairs.select("id_a", "id_b"))
     lp = _plan(labels)
     assert "CartesianProduct" not in lp and "BroadcastNestedLoop" not in lp, lp
+
+
+def test_hot_shingle_cap_bounds_candidate_fanout(spark):
+    """Planted-hub benchmark: one boilerplate shingle shared by EVERY
+    doc. Uncapped, that one shingle alone drives the candidate set to
+    all-pairs — C(n, 2) representative pairs entering the verification
+    join, the quadratic blowup that kills exact Jaccard at corpus
+    scale. With the df cap the hub shingle is dropped from the posting
+    lists and the candidate count collapses to the pairs that share
+    NON-boilerplate content. Asserted on the actual candidate-pair
+    count (dedup.jaccard_candidate_pair_count — same posting-list
+    builder the pair op runs)."""
+    from trino_demo_spark.llm import dedup
+
+    hub = "all rights reserved"  # one 3-shingle shared by all docs
+    n_docs = 40
+    rows = [
+        # each doc: unique filler + the hub phrase; docs 0/1 also share
+        # a real near-dup phrase so the capped path keeps a candidate
+        (i, f"u{i}a u{i}b u{i}c " + ("shared real content here " if i < 2 else "") + hub)
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.jaccard_candidate_pair_count(df, n=3, df_max=None)
+    capped = dedup.jaccard_candidate_pair_count(df, n=3, df_max=10)
+    assert uncapped == n_docs * (n_docs - 1) // 2  # hub → all-pairs
+    assert capped == 1  # only the genuinely-overlapping (0, 1) pair
+    # and the capped pair op still surfaces that pair
+    pairs = dedup.ngram_jaccard_pairs_capped(
+        df, n=3, threshold=0.2, df_max=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}

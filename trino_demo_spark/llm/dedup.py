@@ -443,6 +443,52 @@ def ngram_jaccard_pairs_capped(
     return _set_jaccard_pairs(df, id_col, text_col, n, threshold, df_max=df_max)
 
 
+def _jaccard_posting_lists(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    df_max: int | None,
+):
+    """Distinct-set posting lists feeding the Jaccard self-join:
+    (groups, mem, rsh) where rsh is the (rep, g) exploded shingle list
+    after the optional hot-shingle df cap. Shared by the pair ops and
+    the candidate-count diagnostic so the cap they measure is the cap
+    that runs."""
+    sh = ngram_shingles(df, id_col, text_col, n)
+    doc_sets = sh.groupBy("id").agg(F.array_sort(F.collect_set("g")).alias("gs"))
+    groups, mem = collapse_identical(doc_sets, "gs", "id")
+    rsh = explode_col(groups.select("rep", "gs"), "gs", "g", "rep")
+    if df_max is not None:
+        freq = rsh.groupBy("g").agg(F.count("*").alias("df"))
+        rsh = rsh.join(freq.filter(F.col("df") <= df_max).select("g"), "g")
+    return groups, mem, rsh
+
+
+def jaccard_candidate_pair_count(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    df_max: int | None = None,
+) -> int:
+    """Scale diagnostic: how many DISTINCT representative pairs enter
+    the Jaccard verification join — the quantity the df cap exists to
+    bound. A shingle shared by f representatives contributes C(f, 2)
+    raw join rows; without a cap one boilerplate shingle in f=10⁶ docs
+    is ~5·10¹¹ rows. Pre-flight this count before running exact
+    Jaccard on an unfamiliar corpus; if it explodes, use
+    ngram_jaccard_pairs_capped (or MinHash-LSH) instead."""
+    _, _, rsh = _jaccard_posting_lists(df, id_col, text_col, n, df_max)
+    a, b = rsh.alias("a"), rsh.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rep") < F.col("b.rep")))
+        .select("a.rep", "b.rep")
+        .distinct()
+        .count()
+    )
+
+
 def _set_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -454,16 +500,10 @@ def _set_jaccard_pairs(
     """Shared body of the exact and df-capped n-gram Jaccard ops: the
     only difference is the optional hot-shingle filter on the distinct-
     set posting lists."""
-    sh = ngram_shingles(df, id_col, text_col, n)
-    doc_sets = sh.groupBy("id").agg(F.array_sort(F.collect_set("g")).alias("gs"))
-    groups, mem = collapse_identical(doc_sets, "gs", "id")
+    groups, mem, rsh = _jaccard_posting_lists(df, id_col, text_col, n, df_max)
     # Identical sets: common = |A| = |A∪B| → Jaccard exactly 1.0 after
     # the +EPS round; always ≥ any threshold ≤ 1.0.
     within = within_group_pairs(mem, "jaccard", 1.0)
-    rsh = explode_col(groups.select("rep", "gs"), "gs", "g", "rep")
-    if df_max is not None:
-        freq = rsh.groupBy("g").agg(F.count("*").alias("df"))
-        rsh = rsh.join(freq.filter(F.col("df") <= df_max).select("g"), "g")
     a, b = rsh.alias("a"), rsh.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rep") < F.col("b.rep")))
