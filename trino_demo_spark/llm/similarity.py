@@ -809,6 +809,10 @@ def pq_topk(
     books = pq_codebooks(corpus, vec_col, id_col, dim, m, ksub, iters)
     if not books or not books[0]:
         return _empty_topk(queries, id_col)
+    # A corpus smaller than ksub fits fewer centroids than requested —
+    # the code/LUT expressions must iterate the FITTED size or
+    # element_at walks off the codebook.
+    ksub = min(len(b) for b in books)
     books_lit = F.array(*[
         F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in book])
         for book in books
@@ -903,6 +907,9 @@ def ivfpq_topk(
         return _empty_topk(queries, id_col)
     cents_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in coarse])
     books = pq_codebooks(corpus, vec_col, id_col, dim, m, ksub, iters)
+    if not books or not books[0]:
+        return _empty_topk(queries, id_col)
+    ksub = min(len(b) for b in books)  # fitted size, see pq_topk
     books_lit = F.array(*[
         F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in book])
         for book in books

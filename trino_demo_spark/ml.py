@@ -30,8 +30,11 @@ from .iterutil import materialize
 def linreg_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Closed-form simple OLS: slope = cov_pop(x,y)/var_pop(x),
     intercept = avg(y) − slope·avg(x). Matches DuckDB's
-    regr_slope/regr_intercept. Single aggregate pass."""
-    slope = F.covar_pop(x_col, y_col) / F.var_pop(x_col)
+    regr_slope/regr_intercept, including NULL on a zero-variance x
+    (try_divide — a bare / throws DIVIDE_BY_ZERO under ANSI mode,
+    which is Spark 4's default in the driver's plain session).
+    Single aggregate pass."""
+    slope = F.try_divide(F.covar_pop(x_col, y_col), F.var_pop(x_col))
     return df.agg(
         slope.alias("slope"),
         (F.avg(y_col) - slope * F.avg(x_col)).alias("intercept"),

@@ -32,12 +32,17 @@ def minmax_fit(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 
 def minmax_transform(df: DataFrame, fit: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Affine (x-min)/(max-min) per column. `fit` is a 1-row frame —
-    broadcast cross join keeps the transform shuffle-free."""
+    broadcast cross join keeps the transform shuffle-free. try_divide:
+    a constant column has max == min; NULL (DuckDB's x/0 result too)
+    beats an ANSI DIVIDE_BY_ZERO crash."""
     out = df.crossJoin(F.broadcast(fit))
     for c in cols:
         out = out.withColumn(
             f"{c}_scaled",
-            (F.col(c) - F.col(f"{c}_min")) / (F.col(f"{c}_max") - F.col(f"{c}_min")),
+            F.try_divide(
+                F.col(c) - F.col(f"{c}_min"),
+                F.col(f"{c}_max") - F.col(f"{c}_min"),
+            ),
         )
     return out.drop(*[f"{c}_min" for c in cols], *[f"{c}_max" for c in cols])
 
@@ -58,12 +63,17 @@ def robust_fit(df: DataFrame, cols: Sequence[str], exact: bool = True) -> DataFr
 
 
 def robust_transform(df: DataFrame, fit: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """(x - median) / IQR per column, broadcast-parameterized."""
+    """(x - median) / IQR per column, broadcast-parameterized.
+    try_divide: zero IQR (constant-ish column) → NULL, not an ANSI
+    crash — matching DuckDB's x/0."""
     out = df.crossJoin(F.broadcast(fit))
     for c in cols:
         out = out.withColumn(
             f"{c}_scaled",
-            (F.col(c) - F.col(f"{c}_q50")) / (F.col(f"{c}_q75") - F.col(f"{c}_q25")),
+            F.try_divide(
+                F.col(c) - F.col(f"{c}_q50"),
+                F.col(f"{c}_q75") - F.col(f"{c}_q25"),
+            ),
         )
     drop = [f"{c}_{q}" for c in cols for q in ("q25", "q50", "q75")]
     return out.drop(*drop)

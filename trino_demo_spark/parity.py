@@ -4044,7 +4044,9 @@ def scan_zorder_2d(spark, sf_dir):
         ("suppkey", keep(s=s_rng), s1 - s0),
         ("both", keep(p=p_rng, s=s_rng), min(p1 - p0, s1 - s0)),
     ):
-        if span >= 64 and not (0 < len(files) < n):
+        # n == 1: a table small enough to land in one file has nothing
+        # to prune — the assert is about multi-file layouts only
+        if n > 1 and span >= 64 and not (0 < len(files) < n):
             raise AssertionError(
                 f"z-order zones must prune on {dim}: {len(files)}/{n}"
             )
@@ -4670,16 +4672,21 @@ def agg_regression(spark, sf_dir):
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide throughout: a zero-variance x (constant column /
+    # single row) must surface NULL slope/r2 like DuckDB's x/0, not an
+    # ANSI DIVIDE_BY_ZERO crash in the driver's plain session.
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return s.select(
         "n",
         F.round(slope + F.lit(EPS), 6).alias("slope"),
-        F.round((sy - slope * sx) / n / 100.0 + F.lit(EPS), 4).alias(
-            "intercept"
-        ),
         F.round(
-            (n * sxy - sx * sy) * (n * sxy - sx * sy)
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+            F.try_divide(sy - slope * sx, n) / 100.0 + F.lit(EPS), 4
+        ).alias("intercept"),
+        F.round(
+            F.try_divide(
+                (n * sxy - sx * sy) * (n * sxy - sx * sy),
+                (n * sxx - sx * sx) * (n * syy - sy * sy),
+            )
             + F.lit(EPS),
             6,
         ).alias("r2"),

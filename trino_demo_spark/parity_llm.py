@@ -2876,8 +2876,13 @@ def llm_dataset_card(spark, sf_dir):
         "total_chars",
         "n_langs",
         "n_sources",
+        # try_divide: an empty corpus has n_docs == 0 → NULL dup_rate
+        # (DuckDB's x/0), not an ANSI DIVIDE_BY_ZERO crash
         r_(
-            (F.col("n_docs") - F.col("n_unique_texts")) / F.col("n_docs"), 4
+            F.try_divide(
+                F.col("n_docs") - F.col("n_unique_texts"), F.col("n_docs")
+            ),
+            4,
         ).alias("dup_rate"),
         "median_tokens",
         "min_tokens",

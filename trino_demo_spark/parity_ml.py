@@ -223,8 +223,11 @@ def e2e_forecast_pipeline(spark, sf_dir):
     fitmm = series.filter(F.col("pr") < 0.85).agg(
         F.min("v").alias("mn"), F.max("v").alias("mx")
     )
+    # try_divide: a degenerate (single-value) train split has mx == mn;
+    # under ANSI (the driver session default) a bare / would throw
+    # instead of yielding the NULL that drains the pipeline gracefully.
     scaled = series.crossJoin(F.broadcast(fitmm)).withColumn(
-        "s", (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+        "s", F.try_divide(F.col("v") - F.col("mn"), F.col("mx") - F.col("mn"))
     )
     train = scaled.filter(F.col("pr") < 0.85).withColumn(
         "prev_s", F.lag("s", 1).over(w)
@@ -591,7 +594,10 @@ def ml_eval_pr_curve(spark, sf_dir):
             F.col("score").alias("threshold"),
             F.col("tp").cast("long").alias("tp"),
             F.col("n_at").cast("long").alias("n_predicted_pos"),
-            r_(F.col("tp") / F.col("n_at"), 4).alias("precision"),
-            r_(F.col("tp") / F.col("p"), 4).alias("recall"),
+            # try_divide: zero positives (degenerate label column) →
+            # NULL recall, matching DuckDB's x/0, instead of an ANSI
+            # DIVIDE_BY_ZERO crash
+            r_(F.try_divide(F.col("tp"), F.col("n_at")), 4).alias("precision"),
+            r_(F.try_divide(F.col("tp"), F.col("p")), 4).alias("recall"),
         )
     )
