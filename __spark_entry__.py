@@ -39,22 +39,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return PARITY["join_inner_eq"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _driver_status() -> dict[str, str]:
-    """Latest driver verdict per query from committed CORRECTNESS_r*.json.
+def _driver_history() -> tuple[dict[str, str], dict[str, int]]:
+    """Driver verdicts per query from committed CORRECTNESS_r*.json.
 
-    Returns name -> one of:
-      ``green``     fully proven: rows + schema + value-hash all matched
-                    (a round-2 bug treated rows_match alone as proven,
-                    which parked two hash-failing queries forever)
-      ``fail``      driver tested it and something mismatched or errored
-      ``rows_only`` no-oracle entry; driver saw rows without error
+    Returns ``(status, green_round)``:
+      ``status[name]`` is the LATEST verdict, one of:
+        ``green``     fully proven: rows + schema + value-hash all matched
+                      (a round-2 bug treated rows_match alone as proven,
+                      which parked two hash-failing queries forever)
+        ``fail``      driver tested it and something mismatched or errored
+        ``rows_only`` no-oracle entry; driver saw rows without error
+      ``green_round[name]`` is the HIGHEST round number whose row was
+        fully green — used to auto-retire ``_RECHECK`` entries once a
+        green row post-dates the engine change they guard.
     Names never driver-tested are absent. Later rounds override earlier.
     """
     import glob
     import json
+    import re
 
     status: dict[str, str] = {}
+    green_round: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as fh:
                 data = json.load(fh)
@@ -73,9 +81,15 @@ def _driver_status() -> dict[str, str]:
                 and row.get("hash_match")
             ):
                 status[name] = "green"
+                green_round[name] = max(green_round.get(name, 0), rnd)
             else:
                 status[name] = "fail"
-    return status
+    return status, green_round
+
+
+def _driver_status() -> dict[str, str]:
+    """Latest driver verdict per query (see _driver_history)."""
+    return _driver_history()[0]
 
 
 # Entries whose ENGINE implementation changed after their last green
@@ -84,25 +98,27 @@ def _driver_status() -> dict[str, str]:
 # iterutil stats reset). A proven row for the OLD code proves nothing
 # about the new one, so these re-enter the driver queue ahead of the
 # never-tested backlog — the inverse of the r3 bug where changed code
-# hid behind stale green rows. Drop names from this list once a green
-# row POST-dates the change.
-_RECHECK = [
-    "llm_dedup_clusters",
-    "llm_dedup_semantic",
-    "llm_dedup_ngram",
-    "llm_dedup_ngram_capped",
-    "llm_dedup_minhash",
-    "llm_dedup_simhash",
-    "llm_embed_neardup_lsh",
-    "llm_tokenizer_apply",
-    "llm_tokenizer_bpe",
-    "ml_pagerank",
+# hid behind stale green rows. Value = the first round whose green row
+# PROVES the changed code; an entry auto-retires (sorts with proven,
+# freeing its driver-cap slot) once green_round >= that value, so a
+# forgotten manual cleanup can't burn cap slots forever.
+_RECHECK = {
+    "llm_dedup_clusters": 4,
+    "llm_dedup_semantic": 4,
+    "llm_dedup_ngram": 4,
+    "llm_dedup_ngram_capped": 4,
+    "llm_dedup_minhash": 4,
+    "llm_dedup_simhash": 4,
+    "llm_embed_neardup_lsh": 4,
+    "llm_tokenizer_apply": 4,
+    "llm_tokenizer_bpe": 4,
+    "ml_pagerank": 4,
     # Arrow argmin assignment replaced the expression fold (round-4 cont.)
-    "llm_similarity_ivf",
-    "llm_similarity_pq",
-    "llm_similarity_ivfpq",
-    "ml_kmeans_profile",
-]
+    "llm_similarity_ivf": 4,
+    "llm_similarity_pq": 4,
+    "llm_similarity_ivfpq": 4,
+    "ml_kmeans_profile": 4,
+}
 
 # Never-driver-tested entries most valuable to a reference user, verified
 # first when the driver caps its per-round sample (VERDICT r3 §next-round-2).
@@ -161,7 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     names = list(PARITY)
-    status = _driver_status()
+    status, green_round = _driver_history()
     failed = [n for n in names if status.get(n) == "fail"]
     pending = [n for n in names if n not in status]
     # A rows-only entry that has since GAINED oracle SQL is effectively
@@ -180,7 +196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Within never-tested: explicit user-impact priorities first, then the
     # rest with core and llm/ml extensions interleaved so a driver cap
     # still samples both families.
-    recheck = [n for n in _RECHECK if n in names and n not in failed]
+    recheck = [
+        n
+        for n, min_round in _RECHECK.items()
+        if n in names and n not in failed and green_round.get(n, 0) < min_round
+    ]
     prio = [n for n in _PRIORITY if n in pending]
     rest = [n for n in pending if n not in prio]
     core = [n for n in rest if not n.startswith(("llm_", "ml_", "udtf_"))]

@@ -68,6 +68,43 @@ def test_unproven_entries_ordered_before_proven():
             )
 
 
+def test_recheck_entries_self_retire_on_postdating_green_row():
+    """A _RECHECK entry whose green row post-dates the engine change
+    (green_round >= its pinned round) must sort with the proven tail —
+    otherwise it burns a driver-cap slot every round forever. One whose
+    green rows all PRE-date the change must still jump the queue."""
+    E = _load_entry()
+    status, green_round = E._driver_history()
+    names = list(E.queries())
+    for n, min_round in E._RECHECK.items():
+        if n not in names or status.get(n) == "fail":
+            continue
+        pos = names.index(n)
+        retired = green_round.get(n, 0) >= min_round
+        # active recheck entries must appear before every never-tested
+        # BACKLOG entry (pending entries that are not themselves
+        # recheck/priority names); retired ones must NOT occupy the
+        # front block
+        front = set(E._RECHECK) | set(E._PRIORITY)
+        first_pending = next(
+            (
+                names.index(p)
+                for p in names
+                if p not in status and p not in front
+            ),
+            len(names),
+        )
+        if retired:
+            assert pos > first_pending or status.get(n) != "green", (
+                f"retired recheck entry {n} still jumps the queue"
+            )
+        elif status.get(n) == "green":
+            assert pos < first_pending, (
+                f"active recheck entry {n} (green pre-change) ordered "
+                f"after the never-tested backlog"
+            )
+
+
 def test_oracle_keys_subset_of_queries():
     """Every oracle_sql key must be a queries() key (the driver joins
     on the name), and column-name contracts require non-empty SQL."""
