@@ -99,9 +99,11 @@ def collapse_identical(df: DataFrame, key_col: str, id_col: str):
 
     The groups frame is cached, not materialized-and-unpersisted: the
     returned plans are lazy, so the cache must outlive this function.
-    The cache lives until the session drops it (the driver sweep clears
-    caches between queries); it is vocabulary/distinct-key-sized, not
-    corpus-sized."""
+    (An eager count here was tried and measured no faster — the
+    concurrent broadcast-exchange jobs that consume downstream joins
+    hit the cache either way.) The cache lives until the session drops
+    it (the driver sweep clears caches between queries); it is
+    vocabulary/distinct-key-sized, not corpus-sized."""
     groups = (
         df.groupBy(key_col)
         .agg(F.array_sort(F.collect_set(id_col)).alias("members"))
@@ -455,7 +457,10 @@ def _jaccard_posting_lists(
     after the optional hot-shingle df cap. Shared by the pair ops and
     the candidate-count diagnostic so the cap they measure is the cap
     that runs."""
-    sh = ngram_shingles(df, id_col, text_col, n)
+    # distinct=False: collect_set dedups per doc anyway, so a pre-pass
+    # .distinct() would shuffle the full exploded (id, g) frame — the
+    # widest frame in the whole op — once more for nothing.
+    sh = ngram_shingles(df, id_col, text_col, n, distinct=False)
     doc_sets = sh.groupBy("id").agg(F.array_sort(F.collect_set("g")).alias("gs"))
     groups, mem = collapse_identical(doc_sets, "gs", "id")
     rsh = explode_col(groups.select("rep", "gs"), "gs", "g", "rep")

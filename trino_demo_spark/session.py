@@ -22,6 +22,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Respect the advisory partition size when coalescing instead of
+    # stopping at default parallelism (the documented production
+    # recommendation): a multi-stage iterative plan otherwise schedules
+    # cores×stages near-empty tasks — measured 10-15% off the CC dedup
+    # queries at sf0.1, and at 100 TB size-based coalescing is what
+    # keeps reducers near the 64 MB advisory target rather than pinned
+    # to the cluster's core count.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
