@@ -12,7 +12,16 @@ llm.multimodal.extract_features for the Arrow-batched pattern).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.functions import udtf
+
+# Exact mirror of llm.dedup.tokens_col = split(trim(text), '\\s+'):
+# Spark trim strips ONLY ASCII space (not \n/\t/NBSP), and Java's \s is
+# ASCII-only — so strip(' ') + re.ASCII here. Python's str.split() is
+# unicode-aware AND drops empty tokens, which diverges on NBSP and on
+# trailing \n/\t (Spark's split keeps the trailing empty token).
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 @udtf(returnType="pos bigint, word string")
@@ -23,7 +32,7 @@ class WordsUDTF:
     def eval(self, text: str):  # noqa: D102  (contract documented above)
         if text is None:
             return
-        for i, w in enumerate(text.strip().split()):
+        for i, w in enumerate(_WS.split(text.strip(" "))):
             yield i, w
 
 

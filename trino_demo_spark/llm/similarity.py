@@ -41,7 +41,15 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
 
 
 def cosine_expr(a: str, b: str, norm_a: str, norm_b: str):
-    return F.expr(DOT.format(a=a, b=b)) / (F.col(norm_a) * F.col(norm_b))
+    # Zero-norm vectors (padding rows, failed embedding calls) define
+    # cosine as 0.0 rather than a DIVIDE_BY_ZERO under ANSI mode —
+    # mirrored by COALESCE(dot / NULLIF(…, 0), 0) in the oracles.
+    return F.coalesce(
+        F.try_divide(
+            F.expr(DOT.format(a=a, b=b)), F.col(norm_a) * F.col(norm_b)
+        ),
+        F.lit(0.0),
+    )
 
 
 def brute_force_topk(
@@ -135,8 +143,14 @@ def brute_force_topk_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             n_norm = np.sqrt((m * m).sum(axis=1))
+            # zero-norm rows → cosine 0.0 (matches cosine_expr), not
+            # a silent inf/nan from the vectorized division
+            den = n_norm[:, None] * q_norm[None, :]
             sims = np.round(
-                (m @ q_mat.T) / (n_norm[:, None] * q_norm[None, :]) + eps,
+                np.divide(
+                    m @ q_mat.T, den, out=np.zeros_like(den), where=den != 0
+                )
+                + eps,
                 rt,
             )
             out_q, out_n, out_s = [], [], []
@@ -320,9 +334,15 @@ def cosine_near_dup_pairs_arrow(
             nn = np.sqrt((m * m).sum(axis=1))
             for lo in range(0, len(ids), chunk):
                 hi = lo + chunk
+                # zero-norm rows → cosine 0.0 (matches cosine_expr)
+                den = nn[lo:hi, None] * n_all[None, :]
                 sims = np.round(
-                    (m[lo:hi] @ m_all.T)
-                    / (nn[lo:hi, None] * n_all[None, :])
+                    np.divide(
+                        m[lo:hi] @ m_all.T,
+                        den,
+                        out=np.zeros_like(den),
+                        where=den != 0,
+                    )
                     + eps,
                     rt,
                 )
@@ -857,7 +877,12 @@ def pq_topk(
     )
     pairs = (
         enc.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
-        .withColumn("adc_sim", adc / (F.col("q_norm") * F.col("n_norm")))
+        .withColumn(
+            "adc_sim",
+            F.coalesce(
+                F.try_divide(adc, F.col("q_norm") * F.col("n_norm")), F.lit(0.0)
+            ),
+        )
     )
     w_adc = W.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id"))
     cands = pairs.withColumn("cr", F.row_number().over(w_adc)).filter(
@@ -983,7 +1008,12 @@ def ivfpq_topk(
     pairs = (
         enc.join(F.broadcast(q_exploded), "cluster")
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("adc_sim", adc / (F.col("q_norm") * F.col("n_norm")))
+        .withColumn(
+            "adc_sim",
+            F.coalesce(
+                F.try_divide(adc, F.col("q_norm") * F.col("n_norm")), F.lit(0.0)
+            ),
+        )
     )
     w_adc = W.partitionBy("q_id").orderBy(F.col("adc_sim").desc(), F.col("n_id"))
     cands = pairs.withColumn("cr", F.row_number().over(w_adc)).filter(

@@ -35,7 +35,9 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
         n_chars.cast("long").alias("n_chars_txt"),
-        F.round(compact / n_tokens + F.lit(EPS), 4).alias("avg_token_len"),
+        F.round(
+            F.coalesce(F.try_divide(compact, n_tokens), F.lit(0.0)) + F.lit(EPS), 4
+        ).alias("avg_token_len"),
         F.ceil(n_chars / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
     )
 
@@ -54,9 +56,17 @@ def quality_exprs(text_col: str = "text"):
     n_stop = F.size(
         F.expr(f"filter(split(trim({text_col}), '\\\\s+'), x -> x IN ({sw_list}))")
     )
-    punct_ratio = F.round(n_punct / n_chars + F.lit(EPS), 4)
-    digit_ratio = F.round(n_digit / n_chars + F.lit(EPS), 4)
-    stop_ratio = F.round(n_stop / n_tokens + F.lit(EPS), 4)
+    # Empty text (n_chars 0) scores ratio 0, not DIVIDE_BY_ZERO under
+    # ANSI — COALESCE(x / NULLIF(n, 0), 0) on the oracle side.
+    punct_ratio = F.round(
+        F.coalesce(F.try_divide(n_punct, n_chars), F.lit(0.0)) + F.lit(EPS), 4
+    )
+    digit_ratio = F.round(
+        F.coalesce(F.try_divide(n_digit, n_chars), F.lit(0.0)) + F.lit(EPS), 4
+    )
+    stop_ratio = F.round(
+        F.coalesce(F.try_divide(n_stop, n_tokens), F.lit(0.0)) + F.lit(EPS), 4
+    )
     # Deliberately NOT folded into a single aggregate() pass: an
     # aggregate HOF allocates a struct per token and measured ~2× slower
     # than this shape (one interpreted filter scan + codegen splits) at

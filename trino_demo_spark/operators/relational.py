@@ -579,10 +579,13 @@ def weighted_sample_topk(
         .cast("double")
         / F.lit(float(16 ** 12))
     )
-    # ln(u)/w is monotone with u^(1/w) and numerically safer
-    skey = F.round(F.log(u) / weight_col + F.lit(1e-9), round_to)
+    # ln(u)/w is monotone with u^(1/w) and numerically safer.
+    # try_divide: weight 0 means inclusion probability 0 — the row is
+    # excluded (NULL key filtered), not a DIVIDE_BY_ZERO under ANSI.
+    skey = F.round(F.try_divide(F.log(u), weight_col) + F.lit(1e-9), round_to)
     return (
         df.withColumn("sample_key", skey)
+        .filter(F.col("sample_key").isNotNull())
         .orderBy(F.col("sample_key").desc(), F.col(key_col).asc())
         .limit(k)
     )

@@ -1474,13 +1474,17 @@ def f_date_arith(spark, sf_dir):
 @parity(
     "f_str_funcs",
     sql="""
-    SELECT c_custkey, UPPER(c_name) AS name_upper, LENGTH(c_name) AS name_len,
+    SELECT c_custkey, UPPER(replace(c_name, 'ß', 'ss')) AS name_upper,
+           LENGTH(c_name) AS name_len,
            SUBSTRING(c_name, 1, 8) AS name_prefix,
            c_name || '/' || c_mktsegment AS name_seg
     FROM customer
     """,
     doc="String scalar surface: upper/length/substring/concat (ref string "
-    "ops: openshift...txt:29, weatherProducerHistory.py:27).",
+    "ops: openshift...txt:29, weatherProducerHistory.py:27). Oracle "
+    "pre-folds ß→ss: Java toUpperCase applies the one-to-many mapping "
+    "ß→SS while DuckDB's utf8proc maps to the single codepoint ẞ — the "
+    "one Unicode special-casing divergence plausible in generated text.",
 )
 def f_str_funcs(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -1497,21 +1501,27 @@ def f_str_funcs(spark, sf_dir):
     "f_str_levenshtein",
     sql="""
     SELECT p_partkey, p_name,
-           levenshtein(p_name, 'small gear') AS dist_probe,
-           levenshtein(p_name, p_brand) AS dist_brand
+           levenshtein(regexp_replace(p_name, '[^\x20-\x7E]', '?', 'g'), 'small gear') AS dist_probe,
+           levenshtein(regexp_replace(p_name, '[^\x20-\x7E]', '?', 'g'),
+                       regexp_replace(p_brand, '[^\x20-\x7E]', '?', 'g')) AS dist_brand
     FROM part WHERE p_partkey < 200
     """,
     doc="Edit-distance scalar (levenshtein) — fuzzy matching for entity "
     "resolution / near-dup candidate scoring on short strings; JVM "
-    "codegen builtin, identical integer distances across engines.",
+    "codegen builtin. Inputs are ASCII-projected (non-printable-ASCII → "
+    "'?') on BOTH engines first: Spark and DuckDB count edits over "
+    "different code-unit granularities on non-ASCII text, so the "
+    "distance is only engine-portable over the ASCII projection.",
 )
 def f_str_levenshtein(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    name_a = F.regexp_replace("p_name", r"[^\x20-\x7E]", "?")
+    brand_a = F.regexp_replace("p_brand", r"[^\x20-\x7E]", "?")
     return p.select(
         "p_partkey",
         "p_name",
-        F.levenshtein("p_name", F.lit("small gear")).cast("long").alias("dist_probe"),
-        F.levenshtein("p_name", "p_brand").cast("long").alias("dist_brand"),
+        F.levenshtein(name_a, F.lit("small gear")).cast("long").alias("dist_probe"),
+        F.levenshtein(name_a, brand_a).cast("long").alias("dist_brand"),
     )
 
 
@@ -3245,7 +3255,7 @@ def project_lateral_explode(spark, sf_dir):
     "f_regexp_extract_all",
     sql="""
     SELECT doc_id,
-           array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), '|') AS a_words,
+           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), '|'), '') AS a_words,
            len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS n_a_words
     FROM documents WHERE doc_id < 50
     """,

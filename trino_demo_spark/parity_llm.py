@@ -15,16 +15,38 @@ from .operators import relational as rel_ops
 from .parity import EPS, _t, parity, r_
 
 # Shared SQL fragments so the oracle tokenization matches
-# llm.dedup.tokens_col exactly.
-_TOK = "regexp_split_to_array(trim(text), '\\s+')"
+# llm.dedup.tokens_col exactly. trim is pinned to ASCII space: DuckDB's
+# bare trim() strips Unicode whitespace (NBSP etc.) while Spark's trim
+# strips only ' ' — a corpus containing U+00A0 diverges otherwise.
+_TOK = "regexp_split_to_array(trim(text, ' '), '\\s+')"
 
+def _json_escape_sql(expr: str) -> str:
+    """DuckDB expression reproducing Jackson's (Spark to_json) JSON
+    string escaping exactly: backslash and quote first, then \\b \\t
+    \\n \\f \\r short forms, every other char < 0x20 as \\u00XX with
+    UPPERCASE hex (0x7F stays unescaped). A replace chain per char —
+    verified against to_json over chr(0)..chr(31)+DEL; the previous
+    5-char chain silently diverged on any control char outside
+    \\t\\n\\r."""
+    e = f"replace({expr}, chr(92), chr(92) || chr(92))"
+    e = f"replace({e}, chr(34), chr(92) || chr(34))"
+    short = {8: "b", 9: "t", 10: "n", 12: "f", 13: "r"}
+    for c in range(32):
+        rep = f"'\\{short[c]}'" if c in short else f"'\\u{c:04X}'"
+        e = f"replace({e}, chr({c}), {rep})"
+    return e
+
+
+# Zero-norm vectors (real corpora carry them: padding rows, failed
+# embedding calls) define cosine as 0, not a division error — COALESCE/
+# NULLIF here, coalesce(try_divide) on the engine side.
 _COS_SQL = """
 WITH pairs AS (
   SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-         (SELECT SUM(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))
+         COALESCE((SELECT SUM(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))
           FROM range(1, 65) r(i)) /
-         (sqrt((SELECT SUM(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
-          sqrt((SELECT SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
+         NULLIF(sqrt((SELECT SUM(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
+          sqrt((SELECT SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))), 0), 0) AS cos
   FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
   WHERE q.vec_id < 20
 )
@@ -494,7 +516,7 @@ def llm_dedup_semantic_lsh(spark, sf_dir):
     SELECT doc_id,
            len({_TOK}) AS n_tokens,
            length(text) AS n_chars_txt,
-           ROUND(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len({_TOK}) + 1e-9, 4) AS avg_token_len,
+           ROUND(COALESCE(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) AS avg_token_len,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
     FROM documents
     """,
@@ -511,9 +533,9 @@ def llm_text_tokens(spark, sf_dir):
       SELECT doc_id,
              len({_TOK}) AS n_tokens,
              length(text) AS n_chars,
-             ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4) AS punct_ratio,
-             ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4) AS digit_ratio,
-             ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4) AS stop_ratio
+             ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) AS punct_ratio,
+             ROUND(COALESCE((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) AS digit_ratio,
+             ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) AS stop_ratio
       FROM documents
     )
     SELECT doc_id, punct_ratio, digit_ratio, stop_ratio,
@@ -558,7 +580,7 @@ def llm_text_langid(spark, sf_dir):
 
 @parity(
     "llm_text_fingerprint",
-    sql="SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5 "
+    sql="SELECT doc_id, md5(lower(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'))) AS fp_md5 "
     "FROM documents",
     doc="Document fingerprint: md5 of whitespace-normalized lowercase text "
     "(identical hex across engines; xxhash64 variant in llm.text is "
@@ -587,7 +609,10 @@ def llm_multimodal_meta(spark, sf_dir):
     "llm_multimodal_features",
     sql="""
     SELECT d.doc_id, strlen(d.text) AS n_bytes,
-           CAST((ascii(substr(d.text, 1, 1)) + ascii(substr(d.text, 2, 1)) + ascii(substr(d.text, 3, 1)) + ascii(substr(d.text, 4, 1)) + ascii(substr(d.text, 5, 1)) + ascii(substr(d.text, 6, 1)) + ascii(substr(d.text, 7, 1)) + ascii(substr(d.text, 8, 1)) + ascii(substr(d.text, 9, 1)) + ascii(substr(d.text, 10, 1)) + ascii(substr(d.text, 11, 1)) + ascii(substr(d.text, 12, 1)) + ascii(substr(d.text, 13, 1)) + ascii(substr(d.text, 14, 1)) + ascii(substr(d.text, 15, 1)) + ascii(substr(d.text, 16, 1))) % 997 AS BIGINT) AS head_sig
+           CAST(COALESCE(list_sum(list_transform(
+                  range(1, least(length(hex(encode(d.text)))//2, 16) + 1),
+                  i -> CAST(concat('0x', substr(hex(encode(d.text)), (i-1)*2+1, 2)) AS BIGINT))), 0)
+                % 997 AS BIGINT) AS head_sig
     FROM documents d
     """,
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "
@@ -662,8 +687,8 @@ def llm_multimodal_ppm(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, text, lang,
              len({_TOK}) AS n_tokens,
-             ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4) AS punct_ratio,
-             ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4) AS stop_ratio
+             ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) AS punct_ratio,
+             ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) AS stop_ratio
       FROM documents
     ),
     scored AS (
@@ -986,7 +1011,7 @@ def llm_dedup_clusters(spark, sf_dir):
     "llm_text_clean",
     sql="""
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'), '\\s+', ' ', 'g')) AS clean_text
+           trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'), '\\s+', ' ', 'g'), ' ') AS clean_text
     FROM documents
     """,
     doc="Text normalization pipeline: lowercase → strip punctuation → "
@@ -1048,7 +1073,7 @@ def llm_text_pii_scrub(spark, sf_dir):
       FROM embeddings e2 WHERE vec_id < 50
     )
     SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
-           CAST(embedding[CAST(i AS INT)] AS DOUBLE) / nn AS unit_val
+           COALESCE(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / NULLIF(nn, 0), 0) AS unit_val
     FROM n, UNNEST(range(1, len(embedding) + 1)) u(i)
     """,
     doc="Unit-normalization of the embedding column (cosine becomes a "
@@ -1060,8 +1085,9 @@ def llm_text_pii_scrub(spark, sf_dir):
 def llm_embed_normalize(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     normed = similarity.with_norm(emb, "embedding", "__n")
+    # zero-norm vectors normalize to zeros (not DIVIDE_BY_ZERO/NULL)
     unit = F.expr(
-        "transform(embedding, x -> CAST(x AS DOUBLE) / __n)"
+        "transform(embedding, x -> coalesce(try_divide(CAST(x AS DOUBLE), __n), 0.0))"
     )
     return (
         normed.select("vec_id", F.posexplode(unit).alias("pos", "unit_val"))
@@ -1078,7 +1104,7 @@ def llm_embed_normalize(spark, sf_dir):
       FROM embeddings WHERE vec_id < 50
     )
     SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, ROUND(scale + 1e-9, 6) AS scale_r,
-           CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / scale) AS BIGINT) AS q8
+           CAST(round(COALESCE(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / NULLIF(scale, 0), 0)) AS BIGINT) AS q8
     FROM scaled, UNNEST(range(1, len(embedding) + 1)) u(i)
     """,
     doc="Symmetric int8 quantization of embeddings (scale = max|x|/127 per "
@@ -1098,8 +1124,9 @@ def llm_embed_quantize(spark, sf_dir):
         / F.lit(127.0)
     )
     scaled = emb.withColumn("scale", scale)
+    # all-zero vectors (scale 0) quantize to zero codes
     q8 = F.expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))"
+        "transform(embedding, x -> CAST(round(coalesce(try_divide(CAST(x AS DOUBLE), scale), 0.0)) AS BIGINT))"
     )
     return (
         scaled.select(
@@ -1204,7 +1231,7 @@ def llm_contamination(spark, sf_dir):
     "udtf_lateral_words",
     sql=f"""
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents
-                 WHERE doc_id < 50 AND length(trim(text)) > 0)
+                 WHERE doc_id < 50 AND length(trim(text, ' ')) > 0)
     SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[CAST(i AS INT)] AS word
     FROM tok, UNNEST(range(1, len(t) + 1)) u(i)
     """,
@@ -1801,9 +1828,7 @@ def llm_classify_nb(spark, sf_dir):
              '{{"role":"system","content":"You are a helpful assistant."}},',
              '{{"role":"user","content":"Summarize the following ', lang, ' document."}},',
              '{{"role":"assistant","content":"',
-             replace(replace(replace(replace(replace(text,
-               '\', '\\'), '"', '\"'),
-               chr(10), '\n'), chr(13), '\r'), chr(9), '\t'),
+             {_json_escape_sql('text')},
              '"}}]}}'
            ) AS sample,
            len({_TOK}) AS n_tokens
@@ -1936,6 +1961,7 @@ def llm_boilerplate_strip(spark, sf_dir):
              ROUND(ln(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
                       / 281474976710656.0) / n_chars + 1e-9, 6) AS sample_key
       FROM documents
+      WHERE n_chars > 0
     )
     SELECT doc_id, lang, n_chars, sample_key
     FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 50
@@ -2082,8 +2108,8 @@ def llm_search_bm25(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, lang,
              len({_TOK}) AS n_tokens,
-             ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4) AS punct_ratio,
-             ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4) AS stop_ratio
+             ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) AS punct_ratio,
+             ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) AS stop_ratio
       FROM documents
     ),
     scored AS (
@@ -2430,13 +2456,9 @@ def llm_shard_budget(spark, sf_dir):
            concat(
              '{{"prompt":"Write a long ', c.lang, ' document.",',
              '"chosen":"',
-             replace(replace(replace(replace(replace(c.text,
-               '\', '\\'), '"', '\"'),
-               chr(10), '\n'), chr(13), '\r'), chr(9), '\t'),
+             {_json_escape_sql('c.text')},
              '","rejected":"',
-             replace(replace(replace(replace(replace(r.text,
-               '\', '\\'), '"', '\"'),
-               chr(10), '\n'), chr(13), '\r'), chr(9), '\t'),
+             {_json_escape_sql('r.text')},
              '"}}'
            ) AS sample
     FROM chosen c JOIN rejected r ON r.lang = c.lang AND r.pair_id = c.pair_id
@@ -2495,7 +2517,7 @@ def llm_format_dpo(spark, sf_dir):
     sql=r"""
     WITH h AS (
       SELECT DISTINCT
-             sha256(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS hash,
+             sha256(array_to_string(regexp_split_to_array(trim(text, ' '), '\s+')[1:5], ' ')) AS hash,
              source
       FROM documents),
     tot AS (SELECT source, COUNT(*) AS n_docs FROM h GROUP BY source)

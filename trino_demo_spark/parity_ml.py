@@ -355,7 +355,7 @@ def ml_pagerank(spark, sf_dir):
     "ml_feature_hashing",
     sql=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text, ' '), '\s+')) AS tk
       FROM documents
     )
     SELECT doc_id,

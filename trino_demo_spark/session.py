@@ -34,6 +34,48 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# SparkContext application ids that already had the package zip shipped.
+_PYFILES_ADDED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``trino_demo_spark`` importable on Python WORKERS regardless
+    of the driver process's CWD (the driver contract imports this repo
+    by file path and may run from any directory; module-level pandas
+    UDFs — llm.multimodal — and the Python DataSource — sources.pyjsonl
+    — unpickle BY MODULE REFERENCE on the worker, so the worker must be
+    able to import the package itself). addPyFile distributes a zip of
+    the package and prepends it to every worker's sys.path."""
+    try:
+        sc = spark.sparkContext
+        key = sc.applicationId
+    except Exception:
+        return
+    if key in _PYFILES_ADDED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"trino_demo_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added under another name, or cluster refuses — fine
+    _PYFILES_ADDED.add(key)
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Assert engine-required confs on an externally built session."""
     for k, v in RUNTIME_CONFS.items():
@@ -42,6 +84,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Static conf on this build — leave whatever the session has.
             pass
+    _ship_package(spark)
     return spark
 
 
