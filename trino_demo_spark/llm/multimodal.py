@@ -332,13 +332,20 @@ def extract_features(media: DataFrame, head: int = 16) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # A NULL payload (missing/unfetched media) propagates as NULL
+            # features — never a task crash: at corpus scale a missing
+            # object-store blob is a data condition, not an error.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda p: len(p) if p is not None else None
+                    ).astype("Int64"),
                     "head_sig": payloads.map(
                         lambda p: byte_head_signature(bytes(p), head)
-                    ).astype("int64"),
+                        if p is not None
+                        else None
+                    ).astype("Int64"),
                 }
             )
 

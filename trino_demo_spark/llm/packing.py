@@ -62,11 +62,14 @@ def pack_sequences(
         toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     else:
         toks = F.col(token_count_col).cast("long")
+    # Contentless rows (NULL text → NULL token count) are dropped at
+    # ingest: there is nothing to pack, and a NaN token count would
+    # poison the greedy fill arithmetic below.
     keyed = docs.select(
         F.col(group_col).cast("string").alias("group_key"),
         F.col(id_col).cast("long").alias("doc_id"),
         toks.alias("n_tokens"),
-    )
+    ).filter(F.col("n_tokens").isNotNull())
 
     def pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
@@ -120,8 +123,13 @@ def length_buckets(
     from pyspark.sql import Window as W
 
     n_tok = F.size(tokens_col(text_col))
+    # Contentless rows (NULL text → NULL length) are dropped at ingest:
+    # there is nothing to batch, and NULL ordering inside the window
+    # differs across engines (Spark asc = NULLS FIRST, DuckDB default
+    # NULLS LAST), so keeping them would make bucket ids engine-defined.
     return (
         df.select(F.col(id_col), F.col(group_col), n_tok.alias("n_tokens"))
+        .filter(F.col("n_tokens").isNotNull())
         .withColumn(
             "bucket",
             F.ntile(n_buckets).over(

@@ -3255,7 +3255,12 @@ def project_lateral_explode(spark, sf_dir):
     "f_regexp_extract_all",
     sql="""
     SELECT doc_id,
-           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), '|'), '') AS a_words,
+           -- DuckDB's array_to_string returns NULL for an EMPTY list
+           -- (Spark's array_join returns '') but NULL input must stay
+           -- NULL on both engines — hence the text-null guard around
+           -- the empty-list COALESCE.
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+a[a-z]*'), '|'), '') END AS a_words,
            len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS n_a_words
     FROM documents WHERE doc_id < 50
     """,

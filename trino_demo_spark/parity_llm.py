@@ -609,10 +609,13 @@ def llm_multimodal_meta(spark, sf_dir):
     "llm_multimodal_features",
     sql="""
     SELECT d.doc_id, strlen(d.text) AS n_bytes,
-           CAST(COALESCE(list_sum(list_transform(
+           -- NULL payload → NULL features on both engines (the
+           -- COALESCE(…, 0) is for EMPTY payloads only)
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(COALESCE(list_sum(list_transform(
                   range(1, least(length(hex(encode(d.text)))//2, 16) + 1),
                   i -> CAST(concat('0x', substr(hex(encode(d.text)), (i-1)*2+1, 2)) AS BIGINT))), 0)
-                % 997 AS BIGINT) AS head_sig
+                % 997 AS BIGINT) END AS head_sig
     FROM documents d
     """,
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "
@@ -798,7 +801,7 @@ _PACK_BUDGET = 256
     WITH RECURSIVE tok AS (
       SELECT CAST(lang AS VARCHAR) AS group_key, doc_id,
              CAST(len({_TOK}) AS BIGINT) AS n_tokens
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     ordered AS (
       SELECT group_key, doc_id, n_tokens,
              row_number() OVER (PARTITION BY group_key ORDER BY doc_id) AS rn
@@ -1371,7 +1374,7 @@ def llm_text_tfidf(spark, sf_dir):
     sql=f"""
     WITH tok AS (
       SELECT doc_id, list_distinct(list_transform({_TOK}, x -> lower(x))) AS ts
-      FROM documents WHERE doc_id < 50
+      FROM documents WHERE doc_id < 50 AND text IS NOT NULL
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.ts, b.ts)) AS n_common,
@@ -1389,7 +1392,13 @@ def llm_text_tfidf(spark, sf_dir):
     "of a cross join (same composition as llm_embed_neardup → _lsh).",
 )
 def llm_eval_overlap(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # Overlap against a contentless doc is undefined — dropped at ingest
+    # (list ops over NULL token sets also diverge across engines:
+    # DuckDB's list_intersect treats a NULL side as empty, Spark's
+    # array_intersect propagates NULL).
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & F.col("text").isNotNull()
+    )
     tok = d.select(
         "doc_id",
         F.array_distinct(
@@ -1498,7 +1507,8 @@ def llm_select_dsir(spark, sf_dir):
 @parity(
     "llm_best_of_n",
     sql=f"""
-    WITH tok AS (SELECT doc_id, doc_id % 50 AS prompt_id, {_TOK} AS t FROM documents),
+    WITH tok AS (SELECT doc_id, doc_id % 50 AS prompt_id, {_TOK} AS t
+                 FROM documents WHERE text IS NOT NULL),
     scored AS (
       SELECT doc_id, prompt_id,
              ROUND(len(list_distinct(t)) * 1.0 / len(t) + 1e-9, 4) AS reward
@@ -1527,7 +1537,9 @@ def llm_select_dsir(spark, sf_dir):
     "2^40 and reward rounded to 4 decimals in [0, 1].",
 )
 def llm_best_of_n(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # Contentless candidates (NULL text → NULL reward) can't win and
+    # shouldn't count toward n_candidates: dropped at ingest.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     t = dedup.tokens_col("text")
     mask = (1 << 40) - 1
     scored = docs.select(
@@ -2240,7 +2252,7 @@ def llm_shuffle_epoch(spark, sf_dir):
     SELECT doc_id, lang, len({_TOK}) AS n_tokens,
            NTILE(4) OVER (PARTITION BY lang
                           ORDER BY len({_TOK}), doc_id) AS bucket
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     doc="Curriculum length bucketing: equal-frequency token-length "
     "buckets per language (ntile with full deterministic tiebreak) — "
@@ -2263,7 +2275,7 @@ def llm_length_buckets(spark, sf_dir):
                    + 0.3 * (1.0 - ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4))
                    + 0.3 * ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4)
                    + 1e-9, 4) AS quality
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     lid AS (
       SELECT doc_id,
@@ -2315,7 +2327,10 @@ def e2e_llm_data_pipeline(spark, sf_dir):
     from .llm.mixing import shuffle_key_expr
     from .llm.text import lang_pred_expr, quality_exprs
 
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text rows dropped at ingest (mirrored in the oracle's q CTE
+    # and in llm_filter_funnel, whose after_dedup must equal this
+    # pipeline's output count).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     _, _, _, quality = quality_exprs("text")
     pred, _ = lang_pred_expr("text")
     enriched = docs.select(
@@ -2445,7 +2460,7 @@ def llm_shard_budget(spark, sf_dir):
                                 ORDER BY n_chars DESC, doc_id) AS rk,
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM documents
-      WHERE lang IN ('en', 'de')
+      WHERE lang IN ('en', 'de') AND text IS NOT NULL
     ),
     chosen AS (SELECT lang, rk AS pair_id, doc_id, text FROM ranked
                WHERE rk <= n / 2),
@@ -2475,7 +2490,13 @@ def llm_shard_budget(spark, sf_dir):
 def llm_format_dpo(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    # A preference pair needs BOTH texts: NULL-text docs can't be
+    # rendered into a sample (to_json would silently DROP the null
+    # field while the oracle's concat renders "") — excluded from the
+    # ranking pool on both engines.
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de") & F.col("text").isNotNull()
+    )
     w = W.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
     ranked = d.select(
         "doc_id",
@@ -3000,7 +3021,7 @@ def llm_multimodal_resample(spark, sf_dir):
                len(list_filter({_TOK}, x -> x IN ('el', 'la', 'de', 'que', 'y'))) AS hits_es,
                len(list_filter({_TOK}, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS hits_de,
                len(list_filter({_TOK}, x -> x IN ('le', 'la', 'et', 'les', 'des'))) AS hits_fr
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
       )
     ),
     flags AS (
@@ -3035,7 +3056,11 @@ def llm_filter_funnel(spark, sf_dir):
 
     from .llm.text import lang_pred_expr, quality_exprs
 
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text rows are dropped at ingest (same rule as the e2e
+    # pipeline, keeping after_dedup == its output count): a contentless
+    # row has no defined quality score, and engines disagree on how
+    # NULL propagates through the score formula.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     _, _, _, quality = quality_exprs("text")
     pred, _ = lang_pred_expr("text")
     scored = docs.select(
