@@ -36,6 +36,28 @@ NORM = (
 )
 
 
+def finite_vectors(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Ingest guard for every geometric operator (similarity / ANN /
+    near-dup / k-means / PCA): drop rows whose vector cannot participate
+    in vector arithmetic — NULL cell, wrong dimensionality, or any
+    non-finite component. At corpus scale these are routine data
+    conditions (failed embedding calls, schema drift, overflowed
+    upstream math), and they poison everything downstream: a NaN vector
+    ranks ABOVE every real neighbor in a descending cosine sort on both
+    Spark and DuckDB (NaN compares greatest), and a NULL/ragged cell
+    hard-crashes the Arrow matmul batch. ``x - x = 0`` is false for
+    NaN and ±Inf (both yield NaN) — one codegen-friendly predicate, no
+    UDF. Oracle mirror: ``embedding IS NOT NULL AND len(list_filter(
+    embedding, x -> NOT isfinite(x))) = 0``."""
+    col = F.col(vec_col)
+    ok = col.isNotNull() & F.forall(col, lambda x: (x - x) == F.lit(0.0))
+    if dim is not None:
+        ok = ok & (F.size(col) == F.lit(dim))
+    return df.filter(ok)
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
     return df.withColumn(out, F.expr(NORM.format(a=vec_col)))
 
@@ -66,14 +88,16 @@ def brute_force_topk(
     are deterministic and engine-independent.
     """
     q = with_norm(
-        queries.select(
+        finite_vectors(queries, vec_col).select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
         ),
         "q_emb",
         "q_norm",
     )
     c = with_norm(
-        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")),
+        finite_vectors(corpus, vec_col).select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
+        ),
         "n_emb",
         "n_norm",
     )
@@ -121,7 +145,8 @@ def brute_force_topk_arrow(
     """
     import numpy as np
 
-    qrows = queries.select(id_col, vec_col).collect()
+    corpus = finite_vectors(corpus, vec_col)
+    qrows = finite_vectors(queries, vec_col).select(id_col, vec_col).collect()
     spark = corpus.sparkSession
     if not qrows:
         return spark.createDataFrame(
@@ -226,7 +251,9 @@ def lsh_bucketed_topk(
 
     q = bucketed(
         with_norm(
-            queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")),
+            finite_vectors(queries, vec_col).select(
+                F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+            ),
             "q_emb",
             "q_norm",
         ),
@@ -235,7 +262,9 @@ def lsh_bucketed_topk(
     )
     c = bucketed(
         with_norm(
-            corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")),
+            finite_vectors(corpus, vec_col).select(
+                F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
+            ),
             "n_emb",
             "n_norm",
         ),
@@ -266,6 +295,7 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
     Brute-force all-pairs — correctness baseline; the LSH bucket join above
     is the scale path (same output contract)."""
+    df = finite_vectors(df, vec_col)
     a = with_norm(
         df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a")),
         "emb_a",
@@ -306,6 +336,7 @@ def cosine_near_dup_pairs_arrow(
     """
     import numpy as np
 
+    df = finite_vectors(df, vec_col)
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
     if not rows:
@@ -413,7 +444,9 @@ def cosine_near_dup_pairs_lsh(
     b = num_planes // bands
 
     rows = with_norm(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb")),
+        finite_vectors(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
+        ),
         "emb",
         "norm",
     )
@@ -561,6 +594,7 @@ def kmeans_fit(
     This is the IVF coarse quantizer: at 100 TB, fit on a sample, then a
     single assignment pass partitions the corpus into k inverted lists.
     """
+    df = finite_vectors(df, vec_col)
     init = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -628,6 +662,8 @@ def ivf_topk(
     the classic trade against recall, and the scale path when the query
     set is too large to broadcast against the whole corpus (the sign-LSH
     variant is the hash-based alternative with the same contract)."""
+    corpus = finite_vectors(corpus, vec_col)
+    queries = finite_vectors(queries, vec_col)
     centroids = kmeans_fit(corpus, vec_col, id_col, k=num_centroids, iters=iters)
     if not centroids:
         return _empty_topk(queries, id_col)
@@ -696,6 +732,8 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
+    df = finite_vectors(df, vec_col)
+
     def partials(batches):
         for pdf in batches:
             if pdf.empty:
@@ -748,6 +786,7 @@ def pca_project(
     the k×d component matrix ride along as broadcast array literals and
     each score is a zip_with/aggregate dot product — JVM-side array
     math, no UDF, map-only (zero shuffle at any scale)."""
+    df = finite_vectors(df, vec_col)
     if not components:
         # Empty fit (empty corpus): no projection columns to compute.
         return df.limit(0).select(F.col(id_col))
@@ -825,6 +864,8 @@ def pq_topk(
        recall is the only approximation (measured in tests vs brute
        force).
     """
+    corpus = finite_vectors(corpus, vec_col)
+    queries = finite_vectors(queries, vec_col)
     dsub = dim // m
     books = pq_codebooks(corpus, vec_col, id_col, dim, m, ksub, iters)
     if not books or not books[0]:
@@ -927,6 +968,8 @@ def ivfpq_topk(
     (map-only, m bytes + 4 bytes per vector), the scan touches only
     probed lists, and nothing but the k×dim centroid matrix and the
     ksub·dim codebook ever leaves the executors."""
+    corpus = finite_vectors(corpus, vec_col)
+    queries = finite_vectors(queries, vec_col)
     coarse = kmeans_fit(corpus, vec_col, id_col, k=num_centroids, iters=iters)
     if not coarse:
         return _empty_topk(queries, id_col)

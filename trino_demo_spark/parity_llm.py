@@ -49,6 +49,8 @@ WITH pairs AS (
           sqrt((SELECT SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))), 0), 0) AS cos
   FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
   WHERE q.vec_id < 20
+    AND q.embedding IS NOT NULL AND len(q.embedding) = 64 AND len(list_filter(q.embedding, x -> NOT isfinite(x))) = 0
+    AND e.embedding IS NOT NULL AND len(e.embedding) = 64 AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
 )
 """
 
@@ -297,7 +299,7 @@ def llm_similarity_topk_arrow(spark, sf_dir):
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            true AS coverage_ok, true AS top1_ok
-    FROM embeddings WHERE vec_id < 20
+    FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     """,
     doc="Sign-LSH (8 fixed hyperplanes) bucketed approximate top-k — the "
     "scale path: candidates join only within a bucket. Bucket contents "
@@ -310,7 +312,7 @@ def llm_similarity_topk_arrow(spark, sf_dir):
 )
 def llm_similarity_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 20)
+    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 20))
     lsh = similarity.lsh_bucketed_topk(emb, q, k=3)
     ex1 = similarity.brute_force_topk(emb, q, k=1).select(
         "q_id", "n_id", F.lit(1).alias("__hit")
@@ -348,6 +350,7 @@ def llm_similarity_lsh(spark, sf_dir):
              (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
               sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
     )
     SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
     WHERE ROUND(cos + 1e-9, 4) >= 0.4
@@ -371,6 +374,7 @@ def llm_embed_neardup(spark, sf_dir):
              (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
               sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
     )
     SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
     WHERE ROUND(cos + 1e-9, 4) >= 0.4
@@ -409,9 +413,10 @@ _PLANT_DUCK = (
     WITH aug AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
       UNION ALL
       SELECT vec_id + 10000, {_PLANT_DUCK} AS v
-      FROM embeddings WHERE vec_id < 25
+      FROM embeddings WHERE vec_id < 25 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -464,9 +469,10 @@ def _planted_embeddings(spark, sf_dir):
     WITH RECURSIVE aug AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
       UNION ALL
       SELECT vec_id + 10000, {_PLANT_DUCK} AS v
-      FROM embeddings WHERE vec_id < 25
+      FROM embeddings WHERE vec_id < 25 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -504,7 +510,7 @@ def llm_dedup_semantic_lsh(spark, sf_dir):
     pairs = similarity.cosine_near_dup_pairs_lsh(
         aug, threshold=0.95, num_planes=16, bands=4
     ).select("id_a", "id_b")
-    ids = aug.select(F.col("vec_id").alias("doc_id"))
+    ids = similarity.finite_vectors(aug).select(F.col("vec_id").alias("doc_id"))
     return dedup.dedup_clusters(ids, pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
     )
@@ -848,7 +854,7 @@ def llm_pack_sequences(spark, sf_dir):
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            true AS coverage_ok, true AS top1_ok
-    FROM embeddings WHERE vec_id < 20
+    FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     """,
     doc="IVF-style approximate top-k: deterministic Lloyd k-means coarse "
     "quantizer (fit via DataFrame aggregates, only the k×dim centroid "
@@ -863,7 +869,7 @@ def llm_pack_sequences(spark, sf_dir):
 )
 def llm_similarity_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 20)
+    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 20))
     ivf = similarity.ivf_topk(
         emb, q, k=3, num_centroids=8, nprobe=4, iters=2
     )
@@ -895,7 +901,7 @@ def llm_similarity_ivf(spark, sf_dir):
     "llm_similarity_pq",
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall3_ok
-    FROM embeddings WHERE vec_id < 10
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     """,
     doc="Product-quantization ANN (Jégou et al. 2011, public): per-"
     "subspace k-means codebooks (DataFrame-aggregate fit, codebook is "
@@ -910,7 +916,7 @@ def llm_similarity_ivf(spark, sf_dir):
 )
 def llm_similarity_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
+    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 10))
     pq = similarity.pq_topk(
         emb, q, k=3, m=8, ksub=16, iters=1, refine=48
     )
@@ -933,7 +939,7 @@ def llm_similarity_pq(spark, sf_dir):
     "llm_similarity_ivfpq",
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall3_ok
-    FROM embeddings WHERE vec_id < 10
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     """,
     doc="IVF-PQ composition — the production ANN index shape: coarse "
     "k-means lists prune candidates to ~N·nprobe/k, PQ codes make "
@@ -948,7 +954,7 @@ def llm_similarity_pq(spark, sf_dir):
 )
 def llm_similarity_ivfpq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
+    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 10))
     ivfpq = similarity.ivfpq_topk(
         emb, q, k=3, num_centroids=8, nprobe=4,
         m=8, ksub=16, iters=1, refine=32,
@@ -1107,7 +1113,9 @@ def llm_embed_normalize(spark, sf_dir):
       FROM embeddings WHERE vec_id < 50
     )
     SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, ROUND(scale + 1e-9, 6) AS scale_r,
-           CAST(round(COALESCE(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / NULLIF(scale, 0), 0)) AS BIGINT) AS q8
+           -- TRY_CAST: a NaN/Inf component (failed upstream embedding
+           -- math) quantizes to a NULL code, not a CAST_OVERFLOW crash
+           TRY_CAST(round(COALESCE(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / NULLIF(scale, 0), 0)) AS BIGINT) AS q8
     FROM scaled, UNNEST(range(1, len(embedding) + 1)) u(i)
     """,
     doc="Symmetric int8 quantization of embeddings (scale = max|x|/127 per "
@@ -1127,9 +1135,13 @@ def llm_embed_quantize(spark, sf_dir):
         / F.lit(127.0)
     )
     scaled = emb.withColumn("scale", scale)
-    # all-zero vectors (scale 0) quantize to zero codes
+    # all-zero vectors (scale 0) quantize to zero codes; NaN/Inf
+    # components (failed upstream embedding math) to NULL codes via
+    # try_cast — a per-vector scalar op PROPAGATES bad components
+    # rather than dropping the row (the geometric ops' ingest filter
+    # is similarity.finite_vectors)
     q8 = F.expr(
-        "transform(embedding, x -> CAST(round(coalesce(try_divide(CAST(x AS DOUBLE), scale), 0.0)) AS BIGINT))"
+        "transform(embedding, x -> try_cast(round(coalesce(try_divide(CAST(x AS DOUBLE), scale), 0.0)) AS BIGINT))"
     )
     return (
         scaled.select(
@@ -1590,9 +1602,10 @@ def llm_best_of_n(spark, sf_dir):
     lex AS (SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
             FROM bmagg ORDER BY score DESC, doc_id LIMIT 20),
-    q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 7 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     corp AS (SELECT vec_id, embedding FROM embeddings
-             WHERE vec_id IN (SELECT doc_id FROM documents) AND vec_id <> 7),
+             WHERE vec_id IN (SELECT doc_id FROM documents) AND vec_id <> 7
+               AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     sims AS (
       SELECT c.vec_id AS doc_id,
              ROUND((SELECT SUM(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))
@@ -2181,7 +2194,10 @@ def llm_embed_pca(spark, sf_dir):
     "tests/test_llm.py.",
 )
 def ml_kmeans_profile(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    # Geometric op: profile the finite corpus only (a NaN vector has no
+    # argmin centroid — the fold's strict < never fires and the
+    # sentinel index crashes element_at).
+    emb = similarity.finite_vectors(_t(spark, sf_dir, "embeddings"))
     cents = similarity.kmeans_fit(emb, k=8, iters=3)
     if not cents:  # empty corpus → zero rows, stable profile schema
         return emb.limit(0).select(
@@ -2379,11 +2395,13 @@ def e2e_llm_data_pipeline(spark, sf_dir):
         (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
          sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))))
         + 1e-9, 4) >= 0.4
+        AND a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
     ),
     ed AS (SELECT id_a AS a, id_b AS b FROM pr
            UNION ALL SELECT id_b, id_a FROM pr),
     reach(src, dst) AS (
       SELECT vec_id, vec_id FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
       UNION
       SELECT r.src, ed.b FROM reach r JOIN ed ON ed.a = r.dst
     )
@@ -2408,7 +2426,9 @@ def llm_dedup_semantic(spark, sf_dir):
     pairs = similarity.cosine_near_dup_pairs_arrow(emb, threshold=0.4).select(
         "id_a", "id_b"
     )
-    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    # node set = the geometric corpus (finite vectors) — an invalid
+    # vector has no cosine geometry, hence no cluster membership
+    ids = similarity.finite_vectors(emb).select(F.col("vec_id").alias("doc_id"))
     return (
         dedup.dedup_clusters(ids, pairs)
         .select(
