@@ -71,7 +71,13 @@ BASELINE_SEC = {
     # pinned round-4 continuation: best-of-3, canary 0.50 / scan 0.66
     # (fast host — interpret future ratios against the canaries)
     "llm_dedup_span": 1.569,
-    "llm_similarity_topk": 0.668,
+    # re-pinned round-4 continuation (best-of-3 0.812, canary 0.58 —
+    # fast host) after the hostile-embeddings ingest guard landed: every
+    # geometric op now drops NULL/ragged/non-finite vectors before the
+    # join (similarity.finite_vectors), a semantic hardening worth its
+    # ~0.13 s fixed HOF-codegen overhead at this toy SF (the guard is
+    # O(N) against the join's O(N·Q), so it amortizes to zero at scale).
+    "llm_similarity_topk": 0.812,
     # pinned round-4 continuation (idle host, best-of-3, canary ~0.6-0.7)
     "llm_similarity_topk_arrow": 0.621,
     "llm_text_quality": 0.371,
