@@ -81,6 +81,12 @@ def _hostile_vectors():
     inf1 = norm(rng.randn(DIM)); inf1[3] = np.inf
     ninf = norm(rng.randn(DIM)); ninf[5] = -np.inf
     hostile += [nan1, inf1, ninf]
+    # ragged-but-finite vectors (schema drift): every component is a
+    # clean float, only the length is wrong — the case only the dim
+    # contract catches (a NaN-style guard passes these through into
+    # NULL-padded zip_with garbage / Arrow vstack crashes)
+    hostile.append(norm(rng.randn(DIM - 1)))      # truncated (63)
+    hostile.append(norm(rng.randn(DIM + 1)))      # over-length (65)
     hostile.append(vecs[0].copy())                # exact duplicate
     nd = vecs[1].copy(); nd[0] += np.float32(1e-7)
     hostile.append(nd)                            # near duplicate

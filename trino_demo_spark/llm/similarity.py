@@ -81,21 +81,26 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus, window row_number.
 
     Similarities are rounded and ties broken by neighbor id so rankings
-    are deterministic and engine-independent.
+    are deterministic and engine-independent. ``dim`` is the caller's
+    declared embedding dimensionality (schema contract): when given,
+    ragged vectors are dropped at ingest alongside NULL/non-finite ones
+    — a finite wrong-length vector would otherwise NULL-pad the
+    zip_with dot product (silent garbage) or crash the Arrow matmul.
     """
     q = with_norm(
-        finite_vectors(queries, vec_col).select(
+        finite_vectors(queries, vec_col, dim).select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
         ),
         "q_emb",
         "q_norm",
     )
     c = with_norm(
-        finite_vectors(corpus, vec_col).select(
+        finite_vectors(corpus, vec_col, dim).select(
             F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
         ),
         "n_emb",
@@ -124,6 +129,7 @@ def brute_force_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via Arrow-batched numpy matmul (mapInPandas) —
     the production-throughput version of brute_force_topk, same results.
@@ -145,8 +151,8 @@ def brute_force_topk_arrow(
     """
     import numpy as np
 
-    corpus = finite_vectors(corpus, vec_col)
-    qrows = finite_vectors(queries, vec_col).select(id_col, vec_col).collect()
+    corpus = finite_vectors(corpus, vec_col, dim)
+    qrows = finite_vectors(queries, vec_col, dim).select(id_col, vec_col).collect()
     spark = corpus.sparkSession
     if not qrows:
         return spark.createDataFrame(
@@ -249,9 +255,11 @@ def lsh_bucketed_topk(
         )
         return out.withColumn("bucket", sign_bits).drop("__planes")
 
+    # dim doubles as the ingest dimensionality contract: a ragged vector
+    # would mis-project against the fixed dim-sized hyperplanes.
     q = bucketed(
         with_norm(
-            finite_vectors(queries, vec_col).select(
+            finite_vectors(queries, vec_col, dim).select(
                 F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
             ),
             "q_emb",
@@ -262,7 +270,7 @@ def lsh_bucketed_topk(
     )
     c = bucketed(
         with_norm(
-            finite_vectors(corpus, vec_col).select(
+            finite_vectors(corpus, vec_col, dim).select(
                 F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
             ),
             "n_emb",
@@ -291,11 +299,12 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
     Brute-force all-pairs — correctness baseline; the LSH bucket join above
     is the scale path (same output contract)."""
-    df = finite_vectors(df, vec_col)
+    df = finite_vectors(df, vec_col, dim)
     a = with_norm(
         df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a")),
         "emb_a",
@@ -321,6 +330,7 @@ def cosine_near_dup_pairs_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force near-dup pairs via blocked numpy matmul — row-identical
     to cosine_near_dup_pairs (same EPS-round-then-threshold, id_a < id_b)
@@ -336,7 +346,7 @@ def cosine_near_dup_pairs_arrow(
     """
     import numpy as np
 
-    df = finite_vectors(df, vec_col)
+    df = finite_vectors(df, vec_col, dim)
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
     if not rows:
@@ -444,7 +454,7 @@ def cosine_near_dup_pairs_lsh(
     b = num_planes // bands
 
     rows = with_norm(
-        finite_vectors(df, vec_col).select(
+        finite_vectors(df, vec_col, dim).select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
         ),
         "emb",
@@ -584,6 +594,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     k: int = 16,
     iters: int = 3,
+    dim: int | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means over the embedding column, entirely
     with DataFrame aggregates: init = first k vectors by id; each
@@ -594,7 +605,7 @@ def kmeans_fit(
     This is the IVF coarse quantizer: at 100 TB, fit on a sample, then a
     single assignment pass partitions the corpus into k inverted lists.
     """
-    df = finite_vectors(df, vec_col)
+    df = finite_vectors(df, vec_col, dim)
     init = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -655,6 +666,7 @@ def ivf_topk(
     nprobe: int = 4,
     iters: int = 3,
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer partitions
     the corpus into inverted lists; each query probes its `nprobe`
@@ -662,8 +674,8 @@ def ivf_topk(
     the classic trade against recall, and the scale path when the query
     set is too large to broadcast against the whole corpus (the sign-LSH
     variant is the hash-based alternative with the same contract)."""
-    corpus = finite_vectors(corpus, vec_col)
-    queries = finite_vectors(queries, vec_col)
+    corpus = finite_vectors(corpus, vec_col, dim)
+    queries = finite_vectors(queries, vec_col, dim)
     centroids = kmeans_fit(corpus, vec_col, id_col, k=num_centroids, iters=iters)
     if not centroids:
         return _empty_topk(queries, id_col)
@@ -713,6 +725,7 @@ def pca_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     k: int = 4,
+    dim: int | None = None,
 ):
     """Distributed PCA fit over an embedding column — the dimensionality
     reducer in front of clustering / visualization / cheap ANN.
@@ -732,7 +745,7 @@ def pca_fit(
     import numpy as np
     import pandas as pd
 
-    df = finite_vectors(df, vec_col)
+    df = finite_vectors(df, vec_col, dim)
 
     def partials(batches):
         for pdf in batches:
@@ -781,12 +794,13 @@ def pca_project(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Project embeddings onto fitted principal components: the mean and
     the k×d component matrix ride along as broadcast array literals and
     each score is a zip_with/aggregate dot product — JVM-side array
     math, no UDF, map-only (zero shuffle at any scale)."""
-    df = finite_vectors(df, vec_col)
+    df = finite_vectors(df, vec_col, dim)
     if not components:
         # Empty fit (empty corpus): no projection columns to compute.
         return df.limit(0).select(F.col(id_col))
@@ -864,8 +878,8 @@ def pq_topk(
        recall is the only approximation (measured in tests vs brute
        force).
     """
-    corpus = finite_vectors(corpus, vec_col)
-    queries = finite_vectors(queries, vec_col)
+    corpus = finite_vectors(corpus, vec_col, dim)
+    queries = finite_vectors(queries, vec_col, dim)
     dsub = dim // m
     books = pq_codebooks(corpus, vec_col, id_col, dim, m, ksub, iters)
     if not books or not books[0]:
@@ -968,8 +982,8 @@ def ivfpq_topk(
     (map-only, m bytes + 4 bytes per vector), the scan touches only
     probed lists, and nothing but the k×dim centroid matrix and the
     ksub·dim codebook ever leaves the executors."""
-    corpus = finite_vectors(corpus, vec_col)
-    queries = finite_vectors(queries, vec_col)
+    corpus = finite_vectors(corpus, vec_col, dim)
+    queries = finite_vectors(queries, vec_col, dim)
     coarse = kmeans_fit(corpus, vec_col, id_col, k=num_centroids, iters=iters)
     if not coarse:
         return _empty_topk(queries, id_col)

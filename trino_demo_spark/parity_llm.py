@@ -266,7 +266,7 @@ def llm_dedup_simhash(spark, sf_dir):
 )
 def llm_similarity_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, dim=64)
 
 
 @parity(
@@ -290,7 +290,7 @@ def llm_similarity_topk(spark, sf_dir):
 def llm_similarity_topk_arrow(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk_arrow(
-        emb, emb.filter(F.col("vec_id") < 20), k=3
+        emb, emb.filter(F.col("vec_id") < 20), k=3, dim=64
     )
 
 
@@ -312,9 +312,9 @@ def llm_similarity_topk_arrow(spark, sf_dir):
 )
 def llm_similarity_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 20))
-    lsh = similarity.lsh_bucketed_topk(emb, q, k=3)
-    ex1 = similarity.brute_force_topk(emb, q, k=1).select(
+    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 20), dim=64)
+    lsh = similarity.lsh_bucketed_topk(emb, q, k=3, dim=64)
+    ex1 = similarity.brute_force_topk(emb, q, k=1, dim=64).select(
         "q_id", "n_id", F.lit(1).alias("__hit")
     )
     top1_hits = (
@@ -360,7 +360,7 @@ def llm_similarity_lsh(spark, sf_dir):
 )
 def llm_embed_neardup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
     )
 
 
@@ -388,7 +388,7 @@ def llm_embed_neardup(spark, sf_dir):
 )
 def llm_embed_neardup_arrow(spark, sf_dir):
     return similarity.cosine_near_dup_pairs_arrow(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
     )
 
 
@@ -510,7 +510,7 @@ def llm_dedup_semantic_lsh(spark, sf_dir):
     pairs = similarity.cosine_near_dup_pairs_lsh(
         aug, threshold=0.95, num_planes=16, bands=4
     ).select("id_a", "id_b")
-    ids = similarity.finite_vectors(aug).select(F.col("vec_id").alias("doc_id"))
+    ids = similarity.finite_vectors(aug, dim=64).select(F.col("vec_id").alias("doc_id"))
     return dedup.dedup_clusters(ids, pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
     )
@@ -869,11 +869,11 @@ def llm_pack_sequences(spark, sf_dir):
 )
 def llm_similarity_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 20))
+    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 20), dim=64)
     ivf = similarity.ivf_topk(
-        emb, q, k=3, num_centroids=8, nprobe=4, iters=2
+        emb, q, k=3, num_centroids=8, nprobe=4, iters=2, dim=64
     )
-    ex1 = similarity.brute_force_topk(emb, q, k=1).select(
+    ex1 = similarity.brute_force_topk(emb, q, k=1, dim=64).select(
         "q_id", "n_id"
     )
     top1_hits = (
@@ -916,11 +916,11 @@ def llm_similarity_ivf(spark, sf_dir):
 )
 def llm_similarity_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 10))
+    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 10), dim=64)
     pq = similarity.pq_topk(
-        emb, q, k=3, m=8, ksub=16, iters=1, refine=48
+        emb, q, k=3, m=8, ksub=16, iters=1, refine=48, dim=64
     )
-    ex3 = similarity.brute_force_topk(emb, q, k=3).select("q_id", "n_id")
+    ex3 = similarity.brute_force_topk(emb, q, k=3, dim=64).select("q_id", "n_id")
     hits = (
         pq.select("q_id", "n_id")
         .join(ex3, ["q_id", "n_id"], "left_semi")
@@ -954,12 +954,12 @@ def llm_similarity_pq(spark, sf_dir):
 )
 def llm_similarity_ivfpq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 10))
+    q = similarity.finite_vectors(emb.filter(F.col("vec_id") < 10), dim=64)
     ivfpq = similarity.ivfpq_topk(
         emb, q, k=3, num_centroids=8, nprobe=4,
-        m=8, ksub=16, iters=1, refine=32,
+        m=8, ksub=16, iters=1, refine=32, dim=64,
     )
-    ex3 = similarity.brute_force_topk(emb, q, k=3).select("q_id", "n_id")
+    ex3 = similarity.brute_force_topk(emb, q, k=3, dim=64).select("q_id", "n_id")
     hits = (
         ivfpq.select("q_id", "n_id")
         .join(ex3, ["q_id", "n_id"], "left_semi")
@@ -1076,9 +1076,12 @@ def llm_text_pii_scrub(spark, sf_dir):
     "llm_embed_normalize",
     sql="""
     WITH n AS (
+      -- norm over the row's OWN length (not a hardcoded dim): normalize
+      -- is a per-vector scalar op with propagate semantics, so a ragged
+      -- vector normalizes over exactly its components on both engines
       SELECT vec_id, embedding,
-             sqrt((SELECT SUM(CAST(e2.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e2.embedding[CAST(i AS INT)] AS DOUBLE))
-                   FROM range(1, 65) r(i))) AS nn
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
       FROM embeddings e2 WHERE vec_id < 50
     )
     SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
@@ -1646,7 +1649,7 @@ def llm_search_hybrid(spark, sf_dir):
     )
     lex = text.bm25_search(docs, ["join", "window", "scan"], k=20)
     vec = similarity.brute_force_topk(
-        aligned, aligned.filter(F.col("vec_id") == 7), k=20
+        aligned, aligned.filter(F.col("vec_id") == 7), k=20, dim=64
     )
     return similarity.rrf_fuse(
         lex.select("doc_id", "rank"),
@@ -2174,12 +2177,12 @@ def llm_quality_filter(spark, sf_dir):
 )
 def llm_embed_pca(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    mean, comps, _ = similarity.pca_fit(emb, k=4)
+    mean, comps, _ = similarity.pca_fit(emb, k=4, dim=64)
     if not comps:  # empty corpus → zero rows, stable (vec_id, pc1..pc4)
         return emb.limit(0).select(
             "vec_id", *[F.lit(0.0).alias(f"pc{j}") for j in range(1, 5)]
         )
-    return similarity.pca_project(emb, mean, comps).orderBy("vec_id")
+    return similarity.pca_project(emb, mean, comps, dim=64).orderBy("vec_id")
 
 
 @parity(
@@ -2197,7 +2200,7 @@ def ml_kmeans_profile(spark, sf_dir):
     # Geometric op: profile the finite corpus only (a NaN vector has no
     # argmin centroid — the fold's strict < never fires and the
     # sentinel index crashes element_at).
-    emb = similarity.finite_vectors(_t(spark, sf_dir, "embeddings"))
+    emb = similarity.finite_vectors(_t(spark, sf_dir, "embeddings"), dim=64)
     cents = similarity.kmeans_fit(emb, k=8, iters=3)
     if not cents:  # empty corpus → zero rows, stable profile schema
         return emb.limit(0).select(
@@ -2423,12 +2426,12 @@ def e2e_llm_data_pipeline(spark, sf_dir):
 )
 def llm_dedup_semantic(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_near_dup_pairs_arrow(emb, threshold=0.4).select(
+    pairs = similarity.cosine_near_dup_pairs_arrow(emb, threshold=0.4, dim=64).select(
         "id_a", "id_b"
     )
     # node set = the geometric corpus (finite vectors) — an invalid
     # vector has no cosine geometry, hence no cluster membership
-    ids = similarity.finite_vectors(emb).select(F.col("vec_id").alias("doc_id"))
+    ids = similarity.finite_vectors(emb, dim=64).select(F.col("vec_id").alias("doc_id"))
     return (
         dedup.dedup_clusters(ids, pairs)
         .select(
