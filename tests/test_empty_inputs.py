@@ -72,6 +72,7 @@ VERDICT_ONE_ROW = {
     "llm_similarity_ivf",
     "llm_similarity_pq",
     "llm_similarity_ivfpq",
+    "ml_kmeans_profile",  # verdict-row surface since the oracle upgrade
 }
 
 

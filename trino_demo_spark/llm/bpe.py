@@ -71,8 +71,17 @@ def bpe_train(
 ) -> list[tuple[str, str, int]]:
     """Learn `n_merges` BPE merges from the corpus; returns
     [(left, right, weighted_count), ...] in merge order."""
-    spark = df.sparkSession
-    words = word_freqs(df, text_col).withColumn(
+    return bpe_train_words(word_freqs(df, text_col), n_merges)
+
+
+def bpe_train_words(
+    words: DataFrame, n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Merge loop over an explicit (w, freq) vocabulary frame — the
+    train step proper, split out so callers can train on a capped or
+    re-weighted vocabulary (e.g. the parity surface's deterministic
+    top-N sub-vocabulary that an in-process reference BPE re-derives)."""
+    words = words.withColumn(
         "syms", F.expr("transform(split(w, ''), c -> c)")
     )
     # distinct-word frame is vocabulary-sized: cache it and iterate on it

@@ -111,10 +111,20 @@ def logreg_fit(
       partial+final aggregate per step;
     - per step the cluster moves d+1 doubles to the driver; data never
       does. At 100 TB each iteration is one scan+reduce — cache the
-      features once and the scan is memory-speed.
+      features once and the scan is memory-speed;
+    - backtracking line search: a proposed step is ACCEPTED only if its
+      (clamped) mean log-loss does not increase; otherwise the step is
+      rejected and the learning rate halved before the next attempt.
+      On well-conditioned data every step accepts and the trajectory is
+      the classic fixed-lr one; on hostile scales (unstandardized 1e30
+      features) fixed-lr GD oscillates/diverges, and backtracking makes
+      the accepted-loss sequence non-increasing BY CONSTRUCTION — the
+      invariant the ml_logreg driver surface asserts.
 
-    Returns (weights[dims], bias, losses[iters]) — losses for
-    convergence checks (mean log-loss per step)."""
+    Returns (weights[dims], bias, losses) — the accepted-step mean
+    log-loss trace (non-increasing), for convergence checks.
+    ``iters`` bounds the number of full-batch evaluations (accepted or
+    rejected), so the scan cost stays fixed."""
     from pyspark.sql import functions as F
 
     n = df.count()
@@ -127,35 +137,49 @@ def logreg_fit(
         F.col(label_col).cast("double").alias("y"),
     )
     feats = feats.persist()
+
+    def evaluate(w, b):
+        """One full-batch pass: (gradient_w, gradient_b, mean log-loss)
+        at (w, b) — a single scan+reduce."""
+        w_lit = F.array(*[F.lit(x) for x in w])
+        z = F.aggregate(
+            F.zip_with(F.col("x"), w_lit, lambda x, wi: x * wi),
+            F.lit(float(b)),
+            lambda acc, v: acc + v,
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        return feats.agg(
+            F.array(
+                *[F.sum(err * F.col("x")[i]) for i in range(dims)]
+            ).alias("gw"),
+            F.sum(err).alias("gb"),
+            F.avg(
+                -(
+                    F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
+                    + (F.lit(1.0) - F.col("y"))
+                    * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+                )
+            ).alias("loss"),
+        ).collect()[0]
+
     try:
         w = [0.0] * dims
         b = 0.0
-        losses = []
+        cur = evaluate(w, b)
+        losses = [float(cur["loss"])]
+        step = lr
         for _ in range(iters):
-            w_lit = F.array(*[F.lit(x) for x in w])
-            z = F.aggregate(
-                F.zip_with(F.col("x"), w_lit, lambda x, wi: x * wi),
-                F.lit(float(b)),
-                lambda acc, v: acc + v,
-            )
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-            err = p - F.col("y")
-            row = feats.agg(
-                F.array(
-                    *[F.sum(err * F.col("x")[i]) for i in range(dims)]
-                ).alias("gw"),
-                F.sum(err).alias("gb"),
-                F.avg(
-                    -(
-                        F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
-                        + (F.lit(1.0) - F.col("y"))
-                        * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
-                    )
-                ).alias("loss"),
-            ).collect()[0]
-            w = [wi - lr * g / n for wi, g in zip(w, row["gw"])]
-            b = b - lr * row["gb"] / n
-            losses.append(float(row["loss"]))
+            w_new = [wi - step * g / n for wi, g in zip(w, cur["gw"])]
+            b_new = b - step * cur["gb"] / n
+            cand = evaluate(w_new, b_new)
+            if float(cand["loss"]) <= losses[-1]:
+                w, b, cur = w_new, b_new, cand
+                losses.append(float(cur["loss"]))
+            else:
+                # Rejected: keep (w, b, cur), halve the rate. The loss
+                # trace records accepted steps only → non-increasing.
+                step /= 2.0
         return w, b, losses
     finally:
         feats.unpersist()

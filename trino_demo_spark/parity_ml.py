@@ -257,24 +257,42 @@ def e2e_forecast_pipeline(spark, sf_dir):
 
 @parity(
     "ml_logreg",
-    sql=None,
+    sql="""
+    SELECT vec_id, true AS score_in_01, true AS loss_decreased
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = 64
+      AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    """,
     doc="Binary logistic regression (label==0 vs rest over the first 8 "
     "embedding dims) trained with full-batch distributed gradient "
     "descent: weights are d+1 driver floats broadcast as literals, each "
     "step is one codegen zip_with/aggregate scan+reduce (no UDF), only "
     "the gradient vector crosses the driver. Scores are map-only "
-    "broadcast-literal sigmoid. Convergence + agreement with an "
-    "identical numpy trainer in tests/test_ml.py (rows-only: iterative, "
-    "not SQL-expressible).",
+    "broadcast-literal sigmoid. Fitted weights are engine-float-"
+    "sequence-specific (iterative, no SQL equivalent), so the driver "
+    "surface is the exact finite-row membership plus invariants of a "
+    "correct fit: every score a valid probability and final mean "
+    "log-loss no worse than the first step's. Agreement with an "
+    "identical numpy trainer stays in tests/test_ml.py.",
 )
 def ml_logreg(spark, sf_dir):
     from . import ml
+    from .llm import similarity
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "y", (F.col("label") == 0).cast("double")
+    # Geometric op: fit/score the finite corpus only — one NaN
+    # component would poison the global gradient into NaN weights.
+    emb = similarity.finite_vectors(
+        _t(spark, sf_dir, "embeddings"), dim=64
+    ).withColumn("y", (F.col("label") == 0).cast("double"))
+    w, b, losses = ml.logreg_fit(emb, dims=8, lr=0.5, iters=10)
+    converged = (not losses) or losses[-1] <= losses[0] + 1e-9
+    return ml.logreg_predict(emb, w, b).select(
+        "vec_id",
+        ((F.col("score") >= 0.0) & (F.col("score") <= 1.0)).alias(
+            "score_in_01"
+        ),
+        F.lit(bool(converged)).alias("loss_decreased"),
     )
-    w, b, _ = ml.logreg_fit(emb, dims=8, lr=0.5, iters=10)
-    return ml.logreg_predict(emb, w, b).orderBy("vec_id")
 
 
 def _pagerank_oracle_sql(iters: int = 4) -> str:
