@@ -118,6 +118,17 @@ _RECHECK = {
     "llm_similarity_pq": 4,
     "llm_similarity_ivfpq": 4,
     "ml_kmeans_profile": 4,
+    # NULL-text drop-at-ingest hardening (commit 0a6dbc0) touched these
+    # green-row engines/oracles
+    "llm_multimodal_features": 4,
+    "llm_pack_sequences": 4,
+    "llm_eval_overlap": 4,
+    # hostile-embeddings hardening: finite/dim ingest guards + the
+    # normalize oracle's own-length norm + quantize TRY_CAST oracle
+    "llm_similarity_topk": 4,
+    "llm_embed_neardup": 4,
+    "llm_embed_normalize": 4,
+    "llm_embed_quantize": 4,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified
