@@ -129,6 +129,18 @@ _RECHECK = {
     "llm_embed_neardup": 4,
     "llm_embed_normalize": 4,
     "llm_embed_quantize": 4,
+    # hostile-events hardening (tests/test_hostile_events.py): NULL-ts
+    # ingest policy, NaN-as-missing oracle mirrors, VARCHAR surfaces
+    # for nullable date/int keys — all touched these green-row engines
+    # or their oracles
+    "scan_kafka_json": 4,
+    "filter_notnull": 4,
+    "null_fill": 4,
+    "parse_date": 4,
+    "f_date_strptime": 4,
+    "stream_dedup_late": 4,
+    "stream_window_agg": 4,
+    "agg_pivot": 4,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

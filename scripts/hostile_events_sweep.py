@@ -1,0 +1,108 @@
+"""Hostile-events differential sweep: run every events-only oracle query
+on the adversarial events table (tests/hostile_corpora.py) and compare
+engine vs DuckDB oracle. The CI gate (tests/test_hostile_events.py)
+pins a representative subset; this sweep covers ALL events-only queries
+and is re-run out-of-band per round.
+
+Usage: python scripts/hostile_events_sweep.py [--only name,name,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.hostile_corpora import TABLES, build_hostile_events  # noqa: E402
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    base = build_hostile_events(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "hostile_events")
+    )
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from trino_demo_spark import parity_llm, parity_ml  # noqa: F401
+    from trino_demo_spark.parity import PARITY
+    from trino_demo_spark.session import apply_runtime_confs
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    apply_runtime_confs(spark)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{base}/{t}.parquet')"
+        )
+
+    def canon(pdf):
+        cols = sorted(pdf.columns)
+        pdf = pdf[cols]
+        return cols, sorted(
+            map(
+                tuple,
+                pd.DataFrame(
+                    {c: pdf[c].astype(str) for c in cols}
+                ).itertuples(index=False),
+            )
+        )
+
+    names = []
+    for n, p in PARITY.items():
+        if p.sql is None:
+            continue
+        tables = set(
+            re.findall(
+                r"\b(region|nation|customer|supplier|part|orders|lineitem|events|documents|embeddings)\b",
+                p.sql,
+            )
+        )
+        if tables == {"events"}:
+            names.append(n)
+    if args.only:
+        keep = set(args.only.split(","))
+        names = [n for n in names if n in keep]
+
+    summary = {"OK": 0, "ROWS": 0, "VALUES": 0, "ERROR": 0}
+    for n in names:
+        p = PARITY[n]
+        try:
+            spdf = p.fn(spark, base).toPandas()
+        except Exception as e:
+            print(f"{n:28s} ERROR(engine): {str(e).splitlines()[0][:140]}")
+            summary["ERROR"] += 1
+            continue
+        try:
+            dpdf = con.sql(p.sql).df()
+        except Exception as e:
+            print(f"{n:28s} ERROR(oracle): {str(e).splitlines()[0][:140]}")
+            summary["ERROR"] += 1
+            continue
+        cs, rs = canon(spdf)
+        cd, rd = canon(dpdf)
+        if cs != cd or len(rs) != len(rd):
+            print(f"{n:28s} ROWS   spark={len(rs)} duck={len(rd)} cols {cs == cd}")
+            summary["ROWS"] += 1
+            continue
+        bad = [(a, b) for a, b in zip(rs, rd) if a != b]
+        if bad:
+            print(f"{n:28s} VALUES {len(bad)} mismatched rows; first: {bad[0]}")
+            summary["VALUES"] += 1
+        else:
+            print(f"{n:28s} OK     ({len(rs)} rows)")
+            summary["OK"] += 1
+    print("SUMMARY:", summary)
+
+
+if __name__ == "__main__":
+    main()

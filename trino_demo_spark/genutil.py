@@ -50,3 +50,23 @@ def posexplode_col(
         *keep, F.posexplode_outer(arr).alias(pos_alias, val_alias)
     )
     return out.filter(F.col(pos_alias).isNotNull())
+
+
+def milli_units(col: Column | str) -> Column:
+    """Exact milli-unit accumulator cell: floor(value·1000) as BIGINT,
+    NULL when the scaled value has no int64 representation (NULL, NaN,
+    ±Inf, |v| ≥ 2⁶³ after scaling).
+
+    The explicit range guard matters because Spark's FLOOR(DOUBLE)
+    returns BIGINT directly and CLAMPS ±Inf/out-of-range to
+    Long.MAX/MIN — two clamped cells then blow up the downstream
+    SUM with an ANSI ARITHMETIC_OVERFLOW (observed in the hostile-
+    events sweep). The guard bounds are the exact doubles 2⁶³ and
+    -2⁶³, matching DuckDB's TRY_CAST(FLOOR(v) AS BIGINT) oracle
+    mirror cell-for-cell."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = c * F.lit(1000.0)
+    in_range = (v >= F.lit(-9223372036854775808.0)) & (
+        v < F.lit(9223372036854775808.0)
+    )
+    return F.when(in_range, F.floor(v)).otherwise(F.lit(None)).cast("long")

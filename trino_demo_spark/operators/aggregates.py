@@ -214,23 +214,33 @@ def clip_outliers(
     fact rows, so the fact side never shuffles. `exact=True` uses
     percentile() (full value buffer per group — right for bounded-size
     groups and oracle parity); `exact=False` uses approx_percentile's
-    fixed-size sketch, the 100 TB path for unbounded groups."""
+    fixed-size sketch, the 100 TB path for unbounded groups.
+
+    Finite-measures policy: NULL and non-finite values have no place on
+    the clipping axis — NaN would poison the percentile (it sorts
+    GREATEST on Spark, so one NaN drags p99 to NaN and every clipped
+    value with it; DuckDB's quantile instead clips NaN down to p99 —
+    silent cross-engine divergence), and ±Inf skews the band. Both are
+    excluded from the band fit and clip to NULL (missing), mirroring
+    `WHERE isfinite(value)` in the oracles."""
     fn = "percentile" if exact else "approx_percentile"
-    q = df.groupBy(*group_cols).agg(
-        F.expr(f"{fn}({value_col}, {p_lo})").alias("__lo"),
-        F.expr(f"{fn}({value_col}, {p_hi})").alias("__hi"),
+    finite = (F.col(value_col) - F.col(value_col)) == F.lit(0.0)
+    base = df.withColumn("__fv", F.when(finite, F.col(value_col)))
+    q = base.groupBy(*group_cols).agg(
+        F.expr(f"{fn}(__fv, {p_lo})").alias("__lo"),
+        F.expr(f"{fn}(__fv, {p_hi})").alias("__hi"),
     )
     out = out_col or f"{value_col}_clipped"
     return (
-        df.join(F.broadcast(q), list(group_cols))
+        base.join(F.broadcast(q), list(group_cols))
         .withColumn(
             out,
             F.when(
-                F.col(value_col).isNotNull(),
-                F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+                F.col("__fv").isNotNull(),
+                F.least(F.greatest(F.col("__fv"), F.col("__lo")), F.col("__hi")),
             ),
         )
-        .drop("__lo", "__hi")
+        .drop("__lo", "__hi", "__fv")
     )
 
 

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import genutil
 from .operators import aggregates as agg_ops
 from .operators import relational as rel_ops
 from .operators import windows as win_ops
@@ -212,8 +213,12 @@ def scan_document(spark, sf_dir):
 @parity(
     "scan_kafka_json",
     sql="""
-    SELECT event_id, CAST(ts AS DATE) AS event_date, event_type, value,
-           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k
+    -- event_date as VARCHAR: a NULL payload timestamp must render
+    -- identically on both engines ('None', not pandas NaT). TRY_CAST:
+    -- a missing/non-numeric k field extracts '' which has no INTEGER.
+    SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           event_type, value,
+           TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k
     FROM events
     """,
     doc="Kafka-topic-as-table scan: JSON payload decoded per declared field "
@@ -225,7 +230,7 @@ def scan_kafka_json(spark, sf_dir):
     decoded = F.from_json(F.col("props"), "k INT")
     return ev.select(
         "event_id",
-        F.to_date("ts").alias("event_date"),
+        F.to_date("ts").cast("string").alias("event_date"),
         "event_type",
         "value",
         decoded.getField("k").alias("k"),
@@ -577,9 +582,11 @@ def filter_str_eq(spark, sf_dir):
 @parity(
     "filter_notnull",
     sql="""
+    -- NOT isnan: Spark's na.drop (pandas dropna semantics) also drops
+    -- NaN measures, not just SQL NULLs
     SELECT event_id, v FROM (
       SELECT event_id, CASE WHEN value < 1 THEN NULL ELSE value END AS v FROM events
-    ) WHERE v IS NOT NULL
+    ) WHERE v IS NOT NULL AND NOT isnan(v)
     """,
     doc="dropna over a nullable measure (ref: localTrinoTest.ipynb:1193,1483).",
 )
@@ -592,8 +599,10 @@ def filter_notnull(spark, sf_dir):
 @parity(
     "null_fill",
     sql="""
+    -- isnan: Spark's na.fill treats NaN as missing (the pandas fillna
+    -- semantics this op re-expresses) — the oracle must too
     SELECT event_id,
-           COALESCE(CASE WHEN value < 1 THEN NULL ELSE value END, 0.0) AS v_filled
+           COALESCE(CASE WHEN value < 1 OR isnan(value) THEN NULL ELSE value END, 0.0) AS v_filled
     FROM events
     """,
     doc="fillna(0) over NULL-ish values (ref: fillMongoDB.ipynb:187, "
@@ -626,8 +635,10 @@ def cast_f32(spark, sf_dir):
 @parity(
     "parse_date",
     sql="""
+    -- VARCHAR surface: the NULL-ts group must render identically on
+    -- both engines ('None', not pandas NaT)
     SELECT event_date, COUNT(*) AS cnt FROM (
-      SELECT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS event_date FROM events
+      SELECT CAST(CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS VARCHAR) AS event_date FROM events
     ) GROUP BY event_date
     """,
     doc="Parse %Y-%m-%d strings to dates (ref: localTrinoTest.ipynb:124,1190, "
@@ -636,9 +647,9 @@ def cast_f32(spark, sf_dir):
 def parse_date(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     d = F.to_date(F.date_format("ts", "yyyy-MM-dd"), "yyyy-MM-dd")
-    return ev.select(d.alias("event_date")).groupBy("event_date").agg(
-        F.count("*").alias("cnt")
-    )
+    return ev.select(d.cast("string").alias("event_date")).groupBy(
+        "event_date"
+    ).agg(F.count("*").alias("cnt"))
 
 
 @parity(
@@ -1673,7 +1684,9 @@ def stream_retention_window(spark, sf_dir):
 @parity(
     "stream_dedup_late",
     sql="""
-    SELECT user_id, CAST(ts AS DATE) AS day, event_id, value FROM events
+    -- day as VARCHAR: the NULL-ts revision group must render
+    -- identically on both engines ('None', not pandas NaT)
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_id, value FROM events
     QUALIFY ROW_NUMBER() OVER (
       PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) = 1
     """,
@@ -1685,7 +1698,7 @@ def stream_dedup_late(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     return rel_ops.keep_last(
         ev, keys=["user_id", "day"], order_by=[F.col("ts").desc(), F.col("event_id").desc()]
-    ).select("user_id", "day", "event_id", "value")
+    ).select("user_id", F.col("day").cast("string").alias("day"), "event_id", "value")
 
 
 # ---------------------------------------------------------------------------
@@ -1807,7 +1820,8 @@ def sink_document(spark, sf_dir):
 @parity(
     "f_date_strptime",
     sql="""
-    SELECT event_id, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS parsed_day
+    SELECT event_id,
+           CAST(CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS VARCHAR) AS parsed_day
     FROM events
     """,
     doc="Producer-style timestamp formatting + strptime parse back (ref: "
@@ -1820,7 +1834,7 @@ def f_date_strptime(spark, sf_dir):
     parsed = F.to_date(
         F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     )
-    return ev.select("event_id", parsed.alias("parsed_day"))
+    return ev.select("event_id", parsed.cast("string").alias("parsed_day"))
 
 
 @parity(
@@ -1828,7 +1842,7 @@ def f_date_strptime(spark, sf_dir):
     sql="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
            COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     doc="Event-time tumbling-window aggregation — the batch twin of "
     "streaming.kafka_shape.windowed_counts (same grouping, same results; "
@@ -1836,7 +1850,9 @@ def f_date_strptime(spark, sf_dir):
     "DuckDB time_bucket.",
 )
 def stream_window_agg(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # timeline op: F.window drops un-timestamped rows at the operator
+    # level — drop at ingest so the policy is explicit + oracle-mirrored
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -1989,13 +2005,15 @@ def agg_cube(spark, sf_dir):
 @parity(
     "agg_pivot",
     sql="""
-    SELECT user_id,
+    -- key as VARCHAR: a NULL user_id is a legitimate pivot group, but
+    -- a nullable int64 key renders engine-differently through pandas
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
            COUNT(*) FILTER (WHERE event_type = 'click') AS click,
            COUNT(*) FILTER (WHERE event_type = 'error') AS error,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
            COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
            COUNT(*) FILTER (WHERE event_type = 'view') AS view
-    FROM events GROUP BY user_id
+    FROM events GROUP BY 1
     """,
     doc="Pivot (categories → columns). Spark df.pivot with explicit value "
     "list — explicit values skip the extra distinct-discovery job AND "
@@ -2005,11 +2023,11 @@ def agg_cube(spark, sf_dir):
 def agg_pivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = (
-        ev.groupBy("user_id")
+        ev.groupBy(F.col("user_id").cast("string").alias("user_id"))
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
         .agg(F.count(F.lit(1)))
     )
-    return out.na.fill(0)
+    return out.na.fill(0, subset=["click", "error", "purchase", "signup", "view"])
 
 
 @parity(
@@ -3685,7 +3703,9 @@ def win_lag_features(spark, sf_dir):
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      -- ts IS NOT NULL: session_window drops un-timestamped events at
+      -- the operator level; the lag oracle must drop them at ingest too
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     s AS (
       SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
@@ -3706,7 +3726,13 @@ def win_lag_features(spark, sf_dir):
 )
 def win_session_native(spark, sf_dir):
     gap_us = 30 * 60 * 1_000_000
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # explicit NULL-ts ingest drop: session_window silently excludes
+    # un-timestamped rows anyway — make the timeline policy visible
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+    )
     return (
         ev.groupBy(
             "user_id", F.session_window("ts", "30 minutes").alias("sw")
@@ -3733,7 +3759,11 @@ def win_session_native(spark, sf_dir):
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      -- ts IS NOT NULL: an event with no timestamp has no place on the
+      -- session timeline; engine-side the same drop happens at ingest
+      -- (a NULL lag would otherwise GLUE its neighbors into one
+      -- session, differently per engine NULL ordering)
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
@@ -3758,8 +3788,13 @@ def win_sessionize(spark, sf_dir):
     from pyspark.sql import Window as W
 
     gap_us = 30 * 60 * 1_000_000
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", F.expr("ts_ns div 1000").alias("ts_us")
+    # timeline op: NULL-ts events dropped at ingest (oracle mirrors)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts_ns").isNotNull())
+        .select(
+            "user_id", "event_id", "value", F.expr("ts_ns div 1000").alias("ts_us")
+        )
     )
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     prev = F.lag("ts_us").over(w)
@@ -3786,7 +3821,7 @@ def win_sessionize(spark, sf_dir):
     WITH g AS (
       SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, COUNT(gap_us) AS n_gaps,
            ROUND(AVG(gap_us) / 1e6 + 1e-9, 4) AS avg_gap_sec,
@@ -3804,8 +3839,13 @@ def win_sessionize(spark, sf_dir):
 def grouped_map_gaps(spark, sf_dir):
     import pandas as pd
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id"
+    # Timeline op: a NULL-ts event has no position on the time axis —
+    # drop at ingest (oracle mirrors with ts IS NOT NULL). A NULL
+    # user_id stays: it is a legitimate group key on both engines.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts_ns").isNotNull())
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id")
     )
 
     def gaps(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -3813,12 +3853,15 @@ def grouped_map_gaps(spark, sf_dir):
         # int64 → float64 and ~1.7e15 epoch-µs values are near the 2^53
         # exactness edge); the resulting gaps are float64-exact.
         pdf = pdf.sort_values(["ts_us", "event_id"])
-        t = pdf["ts_us"].to_numpy()
+        # int64 with NULLs arrives as float64 — exact for µs epochs far
+        # below 2^53, but cast back so the gap math stays integer.
+        t = pdf["ts_us"].to_numpy().astype("int64")
         d = t[1:] - t[:-1]
         n = int(d.shape[0])
+        uid = pdf["user_id"].iloc[0]
         return pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
+                "user_id": [None if pd.isna(uid) else int(uid)],
                 "n_gaps": [n],
                 "avg_gap_sec": [
                     round(float(d.sum()) / n / 1e6 + 1e-9, 4) if n else None
@@ -4210,7 +4253,7 @@ def f_map_funcs(spark, sf_dir):
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, user_id FROM events
     )
-    SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+    SELECT CAST(CAST(date_trunc('week', day) AS DATE) AS VARCHAR) AS week,
            COUNT(DISTINCT user_id) AS exact_users
     FROM daily GROUP BY 1
     """,
@@ -4239,7 +4282,8 @@ def agg_bitmap_distinct(spark, sf_dir):
     )
     return (
         daily.groupBy(
-            F.to_date(F.date_trunc("week", "day")).alias("week"), "bucket"
+            F.to_date(F.date_trunc("week", "day")).cast("string").alias("week"),
+            "bucket",
         )
         .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("bucket_users"))
         .groupBy("week")
@@ -4898,8 +4942,10 @@ def sink_compact_files(spark, sf_dir):
 @parity(
     "stream_rollup_mv",
     sql="""
+    -- TRY_CAST mirrors genutil.milli_units: non-int64-representable
+    -- scaled values (NaN/Inf/1e308) accumulate as NULL-skipped cells
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+           CAST(SUM(TRY_CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
     FROM events GROUP BY user_id
     """,
     doc="Streaming materialized view, END-TO-END through Structured "
@@ -4950,7 +4996,7 @@ def stream_rollup_mv(spark, sf_dir):
     if not versions:
         return ev.limit(0).groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("v_milli"),
+            F.sum(genutil.milli_units("value")).alias("v_milli"),
         )
     return spark.read.parquet(f"{snap}/v={versions[-1]}")
 
@@ -4958,9 +5004,14 @@ def stream_rollup_mv(spark, sf_dir):
 @parity(
     "sink_incremental_rollup",
     sql="""
+    -- ts IS NOT NULL: an event with no timestamp cannot be assigned to
+    -- any incremental batch (engine drops it at ingest). TRY_CAST: a
+    -- value whose milli-units exceed int64 (NaN/Inf/1e308) has no exact
+    -- integer representation — it contributes NULL (skipped) on both
+    -- engines instead of an ANSI overflow crash.
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
-    FROM events GROUP BY user_id
+           CAST(SUM(TRY_CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli
+    FROM events WHERE ts IS NOT NULL GROUP BY user_id
     """,
     doc="Incremental aggregate maintenance (operators.relational."
     "merge_rollup): the per-user rollup through a cutoff is PERSISTED "
@@ -4975,9 +5026,12 @@ def stream_rollup_mv(spark, sf_dir):
     "ever, each increment scans only the delta and merges O(keys).",
 )
 def sink_incremental_rollup(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # NULL-ts events can't be assigned to a batch window — drop at
+    # ingest (oracle mirrors). try_cast: out-of-int64 milli-units
+    # (NaN/Inf/1e308) roll up as NULL-skipped, not an overflow crash.
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    v_milli = F.floor(F.col("value") * 1000).cast("long")
+    v_milli = genutil.milli_units("value")
 
     def rollup(df):
         return df.groupBy("user_id").agg(
@@ -5064,7 +5118,7 @@ def cdc_snapshot_diff(spark, sf_dir):
     SELECT CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
            true AS hll_ok
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
     doc="Per-day approximate distinct users (HyperLogLog++, rsd=0.05) "
     "over events — the fixed-size-sketch cardinality path for 100 TB "
@@ -5077,7 +5131,8 @@ def cdc_snapshot_diff(spark, sf_dir):
     "exists only for this check — the production op is approx-only.",
 )
 def agg_approx_distinct(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # timeline op: un-timestamped events belong to no day (oracle mirrors)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     approx = agg_ops.approx_distinct_by_key(
         ev, F.to_date("ts").alias("day"), "user_id"
     )
@@ -5104,7 +5159,7 @@ def agg_approx_distinct(spark, sf_dir):
     SELECT CAST(weekofyear(ts) AS BIGINT) AS wk,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
            true AS hll_ok
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
     doc="Two-level distinct-count rollup via Datasketches HLL: one "
     "sketch per day (hll_sketch_agg), merged per ISO week "
@@ -5118,7 +5173,8 @@ def agg_approx_distinct(spark, sf_dir):
     "error at sf0.01). The exact companion exists only for the check.",
 )
 def agg_hll_rollup(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # timeline op: un-timestamped events belong to no week (oracle mirrors)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     est = agg_ops.hll_rollup(
         ev,
         F.to_date("ts").alias("day"),
@@ -5145,8 +5201,12 @@ def agg_hll_rollup(spark, sf_dir):
 @parity(
     "agg_cms_heavy_hitters",
     sql="""
+    -- NULL key components carry no CMS-hashable identity — dropped at
+    -- ingest on both engines
     WITH cnt AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
-                 FROM events GROUP BY 1, 2),
+                 FROM events
+                 WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                 GROUP BY 1, 2),
     top AS (SELECT event_type, user_id, true_cnt,
                    ROW_NUMBER() OVER (PARTITION BY event_type
                                       ORDER BY true_cnt DESC, user_id) AS r
@@ -5167,7 +5227,11 @@ def agg_hll_rollup(spark, sf_dir):
 def agg_cms_heavy_hitters(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    ev = _t(spark, sf_dir, "events")
+    # sketch-keyed op: NULL key components have no CMS-hashable
+    # identity — drop at ingest (oracle mirrors)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
     cnt = ev.groupBy("event_type", "user_id").agg(
         F.count("*").alias("true_cnt")
     )
@@ -5208,12 +5272,16 @@ def agg_cms_heavy_hitters(spark, sf_dir):
 @parity(
     "agg_winsorize",
     sql="""
+    -- finite-measures policy (operators.aggregates.clip_outliers):
+    -- NaN/Inf are excluded from the band fit and clip to NULL — one NaN
+    -- otherwise drags Spark's percentile (NaN sorts greatest) while
+    -- DuckDB's quantile clips it down to p99: silent divergence
     WITH q AS (SELECT event_type,
-                      quantile_cont(value, 0.01) AS lo,
-                      quantile_cont(value, 0.99) AS hi
+                      quantile_cont(value, 0.01) FILTER (WHERE isfinite(value)) AS lo,
+                      quantile_cont(value, 0.99) FILTER (WHERE isfinite(value)) AS hi
                FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
-           ROUND(CASE WHEN e.value IS NOT NULL
+           ROUND(CASE WHEN e.value IS NOT NULL AND isfinite(e.value)
                       THEN LEAST(GREATEST(e.value, q.lo), q.hi) END + 1e-9,
                  4) AS value_clipped
     FROM events e JOIN q USING (event_type)
@@ -5655,11 +5723,15 @@ def agg_covariance_matrix(spark, sf_dir):
     "f_variant_semistructured",
     sql="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k,
+           TRY_CAST(json_extract(props, '$.k') AS INT) AS k,
            CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
            json_extract(props, '$.missing') IS NULL AS missing_absent
     FROM events
-    WHERE CAST(json_extract(props, '$.k') AS INT) >= 50
+    -- json_valid mirrors try_parse_json, TRY_CAST mirrors
+    -- try_variant_get: malformed/empty props or non-numeric $.k rows
+    -- carry no extractable int and fall out of the typed predicate
+    WHERE json_valid(props)
+      AND TRY_CAST(json_extract(props, '$.k') AS INT) >= 50
     """,
     doc="Semi-structured fast path via Spark 4's VARIANT type: "
     "parse_json once into the binary variant encoding, then typed "
@@ -5674,12 +5746,15 @@ def agg_covariance_matrix(spark, sf_dir):
 )
 def f_variant_semistructured(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_: malformed/empty props (routine in event streams) become
+    # NULL variants / NULL extractions instead of MALFORMED_RECORD task
+    # crashes; the typed predicate then drops them on both engines.
+    v = F.try_parse_json("props")
     out = ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "int").alias("k"),
-        F.variant_get(v, "$.k", "string").alias("k_str"),
-        F.variant_get(v, "$.missing", "string").isNull().alias(
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias(
             "missing_absent"
         ),
     )
@@ -5956,7 +6031,7 @@ def win_zscore_anomaly(spark, sf_dir):
       SELECT user_id, event_type,
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS next_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     t AS (
       SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
@@ -5979,7 +6054,9 @@ def win_zscore_anomaly(spark, sf_dir):
 def analytics_markov_transitions(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    ev = _t(spark, sf_dir, "events")
+    # timeline op: an un-timestamped event has no position in the
+    # per-user sequence (oracle mirrors with ts IS NOT NULL)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("from_type"),
@@ -6314,7 +6391,7 @@ def join_interval_overlap(spark, sf_dir):
     WITH RECURSIVE daily AS (
       SELECT event_type AS k, CAST(ts AS DATE) AS d, COUNT(*) AS x,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     thr AS (SELECT AVG(x) + 2.0 AS t FROM daily),
     rec AS (
@@ -6324,7 +6401,7 @@ def join_interval_overlap(spark, sf_dir):
       SELECT d.k, d.rn, GREATEST(0.0, rec.s + d.x - thr.t)
       FROM daily d
       CROSS JOIN thr
-      JOIN rec ON d.k = rec.k AND d.rn = rec.rn + 1
+      JOIN rec ON d.k IS NOT DISTINCT FROM rec.k AND d.rn = rec.rn + 1
     )
     SELECT k AS event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
            ROUND(MAX(s) + 1e-9, 4) AS max_cusum,
@@ -6346,7 +6423,8 @@ def join_interval_overlap(spark, sf_dir):
     "which is exactly why the fold formulation matters.",
 )
 def win_cusum_alarm(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # timeline op: un-timestamped events belong to no day (oracle mirrors)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.col("event_type"), F.to_date("ts").alias("d")
     ).agg(F.count("*").alias("x"))
@@ -6496,11 +6574,12 @@ def agg_ks_test(spark, sf_dir):
     tot = s.agg(
         F.sum("is_a").alias("na"), (F.count("*") - F.sum("is_a")).alias("nb")
     )
+    # groupBy mirrors the oracle's GROUP BY tot.na, tot.nb: an EMPTY
+    # union sample yields ZERO verdict rows, not one all-NaN row
     return (
         m.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
         .agg(
-            F.max(F.col("na")).cast("long").alias("n_a"),
-            F.max(F.col("nb")).cast("long").alias("n_b"),
             r_(
                 F.max(
                     F.abs(
@@ -6510,6 +6589,11 @@ def agg_ks_test(spark, sf_dir):
                 ),
                 4,
             ).alias("ks_d"),
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "ks_d",
         )
     )
 
@@ -6768,7 +6852,7 @@ def win_seasonal_decompose(spark, sf_dir):
       SELECT event_type AS k, CAST(ts AS DATE) AS d,
              CAST(COUNT(*) AS DOUBLE) AS x,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE)) AS rn
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     rec AS (
       SELECT k, rn, x AS l, CAST(0.0 AS DOUBLE) AS b FROM daily WHERE rn = 1
@@ -6776,12 +6860,14 @@ def win_seasonal_decompose(spark, sf_dir):
       SELECT d.k, d.rn,
              0.3 * d.x + 0.7 * (rec.l + rec.b) AS l,
              0.1 * (0.3 * d.x + 0.7 * (rec.l + rec.b) - rec.l) + 0.9 * rec.b AS b
-      FROM daily d JOIN rec ON d.k = rec.k AND d.rn = rec.rn + 1
+      -- IS NOT DISTINCT FROM: the NULL event_type series must advance
+      -- through the recursion too (= stalls at rn=1 for NULL keys)
+      FROM daily d JOIN rec ON d.k IS NOT DISTINCT FROM rec.k AND d.rn = rec.rn + 1
     ),
     last AS (
       SELECT r.k, r.l, r.b, r.rn
       FROM rec r JOIN (SELECT k, MAX(rn) AS mx FROM rec GROUP BY k) m
-        ON m.k = r.k AND m.mx = r.rn
+        ON m.k IS NOT DISTINCT FROM r.k AND m.mx = r.rn
     )
     SELECT k AS event_type, CAST(rn AS BIGINT) AS n_days,
            ROUND(l + 1e-9, 4) AS level,
@@ -6805,7 +6891,8 @@ def win_seasonal_decompose(spark, sf_dir):
     "frame exactly like ewma_chunked's scalar recurrence.)",
 )
 def win_holt_linear(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # timeline op: un-timestamped events belong to no day (oracle mirrors)
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.col("event_type"), F.to_date("ts").alias("d")
     ).agg((F.count("*") * F.lit(1.0)).alias("x"))
@@ -6944,7 +7031,7 @@ def ts_subseq_search(spark, sf_dir):
     WITH e AS (
       SELECT ts, event_type, value,
              time_bucket(INTERVAL '1 hour', ts) AS h
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     assigned AS (
       SELECT event_type, value,
@@ -6966,7 +7053,9 @@ def ts_subseq_search(spark, sf_dir):
     "calendar-stable across engines.",
 )
 def stream_sliding_window(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
+    # timeline op: F.window drops un-timestamped rows at the operator
+    # level — drop at ingest so the policy is explicit + oracle-mirrored
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"

@@ -397,8 +397,15 @@ def ml_feature_hashing(spark, sf_dir):
     "ml_als_recommend",
     sql="""
     WITH r AS (
+      -- rating-matrix ingest guard: NULL user/item rows have no cell to
+      -- land in (NULL item is an unusable map key in the engine's item-
+      -- factor state), and a non-finite rating poisons the normal
+      -- equations — drop all three, mirrored engine-side
       SELECT user_id, event_type AS item, AVG(value) AS rating
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+      FROM events
+      WHERE value IS NOT NULL AND isfinite(value)
+        AND user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
     )
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items,
@@ -417,7 +424,12 @@ def ml_feature_hashing(spark, sf_dir):
     "n_items x 2 floats (ml.py::als_fit).",
 )
 def ml_als_recommend(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & ((F.col("value") - F.col("value")) == F.lit(0.0))
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     ratings = ev.groupBy(
         "user_id", F.col("event_type").alias("item")
     ).agg(F.avg("value").alias("rating"))
@@ -436,9 +448,18 @@ def ml_als_recommend(spark, sf_dir):
     finally:
         ratings.unpersist()
     base = row["baseline_rmse"]
-    # Empty rating matrix: no factorization and no baseline — mirror the
-    # oracle's NULL stddev + vacuous TRUE verdict.
-    beats = True if (rmse is None or base is None) else bool(rmse < base + 1e-9)
+    # Empty rating matrix (no baseline) or a non-finite baseline (rating
+    # magnitudes whose variance overflows DOUBLE): no meaningful bar to
+    # beat — mirror the oracle's vacuous TRUE verdict.
+    import math
+
+    degenerate = (
+        rmse is None
+        or base is None
+        or not math.isfinite(float(base))
+        or not math.isfinite(float(rmse))
+    )
+    beats = True if degenerate else bool(rmse < base + 1e-9)
     return spark.createDataFrame(
         [
             (

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..genutil import milli_units
+
 # Physical schema of the events parquet (ts is TIMESTAMP(NANOS), read as
 # long via nanosAsLong — same normalization as registry._normalize_events).
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +316,7 @@ def streaming_rollup_sink(
         spark = batch_df.sparkSession
         delta = batch_df.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("v_milli"),
+            F.sum(milli_units("value")).alias("v_milli"),
         )
         versions = []
         if _os.path.isdir(snapshot_dir):
