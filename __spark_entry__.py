@@ -141,6 +141,24 @@ _RECHECK = {
     "stream_dedup_late": 4,
     "stream_window_agg": 4,
     "agg_pivot": 4,
+    # hostile-orders hardening (tests/test_hostile_orders.py): date
+    # VARCHAR surfaces, exact-unit band contracts, NULL-key/measure
+    # policies — all touched these green-row engines or their oracles
+    "scan_csv_typed_header": 4,
+    "sink_csv": 4,
+    "project_cols": 4,
+    "bday_period": 4,
+    "join_left_outer": 4,
+    "join_asof": 4,
+    "f_date_arith": 4,
+    "win_split_chrono": 4,
+    "sort_global_asc": 4,
+    "cast_f32": 4,
+    "agg_quantiles": 4,
+    "agg_corr": 4,
+    "agg_error_metrics": 4,
+    "f_agg_stats": 4,
+    "f_argminmax": 4,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

@@ -16,16 +16,27 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.hostile_corpora import TABLES, build_hostile_events  # noqa: E402
+from tests.hostile_corpora import (  # noqa: E402
+    TABLES,
+    build_hostile_events,
+    build_hostile_orders,
+)
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
+    ap.add_argument("--tables", default="events", choices=["events", "orders"])
     args = ap.parse_args()
 
-    base = build_hostile_events(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "hostile_events")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
     )
+    if args.tables == "events":
+        base = build_hostile_events(os.path.join(scratch, "hostile_events"))
+        target = {"events"}
+    else:
+        base = build_hostile_orders(os.path.join(scratch, "hostile_orders"))
+        target = {"orders", "lineitem"}
 
     import duckdb
     import pandas as pd
@@ -67,7 +78,7 @@ def main():
                 p.sql,
             )
         )
-        if tables == {"events"}:
+        if tables and tables <= target:
             names.append(n)
     if args.only:
         keep = set(args.only.split(","))

@@ -122,3 +122,136 @@ def build_hostile_events(base: str) -> str:
     return base
 
 
+
+def build_hostile_orders(base: str) -> str:
+    """Adversarial orders + lineitem star-schema pair: NULL join keys /
+    dates / measures, NaN/±Inf/1e308 money, negative and huge
+    quantities, orphan and childless keys, epoch-extreme dates,
+    pathological status/priority/flag strings, shuffled file order.
+    Key UNIQUENESS is deliberately preserved: o_orderkey /
+    (l_orderkey, l_linenumber) are the table contract (the
+    profile_quality_checks op is the quarantine path for violations);
+    everything else is fair game."""
+    os.makedirs(base, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(base, f"{t}.parquet")
+        if t in ("orders", "lineitem"):
+            continue
+        if not os.path.exists(dst):
+            os.symlink(f"{SMOKE}/{t}.parquet", dst)
+
+    rng = np.random.RandomState(13)
+    US = 1_000_000
+    day0 = 788918400 * US  # 1995-01-01 UTC epoch micros
+
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    flags = ["A", "N", "R"]
+
+    orders = []  # (okey, ckey, status, totalprice, odate_us, prio)
+    lines = []   # (okey, pkey, skey, lno, qty, price, disc, tax, rf, ls, sdate_us)
+
+    def odate(i):
+        return day0 + int(i) * 86400 * US
+
+    # ~120 normal orders with 1-4 lineitems each
+    for ok in range(1000, 1120):
+        d = odate(rng.randint(0, 900))
+        orders.append(
+            (ok, int(rng.randint(1, 30)), statuses[int(rng.randint(0, 3))],
+             round(float(rng.uniform(100, 300000)), 2), d,
+             prios[int(rng.randint(0, 5))])
+        )
+        for ln in range(1, int(rng.randint(2, 5))):
+            lines.append(
+                (ok, int(rng.randint(1, 50)), int(rng.randint(1, 20)), ln,
+                 float(rng.randint(1, 50)),
+                 round(float(rng.uniform(100, 90000)), 2),
+                 round(float(rng.choice([0.0, 0.01, 0.05, 0.1])), 2),
+                 round(float(rng.choice([0.0, 0.02, 0.08])), 2),
+                 flags[int(rng.randint(0, 3))], "O",
+                 d + int(rng.randint(1, 90)) * 86400 * US)
+            )
+
+    # hostile orders
+    H = 2000
+    orders += [
+        (H + 0, None, "O", 500.0, odate(10), "1-URGENT"),      # NULL custkey
+        (H + 1, 5, "O", 500.0, None, "2-HIGH"),                 # NULL orderdate
+        (H + 2, 5, "O", None, odate(11), "3-MEDIUM"),           # NULL totalprice
+        (H + 3, 5, "O", float("nan"), odate(12), "5-LOW"),      # NaN money
+        (H + 4, 5, "O", float("inf"), odate(13), "5-LOW"),      # +Inf
+        (H + 5, 5, "O", float("-inf"), odate(14), "5-LOW"),     # -Inf
+        (H + 6, 5, "O", 1e308, odate(15), "5-LOW"),             # overflow money
+        (H + 7, 5, "O", -1e308, odate(16), "5-LOW"),
+        (H + 8, 5, "O", -0.0, odate(17), "5-LOW"),              # negative zero
+        (H + 9, 5, "O", 5e-324, odate(18), "5-LOW"),            # denormal
+        (H + 10, 5, None, 100.0, odate(19), "4-NOT SPECIFIED"), # NULL status
+        (H + 11, 5, "", 100.0, odate(20), ""),                  # empty strings
+        (H + 12, 5, "Ø🚀", 100.0, odate(21), "prio'\"\\x"),     # unicode/quotes
+        (H + 13, 5, "O", 100.0, 0, "1-URGENT"),                 # epoch 0
+        (H + 14, 5, "O", 100.0, -315619200 * US, "1-URGENT"),   # 1960
+        (H + 15, 5, "O", 100.0, 7258118400 * US, "1-URGENT"),   # 2200
+        (H + 16, 5, "O", 250.0, odate(22), "2-HIGH"),           # childless order
+        (None, 5, "O", 100.0, odate(23), "1-URGENT"),           # NULL orderkey
+    ]
+    # hostile lineitems (children of H-block orders where sensible)
+    sd = odate(30)
+    lines += [
+        (H + 0, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", sd),
+        (H + 1, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", None),   # NULL shipdate
+        (H + 2, 1, 1, 1, None, 100.0, 0.05, 0.02, "N", "O", sd),    # NULL qty
+        (H + 3, 1, 1, 1, float("nan"), float("nan"), 0.05, 0.02, "N", "O", sd),
+        (H + 4, 1, 1, 1, 5.0, float("inf"), 0.05, 0.02, "N", "O", sd),
+        (H + 5, 1, 1, 1, 5.0, float("-inf"), 0.05, 0.02, "N", "O", sd),
+        (H + 6, 1, 1, 1, 5.0, 1e308, 0.05, 0.02, "N", "O", sd),
+        (H + 7, 1, 1, 1, -4.0, -1e308, 0.05, 0.02, "R", "F", sd),   # negative qty
+        (H + 8, 1, 1, 1, 1e12, 100.0, 0.05, 0.02, "N", "O", sd),    # huge qty
+        (H + 9, 1, 1, 1, 5.0, 100.0, None, None, "N", "O", sd),     # NULL disc/tax
+        (H + 10, None, None, 1, 5.0, 100.0, 0.05, 0.02, None, None, sd),  # NULL keys/flags
+        (H + 11, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "", "", sd),
+        (H + 12, 1, 1, 1, 5.0, 100.0, 1.0, 0.0, "Ŕ", "Ś", sd),      # 100% discount
+        (H + 13, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", 0),     # epoch-0 ship
+        (H + 14, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", -315619200 * US),
+        (H + 15, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", 7258118400 * US),
+        (9_999_999, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", sd), # orphan
+        (None, 1, 1, 2, 5.0, 100.0, 0.05, 0.02, "N", "O", sd),      # NULL orderkey
+    ]
+
+    oorder = rng.permutation(len(orders))
+    orders = [orders[i] for i in oorder]
+    lorder = rng.permutation(len(lines))
+    lines = [lines[i] for i in lorder]
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in orders], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in orders], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in orders], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
+            }
+        ),
+        os.path.join(base, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in lines], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in lines], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in lines], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in lines], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in lines], pa.float64()),
+                "l_discount": pa.array([r[6] for r in lines], pa.float64()),
+                "l_tax": pa.array([r[7] for r in lines], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in lines], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in lines], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in lines], pa.timestamp("us")),
+            }
+        ),
+        os.path.join(base, "lineitem.parquet"),
+    )
+    return base

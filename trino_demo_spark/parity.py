@@ -106,8 +106,24 @@ def u2(name: str):
     error of an integer, never on a .5 tie, so half-up-away-from-zero
     and floor(+0.5) agree for both signs — verified 0 mismatches across
     every money column at sf0.001/0.01/0.1, negatives included). The
-    oracle keeps DuckDB's ROUND; the parity gate enforces equality."""
-    return F.floor(F.col(name) * F.lit(100) + F.lit(0.5)).cast("long")
+    oracle keeps DuckDB's ROUND; the parity gate enforces equality.
+
+    Representability guard (same rationale as genutil.milli_units): a
+    value whose ×100 scaling has no int64 representation — NaN, ±Inf,
+    |x| ≥ 2⁶³/100 — converts to NULL (a skipped accumulator cell)
+    rather than a CLAMPED Long.MAX from Spark's FLOOR(DOUBLE), which
+    would blow up the downstream SUM with an ANSI overflow. Oracle
+    mirror: TRY_CAST(ROUND(x·100) AS BIGINT). The guard is two double
+    compares in codegen — negligible next to the multiply."""
+    v = F.col(name) * F.lit(100)
+    in_range = (v >= F.lit(-9223372036854775808.0)) & (
+        v < F.lit(9223372036854775808.0)
+    )
+    return (
+        F.when(in_range, F.floor(v + F.lit(0.5)))
+        .otherwise(F.lit(None))
+        .cast("long")
+    )
 
 
 def urev():
@@ -148,8 +164,10 @@ def usum(units, scale: int):
 
 
 def U2(col: str) -> str:
-    """Oracle-side mirror of u2 (SQL fragment)."""
-    return f"CAST(ROUND(({col}) * 100) AS BIGINT)"
+    """Oracle-side mirror of u2 (SQL fragment). TRY_CAST mirrors u2's
+    representability guard: NaN/Inf/overflowing money values become
+    NULL-skipped accumulator cells on both engines."""
+    return f"TRY_CAST(ROUND(({col}) * 100) AS BIGINT)"
 
 
 def UREV(a: str = "") -> str:
@@ -318,7 +336,7 @@ def scan_csv_header(spark, sf_dir):
 
 @parity(
     "scan_csv_typed_header",
-    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate FROM orders",
+    sql="SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate FROM orders",
     doc="CSV with typed header semantics: explicit StructType + dateFormat "
     "(ref: demo_data/weather_ny_2012-2022.csv:1 header "
     "`_id.date_ms(yyyy-MM-dd)`, vanilla_k8s...txt:248).",
@@ -336,6 +354,8 @@ def scan_csv_typed_header(spark, sf_dir):
         header=True,
         schema="o_orderkey BIGINT, o_orderdate DATE",
         dateFormat="yyyy-MM-dd",
+    ).select(
+        "o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate")
     )
 
 
@@ -352,9 +372,15 @@ def sink_csv(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("cnt"))
         .write.mode("overwrite")
+        # explicit NULL marker: CSV's default empty-string rendering
+        # conflates NULL with '' on read-back — a real empty-string
+        # group would silently merge with the NULL group
+        .options(nullValue="\\N", emptyValue='""')
         .csv(path, header=True)
     )
-    return spark.read.csv(path, header=True, schema="o_orderstatus STRING, cnt BIGINT")
+    return spark.read.options(nullValue="\\N", emptyValue="").csv(
+        path, header=True, schema="o_orderstatus STRING, cnt BIGINT"
+    )
 
 
 @parity(
@@ -449,14 +475,16 @@ def catalog_ops(spark, sf_dir):
 
 @parity(
     "project_cols",
-    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
+    sql="SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, "
     "o_totalprice, o_orderstatus FROM orders",
     doc="Explicit column list (ref: localTrinoTest.ipynb:119 9-col select).",
 )
 def project_cols(spark, sf_dir):
+    # date as VARCHAR: a NULL o_orderdate must render identically on
+    # both engines ('None', not pandas NaT)
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.to_date("o_orderdate").alias("o_orderdate"),
+        F.to_date("o_orderdate").cast("string").alias("o_orderdate"),
         "o_totalprice",
         "o_orderstatus",
     )
@@ -619,8 +647,22 @@ def null_fill(spark, sf_dir):
 
 @parity(
     "cast_f32",
-    sql="SELECT l_orderkey, l_linenumber, CAST(l_quantity AS REAL) AS qty_f32, "
-    "CAST(l_extendedprice AS REAL) AS price_f32 FROM lineitem",
+    # Spark CAST(DOUBLE AS FLOAT) is IEEE demotion: out-of-float-range
+    # values become ±Inf (round-to-nearest overflow at 3.40282366…e38,
+    # the float-max/2^128 midpoint); DuckDB's checked CAST raises, so
+    # the oracle states the demotion explicitly.
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CASE WHEN isnan(l_quantity) THEN l_quantity
+                     WHEN l_quantity >= 3.4028235677973366e38 THEN 'infinity'::DOUBLE
+                     WHEN l_quantity <= -3.4028235677973366e38 THEN '-infinity'::DOUBLE
+                     ELSE l_quantity END AS REAL) AS qty_f32,
+           CAST(CASE WHEN isnan(l_extendedprice) THEN l_extendedprice
+                     WHEN l_extendedprice >= 3.4028235677973366e38 THEN 'infinity'::DOUBLE
+                     WHEN l_extendedprice <= -3.4028235677973366e38 THEN '-infinity'::DOUBLE
+                     ELSE l_extendedprice END AS REAL) AS price_f32
+    FROM lineitem
+    """,
     doc="float32 casts of measure columns (ref: localTrinoTest.ipynb:128-129).",
 )
 def cast_f32(spark, sf_dir):
@@ -656,9 +698,9 @@ def parse_date(spark, sf_dir):
     "bday_period",
     sql="""
     SELECT o_orderkey,
-           CASE WHEN dayofweek(o_orderdate) = 6 THEN CAST(o_orderdate AS DATE) + 2
+           CAST(CASE WHEN dayofweek(o_orderdate) = 6 THEN CAST(o_orderdate AS DATE) + 2
                 WHEN dayofweek(o_orderdate) = 0 THEN CAST(o_orderdate AS DATE) + 1
-                ELSE CAST(o_orderdate AS DATE) END AS bday
+                ELSE CAST(o_orderdate AS DATE) END AS VARCHAR) AS bday
     FROM orders
     """,
     doc="pandas to_period('B') business-day snap: weekends roll FORWARD to "
@@ -667,28 +709,36 @@ def parse_date(spark, sf_dir):
 )
 def bday_period(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    return o.select("o_orderkey", business_day_snap(F.col("o_orderdate")).alias("bday"))
+    return o.select(
+        "o_orderkey",
+        business_day_snap(F.col("o_orderdate")).cast("string").alias("bday"),
+    )
 
 
 # ---------------------------------------------------------------------------
 # §2.3 Joins
 # ---------------------------------------------------------------------------
 
+# Timeline helpers: an undated row belongs to no day — dropped at ingest
+# on both engines (a NULL day otherwise sorts NULLS-FIRST into Spark
+# running windows but NULLS-LAST in DuckDB, silently shifting every
+# cumulative/split/as-of result downstream).
 _DAILY_LI_SQL = """
   SELECT CAST(l_shipdate AS DATE) AS day, COUNT(*) AS n_items,
          ROUND(SUM(l_extendedprice), 2) AS ship_value
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
 """
 _DAILY_ORD_SQL = """
   SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
          ROUND(SUM(o_totalprice), 2) AS order_value
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
 """
 
 
 def _daily_lineitem(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
         .groupBy(F.to_date("l_shipdate").alias("day"))
         .agg(
             F.count("*").alias("n_items"),
@@ -700,6 +750,7 @@ def _daily_lineitem(spark, sf_dir):
 def _daily_orders(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
             F.count("*").alias("n_orders"),
@@ -1069,11 +1120,16 @@ def agg_minmax(spark, sf_dir):
 @parity(
     "agg_quantiles",
     sql="""
+    -- finite-measure band (see agg_regression): Spark's percentile
+    -- sorts NaN GREATEST while DuckDB's quantile skips it — a single
+    -- NaN silently shifts every cross-engine quantile otherwise
     SELECT ROUND(quantile_cont(l_quantity, 0.25) + 1e-9, 4) AS qty_q25,
            ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS qty_q50,
            ROUND(quantile_cont(l_quantity, 0.75) + 1e-9, 4) AS qty_q75,
            ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS price_q50
     FROM lineitem
+    WHERE TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) < 2147483648
+      AND TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
     """,
     doc="Median + IQR (RobustScaler.fit, ref: KubeflowStockPricePrediction."
     "ipynb:272-311). Exact percentile here for oracle parity; "
@@ -1082,6 +1138,13 @@ def agg_minmax(spark, sf_dir):
 )
 def agg_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    uq, up = u2("l_quantity"), u2("l_extendedprice")
+    li = li.filter(
+        uq.isNotNull()
+        & (F.abs(uq) < F.lit(1 << 31))
+        & up.isNotNull()
+        & (F.abs(up) < F.lit(1 << 31))
+    )
     return li.agg(
         r_(F.expr("percentile(l_quantity, 0.25)"), 4).alias("qty_q25"),
         r_(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_q50"),
@@ -1093,10 +1156,17 @@ def agg_quantiles(spark, sf_dir):
 @parity(
     "agg_corr",
     sql="""
+    -- second-moment band (see agg_regression): a 1e308 measure RAISES
+    -- in DuckDB's corr and silently Inf-poisons Spark's — rows enter
+    -- the stats pass only with all four measures finite and unit-bounded
     SELECT ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_l_quantity_l_extendedprice,
            ROUND(corr(l_extendedprice, l_discount) + 1e-9, 6) AS corr_l_extendedprice_l_discount,
            ROUND(corr(l_quantity, l_tax) + 1e-9, 6) AS corr_l_quantity_l_tax
     FROM lineitem
+    WHERE TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) < 2147483648
+      AND TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
+      AND TRY_CAST(ROUND(l_discount * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_discount * 100) AS BIGINT)) < 2147483648
+      AND TRY_CAST(ROUND(l_tax * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_tax * 100) AS BIGINT)) < 2147483648
     """,
     doc="Pairwise Pearson correlation (ref: localTrinoTest.ipynb:438-440 "
     "8×8 matrix) in ONE aggregate pass; rounded for cross-engine "
@@ -1104,6 +1174,12 @@ def agg_quantiles(spark, sf_dir):
 )
 def agg_corr(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    band = None
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        u = u2(c)
+        cond = u.isNotNull() & (F.abs(u) < F.lit(1 << 31))
+        band = cond if band is None else (band & cond)
+    li = li.filter(band)
     return agg_ops.corr_pairs(
         li,
         [
@@ -1140,12 +1216,20 @@ def agg_count(spark, sf_dir):
            ROUND(AVG(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice)) * 100 + 1e-9, 4) AS mape,
            ROUND(quantile_cont(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice), 0.5) * 100 + 1e-9, 4) AS mdape
     FROM lineitem
+    WHERE TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
+      AND TRY_CAST(ROUND(l_discount * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_discount * 100) AS BIGINT)) < 2147483648
     """,
     doc="MAE / MAPE / MDAPE between truth and prediction (ref: "
     "localTrinoTest.ipynb:903-919); prediction stand-in = discounted price.",
 )
 def agg_error_metrics(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").withColumn(
+    up, ud = u2("l_extendedprice"), u2("l_discount")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        up.isNotNull()
+        & (F.abs(up) < F.lit(1 << 31))
+        & ud.isNotNull()
+        & (F.abs(ud) < F.lit(1 << 31))
+    ).withColumn(
         "pred", F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     )
     return agg_ops.error_metrics(li, "l_extendedprice", "pred", round_to=4)
@@ -1251,10 +1335,13 @@ def win_tail_n(spark, sf_dir):
 @parity(
     "win_split_chrono",
     sql="""
+    -- undated rows have no chronological position: Spark sorts them
+    -- NULLS FIRST, DuckDB NULLS LAST, silently shifting the 80% split
+    -- boundary — drop at ingest on both engines
     SELECT o_orderkey,
            CASE WHEN percent_rank() OVER (ORDER BY o_orderdate, o_orderkey) < 0.8
                 THEN 'train' ELSE 'test' END AS split
-    FROM orders
+    FROM orders WHERE o_orderdate IS NOT NULL
     """,
     doc="Chronological train/test split, no shuffle of rows (ref: "
     "localTrinoTest.ipynb:535 train_test_split(shuffle=False)). "
@@ -1262,7 +1349,7 @@ def win_tail_n(spark, sf_dir):
     "sort-free 100 TB path.",
 )
 def win_split_chrono(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     return rel_ops.chrono_split(
         o, order_by=[F.col("o_orderdate"), F.col("o_orderkey")], train_fraction=0.8
     ).select("o_orderkey", "split")
@@ -1317,7 +1404,7 @@ def win_sliding_seq(spark, sf_dir):
 
 @parity(
     "sort_global_asc",
-    sql="SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice "
+    sql="SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, o_totalprice "
     "FROM orders ORDER BY o_orderdate, o_orderkey",
     doc="Global ORDER BY date ASC (ref: localTrinoTest.ipynb:121). "
     "Range-partitioned total sort; kept as a final presentation op only "
@@ -1327,7 +1414,9 @@ def sort_global_asc(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
         .select(
-            "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_totalprice"
+            "o_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
         )
         .orderBy("o_orderdate", "o_orderkey")
     )
@@ -1463,8 +1552,8 @@ def setop_except(spark, sf_dir):
     "f_date_arith",
     sql="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) - 1 AS prev_day,
-           CAST(o_orderdate AS DATE) + 7 AS next_week,
+           CAST(CAST(o_orderdate AS DATE) - 1 AS VARCHAR) AS prev_day,
+           CAST(CAST(o_orderdate AS DATE) + 7 AS VARCHAR) AS next_week,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k
     FROM orders
     """,
@@ -1476,8 +1565,8 @@ def f_date_arith(spark, sf_dir):
     d = F.to_date("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.date_sub(d, 1).alias("prev_day"),
-        F.date_add(d, 7).alias("next_week"),
+        F.date_sub(d, 1).cast("string").alias("prev_day"),
+        F.date_add(d, 7).cast("string").alias("next_week"),
         F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias("days_to_y2k"),
     )
 
@@ -2140,6 +2229,8 @@ def join_range_bucketed(spark, sf_dir):
            ROUND(var_pop(l_quantity) + 1e-9, 6) AS qty_var,
            ROUND(covar_pop(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_cov
     FROM lineitem
+    WHERE TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) < 2147483648
+      AND TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
     """,
     doc="Statistical aggregate surface: stddev (pop+samp), variance, "
     "covariance in one pass. (skewness/kurtosis are engine-specific in "
@@ -2148,6 +2239,13 @@ def join_range_bucketed(spark, sf_dir):
 )
 def f_agg_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    uq, up = u2("l_quantity"), u2("l_extendedprice")
+    li = li.filter(
+        uq.isNotNull()
+        & (F.abs(uq) < F.lit(1 << 31))
+        & up.isNotNull()
+        & (F.abs(up) < F.lit(1 << 31))
+    )
     return li.agg(
         r_(F.stddev_pop("l_quantity"), 6).alias("qty_stddev"),
         r_(F.stddev_samp("l_quantity"), 6).alias("qty_stddev_samp"),
@@ -2159,14 +2257,19 @@ def f_agg_stats(spark, sf_dir):
 @parity(
     "f_argminmax",
     sql="""
+    -- uniqueness-trick band: units*1e10 + key must fit int64, so rows
+    -- enter only with |units| < 9e8 (a $9M order cap — far above any
+    -- row-level price) and a representable key
     SELECT o_orderpriority,
            arg_max(o_orderkey, o_totalprice_units * 10000000000 + o_orderkey) AS top_order,
            arg_min(o_orderkey, o_totalprice_units * 10000000000 + o_orderkey) AS bottom_order
     FROM (
       SELECT o_orderpriority, o_orderkey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_units
+             TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_units
       FROM orders
     )
+    WHERE o_totalprice_units IS NOT NULL AND ABS(o_totalprice_units) < 900000000
+      AND o_orderkey IS NOT NULL AND o_orderkey BETWEEN 0 AND 9999999999
     GROUP BY o_orderpriority
     """,
     doc="argmax/argmin aggregate surface (max_by/min_by ↔ DuckDB "
@@ -2179,9 +2282,19 @@ def f_agg_stats(spark, sf_dir):
     "so it shuffles one row per group at any scale.",
 )
 def f_argminmax(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders").withColumn(
-        "cmp",
-        (u2("o_totalprice") * F.lit(10_000_000_000)) + F.col("o_orderkey"),
+    u = u2("o_totalprice")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            u.isNotNull()
+            & (F.abs(u) < F.lit(900_000_000))
+            & F.col("o_orderkey").isNotNull()
+            & F.col("o_orderkey").between(0, 9_999_999_999)
+        )
+        .withColumn(
+            "cmp",
+            (u2("o_totalprice") * F.lit(10_000_000_000)) + F.col("o_orderkey"),
+        )
     )
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", "cmp").alias("top_order"),
@@ -3003,7 +3116,10 @@ def tpch_q21(spark, sf_dir):
 @parity(
     "agg_histogram",
     sql="""
-    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, COUNT(*) AS cnt
+    -- TRY_CAST mirrors the engine's representability-guarded bin:
+    -- NULL/NaN/Inf/out-of-int64 measures land in the NULL bin (the
+    -- invalid-measure bucket), never a clamped Long.MAX bin
+    SELECT TRY_CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin, COUNT(*) AS cnt
     FROM orders GROUP BY 1
     """,
     doc="Histogram binning (fixed-width buckets via floor arithmetic — "
@@ -3011,11 +3127,14 @@ def tpch_q21(spark, sf_dir):
 )
 def agg_histogram(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
-        ).agg(F.count("*").alias("cnt"))
+    v = F.col("o_totalprice") / 50000
+    in_range = (v >= F.lit(-9223372036854775808.0)) & (
+        v < F.lit(9223372036854775808.0)
     )
+    bin_ = (
+        F.when(in_range, F.floor(v)).otherwise(F.lit(None)).cast("long")
+    )
+    return o.groupBy(bin_.alias("bin")).agg(F.count("*").alias("cnt"))
 
 
 @parity(
@@ -3879,10 +3998,17 @@ def grouped_map_gaps(spark, sf_dir):
 @parity(
     "udaf_weighted_mean",
     sql=f"""
+    -- same exact-unit band contract as agg_regression: the weighted sum
+    -- multiplies price units by integer quantities inside int64
     SELECT l_returnflag,
-           ROUND((CAST(SUM({U2('l_extendedprice')} * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
-                  / CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)) / 100.0 + 1e-9, 4) AS wavg_price
-    FROM lineitem GROUP BY l_returnflag
+           ROUND((CAST(SUM({U2('l_extendedprice')} * TRY_CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                  / CAST(SUM(TRY_CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)) / 100.0 + 1e-9, 4) AS wavg_price
+    FROM lineitem
+    WHERE {U2('l_extendedprice')} IS NOT NULL
+      AND ABS({U2('l_extendedprice')}) < 2147483648
+      AND TRY_CAST(ROUND(l_quantity) AS BIGINT) IS NOT NULL
+      AND ABS(TRY_CAST(ROUND(l_quantity) AS BIGINT)) < 2147483648
+    GROUP BY l_returnflag
     """,
     doc="Custom aggregate via pandas GROUPED_AGG UDAF (SURVEY.md §2.10 "
     "UDAF surface): quantity-weighted mean price per return flag. "
@@ -3898,7 +4024,12 @@ def udaf_weighted_mean(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         u2("l_extendedprice").alias("p_units"),
-        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_quantity")).try_cast("long").alias("qty"),
+    ).filter(
+        F.col("p_units").isNotNull()
+        & (F.abs(F.col("p_units")) < F.lit(1 << 31))
+        & F.col("qty").isNotNull()
+        & (F.abs(F.col("qty")) < F.lit(1 << 31))
     )
     wmean = agg_ops.weighted_mean_udaf()
     return li.groupBy("l_returnflag").agg(
@@ -4365,7 +4496,7 @@ def win_gap_islands(spark, sf_dir):
            first_value(o_orderkey) OVER w AS frame_first,
            last_value(o_orderkey) OVER w AS frame_last,
            nth_value(o_orderkey, 2) OVER w AS frame_second,
-           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+           CAST(SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT))
                 OVER w AS BIGINT) AS frame_price_units
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
@@ -4482,7 +4613,11 @@ def analytics_funnel_strict(spark, sf_dir):
            ROUND(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
            ROUND(cume_dist() OVER w + 1e-9, 6) AS cume,
            NTILE(10) OVER w AS decile
+    -- a NULL measure has no percentile position (Spark sorts it NULLS
+    -- FIRST, DuckDB NULLS LAST) — excluded on both engines; NaN/±Inf
+    -- order consistently (both engines sort NaN greatest) and stay
     FROM orders
+    WHERE o_totalprice IS NOT NULL
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     QUALIFY o_orderkey % 20 = 0
     """,
@@ -4496,7 +4631,7 @@ def analytics_funnel_strict(spark, sf_dir):
 def win_distribution(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
         o.select(
@@ -4675,10 +4810,19 @@ def agg_string_concat(spark, sf_dir):
 @parity(
     "agg_regression",
     sql="""
+    -- exact-moment ingest contract: unit PRODUCTS must fit int64, so a
+    -- measure only enters the moment pass when its integer units exist
+    -- (finite) and |units| < 2^31 (any sane money/qty is far inside);
+    -- out-of-band rows are invalid for exact stats on both engines
     WITH u AS (
-      SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
-             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      SELECT TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+             TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
       FROM lineitem
+    ),
+    uf AS (
+      SELECT x, y FROM u
+      WHERE x IS NOT NULL AND ABS(x) < 2147483648
+        AND y IS NOT NULL AND ABS(y) < 2147483648
     ),
     s AS (
       SELECT COUNT(*) AS n,
@@ -4686,7 +4830,7 @@ def agg_string_concat(spark, sf_dir):
              CAST(SUM(x * y) AS DOUBLE) AS sxy,
              CAST(SUM(x * x) AS DOUBLE) AS sxx,
              CAST(SUM(y * y) AS DOUBLE) AS syy
-      FROM u
+      FROM uf
     )
     SELECT n,
            ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) AS slope,
@@ -4710,8 +4854,18 @@ def agg_string_concat(spark, sf_dir):
 )
 def agg_regression(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    x = u2("l_quantity")
-    y = u2("l_extendedprice")
+    # unit-band ingest guard — see the oracle comment: products of
+    # in-band units (< 2^31) stay exact in int64
+    li = li.withColumn("__x", u2("l_quantity")).withColumn(
+        "__y", u2("l_extendedprice")
+    ).filter(
+        F.col("__x").isNotNull()
+        & (F.abs(F.col("__x")) < F.lit(1 << 31))
+        & F.col("__y").isNotNull()
+        & (F.abs(F.col("__y")) < F.lit(1 << 31))
+    )
+    x = F.col("__x")
+    y = F.col("__y")
 
     def moment(e):
         lo = e.bitwiseAND(F.lit((1 << 20) - 1))
@@ -4875,9 +5029,12 @@ def f_try_arith(spark, sf_dir):
 @parity(
     "scan_schema_evolution",
     sql="""
+    -- the synthetic generation split partitions rows BY KEY PARITY: a
+    -- NULL key matches neither generation filter and lands in neither
+    -- file — the oracle reproduces that
     SELECT o_orderkey, o_orderstatus,
            CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
-    FROM orders
+    FROM orders WHERE o_orderkey IS NOT NULL
     """,
     doc="Schema evolution on read: two generations of the same dataset "
     "(v1 without the price column, v2 with it) land in one directory; "
@@ -5054,19 +5211,23 @@ def sink_incremental_rollup(spark, sf_dir):
     "cdc_snapshot_diff",
     sql="""
     WITH old AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE AS o_present
+      FROM orders
     ),
     new AS (
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 10 < 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
-             CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+             CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+             TRUE AS n_present
       FROM orders WHERE o_orderkey % 10 <> 7
       UNION ALL
-      SELECT o_orderkey + 10000000, 'N', 1.0 FROM orders WHERE o_orderkey % 10 = 5
+      SELECT o_orderkey + 10000000, 'N', 1.0, TRUE FROM orders WHERE o_orderkey % 10 = 5
     )
+    -- presence via sentinels, not key nullability: a NULL-keyed row is
+    -- PRESENT on its side (mirrors snapshot_diff's __o_present columns)
     SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-           CASE WHEN o.o_orderkey IS NULL THEN 'I'
-                WHEN n.o_orderkey IS NULL THEN 'D'
+           CASE WHEN o.o_present IS NULL THEN 'I'
+                WHEN n.n_present IS NULL THEN 'D'
                 ELSE 'U' END AS op,
            o.o_orderstatus AS old_o_orderstatus,
            o.o_totalprice AS old_o_totalprice,
@@ -5488,7 +5649,7 @@ def sink_orc_roundtrip(spark, sf_dir):
     sql="""
     SELECT o_orderkey, o_orderpriority,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS price_units
+           TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS price_units
     FROM orders WHERE o_orderstatus = 'O'
     """,
     doc="Line-delimited-JSON interchange surface (the landing format "
@@ -5627,11 +5788,18 @@ def win_rolling_median(spark, sf_dir):
 @parity(
     "agg_covariance_matrix",
     sql="""
-    WITH u AS (
-      SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
-             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
-             CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+    -- same exact-moment unit-band contract as agg_regression
+    WITH u0 AS (
+      SELECT TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) AS q,
+             TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+             TRY_CAST(ROUND(l_discount * 100) AS BIGINT) AS d
       FROM lineitem
+    ),
+    u AS (
+      SELECT q, p, d FROM u0
+      WHERE q IS NOT NULL AND ABS(q) < 2147483648
+        AND p IS NOT NULL AND ABS(p) < 2147483648
+        AND d IS NOT NULL AND ABS(d) < 2147483648
     ),
     s AS (
       SELECT COUNT(*) AS n,
@@ -5665,7 +5833,21 @@ def win_rolling_median(spark, sf_dir):
 )
 def agg_covariance_matrix(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    q, p, d = u2("l_quantity"), u2("l_extendedprice"), u2("l_discount")
+    # unit-band ingest guard (see agg_regression)
+    li = (
+        li.withColumn("__q", u2("l_quantity"))
+        .withColumn("__p", u2("l_extendedprice"))
+        .withColumn("__d", u2("l_discount"))
+        .filter(
+            F.col("__q").isNotNull()
+            & (F.abs(F.col("__q")) < F.lit(1 << 31))
+            & F.col("__p").isNotNull()
+            & (F.abs(F.col("__p")) < F.lit(1 << 31))
+            & F.col("__d").isNotNull()
+            & (F.abs(F.col("__d")) < F.lit(1 << 31))
+        )
+    )
+    q, p, d = F.col("__q"), F.col("__p"), F.col("__d")
 
     def moment(e):
         lo = e.bitwiseAND(F.lit((1 << 20) - 1))
@@ -6160,13 +6342,15 @@ def sink_scd2_history(spark, sf_dir):
     "agg_gini",
     sql="""
     WITH cust AS (
-      SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      SELECT o_custkey, SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
       FROM orders GROUP BY 1
     ),
     ranked AS (
+      -- customers with no representable revenue have no rank position
+      -- (NULL sorts engine-differently) — excluded on both engines
       SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
              COUNT(*) OVER () AS n, SUM(rev) OVER () AS tot
-      FROM cust
+      FROM cust WHERE rev IS NOT NULL
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
            ROUND(SUM((2.0 * i - n - 1) * rev) / (MAX(n) * 1.0 * MAX(tot)) + 1e-9, 4) AS gini
@@ -6189,6 +6373,8 @@ def agg_gini(spark, sf_dir):
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(u2("o_totalprice")).alias("rev"))
+        # no representable revenue → no rank position (oracle mirrors)
+        .filter(F.col("rev").isNotNull())
     )
     w = W.orderBy("rev", "o_custkey")
     wall = W.partitionBy()

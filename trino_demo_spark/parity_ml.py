@@ -15,42 +15,81 @@ from pyspark.sql import functions as F
 from . import ml
 from .parity import _daily_orders, _scratch, _t, parity, r_
 
+# Forecast-series ingest contract: a day only enters the AR/scaling
+# family when its total is finite and variance-representable
+# (|v| < 1e150 keeps v² inside DOUBLE at any SF — DuckDB's regr_*/
+# var_pop RAISES on overflow while Spark silently yields Inf/NaN, so
+# an unbounded measure is a cross-engine crash/divergence either way).
 _SERIES_SQL = """
-  SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS order_value
-  FROM orders GROUP BY 1
+  SELECT day, order_value FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           ROUND(SUM(o_totalprice), 2) AS order_value
+    FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+  ) WHERE isfinite(order_value) AND ABS(order_value) < 1e150
 """
 
 
+# OLS-measure ingest contract over lineitem (see parity.agg_regression):
+# both regression measures must carry finite integer units < 2^31; the
+# oracle's regr_* would otherwise RAISE (VARPOP out of range) on a
+# 1e308 measure that Spark silently turns into Inf moments.
+_OLS_LI_SQL = """
+  SELECT * FROM lineitem
+  WHERE TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) IS NOT NULL
+    AND ABS(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) < 2147483648
+    AND TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL
+    AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
+"""
+
+
+def _ols_lineitem(spark, sf_dir):
+    from .parity import u2
+
+    li = _t(spark, sf_dir, "lineitem")
+    q, pr = u2("l_quantity"), u2("l_extendedprice")
+    return li.filter(
+        q.isNotNull()
+        & (F.abs(q) < F.lit(1 << 31))
+        & pr.isNotNull()
+        & (F.abs(pr) < F.lit(1 << 31))
+    )
+
+
 def _order_series(spark, sf_dir):
-    return _daily_orders(spark, sf_dir).select("day", "order_value")
+    v = F.col("order_value")
+    return (
+        _daily_orders(spark, sf_dir)
+        .select("day", "order_value")
+        .filter(((v - v) == F.lit(0.0)) & (F.abs(v) < F.lit(1e150)))
+    )
 
 
 @parity(
     "ml_linreg_fit",
-    sql="""
+    sql=f"""
     SELECT ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
            ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept
-    FROM lineitem
+    FROM ({_OLS_LI_SQL})
     """,
     doc="Model fit as aggregation: closed-form OLS (covar_pop/var_pop) in "
     "one partial+final agg pass — the engine-side replacement for the "
     "reference's client-side sklearn fits (localTrinoTest.ipynb cell-11).",
 )
 def ml_linreg_fit(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _ols_lineitem(spark, sf_dir)
     fit = ml.linreg_fit(li, "l_quantity", "l_extendedprice")
     return fit.select(r_(F.col("slope"), 4).alias("slope"), r_(F.col("intercept"), 4).alias("intercept"))
 
 
 @parity(
     "ml_linreg_predict",
-    sql="""
+    sql=f"""
     SELECT l_orderkey, l_linenumber,
            ROUND(c.i + c.s * l_quantity + 1e-9, 2) AS pred
     FROM lineitem,
          (SELECT regr_slope(l_extendedprice, l_quantity) AS s,
                  regr_intercept(l_extendedprice, l_quantity) AS i
-          FROM lineitem) c
+          FROM ({_OLS_LI_SQL})) c
     """,
     doc="Engine-side batch inference: 1-row fit broadcast into pure column "
     "arithmetic (no driver round-trip — contrast the reference's "
@@ -59,20 +98,23 @@ def ml_linreg_fit(spark, sf_dir):
 )
 def ml_linreg_predict(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    fit = ml.linreg_fit(li, "l_quantity", "l_extendedprice")
+    # fit on the band-guarded frame; SCORING propagates over all rows
+    fit = ml.linreg_fit(
+        _ols_lineitem(spark, sf_dir), "l_quantity", "l_extendedprice"
+    )
     out = ml.linreg_predict(li, fit, "l_quantity")
     return out.select("l_orderkey", "l_linenumber", r_(F.col("pred"), 2).alias("pred"))
 
 
 @parity(
     "ml_pandas_udf_infer",
-    sql="""
+    sql=f"""
     SELECT l_orderkey, l_linenumber,
            ROUND(c.i + c.s * l_quantity + 1e-9, 2) AS pred
     FROM lineitem,
          (SELECT ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) AS s,
                  ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6) AS i
-          FROM lineitem) c
+          FROM ({_OLS_LI_SQL})) c
     """,
     doc="Vectorized pandas_udf inference over Arrow batches — the plug-in "
     "point for real models (ONNX/torch) per SURVEY.md §2.10. Coefficients "
@@ -81,7 +123,9 @@ def ml_linreg_predict(spark, sf_dir):
 )
 def ml_pandas_udf_infer(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    fit = ml.linreg_fit(li, "l_quantity", "l_extendedprice").select(
+    fit = ml.linreg_fit(
+        _ols_lineitem(spark, sf_dir), "l_quantity", "l_extendedprice"
+    ).select(
         r_(F.col("slope"), 6).alias("slope"), r_(F.col("intercept"), 6).alias("intercept")
     )
     row = fit.first()
@@ -321,6 +365,7 @@ def _pagerank_oracle_sql(iters: int = 4) -> str:
     WITH pairs AS (
       SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
     ),
     edges AS (SELECT src, dst FROM pairs
               UNION ALL SELECT dst AS src, src AS dst FROM pairs),
@@ -354,9 +399,14 @@ def ml_pagerank(spark, sf_dir):
     from . import ml
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # graph ingest: a NULL endpoint is not a node — NULL custkey/suppkey
+    # edges are dropped on both engines (a NULL src otherwise joins
+    # nothing in the degree frame but still inflates the node count,
+    # shifting (1-d)/n for EVERY rank)
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("o_custkey").isNotNull() & F.col("l_suppkey").isNotNull())
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -475,16 +525,20 @@ def ml_als_recommend(spark, sf_dir):
 
 @parity(
     "ml_residual_bins",
-    sql="""
-    WITH fit AS (
+    sql=f"""
+    WITH li AS ({_OLS_LI_SQL}),
+    fit AS (
       SELECT regr_slope(l_extendedprice, l_quantity) AS slope,
              regr_intercept(l_extendedprice, l_quantity) AS intercept
-      FROM lineitem
+      FROM li
     ),
     scored AS (
-      SELECT LEAST(CAST(FLOOR(l_quantity / 10.0) AS INT), 4) AS qty_bin,
+      -- diagnostics run over the same band-guarded rows as the fit: one
+      -- 1e308 residual would overflow the per-bin stddev on DuckDB
+      -- (raise) and Spark (Inf) alike; BIGINT bin, not INT
+      SELECT LEAST(TRY_CAST(FLOOR(l_quantity / 10.0) AS BIGINT), 4) AS qty_bin,
              l_extendedprice - (fit.intercept + fit.slope * l_quantity) AS resid
-      FROM lineitem CROSS JOIN fit
+      FROM li CROSS JOIN fit
     )
     SELECT qty_bin, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(AVG(resid) + 1e-9, 2) AS mean_resid,
@@ -499,11 +553,11 @@ def ml_als_recommend(spark, sf_dir):
     "aggregate; mirrors DuckDB's regr_* closed form.",
 )
 def ml_residual_bins(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _ols_lineitem(spark, sf_dir)
     fit = ml.linreg_fit(li, "l_quantity", "l_extendedprice")
     scored = li.crossJoin(F.broadcast(fit)).select(
         F.least(
-            F.floor(F.col("l_quantity") / F.lit(10.0)).cast("int"), F.lit(4)
+            F.floor(F.col("l_quantity") / F.lit(10.0)).try_cast("long"), F.lit(4).cast("long")
         ).alias("qty_bin"),
         (
             F.col("l_extendedprice")
