@@ -25,7 +25,7 @@ from tests.hostile_corpora import (  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
-    ap.add_argument("--tables", default="events", choices=["events", "orders"])
+    ap.add_argument("--tables", default="events", choices=["events", "orders", "star"])
     args = ap.parse_args()
 
     scratch = os.path.join(
@@ -34,9 +34,17 @@ def main():
     if args.tables == "events":
         base = build_hostile_events(os.path.join(scratch, "hostile_events"))
         target = {"events"}
-    else:
+    elif args.tables == "orders":
         base = build_hostile_orders(os.path.join(scratch, "hostile_orders"))
         target = {"orders", "lineitem"}
+    else:
+        # hostile facts + clean dims: exercises NULL/extreme fact keys
+        # and measures through every dim-join chain
+        base = build_hostile_orders(os.path.join(scratch, "hostile_orders"))
+        target = {
+            "orders", "lineitem", "customer", "supplier",
+            "part", "nation", "region",
+        }
 
     import duckdb
     import pandas as pd
