@@ -610,7 +610,12 @@ def dedup_clusters(
             )
             .distinct()
         )
-        ls = materialize(ls)
+        # ls is consumed exactly once, by the small-star pass inside
+        # THIS round — chaining it costs one round of extra lineage
+        # (reset at ss's materialize below) and saves a persist+count+
+        # checkpoint job pair per round (~25% of the loop's fixed
+        # local-mode overhead; the stats-product blowup iterutil guards
+        # against needs the plan to survive ACROSS rounds).
         # small-star: direct every edge toward its larger endpoint;
         # connect each smaller neighbor (and the node itself) to the
         # minimum of that in-neighborhood.
