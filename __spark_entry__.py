@@ -159,6 +159,10 @@ _RECHECK = {
     "agg_error_metrics": 4,
     "f_agg_stats": 4,
     "f_argminmax": 4,
+    # hostile-dims hardening (tests/test_hostile_dims.py): lossless CSV
+    # text-boundary options + NULL-propagating name concat
+    "scan_csv_header": 4,
+    "f_str_funcs": 4,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

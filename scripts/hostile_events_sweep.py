@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.hostile_corpora import (  # noqa: E402
     TABLES,
+    build_hostile_dims,
     build_hostile_events,
     build_hostile_orders,
 )
@@ -25,7 +26,7 @@ from tests.hostile_corpora import (  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
-    ap.add_argument("--tables", default="events", choices=["events", "orders", "star"])
+    ap.add_argument("--tables", default="events", choices=["events", "orders", "star", "dims"])
     args = ap.parse_args()
 
     scratch = os.path.join(
@@ -37,10 +38,18 @@ def main():
     elif args.tables == "orders":
         base = build_hostile_orders(os.path.join(scratch, "hostile_orders"))
         target = {"orders", "lineitem"}
-    else:
+    elif args.tables == "star":
         # hostile facts + clean dims: exercises NULL/extreme fact keys
         # and measures through every dim-join chain
         base = build_hostile_orders(os.path.join(scratch, "hostile_orders"))
+        target = {
+            "orders", "lineitem", "customer", "supplier",
+            "part", "nation", "region",
+        }
+    else:
+        # hostile dims + clean facts: string/collation traps and NULL
+        # dim keys through every broadcast-join and string-function path
+        base = build_hostile_dims(os.path.join(scratch, "hostile_dims"))
         target = {
             "orders", "lineitem", "customer", "supplier",
             "part", "nation", "region",

@@ -255,3 +255,140 @@ def build_hostile_orders(base: str) -> str:
         os.path.join(base, "lineitem.parquet"),
     )
     return base
+
+def build_hostile_dims(base: str) -> str:
+    """Adversarial dimension tables joined to CLEAN facts: NULL keys and
+    names, unicode case-folding traps (ß, Turkish İ/ı, combining
+    diacritics), emoji/CJK, embedded newlines/tabs/quotes/backslashes
+    (the CSV/JSON boundary killers), leading/trailing/interior spaces,
+    500-char names, case-duplicate names, NaN/±Inf/NULL balances,
+    negative and duplicate-free keys. Facts come from SMOKE so every
+    dim-join chain exercises hostile dim rows against real keys."""
+    os.makedirs(base, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(base, f"{t}.parquet")
+        if t in ("customer", "supplier", "part", "nation", "region"):
+            continue
+        if not os.path.exists(dst):
+            os.symlink(f"{SMOKE}/{t}.parquet", dst)
+
+    rng = np.random.RandomState(17)
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    weird = [
+        None, "", " ", "  padded  ", "straße", "STRASSE", "İstanbul",
+        "ıstanbul", "Customer#000", "customer#000", "éclair",  # é decomposed
+        "éclair", "名前🚀", "O'Reilly \"quoted\" \\ name", "line\nbreak",
+        "tab\tsep", "x" * 500, "ꙮ",
+    ]
+
+    # customer: 40 normal (keys 1..40 — matching smoke fact custkeys) + hostile
+    cust = [
+        (k, f"Customer#{k:09d}", int(rng.randint(0, 25)),
+         round(float(rng.uniform(-999, 9999)), 2), segs[int(rng.randint(0, 5))])
+        for k in range(1, 41)
+    ]
+    hk = 500
+    for i, w in enumerate(weird):
+        cust.append((hk + i, w, int(rng.randint(0, 25)), 100.0, segs[i % 5]))
+    cust += [
+        (hk + 50, "NaN bal", 1, float("nan"), "BUILDING"),
+        (hk + 51, "inf bal", 1, float("inf"), "BUILDING"),
+        (hk + 52, "null bal", 1, None, "BUILDING"),
+        (hk + 53, "null seg", 1, 1.0, None),
+        (hk + 54, "null nation", None, 1.0, "BUILDING"),
+        (None, "null key", 1, 1.0, "BUILDING"),
+        (-7, "negative key", 1, 1.0, "BUILDING"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in cust], pa.int64()),
+                "c_name": pa.array([r[1] for r in cust], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in cust], pa.int64()),
+                "c_acctbal": pa.array([r[3] for r in cust], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in cust], pa.string()),
+            }
+        ),
+        os.path.join(base, "customer.parquet"),
+    )
+
+    supp = [
+        (k, f"Supplier#{k:09d}", int(rng.randint(0, 25)),
+         round(float(rng.uniform(-999, 9999)), 2))
+        for k in range(1, 21)
+    ]
+    supp += [
+        (600, None, 1, 1.0),
+        (601, "straße", None, float("nan")),
+        (602, "Customer#000000001", 2, 1.0),  # name collides with customer
+        (None, "null key supp", 3, 1.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([r[0] for r in supp], pa.int64()),
+                "s_name": pa.array([r[1] for r in supp], pa.string()),
+                "s_nationkey": pa.array([r[2] for r in supp], pa.int64()),
+                "s_acctbal": pa.array([r[3] for r in supp], pa.float64()),
+            }
+        ),
+        os.path.join(base, "supplier.parquet"),
+    )
+
+    types = ["PROMO", "STANDARD", "ECONOMY", None, "", "promo\nanodized"]
+    parts = [
+        (k, f"part {k} name", f"Brand#{k % 5}", types[k % len(types)],
+         int(rng.randint(1, 50)), round(float(rng.uniform(900, 2000)), 2))
+        for k in range(1, 51)
+    ]
+    parts += [
+        (700, None, None, "PROMO", None, None),
+        (701, "dup name part", "Brand#1", "PROMO", 1, float("inf")),
+        (702, "dup name part", "Brand#1", "PROMO", 1, 1000.0),
+        (None, "null key part", "Brand#2", "STANDARD", 2, 1000.0),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in parts], pa.int64()),
+                "p_name": pa.array([r[1] for r in parts], pa.string()),
+                "p_brand": pa.array([r[2] for r in parts], pa.string()),
+                "p_type": pa.array([r[3] for r in parts], pa.string()),
+                "p_size": pa.array([r[4] for r in parts], pa.int32()),
+                "p_retailprice": pa.array([r[5] for r in parts], pa.float64()),
+            }
+        ),
+        os.path.join(base, "part.parquet"),
+    )
+
+    nations = [
+        (k, n, k % 5)
+        for k, n in enumerate(
+            ["NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4",
+             "ülke", "ÜLKE", "nation\nwrapped", "nation,comma", 'nation"quote',
+             "nation\\back", " nation pad ", ""]
+        )
+    ]
+    nations += [(13, None, 2), (None, "null key nation", 3)]
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([r[0] for r in nations], pa.int64()),
+                "n_name": pa.array([r[1] for r in nations], pa.string()),
+                "n_regionkey": pa.array([r[2] for r in nations], pa.int64()),
+            }
+        ),
+        os.path.join(base, "region_tmp.parquet") if False else os.path.join(base, "nation.parquet"),
+    )
+
+    regions = [(0, "REGION_0"), (1, "REGION_1"), (2, None), (3, "région🌍"), (4, ""), (None, "null key region")]
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([r[0] for r in regions], pa.int64()),
+                "r_name": pa.array([r[1] for r in regions], pa.string()),
+            }
+        ),
+        os.path.join(base, "region.parquet"),
+    )
+    return base

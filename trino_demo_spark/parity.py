@@ -327,9 +327,27 @@ def scan_kafka_meta(spark, sf_dir):
 )
 def scan_csv_header(spark, sf_dir):
     path = os.path.join(_scratch(sf_dir), "nation_csv")
-    _t(spark, sf_dir, "nation").write.mode("overwrite").csv(path, header=True)
+    # lossless text-boundary options (same rationale as sink_csv):
+    # explicit NULL marker keeps NULL distinct from '', and the writer's
+    # DEFAULT ignoreLeadingWhiteSpace/ignoreTrailingWhiteSpace=true
+    # would silently TRIM padded names on write
+    (
+        _t(spark, sf_dir, "nation")
+        .write.mode("overwrite")
+        .options(
+            nullValue="\\N",
+            emptyValue='""',
+            ignoreLeadingWhiteSpace=False,
+            ignoreTrailingWhiteSpace=False,
+        )
+        .csv(path, header=True)
+    )
+    # multiLine: the writer QUOTES fields containing record separators,
+    # but the default reader still splits on every newline — a name with
+    # an embedded \n silently becomes two half-rows otherwise
     return (
-        spark.read.csv(path, header=True, inferSchema=True)
+        spark.read.options(multiLine=True, nullValue="\\N", emptyValue="")
+        .csv(path, header=True, inferSchema=True)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
 
@@ -1593,7 +1611,12 @@ def f_str_funcs(spark, sf_dir):
         F.upper("c_name").alias("name_upper"),
         F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        # F.concat (not concat_ws): `x || '/' || y` propagates a NULL
+        # operand to a NULL result on both engines; concat_ws silently
+        # SKIPS NULLs, turning a nameless customer into 'SEGMENT'
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias(
+            "name_seg"
+        ),
     )
 
 
