@@ -87,6 +87,11 @@ HOSTILE_GATED = [
     "llm_dedup_exact",
     "udtf_lateral_words",
     "llm_sample_weighted",
+    # round-4 continuation: BPE verdict surfaces — whitespace-only docs
+    # and \f-trailing tokens once produced '' "words" (1 subtoken, 0
+    # chars) that broke the token-count bounds
+    "llm_tokenizer_bpe",
+    "llm_tokenizer_apply",
 ]
 
 TABLES = (

@@ -35,9 +35,16 @@ from .dedup import tokens_col
 
 
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-time corpus pass: lowercased whitespace words → frequencies."""
+    """One-time corpus pass: lowercased whitespace words → frequencies.
+
+    Empty tokens are not words: `\\s+` splitting of whitespace-only /
+    separator-trailing text yields '' entries (regex-whitespace like
+    \\f survives the space-only trim), and an empty word would carry
+    one subtoken but zero characters — poisoning both the vocabulary
+    and every token-count bound."""
     return (
         df.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.col("w") != "")
         .select(F.lower("w").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
@@ -192,6 +199,8 @@ def bpe_apply(
             F.col(id_col),
             F.explode(tokens_col(text_col)).alias("w"),
         )
+        # empty tokens are not words (see word_freqs)
+        .filter(F.col("w") != "")
         .select(id_col, F.lower("w").alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count("*").alias("cnt"))

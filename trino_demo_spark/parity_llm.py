@@ -2072,11 +2072,15 @@ def llm_tokenizer_bpe(spark, sf_dir):
 @parity(
     "llm_tokenizer_apply",
     sql=f"""
+    -- empty tokens are not words (whitespace-only docs and regex-
+    -- whitespace-trailing text split into '' entries) — a doc with no
+    -- real words has nothing to tokenize and emits no row
     SELECT doc_id,
-           CAST(len({_TOK}) AS BIGINT) AS n_words,
+           CAST(len(list_filter({_TOK}, x -> x <> '')) AS BIGINT) AS n_words,
            true AS tokens_in_bounds,
            true AS roundtrip_ok
-    FROM documents WHERE text IS NOT NULL
+    FROM documents
+    WHERE text IS NOT NULL AND len(list_filter({_TOK}, x -> x <> '')) > 0
     """,
     doc="Train→apply tokenizer handoff: the BPE merges learned by "
     "llm_tokenizer_bpe are compiled INTO the expression tree (one "
@@ -2104,6 +2108,7 @@ def llm_tokenizer_apply(spark, sf_dir):
     # arrays through the same merge folds and demand concat == word.
     vocab = (
         docs.select(F.explode(bpe.tokens_col("text")).alias("w"))
+        .filter(F.col("w") != "")
         .select(F.lower("w").alias("w"))
         .distinct()
         .withColumn("syms", F.expr("transform(split(w, ''), c -> c)"))
@@ -2115,11 +2120,14 @@ def llm_tokenizer_apply(spark, sf_dir):
             F.every(F.concat_ws("", F.col("syms")) == F.col("w")), F.lit(True)
         ).alias("ok")
     )
-    chars = docs.select(
-        "doc_id",
-        F.explode(bpe.tokens_col("text")).alias("w"),
-    ).groupBy("doc_id").agg(
-        F.sum(F.length("w")).cast("long").alias("n_word_chars")
+    chars = (
+        docs.select(
+            "doc_id",
+            F.explode(bpe.tokens_col("text")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("w")).cast("long").alias("n_word_chars"))
     )
     return (
         per_doc.join(chars, "doc_id")
