@@ -26,7 +26,7 @@ from tests.hostile_corpora import (  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
-    ap.add_argument("--tables", default="events", choices=["events", "orders", "star", "dims"])
+    ap.add_argument("--tables", default="events", choices=["events", "orders", "star", "dims", "docs"])
     args = ap.parse_args()
 
     scratch = os.path.join(
@@ -46,7 +46,7 @@ def main():
             "orders", "lineitem", "customer", "supplier",
             "part", "nation", "region",
         }
-    else:
+    elif args.tables == "dims":
         # hostile dims + clean facts: string/collation traps and NULL
         # dim keys through every broadcast-join and string-function path
         base = build_hostile_dims(os.path.join(scratch, "hostile_dims"))
@@ -54,6 +54,40 @@ def main():
             "orders", "lineitem", "customer", "supplier",
             "part", "nation", "region",
         }
+    else:
+        # hostile documents (the tests/test_hostile_text.py corpus):
+        # every documents-only oracle query
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tests.hostile_corpora import SMOKE
+        from tests.test_hostile_text import HOSTILE_TEXTS
+
+        base = os.path.join(scratch, "hostile_docs")
+        os.makedirs(base, exist_ok=True)
+        for t in TABLES:
+            dst = os.path.join(base, f"{t}.parquet")
+            if t == "documents" or os.path.exists(dst):
+                continue
+            os.symlink(f"{SMOKE}/{t}.parquet", dst)
+        langs = ["en", "de", "fr", "es", "zh"]
+        n = len(HOSTILE_TEXTS)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(HOSTILE_TEXTS, pa.string()),
+                    "lang": pa.array([langs[i % 5] for i in range(n)], pa.string()),
+                    "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+                    "n_chars": pa.array(
+                        [len(t) if t is not None else 0 for t in HOSTILE_TEXTS],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            os.path.join(base, "documents.parquet"),
+        )
+        target = {"documents"}
 
     import duckdb
     import pandas as pd
