@@ -193,6 +193,7 @@ _PRIORITY = [
     "llm_perplexity",
     "llm_quality_filter",
     # round-4-continuation additions — verify at first opportunity
+    "profile_quarantine",
     "llm_dedup_span",
     "llm_search_hybrid",
     "llm_best_of_n",

@@ -88,6 +88,7 @@ HOSTILE_GATED = [
     "e2e_forecast_pipeline",
     "ml_pagerank",
     "ml_residual_bins",
+    "profile_quarantine",
 ]
 
 
@@ -124,3 +125,47 @@ def test_hostile_orders_parity(name, spark, hostile_ord_sf, hostile_ord_duck):
         f"{name}: {len(mismatches)} canonical-row mismatches on hostile "
         f"orders; first: {mismatches[:2]}"
     )
+
+
+def test_quarantine_contract_catches_hostile_rows(spark, hostile_ord_sf):
+    """The declared orders contract must quarantine every hostile row a
+    downstream operator family would otherwise have to drop itself:
+    the valid side carries no NULL keys/dates and only unit-
+    representable money, and the split is lossless (valid + rejected
+    = input, reasons machine-parseable)."""
+    from pyspark.sql import functions as F
+
+    from trino_demo_spark.operators import quality as Q
+    from trino_demo_spark.registry import load_table
+
+    o = load_table(spark, "orders", hostile_ord_sf)
+    contract = [
+        ("o_orderkey", Q.not_null()),
+        ("o_orderdate", Q.not_null()),
+        ("o_totalprice", Q.unit_band()),
+    ]
+    valid, rejected = Q.quarantine(o, contract)
+    n_in, n_ok, n_bad = o.count(), valid.count(), rejected.count()
+    assert n_ok + n_bad == n_in and n_bad > 0
+    assert valid.filter(F.col("o_orderkey").isNull()).count() == 0
+    assert valid.filter(F.col("o_orderdate").isNull()).count() == 0
+    u = F.col("o_totalprice") * 100
+    assert (
+        valid.filter(
+            F.col("o_totalprice").isNull()
+            | ~((u - u) == F.lit(0.0))
+            | (F.abs(u) >= F.lit(9223372036854775808.0))
+        ).count()
+        == 0
+    )
+    reasons = {
+        r["__quarantine_reason"]
+        for r in rejected.select("__quarantine_reason").distinct().collect()
+    }
+    valid_atoms = {
+        "o_orderkey:not_null",
+        "o_orderdate:not_null",
+        "o_totalprice:unit_band_100",
+    }
+    for reason in reasons:
+        assert set(reason.split(",")) <= valid_atoms, reason

@@ -7351,3 +7351,92 @@ def agg_rank_correlation(spark, sf_dir):
             4,
         ).alias("spearman_rho"),
     )
+
+
+@parity(
+    "profile_quarantine",
+    sql="""
+    -- the oracle re-evaluates the CONTRACT on the same augmented frame
+    -- (base rows + planted violations: %10=3 lose the date, %10=6 turn
+    -- NaN, %10=9 overflow the unit band, %10=0 violate both) — so the
+    -- verdict also holds when the BASE data itself carries violations
+    -- (the hostile-orders corpus does). NaN/±Inf fail the band compare
+    -- identically on both engines (NaN sorts greatest in each).
+    WITH base AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    aug AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey + 10000000,
+             CASE WHEN o_orderkey % 10 IN (3, 0) THEN NULL
+                  ELSE o_orderdate END,
+             CASE WHEN o_orderkey % 10 IN (6, 0) THEN 'nan'::DOUBLE
+                  WHEN o_orderkey % 10 = 9 THEN o_totalprice * 1e308
+                  ELSE o_totalprice END
+      FROM base WHERE o_orderkey % 10 IN (0, 3, 6, 9)
+    ),
+    checked AS (
+      SELECT (o_orderdate IS NULL) AS d_bad,
+             NOT (o_totalprice IS NOT NULL
+                  AND o_totalprice * 100 >= -9223372036854775808.0
+                  AND o_totalprice * 100 < 9223372036854775808.0) AS p_bad
+      FROM aug
+    )
+    SELECT CASE WHEN d_bad AND p_bad
+                THEN 'o_orderdate:not_null,o_totalprice:unit_band_100'
+                WHEN d_bad THEN 'o_orderdate:not_null'
+                WHEN p_bad THEN 'o_totalprice:unit_band_100'
+                ELSE 'valid' END AS reason,
+           COUNT(*) AS n
+    FROM checked GROUP BY 1
+    """,
+    doc="Contract quarantine as a declared query (operators.quality."
+    "quarantine): the ingest gate that splits a landing table into "
+    "valid rows and machine-readable rejects, formalizing the validity "
+    "policies the hostile-corpus program pinned (timestamped rows for "
+    "timeline ops, unit-representable money for exact accumulators, "
+    "non-NULL keys). Violations are PLANTED deterministically on "
+    "driver data (per-key-decile copies with a NULL date / NaN money / "
+    "1e308 money / both), so the per-reason reject counts are fully "
+    "oracle-checkable from the planting rule alone. One codegen "
+    "projection, zero shuffles before the count; at 100 TB the valid "
+    "side flows on unchanged and the reject side partitions by reason "
+    "into a reprocessing queue. The hostile-orders gate additionally "
+    "property-tests that the same contract catches every hostile row "
+    "(tests/test_hostile_orders.py).",
+)
+def profile_quarantine(spark, sf_dir):
+    from .operators import quality as Q
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    k = F.col("o_orderkey") % 10
+    nan = F.lit(float("nan"))
+    plant = (
+        o.filter(k.isin(0, 3, 6, 9))
+        .select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            F.when(k.isin(3, 0), F.lit(None).cast("timestamp"))
+            .otherwise(F.col("o_orderdate"))
+            .alias("o_orderdate"),
+            F.when(k.isin(6, 0), nan)
+            .when(k == 9, F.col("o_totalprice") * F.lit(1e308))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    aug = o.select("o_orderkey", "o_orderdate", "o_totalprice").unionByName(
+        plant
+    )
+    contract = [
+        ("o_orderkey", Q.not_null()),
+        ("o_orderdate", Q.not_null()),
+        ("o_totalprice", Q.unit_band()),
+    ]
+    annotated = Q.contract_check(aug, contract)
+    return annotated.groupBy(
+        F.coalesce(F.col("__quarantine_reason"), F.lit("valid")).alias(
+            "reason"
+        )
+    ).agg(F.count("*").alias("n"))
