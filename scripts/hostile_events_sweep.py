@@ -26,7 +26,7 @@ from tests.hostile_corpora import (  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
-    ap.add_argument("--tables", default="events", choices=["events", "orders", "star", "dims", "docs"])
+    ap.add_argument("--tables", default="events", choices=["events", "orders", "star", "dims", "docs", "emb"])
     args = ap.parse_args()
 
     scratch = os.path.join(
@@ -88,6 +88,39 @@ def main():
             os.path.join(base, "documents.parquet"),
         )
         target = {"documents"}
+    if args.tables == "emb":
+        # hostile embeddings (the tests/test_hostile_embeddings.py
+        # corpus): every query whose oracle reads embeddings
+        from tests.hostile_corpora import SMOKE
+        from tests.test_hostile_embeddings import _hostile_vectors
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = os.path.join(scratch, "hostile_emb")
+        os.makedirs(base, exist_ok=True)
+        for t in TABLES:
+            dst = os.path.join(base, f"{t}.parquet")
+            if t == "embeddings" or os.path.exists(dst):
+                continue
+            os.symlink(f"{SMOKE}/{t}.parquet", dst)
+        vecs = _hostile_vectors()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) if v is not None else None for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(
+                        [i % 10 for i in range(len(vecs))], pa.int32()
+                    ),
+                }
+            ),
+            os.path.join(base, "embeddings.parquet"),
+        )
+        target = {"embeddings"}
 
     import duckdb
     import pandas as pd
