@@ -418,3 +418,67 @@ def test_capped_jaccard_matches_python_model(spark, texts, df_max):
         ).collect()
     }
     assert got == expected
+
+
+_q_vals = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        st.just(-0.0),
+        st.just(5e-324),
+        st.just(1e308),
+    ),
+    min_size=1,
+    max_size=40,
+)
+_q_keys = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-10, max_value=10**12)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_q_vals, _q_keys)
+def test_quarantine_contract_property(spark, vals, keys):
+    """quarantine() vs an independent Python model of the same rules:
+    the split is lossless, the valid side satisfies every rule, and the
+    reason string is exactly the sorted list of violated rules."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from trino_demo_spark.operators import quality as Q
+
+    n = max(len(vals), len(keys))
+    vals = (vals * n)[:n]
+    keys = (keys * n)[:n]
+    # row tuples, not a pandas frame: the pandas bridge coerces NaN
+    # cells to SQL NULL, which is exactly the distinction under test
+    sdf = spark.createDataFrame(list(zip(keys, vals)), "k long, v double")
+    contract = [("k", Q.not_null()), ("v", Q.unit_band())]
+    annotated = Q.contract_check(sdf, contract).collect()
+    assert len(annotated) == n
+
+    def model_reason(k, v):
+        bad = []
+        if k is None:
+            bad.append("k:not_null")
+        u = None if v is None else v * 100
+        if v is None or math.isnan(u) or not (-(2.0**63) <= u < 2.0**63):
+            bad.append("v:unit_band_100")
+        return ",".join(sorted(bad)) or None
+
+    got = sorted(
+        (str(r["k"]), str(r["v"]), str(r["__quarantine_reason"]))
+        for r in annotated
+    )
+    exp = sorted(
+        (
+            str(k),
+            str(float(v)) if v is not None else "None",
+            str(model_reason(k, v)),
+        )
+        for k, v in zip(keys, vals)
+    )
+    assert got == exp
