@@ -346,3 +346,52 @@ def test_sliding_window_stream_matches_batch(spark, stream):
         for r in batch.collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_quarantine_gate_on_stream(spark, tmp_path):
+    """The contract-quarantine gate (operators.quality) is a stateless
+    projection, so the SAME contract runs unchanged on a Structured
+    Stream — the ingest shape for a 100 TB landing topic: valid rows
+    flow on, rejects land with machine-readable reasons, and the
+    streamed split must equal the batch split row-for-row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trino_demo_spark.operators import quality as Q
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    rows = {
+        "k": pa.array([1, 2, None, 4, 5], pa.int64()),
+        "v": pa.array(
+            [10.0, float("nan"), 30.0, float("inf"), 1e308], pa.float64()
+        ),
+    }
+    pq.write_table(pa.table(rows), str(src / "p0.parquet"))
+
+    contract = [("k", Q.not_null()), ("v", Q.unit_band())]
+    batch = Q.contract_check(spark.read.parquet(str(src)), contract)
+    stream = spark.readStream.schema("k long, v double").parquet(str(src))
+    q = (
+        Q.contract_check(stream, contract)
+        .writeStream.format("memory")
+        .queryName("quarantine_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["k"]), str(r["v"]), str(r["__quarantine_reason"]))
+        for r in spark.sql("SELECT * FROM quarantine_out").collect()
+    }
+    exp = {
+        (str(r["k"]), str(r["v"]), str(r["__quarantine_reason"]))
+        for r in batch.collect()
+    }
+    assert got == exp
+    reasons = {r for _, _, r in got if r != "None"}
+    assert reasons == {
+        "k:not_null",
+        "v:unit_band_100",
+    }
