@@ -26,7 +26,7 @@ from tests.hostile_corpora import (  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
-    ap.add_argument("--tables", default="events", choices=["events", "orders", "star", "dims", "docs", "emb"])
+    ap.add_argument("--tables", default="events", choices=["events", "orders", "star", "dims", "docs", "emb", "all"])
     args = ap.parse_args()
 
     scratch = os.path.join(
@@ -121,6 +121,61 @@ def main():
             os.path.join(base, "embeddings.parquet"),
         )
         target = {"embeddings"}
+    if args.tables == "all":
+        # every table adversarial at once — closes the cross-family
+        # interaction gap (multi-table queries were swept with one
+        # hostile family at a time)
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tests.test_hostile_embeddings import _hostile_vectors
+        from tests.test_hostile_text import HOSTILE_TEXTS
+
+        base = os.path.join(scratch, "hostile_all")
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+        ev = build_hostile_events(os.path.join(scratch, "hostile_events"))
+        od = build_hostile_orders(os.path.join(scratch, "hostile_orders"))
+        dm = build_hostile_dims(os.path.join(scratch, "hostile_dims"))
+        os.symlink(os.path.join(ev, "events.parquet"), os.path.join(base, "events.parquet"))
+        for t in ("orders", "lineitem"):
+            os.symlink(os.path.join(od, f"{t}.parquet"), os.path.join(base, f"{t}.parquet"))
+        for t in ("customer", "supplier", "part", "nation", "region"):
+            os.symlink(os.path.join(dm, f"{t}.parquet"), os.path.join(base, f"{t}.parquet"))
+        langs = ["en", "de", "fr", "es", "zh"]
+        n = len(HOSTILE_TEXTS)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(HOSTILE_TEXTS, pa.string()),
+                    "lang": pa.array([langs[i % 5] for i in range(n)], pa.string()),
+                    "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+                    "n_chars": pa.array(
+                        [len(t) if t is not None else 0 for t in HOSTILE_TEXTS],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            os.path.join(base, "documents.parquet"),
+        )
+        vecs = _hostile_vectors()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) if v is not None else None for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([i % 10 for i in range(len(vecs))], pa.int32()),
+                }
+            ),
+            os.path.join(base, "embeddings.parquet"),
+        )
+        target = set(TABLES)
 
     import duckdb
     import pandas as pd
