@@ -4,7 +4,7 @@ engine vs DuckDB oracle. The CI gate (tests/test_hostile_events.py)
 pins a representative subset; this sweep covers ALL events-only queries
 and is re-run out-of-band per round.
 
-Usage: python scripts/hostile_events_sweep.py [--only name,name,...]
+Usage: python scripts/hostile_sweep.py [--only name,name,...]
 """
 
 from __future__ import annotations

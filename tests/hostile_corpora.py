@@ -1,6 +1,6 @@
 """Shared hostile-events corpus: adversarial `events` parquet used by
 both the CI differential gate (tests/test_hostile_events.py) and the
-full out-of-band sweep (scripts/hostile_events_sweep.py).
+full out-of-band sweep (scripts/hostile_sweep.py).
 
 Timestamp pathologies are the classic window/session-op killers: exact
 session-gap boundaries, duplicate (user, ts) pairs, NULL ts/user/value,

@@ -22,7 +22,7 @@ Everything else — case-insensitive joins, levenshtein over non-ASCII,
 hash functions, set ops, recursive CTE, every broadcast dim-join chain
 including the full TPC-H suite — was bit-exact without changes.
 
-The full sweep re-runs via scripts/hostile_events_sweep.py
+The full sweep re-runs via scripts/hostile_sweep.py
 --tables dims; this gate pins the defect set plus the string-heaviest
 surfaces.
 """

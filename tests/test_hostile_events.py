@@ -32,7 +32,7 @@ Policies pinned here (mirrored in the oracles):
   where pandas semantics say so (na.drop / na.fill);
 - NULL user_id stays a legitimate group key everywhere else.
 
-The full 51-query sweep (scripts/hostile_events_sweep.py) is re-run
+The full 51-query sweep (scripts/hostile_sweep.py) is re-run
 out-of-band per round; this gate pins the defect set.
 """
 

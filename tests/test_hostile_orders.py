@@ -37,7 +37,7 @@ Policies pinned here (mirrored in the oracles):
 - CSV sinks write an explicit NULL marker so '' and NULL survive the
   text boundary distinctly.
 
-The full 98-query sweep (scripts/hostile_events_sweep.py
+The full 98-query sweep (scripts/hostile_sweep.py
 --tables orders) re-runs out-of-band per round; this gate pins the
 defect set.
 """
