@@ -163,6 +163,9 @@ _RECHECK = {
     # text-boundary options + NULL-propagating name concat
     "scan_csv_header": 4,
     "f_str_funcs": 4,
+    # review-pass fixes: NULL-poisoning fold mirrors in the array/
+    # normalize oracles (already in _RECHECK: the geometric family)
+    "f_array_funcs": 4,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

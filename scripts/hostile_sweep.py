@@ -54,7 +54,7 @@ def main():
             "orders", "lineitem", "customer", "supplier",
             "part", "nation", "region",
         }
-    else:
+    elif args.tables == "docs":
         # hostile documents (the tests/test_hostile_text.py corpus):
         # every documents-only oracle query
         import pyarrow as pa
@@ -88,7 +88,7 @@ def main():
             os.path.join(base, "documents.parquet"),
         )
         target = {"documents"}
-    if args.tables == "emb":
+    elif args.tables == "emb":
         # hostile embeddings (the tests/test_hostile_embeddings.py
         # corpus): every query whose oracle reads embeddings
         from tests.hostile_corpora import SMOKE
@@ -110,7 +110,12 @@ def main():
                 {
                     "vec_id": pa.array(range(len(vecs)), pa.int64()),
                     "embedding": pa.array(
-                        [list(map(float, v)) if v is not None else None for v in vecs],
+                        [
+                            None
+                            if v is None
+                            else [None if x is None else float(x) for x in v]
+                            for v in vecs
+                        ],
                         pa.list_(pa.float32()),
                     ),
                     "label": pa.array(
@@ -121,7 +126,7 @@ def main():
             os.path.join(base, "embeddings.parquet"),
         )
         target = {"embeddings"}
-    if args.tables == "all":
+    else:
         # every table adversarial at once — closes the cross-family
         # interaction gap (multi-table queries were swept with one
         # hostile family at a time)
@@ -167,7 +172,12 @@ def main():
                 {
                     "vec_id": pa.array(range(len(vecs)), pa.int64()),
                     "embedding": pa.array(
-                        [list(map(float, v)) if v is not None else None for v in vecs],
+                        [
+                            None
+                            if v is None
+                            else [None if x is None else float(x) for x in v]
+                            for v in vecs
+                        ],
                         pa.list_(pa.float32()),
                     ),
                     "label": pa.array([i % 10 for i in range(len(vecs))], pa.int32()),

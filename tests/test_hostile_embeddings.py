@@ -91,6 +91,13 @@ def _hostile_vectors():
     # NULL-padded zip_with garbage / Arrow vstack crashes)
     hostile.append(norm(rng.randn(DIM - 1)))      # truncated (63)
     hostile.append(norm(rng.randn(DIM + 1)))      # over-length (65)
+    # SQL-NULL component (partial upstream write): the engine's forall
+    # yields NULL → dropped; the oracle's list_filter must test
+    # `x IS NULL OR NOT isfinite(x)` — bare isfinite(NULL) is NULL and
+    # DuckDB would silently skip the element, keeping the row
+    withnull = [float(x) for x in norm(rng.randn(DIM))]
+    withnull[11] = None
+    hostile.append(withnull)
     hostile.append(vecs[0].copy())                # exact duplicate
     nd = vecs[1].copy(); nd[0] += np.float32(1e-7)
     hostile.append(nd)                            # near duplicate
@@ -109,7 +116,12 @@ def hostile_emb_sf(tmp_path_factory):
         {
             "vec_id": pa.array(range(len(vecs)), pa.int64()),
             "embedding": pa.array(
-                [list(map(float, v)) if v is not None else None for v in vecs],
+                [
+                    None
+                    if v is None
+                    else [None if x is None else float(x) for x in v]
+                    for v in vecs
+                ],
                 pa.list_(pa.float32()),
             ),
             "label": pa.array(

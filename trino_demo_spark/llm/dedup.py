@@ -610,12 +610,14 @@ def dedup_clusters(
             )
             .distinct()
         )
-        # ls is consumed exactly once, by the small-star pass inside
-        # THIS round — chaining it costs one round of extra lineage
-        # (reset at ss's materialize below) and saves a persist+count+
-        # checkpoint job pair per round (~25% of the loop's fixed
-        # local-mode overhead; the stats-product blowup iterutil guards
-        # against needs the plan to survive ACROSS rounds).
+        # ls feeds TWO subtrees inside this round (the mins2 aggregate
+        # and the ss join) — persist() makes the large-star pass
+        # compute once and serve both from cache, WITHOUT the
+        # checkpoint job pair a full materialize costs (~25% of the
+        # loop's fixed local-mode overhead). Lineage/stats blowup is
+        # still reset every round by ss's materialize below; the cache
+        # is dropped as soon as ss is solid.
+        ls = ls.persist()
         # small-star: direct every edge toward its larger endpoint;
         # connect each smaller neighbor (and the node itself) to the
         # minimum of that in-neighborhood.
@@ -636,6 +638,7 @@ def dedup_clusters(
             .distinct()
         )
         ss = materialize(ss)
+        ls.unpersist()
         # Convergence = edge set unchanged. Both passes are monotone
         # (each strictly decreases the sum-of-endpoints potential until
         # the star fixpoint), so no A→B→A cycling is possible and an

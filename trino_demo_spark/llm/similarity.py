@@ -50,7 +50,10 @@ def finite_vectors(
     hard-crashes the Arrow matmul batch. ``x - x = 0`` is false for
     NaN and ±Inf (both yield NaN) — one codegen-friendly predicate, no
     UDF. Oracle mirror: ``embedding IS NOT NULL AND len(list_filter(
-    embedding, x -> NOT isfinite(x))) = 0``."""
+    embedding, x -> x IS NULL OR NOT isfinite(x))) = 0`` — the ``x IS
+    NULL`` arm matters: the engine's forall yields NULL (row dropped)
+    on a NULL component, while DuckDB's bare isfinite(NULL) is NULL and
+    list_filter would silently skip the element."""
     col = F.col(vec_col)
     ok = col.isNotNull() & F.forall(col, lambda x: (x - x) == F.lit(0.0))
     if dim is not None:

@@ -123,8 +123,9 @@ def logreg_fit(
 
     Returns (weights[dims], bias, losses) — the accepted-step mean
     log-loss trace (non-increasing), for convergence checks.
-    ``iters`` bounds the number of full-batch evaluations (accepted or
-    rejected), so the scan cost stays fixed."""
+    The scan cost is fixed at ``iters + 1`` full-batch evaluations:
+    one initial loss/gradient evaluation plus one per attempted step
+    (accepted or rejected)."""
     from pyspark.sql import functions as F
 
     n = df.count()

@@ -170,6 +170,24 @@ def U2(col: str) -> str:
     return f"TRY_CAST(ROUND(({col}) * 100) AS BIGINT)"
 
 
+def uband(col_name: str, bound: int = 1 << 31):
+    """Engine-side exact-stats measure band (see agg_regression): TRUE
+    iff the column's integer units exist (finite, in-int64) and
+    -bound < units < bound. Open comparisons, NOT F.abs(): u2 can
+    legally produce int64 min, whose abs() overflows under ANSI."""
+    u = u2(col_name)
+    return u.isNotNull() & (u > F.lit(-bound)) & (u < F.lit(bound))
+
+
+def UBAND(col: str, bound: int = 1 << 31) -> str:
+    """Oracle-side mirror of uband (SQL fragment). Same open
+    comparisons instead of ABS() — DuckDB's ABS(int64 min) raises."""
+    unit = f"TRY_CAST(ROUND(({col}) * 100) AS BIGINT)"
+    return (
+        f"({unit} IS NOT NULL AND {unit} > -{bound} AND {unit} < {bound})"
+    )
+
+
 def UREV(a: str = "") -> str:
     """Oracle-side mirror of urev; `a` is an optional table alias."""
     p = f"{a}." if a else ""
@@ -1146,8 +1164,8 @@ def agg_minmax(spark, sf_dir):
            ROUND(quantile_cont(l_quantity, 0.75) + 1e-9, 4) AS qty_q75,
            ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS price_q50
     FROM lineitem
-    WHERE TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) < 2147483648
-      AND TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
+    WHERE (TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) < 2147483648)
+      AND (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
     """,
     doc="Median + IQR (RobustScaler.fit, ref: KubeflowStockPricePrediction."
     "ipynb:272-311). Exact percentile here for oracle parity; "
@@ -1156,13 +1174,7 @@ def agg_minmax(spark, sf_dir):
 )
 def agg_quantiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    uq, up = u2("l_quantity"), u2("l_extendedprice")
-    li = li.filter(
-        uq.isNotNull()
-        & (F.abs(uq) < F.lit(1 << 31))
-        & up.isNotNull()
-        & (F.abs(up) < F.lit(1 << 31))
-    )
+    li = li.filter(uband("l_quantity") & uband("l_extendedprice"))
     return li.agg(
         r_(F.expr("percentile(l_quantity, 0.25)"), 4).alias("qty_q25"),
         r_(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_q50"),
@@ -1181,10 +1193,10 @@ def agg_quantiles(spark, sf_dir):
            ROUND(corr(l_extendedprice, l_discount) + 1e-9, 6) AS corr_l_extendedprice_l_discount,
            ROUND(corr(l_quantity, l_tax) + 1e-9, 6) AS corr_l_quantity_l_tax
     FROM lineitem
-    WHERE TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) < 2147483648
-      AND TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
-      AND TRY_CAST(ROUND(l_discount * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_discount * 100) AS BIGINT)) < 2147483648
-      AND TRY_CAST(ROUND(l_tax * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_tax * 100) AS BIGINT)) < 2147483648
+    WHERE (TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) < 2147483648)
+      AND (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
+      AND (TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) < 2147483648)
+      AND (TRY_CAST(ROUND((l_tax) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_tax) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_tax) * 100) AS BIGINT) < 2147483648)
     """,
     doc="Pairwise Pearson correlation (ref: localTrinoTest.ipynb:438-440 "
     "8×8 matrix) in ONE aggregate pass; rounded for cross-engine "
@@ -1194,8 +1206,7 @@ def agg_corr(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     band = None
     for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
-        u = u2(c)
-        cond = u.isNotNull() & (F.abs(u) < F.lit(1 << 31))
+        cond = uband(c)
         band = cond if band is None else (band & cond)
     li = li.filter(band)
     return agg_ops.corr_pairs(
@@ -1234,19 +1245,15 @@ def agg_count(spark, sf_dir):
            ROUND(AVG(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice)) * 100 + 1e-9, 4) AS mape,
            ROUND(quantile_cont(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice), 0.5) * 100 + 1e-9, 4) AS mdape
     FROM lineitem
-    WHERE TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
-      AND TRY_CAST(ROUND(l_discount * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_discount * 100) AS BIGINT)) < 2147483648
+    WHERE (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
+      AND (TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) < 2147483648)
     """,
     doc="MAE / MAPE / MDAPE between truth and prediction (ref: "
     "localTrinoTest.ipynb:903-919); prediction stand-in = discounted price.",
 )
 def agg_error_metrics(spark, sf_dir):
-    up, ud = u2("l_extendedprice"), u2("l_discount")
     li = _t(spark, sf_dir, "lineitem").filter(
-        up.isNotNull()
-        & (F.abs(up) < F.lit(1 << 31))
-        & ud.isNotNull()
-        & (F.abs(ud) < F.lit(1 << 31))
+        uband("l_extendedprice") & uband("l_discount")
     ).withColumn(
         "pred", F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     )
@@ -2252,8 +2259,8 @@ def join_range_bucketed(spark, sf_dir):
            ROUND(var_pop(l_quantity) + 1e-9, 6) AS qty_var,
            ROUND(covar_pop(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_cov
     FROM lineitem
-    WHERE TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) < 2147483648
-      AND TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
+    WHERE (TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) < 2147483648)
+      AND (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
     """,
     doc="Statistical aggregate surface: stddev (pop+samp), variance, "
     "covariance in one pass. (skewness/kurtosis are engine-specific in "
@@ -2262,13 +2269,7 @@ def join_range_bucketed(spark, sf_dir):
 )
 def f_agg_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
-    uq, up = u2("l_quantity"), u2("l_extendedprice")
-    li = li.filter(
-        uq.isNotNull()
-        & (F.abs(uq) < F.lit(1 << 31))
-        & up.isNotNull()
-        & (F.abs(up) < F.lit(1 << 31))
-    )
+    li = li.filter(uband("l_quantity") & uband("l_extendedprice"))
     return li.agg(
         r_(F.stddev_pop("l_quantity"), 6).alias("qty_stddev"),
         r_(F.stddev_samp("l_quantity"), 6).alias("qty_stddev_samp"),
@@ -2291,7 +2292,7 @@ def f_agg_stats(spark, sf_dir):
              TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_units
       FROM orders
     )
-    WHERE o_totalprice_units IS NOT NULL AND ABS(o_totalprice_units) < 900000000
+    WHERE o_totalprice_units IS NOT NULL AND o_totalprice_units > -900000000 AND o_totalprice_units < 900000000
       AND o_orderkey IS NOT NULL AND o_orderkey BETWEEN 0 AND 9999999999
     GROUP BY o_orderpriority
     """,
@@ -2305,12 +2306,10 @@ def f_agg_stats(spark, sf_dir):
     "so it shuffles one row per group at any scale.",
 )
 def f_argminmax(spark, sf_dir):
-    u = u2("o_totalprice")
     o = (
         _t(spark, sf_dir, "orders")
         .filter(
-            u.isNotNull()
-            & (F.abs(u) < F.lit(900_000_000))
+            uband("o_totalprice", 900_000_000)
             & F.col("o_orderkey").isNotNull()
             & F.col("o_orderkey").between(0, 9_999_999_999)
         )
@@ -2357,9 +2356,13 @@ def agg_count_if(spark, sf_dir):
 @parity(
     "f_array_funcs",
     sql="""
+    -- NULL-poisoning CASE: Spark's aggregate() fold propagates a NULL
+    -- element into a NULL sum, while DuckDB's list_sum silently SKIPS
+    -- NULL elements — the oracle must state the fold semantics
     SELECT vec_id, len(embedding) AS dim,
            ROUND(CAST(embedding[1] AS DOUBLE) + 1e-9, 6) AS first_component,
-           ROUND(CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) + 1e-9, 4) AS component_sum
+           ROUND(CAST(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+                      ELSE list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) END AS DOUBLE) + 1e-9, 4) AS component_sum
     FROM embeddings
     """,
     doc="Array function surface over the embedding column: size, element "
@@ -2999,7 +3002,7 @@ def tpch_q11(spark, sf_dir):
     WITH promo_parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
     shipped AS (
       SELECT l_suppkey, l_partkey,
-              CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_units
+              CAST(SUM(TRY_CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_units
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         AND l_partkey IN (SELECT p_partkey FROM promo_parts)
@@ -3744,7 +3747,7 @@ def profile_skew(spark, sf_dir):
     sql="""
     WITH obs AS (
       SELECT o_orderpriority AS k, o_orderdate AS d,
-             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+             SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS v
       FROM orders
       WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
       GROUP BY 1, 2
@@ -4028,9 +4031,11 @@ def grouped_map_gaps(spark, sf_dir):
                   / CAST(SUM(TRY_CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)) / 100.0 + 1e-9, 4) AS wavg_price
     FROM lineitem
     WHERE {U2('l_extendedprice')} IS NOT NULL
-      AND ABS({U2('l_extendedprice')}) < 2147483648
+      AND {U2('l_extendedprice')} > -2147483648
+      AND {U2('l_extendedprice')} < 2147483648
       AND TRY_CAST(ROUND(l_quantity) AS BIGINT) IS NOT NULL
-      AND ABS(TRY_CAST(ROUND(l_quantity) AS BIGINT)) < 2147483648
+      AND TRY_CAST(ROUND(l_quantity) AS BIGINT) > -2147483648
+      AND TRY_CAST(ROUND(l_quantity) AS BIGINT) < 2147483648
     GROUP BY l_returnflag
     """,
     doc="Custom aggregate via pandas GROUPED_AGG UDAF (SURVEY.md §2.10 "
@@ -4050,9 +4055,11 @@ def udaf_weighted_mean(spark, sf_dir):
         F.round(F.col("l_quantity")).try_cast("long").alias("qty"),
     ).filter(
         F.col("p_units").isNotNull()
-        & (F.abs(F.col("p_units")) < F.lit(1 << 31))
+        & (F.col("p_units") > F.lit(-(1 << 31)))
+        & (F.col("p_units") < F.lit(1 << 31))
         & F.col("qty").isNotNull()
-        & (F.abs(F.col("qty")) < F.lit(1 << 31))
+        & (F.col("qty") > F.lit(-(1 << 31)))
+        & (F.col("qty") < F.lit(1 << 31))
     )
     wmean = agg_ops.weighted_mean_udaf()
     return li.groupBy("l_returnflag").agg(
@@ -4844,8 +4851,8 @@ def agg_string_concat(spark, sf_dir):
     ),
     uf AS (
       SELECT x, y FROM u
-      WHERE x IS NOT NULL AND ABS(x) < 2147483648
-        AND y IS NOT NULL AND ABS(y) < 2147483648
+      WHERE x IS NOT NULL AND x > -2147483648 AND x < 2147483648
+        AND y IS NOT NULL AND y > -2147483648 AND y < 2147483648
     ),
     s AS (
       SELECT COUNT(*) AS n,
@@ -4879,13 +4886,10 @@ def agg_regression(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     # unit-band ingest guard — see the oracle comment: products of
     # in-band units (< 2^31) stay exact in int64
-    li = li.withColumn("__x", u2("l_quantity")).withColumn(
+    li = li.filter(
+        uband("l_quantity") & uband("l_extendedprice")
+    ).withColumn("__x", u2("l_quantity")).withColumn(
         "__y", u2("l_extendedprice")
-    ).filter(
-        F.col("__x").isNotNull()
-        & (F.abs(F.col("__x")) < F.lit(1 << 31))
-        & F.col("__y").isNotNull()
-        & (F.abs(F.col("__y")) < F.lit(1 << 31))
     )
     x = F.col("__x")
     y = F.col("__y")
@@ -5491,7 +5495,7 @@ def agg_winsorize(spark, sf_dir):
     sql="""
     WITH obs AS (
       SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS d,
-             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+             SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS v
       FROM orders
       WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-04-30'
       GROUP BY 1, 2
@@ -5550,7 +5554,7 @@ def win_interp_linear(spark, sf_dir):
     "profile_drift_psi",
     sql="""
     WITH b AS (
-      SELECT LEAST(CAST(FLOOR(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS INT), 9) AS bucket,
+      SELECT LEAST(CAST(FLOOR(TRY_CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS INT), 9) AS bucket,
              CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END AS is_ref
       FROM orders
       WHERE year(o_orderdate) IN (1996, 2000)
@@ -5639,7 +5643,7 @@ def profile_drift_psi(spark, sf_dir):
     "sink_orc_roundtrip",
     sql="""
     SELECT l_orderkey, l_partkey,
-           CAST(round(l_quantity * 100) AS BIGINT) AS qty_units,
+           TRY_CAST(round(l_quantity * 100) AS BIGINT) AS qty_units,
            CAST(l_shipdate AS DATE) AS l_shipdate
     FROM lineitem WHERE l_shipdate >= DATE '1997-06-01'
     """,
@@ -5820,9 +5824,9 @@ def win_rolling_median(spark, sf_dir):
     ),
     u AS (
       SELECT q, p, d FROM u0
-      WHERE q IS NOT NULL AND ABS(q) < 2147483648
-        AND p IS NOT NULL AND ABS(p) < 2147483648
-        AND d IS NOT NULL AND ABS(d) < 2147483648
+      WHERE q IS NOT NULL AND q > -2147483648 AND q < 2147483648
+        AND p IS NOT NULL AND p > -2147483648 AND p < 2147483648
+        AND d IS NOT NULL AND d > -2147483648 AND d < 2147483648
     ),
     s AS (
       SELECT COUNT(*) AS n,
@@ -5862,12 +5866,9 @@ def agg_covariance_matrix(spark, sf_dir):
         .withColumn("__p", u2("l_extendedprice"))
         .withColumn("__d", u2("l_discount"))
         .filter(
-            F.col("__q").isNotNull()
-            & (F.abs(F.col("__q")) < F.lit(1 << 31))
-            & F.col("__p").isNotNull()
-            & (F.abs(F.col("__p")) < F.lit(1 << 31))
-            & F.col("__d").isNotNull()
-            & (F.abs(F.col("__d")) < F.lit(1 << 31))
+            uband("l_quantity")
+            & uband("l_extendedprice")
+            & uband("l_discount")
         )
     )
     q, p, d = F.col("__q"), F.col("__p"), F.col("__d")
@@ -6042,7 +6043,7 @@ def win_ewma_chunked(spark, sf_dir):
       GROUP BY 1, 2
     ),
     r AS (
-      SELECT di, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_units
+      SELECT di, CAST(SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_units
       FROM (
         SELECT datediff('day', DATE '1995-03-01', CAST(o_orderdate AS DATE)) AS di,
                o_totalprice
@@ -6882,7 +6883,7 @@ def agg_brr_ci(spark, sf_dir):
     sql="""
     WITH src AS (
       SELECT o_orderkey, o_orderpriority,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS price_units
+             TRY_CAST(round(o_totalprice * 100) AS BIGINT) AS price_units
       FROM orders WHERE o_orderstatus = 'F'
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -7286,11 +7287,11 @@ def stream_sliding_window(spark, sf_dir):
     "agg_rank_correlation",
     sql="""
     WITH a AS (
-      SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      SELECT o_custkey, SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
       FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
     ),
     b AS (
-      SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      SELECT o_custkey, SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
       FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1
     ),
     j AS (

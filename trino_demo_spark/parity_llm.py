@@ -49,8 +49,8 @@ WITH pairs AS (
           sqrt((SELECT SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))), 0), 0) AS cos
   FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
   WHERE q.vec_id < 20
-    AND q.embedding IS NOT NULL AND len(q.embedding) = 64 AND len(list_filter(q.embedding, x -> NOT isfinite(x))) = 0
-    AND e.embedding IS NOT NULL AND len(e.embedding) = 64 AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
+    AND q.embedding IS NOT NULL AND len(q.embedding) = 64 AND len(list_filter(q.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+    AND e.embedding IS NOT NULL AND len(e.embedding) = 64 AND len(list_filter(e.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
 )
 """
 
@@ -299,7 +299,7 @@ def llm_similarity_topk_arrow(spark, sf_dir):
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            true AS coverage_ok, true AS top1_ok
-    FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     """,
     doc="Sign-LSH (8 fixed hyperplanes) bucketed approximate top-k — the "
     "scale path: candidates join only within a bucket. Bucket contents "
@@ -350,7 +350,7 @@ def llm_similarity_lsh(spark, sf_dir):
              (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
               sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
+      WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     )
     SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
     WHERE ROUND(cos + 1e-9, 4) >= 0.4
@@ -374,7 +374,7 @@ def llm_embed_neardup(spark, sf_dir):
              (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
               sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
+      WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     )
     SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
     WHERE ROUND(cos + 1e-9, 4) >= 0.4
@@ -413,10 +413,10 @@ _PLANT_DUCK = (
     WITH aug AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
       UNION ALL
       SELECT vec_id + 10000, {_PLANT_DUCK} AS v
-      FROM embeddings WHERE vec_id < 25 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      FROM embeddings WHERE vec_id < 25 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -469,10 +469,10 @@ def _planted_embeddings(spark, sf_dir):
     WITH RECURSIVE aug AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
       UNION ALL
       SELECT vec_id + 10000, {_PLANT_DUCK} AS v
-      FROM embeddings WHERE vec_id < 25 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      FROM embeddings WHERE vec_id < 25 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -854,7 +854,7 @@ def llm_pack_sequences(spark, sf_dir):
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            true AS coverage_ok, true AS top1_ok
-    FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    FROM embeddings WHERE vec_id < 20 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     """,
     doc="IVF-style approximate top-k: deterministic Lloyd k-means coarse "
     "quantizer (fit via DataFrame aggregates, only the k×dim centroid "
@@ -901,7 +901,7 @@ def llm_similarity_ivf(spark, sf_dir):
     "llm_similarity_pq",
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall3_ok
-    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     """,
     doc="Product-quantization ANN (Jégou et al. 2011, public): per-"
     "subspace k-means codebooks (DataFrame-aggregate fit, codebook is "
@@ -939,7 +939,7 @@ def llm_similarity_pq(spark, sf_dir):
     "llm_similarity_ivfpq",
     sql="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall3_ok
-    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    FROM embeddings WHERE vec_id < 10 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     """,
     doc="IVF-PQ composition — the production ANN index shape: coarse "
     "k-means lists prune candidates to ~N·nprobe/k, PQ codes make "
@@ -1079,9 +1079,13 @@ def llm_text_pii_scrub(spark, sf_dir):
       -- norm over the row's OWN length (not a hardcoded dim): normalize
       -- is a per-vector scalar op with propagate semantics, so a ragged
       -- vector normalizes over exactly its components on both engines
+      -- NULL-poisoning CASE mirrors Spark's aggregate() fold: one NULL
+      -- component makes the whole norm NULL (→ every unit_val 0.0),
+      -- where DuckDB's list_sum would silently skip the element
       SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+             CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+                  ELSE sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS nn
       FROM embeddings e2 WHERE vec_id < 50
     )
     SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
@@ -1605,10 +1609,10 @@ def llm_best_of_n(spark, sf_dir):
     lex AS (SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
             FROM bmagg ORDER BY score DESC, doc_id LIMIT 20),
-    q AS (SELECT embedding FROM embeddings WHERE vec_id = 7 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 7 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
     corp AS (SELECT vec_id, embedding FROM embeddings
              WHERE vec_id IN (SELECT doc_id FROM documents) AND vec_id <> 7
-               AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+               AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
     sims AS (
       SELECT c.vec_id AS doc_id,
              ROUND((SELECT SUM(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))
@@ -2262,7 +2266,7 @@ def llm_quality_filter(spark, sf_dir):
            true AS orthonormal_ok, true AS var_desc_ok
     FROM embeddings
     WHERE embedding IS NOT NULL AND len(embedding) = 64
-      AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     """,
     doc="Distributed PCA over the embedding column: mapInPandas moment "
     "partials (count / sum / d×d Gram per partition — bounded, "
@@ -2309,7 +2313,12 @@ def llm_embed_pca(spark, sf_dir):
     pc2 = sum(F.col(f"pc{j}") * F.col(f"pc{j}") for j in range(1, 5))
     return proj.join(norms, "vec_id").select(
         "vec_id",
-        (pc2 <= F.col("__d2") + F.lit(1e-3)).alias("bessel_ok"),
+        # relative + absolute slack: for a 1e30-magnitude vector both
+        # sides are ~6e61 with ~1e45 of float64 fold noise — an absolute
+        # epsilon alone would let rounding decide the verdict
+        (pc2 <= F.col("__d2") * F.lit(1.0 + 1e-9) + F.lit(1e-3)).alias(
+            "bessel_ok"
+        ),
         F.lit(ortho).alias("orthonormal_ok"),
         F.lit(vdesc).alias("var_desc_ok"),
     )
@@ -2323,7 +2332,7 @@ def llm_embed_pca(spark, sf_dir):
            true AS dist_nonneg_ok, true AS inertia_improved_ok
     FROM embeddings
     WHERE embedding IS NOT NULL AND len(embedding) = 64
-      AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     """,
     doc="K-means cluster profile as a declared query: deterministic "
     "Lloyd fit (llm.similarity.kmeans_fit — first-k init, 3 iterations, "
@@ -2565,13 +2574,13 @@ def e2e_llm_data_pipeline(spark, sf_dir):
         (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
          sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))))
         + 1e-9, 4) >= 0.4
-        AND a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
+        AND a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     ed AS (SELECT id_a AS a, id_b AS b FROM pr
            UNION ALL SELECT id_b, id_a FROM pr),
     reach(src, dst) AS (
       SELECT vec_id, vec_id FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
       UNION
       SELECT r.src, ed.b FROM reach r JOIN ed ON ed.a = r.dst
     )

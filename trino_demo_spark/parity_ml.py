@@ -35,24 +35,16 @@ _SERIES_SQL = """
 # 1e308 measure that Spark silently turns into Inf moments.
 _OLS_LI_SQL = """
   SELECT * FROM lineitem
-  WHERE TRY_CAST(ROUND(l_quantity * 100) AS BIGINT) IS NOT NULL
-    AND ABS(TRY_CAST(ROUND(l_quantity * 100) AS BIGINT)) < 2147483648
-    AND TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT) IS NOT NULL
-    AND ABS(TRY_CAST(ROUND(l_extendedprice * 100) AS BIGINT)) < 2147483648
+  WHERE (TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) < 2147483648)
+    AND (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
 """
 
 
 def _ols_lineitem(spark, sf_dir):
-    from .parity import u2
+    from .parity import uband
 
     li = _t(spark, sf_dir, "lineitem")
-    q, pr = u2("l_quantity"), u2("l_extendedprice")
-    return li.filter(
-        q.isNotNull()
-        & (F.abs(q) < F.lit(1 << 31))
-        & pr.isNotNull()
-        & (F.abs(pr) < F.lit(1 << 31))
-    )
+    return li.filter(uband("l_quantity") & uband("l_extendedprice"))
 
 
 def _order_series(spark, sf_dir):
@@ -305,7 +297,7 @@ def e2e_forecast_pipeline(spark, sf_dir):
     SELECT vec_id, true AS score_in_01, true AS loss_decreased
     FROM embeddings
     WHERE embedding IS NOT NULL AND len(embedding) = 64
-      AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     """,
     doc="Binary logistic regression (label==0 vs rest over the first 8 "
     "embedding dims) trained with full-batch distributed gradient "
@@ -329,7 +321,17 @@ def ml_logreg(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), dim=64
     ).withColumn("y", (F.col("label") == 0).cast("double"))
     w, b, losses = ml.logreg_fit(emb, dims=8, lr=0.5, iters=10)
-    converged = (not losses) or losses[-1] <= losses[0] + 1e-9
+    # non-increase holds BY CONSTRUCTION of the backtracking trainer
+    # (rejected steps are never recorded), so the informative part of
+    # the flag is finiteness: a NaN/Inf loss or weight means the guard
+    # itself broke. Both are asserted.
+    import math
+
+    converged = (
+        all(math.isfinite(x) for x in losses)
+        and all(math.isfinite(x) for x in [*w, b])
+        and ((not losses) or losses[-1] <= losses[0] + 1e-9)
+    )
     return ml.logreg_predict(emb, w, b).select(
         "vec_id",
         ((F.col("score") >= 0.0) & (F.col("score") <= 1.0)).alias(
