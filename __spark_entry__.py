@@ -166,6 +166,9 @@ _RECHECK = {
     # review-pass fixes: NULL-poisoning fold mirrors in the array/
     # normalize oracles (already in _RECHECK: the geometric family)
     "f_array_funcs": 4,
+    # sf0.1 sweep: negative-zero normalization (+ 0.0) on the DSIR
+    # log-importance surface
+    "llm_select_dsir": 4,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

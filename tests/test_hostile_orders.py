@@ -169,3 +169,39 @@ def test_quarantine_contract_catches_hostile_rows(spark, hostile_ord_sf):
     }
     for reason in reasons:
         assert set(reason.split(",")) <= valid_atoms, reason
+
+
+def test_uband_boundary_matches_oracle(spark):
+    """Differential pin of the exact unit-band boundary semantics,
+    including the value whose x100 scaling is exactly int64 min — the
+    edge where an ABS()-based guard raises ARITHMETIC_OVERFLOW on both
+    engines instead of banding the row out."""
+    import duckdb
+
+    from trino_demo_spark.parity import UBAND, uband
+
+    edge = [
+        -92233720368547758.08,   # *100 == int64 min exactly
+        92233720368547758.08,    # *100 == 2^63 (not representable)
+        -21474836.48,            # *100 == -2^31 (just outside the band)
+        21474836.48,             # *100 == 2^31 (just outside)
+        -21474836.47,            # just inside
+        21474836.47,             # just inside
+        0.0, -0.0, 5e-324, 1e308, -1e308,
+        float("nan"), float("inf"), float("-inf"), None,
+        123.45,
+    ]
+    sdf = spark.createDataFrame([(i, v) for i, v in enumerate(edge)], "i long, v double")
+    got = sorted(
+        r["i"] for r in sdf.filter(uband("v")).select("i").collect()
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(edge)])
+    exp = sorted(
+        r[0] for r in con.sql(f"SELECT i FROM t WHERE {UBAND('v')}").fetchall()
+    )
+    assert got == exp
+    # the in-band set is exactly the two just-inside values and the
+    # small finite ones
+    assert got == [4, 5, 6, 7, 8, 15]

@@ -3757,10 +3757,15 @@ def profile_skew(spark, sf_dir):
       FROM (SELECT DISTINCT k FROM obs)
       CROSS JOIN generate_series(DATE '1995-03-01', DATE '1995-04-30', INTERVAL 1 DAY) gs(d)
     )
+    -- DOUBLE surface: the filled column is nullable only when the
+    -- series has a leading gap, so its pandas dtype would otherwise
+    -- flip int64/float64 WITH THE SCALE FACTOR (sf0.01 has a gap,
+    -- sf0.1 does not) — deterministic DOUBLE renders identically
+    -- always; units stay exact far below 2^53
     SELECT spine.k AS o_orderpriority, spine.d AS o_orderdate,
-           last_value(obs.v IGNORE NULLS) OVER (
+           CAST(last_value(obs.v IGNORE NULLS) OVER (
              PARTITION BY spine.k ORDER BY spine.d ROWS UNBOUNDED PRECEDING
-           ) AS rev_units,
+           ) AS DOUBLE) AS rev_units,
            obs.v IS NULL AS filled
     FROM spine LEFT JOIN obs ON obs.k = spine.k AND obs.d = spine.d
     """,
@@ -3783,7 +3788,9 @@ def win_resample_ffill(spark, sf_dir):
         value_col="rev_units",
         start="1995-03-01",
         end="1995-04-30",
-    ).toDF("o_orderpriority", "o_orderdate", "rev_units", "filled")
+    ).toDF("o_orderpriority", "o_orderdate", "rev_units", "filled").withColumn(
+        "rev_units", F.col("rev_units").cast("double")
+    )
 
 
 @parity(

@@ -1468,7 +1468,10 @@ def llm_eval_overlap(spark, sf_dir):
       CROSS JOIN tot
       GROUP BY d.doc_id
     )
-    SELECT doc_id, ROUND(lr + 1e-9, 4) AS log_importance, n_tokens
+    -- + 0.0 normalizes IEEE negative zero: a log-ratio summing to
+    -- ~-1e-9 rounds to -0.0 or +0.0 depending on each engine's
+    -- reduction order, and the driver hashes their strings differently
+    SELECT doc_id, ROUND(lr + 1e-9, 4) + 0.0 AS log_importance, n_tokens
     FROM scored
     """,
     doc="DSIR-style data selection (importance resampling via "
@@ -1517,8 +1520,14 @@ def llm_select_dsir(spark, sf_dir):
                 )
                 + F.lit(EPS),
                 4,
-            ).alias("log_importance"),
+            ).alias("__li"),
             F.sum("tf").cast("long").alias("n_tokens"),
+        )
+        # + 0.0 normalizes IEEE negative zero (see the oracle comment)
+        .select(
+            "doc_id",
+            (F.col("__li") + F.lit(0.0)).alias("log_importance"),
+            "n_tokens",
         )
     )
 
