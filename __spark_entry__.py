@@ -194,8 +194,6 @@ _PRIORITY = [
     "ml_ar_forecast",
     "ml_pandas_udf_infer",
     "llm_search_bm25",
-    "llm_tokenizer_bpe_train",
-    "llm_tokenizer_bpe_apply",
     "llm_perplexity",
     "llm_quality_filter",
     # round-4-continuation additions — verify at first opportunity

@@ -51,13 +51,20 @@ def test_hash_fail_is_not_proven():
 
 def test_unproven_entries_ordered_before_proven():
     """queries() must list every non-green entry before every green one
-    so a driver cap always extends the proven set. _RECHECK names are
-    exempt: their green rows pre-date an engine change, so they are
-    deliberately re-queued at the front (they count as unproven here)."""
+    so a driver cap always extends the proven set. ACTIVE _RECHECK names
+    are exempt: their green rows pre-date an engine change, so they are
+    deliberately re-queued at the front (they count as unproven here).
+    A RETIRED recheck (green row post-dates the change,
+    green_round >= pinned round — the auto-retire rule in
+    __spark_entry__.queries) is proven like any other green entry."""
     E = _load_entry()
-    st = E._driver_status()
+    st, green_round = E._driver_history()
     names = list(E.queries())
-    recheck = set(E._RECHECK)
+    recheck = {
+        n
+        for n, min_round in E._RECHECK.items()
+        if green_round.get(n, 0) < min_round
+    }
     seen_green = False
     for n in names:
         if st.get(n) == "green" and n not in recheck:
