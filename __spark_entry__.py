@@ -169,6 +169,11 @@ _RECHECK = {
     # sf0.1 sweep: negative-zero normalization (+ 0.0) on the DSIR
     # log-importance surface
     "llm_select_dsir": 4,
+    # round-5 broadcast-side audit (VERDICT r4 §next-round-6): q18 now
+    # broadcasts the HAVING-bounded side (never customer); q10 aggregates
+    # by custkey first and broadcasts only the 20-row top-k into customer
+    "tpch_q18": 5,
+    "tpch_q10": 5,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

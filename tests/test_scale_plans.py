@@ -34,6 +34,30 @@ def test_dim_joins_broadcast(spark):
         assert "SortMergeJoin" not in plan, q
 
 
+def test_bounded_side_broadcasts_never_customer(spark):
+    """VERDICT r4 §next-round-6: when a HAVING/filter/limit provably
+    bounds the fact-derived side, THAT side carries the broadcast hint —
+    never customer, the largest dim at 100 TB. q18 broadcasts the
+    HAVING survivors (then their join with orders); q10 broadcasts the
+    20-row post-agg top-k. The full-width customer relation must build
+    the probe (streamed) side of its join in both plans. (A keys-only
+    LeftSemi build of customer — q10's dangling-key guard — is exempt:
+    it is unhinted, so the planner shuffles it once customer outgrows
+    the broadcast threshold.)"""
+    for q in ("tpch_q18", "tpch_q10"):
+        plan = _plan(PARITY[q].fn(spark, SF_SMOKE))
+        joins = [
+            ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+        ]
+        cust_joins = [
+            ln for ln in joins if "c_custkey" in ln and "LeftSemi" not in ln
+        ]
+        assert cust_joins, (q, plan)
+        # fact-derived side is always the LEFT child in these plans
+        assert all("BuildLeft" in ln for ln in cust_joins), (q, plan)
+        assert "SortMergeJoin" not in plan, (q, plan)
+
+
 def test_keep_last_single_shuffle(spark):
     ev = load_table(spark, "events", SF_SMOKE)
     df = rel.keep_last(ev, keys=["user_id"], order_by=[F.col("ts").desc()])

@@ -2056,7 +2056,12 @@ def tpch_q6(spark, sf_dir):
     LIMIT 20
     """,
     doc="TPC-H Q18 shape: keyed agg + HAVING (pre-aggregation shrinks the "
-    "join input), two joins, top-k. Bench headline q18.",
+    "join input), two joins, top-k. Bench headline q18. Scale shape: the "
+    "HAVING output is provably tiny (few orders exceed the quantity "
+    "threshold), so BOTH joins broadcast the fact-derived side — first "
+    "the HAVING survivors into orders, then that (equally bounded) "
+    "result into customer. Customer, the largest dim at 100 TB, is "
+    "never broadcast and never shuffled.",
     tags=("bench",),
 )
 def tpch_q18(spark, sf_dir):
@@ -2068,9 +2073,9 @@ def tpch_q18(spark, sf_dir):
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    small = F.broadcast(big).join(o, big["l_orderkey"] == o["o_orderkey"])
     return (
-        big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        F.broadcast(small).join(c, small["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
             "o_orderkey",
@@ -2508,7 +2513,14 @@ def tpch_q7(spark, sf_dir):
     LIMIT 20
     """,
     doc="TPC-H Q10 shape: returned-item revenue ranking — selective fact "
-    "filter, dim broadcasts, keyed agg, top-k on the aggregate.",
+    "filter, keyed agg, top-k on the aggregate. Scale shape: revenue is "
+    "aggregated by o_custkey BEFORE touching customer (custkey "
+    "functionally determines every other grouped attribute, and the "
+    "integer-unit sum is exact, so the regroup is value-identical); the "
+    "LIMIT 20 then runs as TakeOrderedAndProject on the aggregate, and "
+    "only those 20 rows are broadcast into the customer/nation joins. "
+    "Customer — the largest dim at 100 TB — is never broadcast, never "
+    "shuffled, and only probed by a 20-row build side.",
 )
 def tpch_q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -2518,13 +2530,26 @@ def tpch_q10(spark, sf_dir):
     )
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    rev = urev()
-    return (
+    per_cust = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey")
+        .agg(usum(urev(), 4).alias("revenue"))
+    )
+    # keys-only semi join BEFORE the top-k: a dangling/NULL o_custkey must
+    # not hold a top-20 slot (the oracle's inner join drops it pre-ranking).
+    # Both sides hash on custkey — the agg output is already partitioned
+    # that way, so this moves keys, not customer rows.
+    c_keys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    top = (
+        per_cust.join(c_keys, per_cust["o_custkey"] == c_keys["ck"], "left_semi")
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+    return (
+        F.broadcast(top).join(c, top["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(usum(rev, 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -4309,9 +4334,11 @@ def scan_zorder_2d(spark, sf_dir):
     "orders→customer, and a value-domain rule, evaluated engine-side "
     "in one job and returned as violation counts. Scale shape: the "
     "null/domain checks fold into ONE aggregate scan; PK uniqueness is "
-    "a keyed count (partial+final); the FK check is a left-anti join "
-    "against the broadcast customer key set. The gate every ingest "
-    "runs before promoting a 100 TB batch.",
+    "a keyed count (partial+final); the FK check is a keys-only "
+    "left-anti join (unhinted — the planner broadcasts the key set "
+    "while it fits and falls back to a shuffle anti-join when the "
+    "referenced table outgrows the threshold, as customer does at "
+    "100 TB). The gate every ingest runs before promoting a batch.",
 )
 def profile_quality_checks(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -4328,7 +4355,7 @@ def profile_quality_checks(spark, sf_dir):
         .agg(F.count("*").alias("dup_pk"))
     )
     fk = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
         .agg(F.count("*").alias("fk_violations"))
     )
     return (
