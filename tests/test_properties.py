@@ -482,3 +482,44 @@ def test_quarantine_contract_property(spark, vals, keys):
         for k, v in zip(keys, vals)
     )
     assert got == exp
+
+
+def test_quarantine_vector_rule_null_component(spark):
+    """ADVICE r4 regression: a vector with a NULL component must land on
+    the QUARANTINE side of a vector(dim) gate. F.forall over a NULL
+    element yields NULL (not false) under three-valued logic, and an
+    unguarded F.when(~rule, flag) treats that as not-violated — the row
+    silently reached the valid side and could NULL-poison any geometric
+    op downstream. Both layers are pinned: the element predicate is
+    NULL-safe AND contract_check coalesces a NULL rule verdict to
+    violation."""
+    from trino_demo_spark.operators import quality as Q
+
+    sdf = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [1.0, None]),
+            (3, None),
+            (4, [1.0]),
+            (5, [1.0, float("nan")]),
+        ],
+        "id long, vec array<double>",
+    )
+    valid, rejected = Q.quarantine(sdf, [("vec", Q.vector(2))])
+    assert {r.id for r in valid.collect()} == {1}
+    got = {r.id: r["__quarantine_reason"] for r in rejected.collect()}
+    assert got == {
+        2: "vec:vector_2",
+        3: "vec:vector_2",
+        4: "vec:vector_2",
+        5: "vec:vector_2",
+    }
+
+    # defense-in-depth layer alone: a custom rule returning NULL must
+    # still count as a violation
+    from pyspark.sql import functions as F  # noqa: F811
+
+    annotated = Q.contract_check(
+        sdf, [("vec", ("nullish", lambda c: F.lit(None).cast("boolean")))]
+    )
+    assert annotated.filter(F.col("__quarantine_reason").isNull()).count() == 0

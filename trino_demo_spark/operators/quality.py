@@ -68,10 +68,14 @@ def unit_band(scale: int = 100, bound: float = _I64) -> Rule:
 
 def vector(dim: int) -> Rule:
     def ok(c: Column) -> Column:
+        # NULL-safe element predicate: forall over a NULL component
+        # yields NULL (not false) under three-valued logic, which would
+        # let [1.0, NULL] sail through the gate (ADVICE r4). isNotNull
+        # first forces a definite false per element.
         return (
             c.isNotNull()
             & (F.size(c) == F.lit(dim))
-            & F.forall(c, lambda x: (x - x) == F.lit(0.0))
+            & F.forall(c, lambda x: x.isNotNull() & ((x - x) == F.lit(0.0)))
         )
 
     return (f"vector_{dim}", ok)
@@ -91,8 +95,14 @@ def contract_check(
     The reason is the sorted comma-joined list of every violated
     ``column:rule`` — deterministic whatever the rule declaration
     order, and machine-parseable for reprocessing queues."""
+    # Defense in depth: a rule that evaluates to NULL (three-valued
+    # logic) counts as a violation — ~NULL is NULL and F.when(NULL, ...)
+    # would silently pass the row to the valid side (ADVICE r4).
     flags = [
-        F.when(~rule(F.col(col)), F.lit(f"{col}:{name}"))
+        F.when(
+            ~F.coalesce(rule(F.col(col)), F.lit(False)),
+            F.lit(f"{col}:{name}"),
+        )
         for col, (name, rule) in contract
     ]
     reasons = F.array_compact(F.array(*flags))

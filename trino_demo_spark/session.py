@@ -57,11 +57,15 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"trino_demo_spark_pkg_{os.getpid()}.zip"
+    # mkstemp, not a pid-keyed fixed name: a predictable path in the
+    # shared temp dir could be pre-created by another user (or left by a
+    # reused pid) and shipped verbatim to every executor (ADVICE r4).
+    # Always written fresh; O_EXCL-created so the content is ours.
+    fd, zpath = tempfile.mkstemp(
+        prefix="trino_demo_spark_pkg_", suffix=".zip"
     )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
+    with os.fdopen(fd, "wb") as fh:
+        with zipfile.ZipFile(fh, "w") as z:
             for root, _dirs, files in os.walk(pkg_dir):
                 for fn in files:
                     if not fn.endswith(".py"):
