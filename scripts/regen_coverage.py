@@ -1,0 +1,101 @@
+"""Regenerate COVERAGE.md's evidence ("check") column from the driver's
+CORRECTNESS_r*.json history plus the live _RECHECK queue state.
+
+The check column is the judge-facing truth about what each queries()
+entry has actually proven — regenerating it per round (instead of
+hand-editing) keeps it from silently going stale the way r4's rows did.
+
+Usage: python scripts/regen_coverage.py   (rewrites COVERAGE.md in place)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def main() -> None:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_cov", os.path.join(_ROOT, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from trino_demo_spark.parity import PARITY
+
+    status_latest: dict[str, tuple[str, int]] = {}
+    import glob
+    import json
+
+    for p in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", p).group(1))
+        for name, row in json.load(open(p)).items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                status_latest[name] = ("rows_only", rnd)
+            elif (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                status_latest[name] = ("green", rnd)
+            else:
+                status_latest[name] = ("fail", rnd)
+
+    _, green_round = entry._driver_history()
+
+    def check(name: str) -> str:
+        st = status_latest.get(name)
+        has_sql = PARITY[name].sql is not None
+        if st is None:
+            return (
+                "pytest-only (oracle ready)" if has_sql else "pytest-only (rows-only)"
+            )
+        kind, rnd = st
+        if kind == "fail":
+            return f"driver-FAIL r{rnd:02d} — queued first"
+        if kind == "rows_only":
+            return (
+                f"rows-only r{rnd:02d} → oracle pending"
+                if has_sql
+                else f"rows-only r{rnd:02d}"
+            )
+        # green — but an ACTIVE recheck means the engine changed after it
+        pinned = entry._RECHECK.get(name)
+        grnd = green_round.get(name, rnd)
+        if pinned is not None and grnd < pinned:
+            return (
+                f"driver-green r{grnd:02d} (stale: engine changed r{pinned:02d}, "
+                "re-queued)"
+            )
+        return f"driver-green r{grnd:02d}"
+
+    path = os.path.join(_ROOT, "COVERAGE.md")
+    out: list[str] = []
+    n_updated = 0
+    row_re = re.compile(r"^\| `([a-z0-9_]+)` \| ([^|]*) \|")
+    for line in open(path):
+        m = row_re.match(line)
+        if m and m.group(1) in PARITY:
+            new_check = check(m.group(1))
+            if m.group(2).strip() != new_check:
+                n_updated += 1
+            line = (
+                f"| `{m.group(1)}` | {new_check} |"
+                + line[m.end():]
+            )
+        out.append(line)
+    open(path, "w").write("".join(out))
+    print(f"updated {n_updated} rows")
+
+
+if __name__ == "__main__":
+    main()
