@@ -2057,11 +2057,18 @@ def tpch_q6(spark, sf_dir):
     """,
     doc="TPC-H Q18 shape: keyed agg + HAVING (pre-aggregation shrinks the "
     "join input), two joins, top-k. Bench headline q18. Scale shape: the "
-    "HAVING output is provably tiny (few orders exceed the quantity "
-    "threshold), so BOTH joins broadcast the fact-derived side — first "
-    "the HAVING survivors into orders, then that (equally bounded) "
-    "result into customer. Customer, the largest dim at 100 TB, is "
-    "never broadcast and never shuffled.",
+    "HAVING survivors are ~20% of orders (linear in SF — measured, NOT "
+    "broadcastable at 100 TB), but the final ORDER BY/LIMIT keys "
+    "(o_totalprice, o_orderkey) live on orders, so the top-20 runs as "
+    "TakeOrderedAndProject BEFORE customer is touched; a keys-only semi "
+    "join keeps dangling custkeys from holding a top-20 slot, and only "
+    "those 20 rows broadcast into customer — the largest dim at 100 TB "
+    "is never broadcast and never shuffled. The one remaining hint, "
+    "broadcast(big) into orders, picks the byte-smaller side (2 narrow "
+    "cols vs column-pruned orders) that local static estimates get "
+    "backwards; both sides grow linearly with SF, so on a real cluster "
+    "drop it and let AQE pick — every other stage is hint-independent "
+    "and bounded.",
     tags=("bench",),
 )
 def tpch_q18(spark, sf_dir):
@@ -2073,9 +2080,17 @@ def tpch_q18(spark, sf_dir):
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    small = F.broadcast(big).join(o, big["l_orderkey"] == o["o_orderkey"])
+    c_keys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    top = (
+        F.broadcast(big).join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c_keys, F.col("o_custkey") == c_keys["ck"], "left_semi")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
     return (
-        F.broadcast(small).join(c, small["o_custkey"] == c["c_custkey"])
+        F.broadcast(top).join(c, top["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
             "o_orderkey",
