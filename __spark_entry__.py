@@ -209,6 +209,10 @@ _PRIORITY = [
     "ts_subseq_search",
     "llm_similarity_topk_arrow",
     "llm_embed_neardup_arrow",
+    # r4 verdict's multimodal row named these the remaining untested
+    # kernels — pull them inside the driver's ~50-slot window
+    "llm_multimodal_resize",
+    "llm_multimodal_resample",
 ]
 
 
