@@ -1,0 +1,184 @@
+"""Hostile-corpus gate for the STREAMING twins: the adversarial events
+table (NULL ts / NULL user / NaN & ±Inf values / duplicate timestamps /
+epoch extremes / unicode types) flows through every kafka_shape operator
+as a real file stream, and each result must match its batch twin on the
+same data under the pinned timeline policy (un-timestamped rows dropped
+at ingest).
+
+What this caught at birth (round 5): one NULL-ts message permanently
+CRASHED both applyInPandasWithState operators (``int(None)`` in the
+fold) — the worst possible streaming failure mode, a poison message
+killing a forever-running query — while dedup_late silently KEPT
+NULL-ts rows its batch twin drops.
+
+Fresh-stream lateness (pinned Spark 4.x semantics, measured here): a
+new query's initial watermark is epoch 0, so pre-epoch events are LATE
+BY DEFINITION, with each operator applying its own late rule —
+dropDuplicatesWithinWatermark drops event time <= watermark (epoch-0
+row included), window/session aggregates drop windows ENDING at/before
+the watermark (epoch-0 row survives: its window end is past 0), the
+event-time-timeout stateful op drops event time < watermark, and a
+NoTimeout applyInPandasWithState performs no input late-filtering at
+all. The batch twins below mirror the applicable rule per operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from trino_demo_spark.registry import load_table
+from trino_demo_spark.streaming import kafka_shape as ks
+
+from .hostile_corpora import build_hostile_events
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    # own directory: the file-stream source lists the whole dir tree, so
+    # it must stay free of scratch sinks other suites drop next to the
+    # shared corpora
+    return build_hostile_events(
+        str(tmp_path_factory.mktemp("hostile_stream") / "events_src")
+    )
+
+
+@pytest.fixture()
+def hstream(spark, hostile_dir):
+    return ks.stream_events(spark, hostile_dir)
+
+
+@pytest.fixture()
+def hbatch(spark, hostile_dir):
+    return load_table(spark, "events", hostile_dir)
+
+
+def _drain(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def _rows(spark, name):
+    return {
+        tuple(str(v) for v in r)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_dedup_late_drops_null_ts_like_batch(spark, hstream, hbatch):
+    name = _drain(ks.dedup_late(hstream), "h_dedup")
+    out = spark.sql(f"SELECT * FROM {name}")
+    assert out.filter(F.col("ts").isNull()).count() == 0
+    # dedup late rule: event time <= initial watermark (epoch 0) is late
+    valid = hbatch.filter(F.col("ts").isNotNull()).filter(F.col("ts_ns") > 0)
+    expected = valid.select("event_id").distinct().count()
+    assert out.count() == expected
+    got_ids = {r.event_id for r in out.select("event_id").collect()}
+    want_ids = {r.event_id for r in valid.select("event_id").distinct().collect()}
+    assert got_ids == want_ids
+
+
+def test_windowed_counts_match_batch_on_hostile(spark, hstream, hbatch):
+    name = _drain(ks.windowed_counts(hstream, "1 hour", "2 hours"),
+                  "h_win", mode="complete")
+    got = _rows(spark, name)
+    batch = (
+        hbatch.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"),
+                "event_type", "cnt", "sum_value")
+    )
+    want = {tuple(str(v) for v in r) for r in batch.collect()}
+    assert got == want and len(got) > 10
+
+
+def test_session_windows_match_batch_on_hostile(spark, hstream, hbatch):
+    name = _drain(ks.session_windows(hstream, "30 minutes", "2 hours"),
+                  "h_sess", mode="complete")
+    got = _rows(spark, name)
+    batch = (
+        # session late rule: windows ENDING at/before the initial
+        # watermark (epoch 0) are dropped; gap = 30 min
+        hbatch.filter(F.col("ts").isNotNull())
+        .filter(F.col("ts_ns") + F.lit(1_800_000_000_000) > 0)
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"),
+                 F.col("user_id"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "user_id", "n_events", "sum_value")
+    )
+    want = {tuple(str(v) for v in r) for r in batch.collect()}
+    assert got == want and len(got) > 10
+
+
+def test_ewma_stateful_survives_and_matches_model(spark, hstream, hbatch):
+    """One availableNow batch: the smoother must not crash on poison
+    rows, and each key's final state must equal the Python fold over
+    the gated rows (finite value, non-NULL ts) in (ts_ns, event_id)
+    order — the exact semantics the operator documents."""
+    alpha = 0.2
+    name = _drain(ks.ewma_stateful(hstream, alpha=alpha), "h_ewma",
+                  mode="update")
+    got = {
+        r.user_id: (round(r.ewma, 9), r.n_events)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    rows = (
+        hbatch.filter(F.col("ts").isNotNull())
+        .filter((F.col("value") - F.col("value")) == F.lit(0.0))
+        .select("user_id", "ts_ns", "event_id", "value")
+        .collect()
+    )
+    model: dict = {}
+    for r in sorted(rows, key=lambda r: (r.ts_ns, r.event_id)):
+        y, n = model.get(r.user_id, (None, 0))
+        y = r.value if y is None else alpha * r.value + (1 - alpha) * y
+        model[r.user_id] = (y, n + 1)
+    want = {u: (round(y, 9), n) for u, (y, n) in model.items()}
+    assert got == want
+    assert all(math.isfinite(y) for y, _ in got.values())
+
+
+def test_keep_latest_stateful_survives_and_matches_batch(spark, hstream, hbatch):
+    """The keep-latest winner per (user, day) must match the batch
+    argmax by (ts_ns, event_id) over timestamped rows — and the query
+    must survive the poison rows that crashed it at this test's birth."""
+    name = _drain(ks.keep_latest_stateful(hstream), "h_keep", mode="update")
+    got = {
+        (r.user_id, str(r.day)): r.event_id
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    from pyspark.sql import Window as W
+
+    # event-time-timeout late rule: event time < initial watermark
+    # (epoch 0) is dropped before the stateful fold
+    valid = (
+        hbatch.filter(F.col("ts").isNotNull())
+        .filter(F.col("ts_ns") >= 0)
+        .withColumn("day", F.to_date("ts"))
+    )
+    w = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts_ns").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        valid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    want = {
+        (r.user_id, str(r.day)): r.event_id for r in batch.collect()
+    }
+    assert got == want and len(want) > 10

@@ -62,6 +62,19 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("event_id", ts, ts_ns, "user_id", "event_type", "value", "props")
 
 
+def _timeline(stream: DataFrame, watermark: str) -> DataFrame:
+    """Pinned timeline-ingest policy (the hostile-corpus program's
+    batch rule, applied to the streaming twins): un-timestamped rows
+    are dropped BEFORE the watermark. A NULL event time has no place
+    on a timeline, and — measured on the hostile events corpus — one
+    such poison message CRASHED the stateful folds permanently
+    (``int(None)`` in applyInPandasWithState) while the expression ops
+    silently disagreed with their batch twins about keeping it."""
+    return stream.filter(F.col("ts").isNotNull()).withWatermark(
+        "ts", watermark
+    )
+
+
 def dedup_late(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming replay/duplicate collapse: watermark +
     dropDuplicatesWithinWatermark on the message key (SURVEY §2.9
@@ -73,7 +86,7 @@ def dedup_late(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     forever. Replays of the same event_id arriving within the watermark
     delay (the only replays a watermarked pipeline admits) collapse to
     one row."""
-    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    return _timeline(stream, watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
 
@@ -81,9 +94,11 @@ def dedup_late(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 def windowed_counts(
     stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Event-time tumbling-window aggregate with late-data tolerance."""
+    """Event-time tumbling-window aggregate with late-data tolerance.
+    (The _timeline gate is explicit policy here, not a behavior change:
+    time-window grouping already drops NULL event times.)"""
     return (
-        stream.withWatermark("ts", watermark)
+        _timeline(stream, watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
@@ -181,7 +196,7 @@ def keep_latest_stateful(stream: DataFrame, watermark: str = "1 hour") -> DataFr
             }
         )
 
-    keyed = stream.withWatermark("ts", watermark).withColumn("day", F.to_date("ts"))
+    keyed = _timeline(stream, watermark).withColumn("day", F.to_date("ts"))
     return keyed.groupBy("user_id", "day").applyInPandasWithState(
         update,
         outputStructType=out_schema,
@@ -199,7 +214,7 @@ def session_windows(
     daily batching can't express. State per open session, bounded by the
     watermark."""
     return (
-        stream.withWatermark("ts", watermark)
+        _timeline(stream, watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
@@ -402,7 +417,15 @@ def ewma_stateful(
             }
         )
 
-    keyed = stream.withWatermark("ts", watermark)
+    # Timeline gate plus a finite-measure gate: a NULL value arrives as
+    # NaN across the Arrow bridge (indistinguishable), and NULL, NaN and
+    # ±Inf would each poison the recursive smoother's carried y FOREVER
+    # (y_t inherits them for every later t) — non-finite measures are
+    # dropped at ingest, the quarantine stance. x−x==0 is the same
+    # finite predicate the geometric family uses.
+    keyed = _timeline(stream, watermark).filter(
+        (F.col("value") - F.col("value")) == F.lit(0.0)
+    )
     return keyed.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
