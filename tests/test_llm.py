@@ -116,6 +116,18 @@ def test_multimodal_stub_contract(spark, docs):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")  # truncated/containerless
+    # corrupt chunk header declaring more bytes than the payload carries
+    # must surface the declared contract error, never a raw struct.error:
+    # a full-length payload whose trailing fmt chunk declares 16 bytes
+    # but carries only 4 (the slice clamps to what exists)
+    corrupt = (
+        b"RIFF" + (44).to_bytes(4, "little") + b"WAVE"
+        + b"data" + (20).to_bytes(4, "little") + b"\x00" * 20
+        + b"fmt " + (16).to_bytes(4, "little") + b"\x01\x00\x01\x00"
+    )
+    assert len(corrupt) >= 44
+    with pytest.raises(NotImplementedError, match="truncated WAV fmt"):
+        multimodal.decode_audio(corrupt)
 
 
 def test_wav_decode_roundtrip():

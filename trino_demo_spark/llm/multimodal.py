@@ -108,6 +108,11 @@ def decode_audio(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise NotImplementedError("WAV without fmt/data chunks")
+    # a corrupt chunk header can declare more bytes than the payload
+    # carries — keep the declared error contract (NotImplementedError),
+    # never a raw struct.error out of the decode kernel
+    if len(fmt) < 16:
+        raise NotImplementedError("truncated WAV fmt chunk")
     audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
