@@ -145,6 +145,56 @@ def test_pyjsonl_partitions_per_file(spark, tmp_path):
     assert r == (99, None, None)
 
 
+def test_pyjsonl_malformed_lines_permissive_and_failfast(spark, tmp_path):
+    """Malformed-line contract (mirrors the native JSON reader): under
+    the default PERMISSIVE mode an unparseable or non-object line
+    becomes an all-NULL row — carrying the raw line when the schema
+    declares _corrupt_record — instead of killing the scan task; under
+    FAILFAST the scan raises. Caught at birth: json.loads crashed the
+    task on the first bad line."""
+    import pytest as _pytest
+
+    from trino_demo_spark.sources import pyjsonl
+
+    pyjsonl.register(spark)
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "part-0.jsonl").write_text(
+        '{"k": 1, "s": "ok"}\n'
+        "{not json at all\n"
+        "[1, 2, 3]\n"
+        '{"k": 2}\n'
+    )
+    df = (
+        spark.read.format("pyjsonl")
+        .schema("k BIGINT, s STRING")
+        .option("path", str(src))
+        .load()
+    )
+    rows = sorted(map(tuple, df.collect()), key=str)
+    assert (1, "ok") in rows and (2, None) in rows
+    assert rows.count((None, None)) == 2  # both poison lines quarantined
+
+    caught = (
+        spark.read.format("pyjsonl")
+        .schema("k BIGINT, s STRING, _corrupt_record STRING")
+        .option("path", str(src))
+        .load()
+    )
+    bad = {r._corrupt_record for r in caught.collect() if r.k is None}
+    assert bad == {"{not json at all", "[1, 2, 3]"}
+
+    strict = (
+        spark.read.format("pyjsonl")
+        .schema("k BIGINT, s STRING")
+        .option("path", str(src))
+        .option("mode", "FAILFAST")
+        .load()
+    )
+    with _pytest.raises(Exception):
+        strict.collect()
+
+
 def test_events_nanos_and_micros_encodings_normalize_identically(spark, tmp_path):
     """Regression pin for the landing-zone flip that cost round 3 a day:
     the driver has shipped events.ts as BOTH int64 TIMESTAMP(NANOS)

@@ -42,6 +42,7 @@ class JsonlDataSource(DataSource):
 class JsonlReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema = schema
+        self.options = options
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pyjsonl requires a path")
@@ -60,13 +61,35 @@ class JsonlReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
+        # Malformed-line contract mirrors Spark's native JSON reader:
+        # PERMISSIVE (default) turns an unparseable or non-object line
+        # into an all-NULL row — carrying the raw line when the declared
+        # schema has a `_corrupt_record` string field — so one poison
+        # line in a 100 TB landing zone quarantines instead of killing
+        # the scan task; FAILFAST raises. (sources/csv.py and
+        # scan_json_malformed pin the same stance for the native
+        # readers.)
         fields = [f.name for f in self.schema.fields]
+        failfast = (
+            str(self.options.get("mode", "PERMISSIVE")).upper() == "FAILFAST"
+        )
         with open(partition.value, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                    if not isinstance(rec, dict):
+                        raise ValueError("top-level JSON value is not an object")
+                except ValueError:
+                    if failfast:
+                        raise
+                    yield tuple(
+                        line if name == "_corrupt_record" else None
+                        for name in fields
+                    )
+                    continue
                 yield tuple(rec.get(name) for name in fields)
 
 
