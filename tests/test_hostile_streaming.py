@@ -182,3 +182,76 @@ def test_keep_latest_stateful_survives_and_matches_batch(spark, hstream, hbatch)
         (r.user_id, str(r.day)): r.event_id for r in batch.collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_corpus_clean_stream_matches_batch_on_hostile(spark, tmp_path_factory):
+    """The incremental corpus cleaner must keep exactly the batch e2e
+    pipeline's keep set ON THE HOSTILE TEXT CORPUS (NULL text, control
+    characters, huge tokens, unicode edge cases) — content-identified,
+    so a divergence in either pipeline's NULL/quality policy breaks
+    this test."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import trino_demo_spark.parity_llm  # noqa: F401  (registers entries)
+    from trino_demo_spark.parity import PARITY
+    from trino_demo_spark.streaming.kafka_shape import (
+        corpus_clean_stream,
+        stream_documents,
+    )
+
+    from .conftest import SF_SMOKE
+    from .test_hostile_text import HOSTILE_TEXTS
+
+    base = tmp_path_factory.mktemp("hostile_docs_stream")
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        if t == "documents":
+            continue
+        os.symlink(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+    langs = ["en", "de", "fr", "es", "zh"]
+    n = len(HOSTILE_TEXTS)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(HOSTILE_TEXTS, pa.string()),
+                "lang": pa.array([langs[i % 5] for i in range(n)], pa.string()),
+                "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else 0 for t in HOSTILE_TEXTS],
+                    pa.int64(),
+                ),
+            }
+        ),
+        str(base / "documents.parquet"),
+    )
+
+    q = (
+        corpus_clean_stream(stream_documents(spark, str(base)))
+        .writeStream.format("memory")
+        .queryName("h_corpus_clean")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["content_hash"]
+        for r in spark.sql("SELECT * FROM h_corpus_clean").collect()
+    }
+    e2e = PARITY["e2e_llm_data_pipeline"].fn(spark, str(base))
+    docs = load_table(spark, "documents", str(base))
+    batch = (
+        e2e.select("doc_id")
+        .join(docs, "doc_id")
+        .select(F.sha2("text", 256).alias("content_hash"))
+        .distinct()
+    )
+    want = {r["content_hash"] for r in batch.collect()}
+    assert got == want
