@@ -255,3 +255,39 @@ def test_corpus_clean_stream_matches_batch_on_hostile(spark, tmp_path_factory):
     )
     want = {r["content_hash"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_rollup_sink_on_hostile(spark, hostile_dir, tmp_path):
+    """The versioned-rollup foreachBatch sink, fed the hostile events as
+    THREE micro-batches (maxFilesPerTrigger=1), must survive the poison
+    rows (NULL/NaN/Inf values, NULL users/ts) and its final snapshot
+    must equal the one-shot batch rollup of the same data — the
+    incremental == full-recompute guarantee under hostility."""
+    import os
+
+    from trino_demo_spark.genutil import milli_units
+
+    hb = load_table(spark, "events", hostile_dir)
+    land = str(tmp_path / "land")
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    hb.repartition(3).write.parquet(land)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = ks.streaming_rollup_sink(stream, snap, ckpt)
+    q.awaitTermination(180)
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(snap) if d.startswith("v=")
+    )
+    assert len(versions) >= 2  # really ran as multiple micro-batches
+    final = spark.read.parquet(f"{snap}/v={versions[-1]}")
+    full = hb.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(milli_units("value")).alias("v_milli"),
+    )
+    got = {tuple(str(v) for v in r) for r in final.collect()}
+    want = {tuple(str(v) for v in r) for r in full.collect()}
+    assert got == want and len(want) > 10
