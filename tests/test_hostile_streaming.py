@@ -291,3 +291,62 @@ def test_streaming_rollup_sink_on_hostile(spark, hostile_dir, tmp_path):
     got = {tuple(str(v) for v in r) for r in final.collect()}
     want = {tuple(str(v) for v in r) for r in full.collect()}
     assert got == want and len(want) > 10
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must persist across a query
+    RESTART (checkpointed state store): replays of already-seen event
+    ids landing in a second run — within the watermark — must still be
+    dropped, while genuinely new ids flow through. This is the
+    cross-restart half of exactly-once that the foreachBatch test
+    (source offsets) doesn't cover."""
+    import datetime as dt
+    import os
+
+    land = str(tmp_path / "land")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, t0 + dt.timedelta(minutes=m),
+                 int((t0 + dt.timedelta(minutes=m)).timestamp() * 1e9),
+                 7, "click", 1.0, "{}")
+                for eid, m in rows
+            ],
+            "event_id long, ts timestamp, ts_ns long, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    def run_once():
+        schema = spark.read.parquet(land).schema
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            ks.dedup_late(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mk([(1, 0), (2, 5), (3, 10)]).coalesce(1).write.mode("append").parquet(land)
+    run_once()
+    first = {r.event_id for r in spark.read.parquet(sink).collect()}
+    assert first == {1, 2, 3}
+
+    # second landing: replays of 1 and 3 (same event time, within the
+    # watermark) plus new ids 4 and 5
+    mk([(1, 0), (3, 10), (4, 20), (5, 25)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    run_once()
+    second = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert second == [1, 2, 3, 4, 5], (
+        f"replayed ids crossed the restart boundary: {second}"
+    )
