@@ -452,6 +452,10 @@ def test_partitioning_invariance(spark):
     names = [
         "tpch_q1", "tpch_q5", "agg_groupby_key", "llm_dedup_exact",
         "win_dedup_keeplast", "sink_incremental_rollup", "llm_perplexity",
+        # round-5 restructures: top-k-before-dim-join must stay exact
+        # under any partitioning (integer-unit sums make the regroup
+        # reduction-order-free)
+        "tpch_q10", "tpch_q18",
     ]
 
     def canon(df):
