@@ -171,19 +171,28 @@ def main() -> None:
     # Best-of-2 per query: local-mode timings carry JIT and ambient-load
     # noise on the first execution (~±50% observed on the heaviest query);
     # min-of-2 reports the engine's steady-state cost (see PERF.md).
+    # Noise escape hatch: when the two samples disagree by >1.4× the run
+    # clearly hit ambient load (a just-exited JVM, page-cache churn — the
+    # r4 driver session measured q18 at 2.7× its quiet-host cost this
+    # way), so ONE extra sample is taken. Triggered by spread only —
+    # agreeing samples never get a third, keeping the estimator honest
+    # vs the best-of-2 pins (PERF.md round-5 note).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # Progress marker on stderr (stdout stays the one-JSON-line
         # contract) so a crash mid-suite is attributable to a query.
         print(f"bench: {name} ...", file=sys.stderr, flush=True)
         fn = overrides.get(name) or PARITY[name].fn
-        best = float("inf")
-        for _ in range(2):
+
+        def sample() -> float:
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        samples = [sample(), sample()]
+        if max(samples) > 1.4 * min(samples):
+            samples.append(sample())
+        timings[name] = round(min(samples), 3)
         print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
