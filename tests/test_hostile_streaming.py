@@ -350,3 +350,72 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     assert second == [1, 2, 3, 4, 5], (
         f"replayed ids crossed the restart boundary: {second}"
     )
+
+
+def test_ewma_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state must round-trip the checkpointed
+    state store across a query RESTART: the smoother's carried
+    (last_ts, y, n) picks up where run 1 left off, so the final y
+    equals the one-pass fold over BOTH landings in event order (batch 2
+    arrives later in arrival order AND later in event time here, so
+    arrival-order fold == event-order fold)."""
+    import datetime as dt
+    import os
+
+    land = str(tmp_path / "land")
+    sink_ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    alpha = 0.2
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, t0 + dt.timedelta(minutes=m),
+                 int((t0 + dt.timedelta(minutes=m)).timestamp() * 1e9),
+                 9, "tick", v, "{}")
+                for eid, m, v in rows
+            ],
+            "event_id long, ts timestamp, ts_ns long, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once(run_tag):
+        # memory sink refuses checkpoint recovery — emit each update
+        # batch to parquet via foreachBatch (run-tagged) instead
+        schema = spark.read.parquet(land).schema
+        stream = spark.readStream.schema(schema).parquet(land)
+
+        def emit(batch_df, batch_id):
+            batch_df.withColumn("run", F.lit(run_tag)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            ks.ewma_stateful(stream, alpha=alpha)
+            .writeStream.foreachBatch(emit)
+            .option("checkpointLocation", sink_ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(1, 0, 10.0), (2, 5, 20.0)]
+    batch2 = [(3, 10, 30.0), (4, 15, 40.0)]
+    mk(batch1).coalesce(1).write.mode("append").parquet(land)
+    run_once("r1")
+    mk(batch2).coalesce(1).write.mode("append").parquet(land)
+    run_once("r2")
+
+    rows = spark.read.parquet(out_dir).filter(F.col("run") == "r2").collect()
+    assert len(rows) == 1  # run 2 saw only the new file's single key batch
+    got = rows[0]
+    y = None
+    for _, _, v in batch1 + batch2:
+        y = v if y is None else alpha * v + (1 - alpha) * y
+    assert got.user_id == 9
+    assert got.n_events == 4  # state count carried across the restart
+    assert abs(got.ewma - y) < 1e-12
