@@ -419,3 +419,50 @@ def test_ewma_state_survives_restart(spark, tmp_path):
     assert got.user_id == 9
     assert got.n_events == 4  # state count carried across the restart
     assert abs(got.ewma - y) < 1e-12
+
+
+def test_stream_stream_join_matches_batch_on_hostile(spark, hstream, hbatch):
+    """The watermarked interval join on the hostile corpus (NULL
+    ts/users, NaN values, epoch extremes) must equal the batch run of
+    the IDENTICAL lib function — the same-code-path guarantee
+    stream_join_attrib's oracle proves on clean data, held under
+    hostility. NULL-ts rows fail the interval predicates on both paths;
+    NULL users never equi-join."""
+    s_clicks = hstream.filter(F.col("event_type") == "signup")
+    s_purch = hstream.filter(F.col("event_type") == "purchase")
+    name = _drain(
+        ks.stream_stream_join(s_clicks, s_purch, "1 hour"), "h_ssj"
+    )
+    got = _rows(spark, name)
+    # fresh-stream late rule for join state: event time <= the initial
+    # watermark (epoch 0) never enters the state store
+    live = hbatch.filter(F.col("ts_ns") > 0)
+    b_clicks = live.filter(F.col("event_type") == "signup")
+    b_purch = live.filter(F.col("event_type") == "purchase")
+    batch = ks.stream_stream_join(b_clicks, b_purch, "1 hour")
+    want = {tuple(str(v) for v in r) for r in batch.collect()}
+    assert got == want and len(want) > 5
+
+
+def test_static_enrich_matches_batch_on_hostile(spark, hstream, hbatch):
+    """Stream-static broadcast enrichment on the hostile firehose: NULL
+    user keys keep their events (left join), enriched rows match the
+    batch left join exactly."""
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(0, 8)] + [(None, "ghost")],
+        "user_id long, tier string",
+    )
+    name = _drain(
+        ks.static_enrich(hstream.select("event_id", "user_id", "value"), dim),
+        "h_enrich",
+    )
+    got = _rows(spark, name)
+    want = {
+        tuple(str(v) for v in r)
+        for r in hbatch.select("event_id", "user_id", "value")
+        .join(F.broadcast(dim), "user_id", "left")
+        .collect()
+    }
+    assert got == want
+    # every hostile event survives, including NULL-user rows
+    assert len(got) == hbatch.count()
