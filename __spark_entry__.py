@@ -173,12 +173,26 @@ _RECHECK = {
     # broadcasts the HAVING-bounded side (never customer); q10 aggregates
     # by custkey first and broadcasts only the 20-row top-k into customer
     "tpch_q18": 5,
-    "tpch_q10": 5,
+    # round-6 ADVICE fix: q10's pre-top-k guard now also requires
+    # c_nationkey IN nation (dataflow change — the semi join gained a
+    # nation probe), so the r5 green row proves the old guard only.
+    "tpch_q10": 6,
+    # Round-6 no-recheck rationale (deliberate, documented): (a) tpch_q18
+    # only gated its broadcast(big) HINT behind SPARK_GRAFT_LOCAL_HINTS —
+    # join-strategy hints are semantics-free by Spark contract, the
+    # dataflow is byte-identical either way; (b) sources/pyjsonl.py only
+    # widened the PERMISSIVE except clause to RecursionError — an
+    # exception-path-only change that cannot alter output on input that
+    # doesn't raise (scan_jsonl_pysource round-trips to_json output, every
+    # line parses); both are pytest-gated instead of burning driver slots.
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified
 # first when the driver caps its per-round sample (VERDICT r3 §next-round-2).
 _PRIORITY = [
+    # VERDICT r5 §next-round-2: the north-star composition — benched every
+    # round (1.02× pin) but never driver-proven; leads the round-6 queue.
+    "e2e_llm_data_pipeline",
     "llm_multimodal_wav",
     "llm_multimodal_ppm",
     "tpch_q1",

@@ -21,6 +21,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Opt in to single-node join-strategy hints (parity._local_bench_hints):
+# the q18 pin was taken with broadcast(big) hinted, which is correct only
+# under local[32] static estimates — the shipped default plan leaves the
+# strategy to AQE because that side is linear in SF (ADVICE r5). Hints are
+# semantics-free; this flag affects strategy, never results.
+os.environ.setdefault("SPARK_GRAFT_LOCAL_HINTS", "1")
+
 from trino_demo_spark.parity import PARITY  # noqa: E402
 import trino_demo_spark.parity_llm  # noqa: E402,F401  (registers llm entries)
 from trino_demo_spark.session import get_spark  # noqa: E402

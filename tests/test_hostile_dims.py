@@ -39,6 +39,15 @@ from .hostile_corpora import TABLES, build_hostile_dims
 from .test_parity import _canon
 
 HOSTILE_GATED = [
+    # ADVICE r5 (round-6 fix): q10 ranks top-20 BEFORE touching customer,
+    # so its pre-top-k guard must mirror BOTH of the oracle's pre-ranking
+    # inner joins — custkey IN customer AND c_nationkey IN nation. This
+    # corpus has customers with dangling nationkeys 14-24 (nation stops
+    # at 13) holding real smoke-fact revenue: without the nation probe a
+    # dangling-dim customer keeps a top-20 slot the oracle gives to rank
+    # 21. q18 gated alongside (same top-k-before-dim-join shape).
+    "tpch_q10",
+    "tpch_q18",
     "scan_csv_header",
     "f_str_funcs",
     "f_str_levenshtein",

@@ -34,6 +34,24 @@ def test_dim_joins_broadcast(spark):
         assert "SortMergeJoin" not in plan, q
 
 
+def test_q18_broadcast_hint_gated_to_local_bench(spark, monkeypatch):
+    """ADVICE r5: q18's broadcast(big) hint force-broadcasts a side that
+    is LINEAR in SF — profitable only under local[32] static estimates,
+    an OOM at 100 TB. The shipped default plan must carry exactly one
+    hint (the provably-bounded 20-row top-k into customer) and leave
+    big⋈orders to AQE; the bench-only flag restores the tuned local
+    plan. Hints are semantics-free, so no result re-proof is needed."""
+
+    def n_hints():
+        qe = PARITY["tpch_q18"].fn(spark, SF_SMOKE)._jdf.queryExecution()
+        return qe.analyzed().toString().count("ResolvedHint")
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_HINTS", raising=False)
+    assert n_hints() == 1  # only the bounded top-20 broadcast
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_HINTS", "1")
+    assert n_hints() == 2  # bench opts in to the local-estimate fix
+
+
 def test_bounded_side_broadcasts_never_customer(spark):
     """VERDICT r4 §next-round-6: when a HAVING/filter/limit provably
     bounds the fact-derived side, THAT side carries the broadcast hint —

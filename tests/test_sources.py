@@ -195,6 +195,47 @@ def test_pyjsonl_malformed_lines_permissive_and_failfast(spark, tmp_path):
         strict.collect()
 
 
+def test_pyjsonl_recursion_bomb_quarantines_not_kills(spark, tmp_path):
+    """ADVICE r5: stdlib json raises RecursionError (not ValueError) on
+    pathologically nested input; before the fix one such poison line
+    killed the whole scan task, contradicting the PERMISSIVE quarantine
+    contract. The bomb line must become an all-NULL row while its
+    healthy neighbors parse; FAILFAST must still raise."""
+    import sys
+
+    import pytest as _pytest
+
+    from trino_demo_spark.sources import pyjsonl
+
+    pyjsonl.register(spark)
+    src = tmp_path / "landing"
+    src.mkdir()
+    depth = sys.getrecursionlimit() * 2
+    bomb = "[" * depth + "]" * depth
+    (src / "part-0.jsonl").write_text(
+        '{"k": 1, "s": "before"}\n' + bomb + '\n{"k": 2, "s": "after"}\n'
+    )
+    df = (
+        spark.read.format("pyjsonl")
+        .schema("k BIGINT, s STRING")
+        .option("path", str(src))
+        .load()
+    )
+    rows = sorted(map(tuple, df.collect()), key=str)
+    assert (1, "before") in rows and (2, "after") in rows
+    assert (None, None) in rows  # the bomb, quarantined
+
+    strict = (
+        spark.read.format("pyjsonl")
+        .schema("k BIGINT, s STRING")
+        .option("path", str(src))
+        .option("mode", "FAILFAST")
+        .load()
+    )
+    with _pytest.raises(Exception):
+        strict.collect()
+
+
 def test_events_nanos_and_micros_encodings_normalize_identically(spark, tmp_path):
     """Regression pin for the landing-zone flip that cost round 3 a day:
     the driver has shipped events.ts as BOTH int64 TIMESTAMP(NANOS)

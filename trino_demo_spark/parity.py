@@ -206,6 +206,21 @@ def USUM(expr: str, scale: int) -> str:
     )
 
 
+def _local_bench_hints() -> bool:
+    """True only when the local bench harness opts in to single-node
+    join-strategy hints (``SPARK_GRAFT_LOCAL_HINTS=1``, set by bench.py).
+
+    Some hints are profitable ONLY under local[32]'s static estimates
+    (e.g. q18's broadcast of the HAVING survivors — a side that is
+    linear in SF and must NOT be force-broadcast on a real cluster).
+    Gating them here keeps the shipped default plan scale-safe while the
+    committed bench numbers still measure the tuned local plan (ADVICE
+    r5). Join hints are semantics-free: flag on/off changes strategy,
+    never results.
+    """
+    return os.environ.get("SPARK_GRAFT_LOCAL_HINTS", "") == "1"
+
+
 def _scratch(sf_dir: str) -> str:
     d = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
@@ -2063,12 +2078,13 @@ def tpch_q6(spark, sf_dir):
     "TakeOrderedAndProject BEFORE customer is touched; a keys-only semi "
     "join keeps dangling custkeys from holding a top-20 slot, and only "
     "those 20 rows broadcast into customer — the largest dim at 100 TB "
-    "is never broadcast and never shuffled. The one remaining hint, "
-    "broadcast(big) into orders, picks the byte-smaller side (2 narrow "
-    "cols vs column-pruned orders) that local static estimates get "
-    "backwards; both sides grow linearly with SF, so on a real cluster "
-    "drop it and let AQE pick — every other stage is hint-independent "
-    "and bounded.",
+    "is never broadcast and never shuffled. The big⋈orders strategy is "
+    "left to AQE by default — big (HAVING survivors) is linear in SF, so "
+    "force-broadcasting it would OOM at 100 TB; only under the local "
+    "bench flag (SPARK_GRAFT_LOCAL_HINTS=1, see _local_bench_hints) is "
+    "it hinted broadcast, because local[32] static estimates pick the "
+    "byte-larger side. Every other stage is hint-independent and "
+    "bounded (ADVICE r5).",
     tags=("bench",),
 )
 def tpch_q18(spark, sf_dir):
@@ -2078,13 +2094,15 @@ def tpch_q18(spark, sf_dir):
         .agg(usum(u2("l_quantity"), 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
+    if _local_bench_hints():
+        big = F.broadcast(big)
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     c_keys = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("ck")
     )
     top = (
-        F.broadcast(big).join(o, big["l_orderkey"] == o["o_orderkey"])
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(c_keys, F.col("o_custkey") == c_keys["ck"], "left_semi")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
@@ -2553,9 +2571,21 @@ def tpch_q10(spark, sf_dir):
     # keys-only semi join BEFORE the top-k: a dangling/NULL o_custkey must
     # not hold a top-20 slot (the oracle's inner join drops it pre-ranking).
     # Both sides hash on custkey — the agg output is already partitioned
-    # that way, so this moves keys, not customer rows.
-    c_keys = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("ck")
+    # that way, so this moves keys, not customer rows. The guard also
+    # requires c_nationkey IN nation (ADVICE r5): the oracle inner-joins
+    # nation pre-ranking too, so a top-ranked customer with a dangling
+    # c_nationkey must likewise yield its slot to rank 21 — the nation
+    # probe is a broadcast semi join over keys only.
+    n_keys = n.select(F.col("n_nationkey").alias("nnk"))
+    c_keys = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(n_keys),
+            F.col("c_nationkey") == F.col("nnk"),
+            "left_semi",
+        )
+        .select(F.col("c_custkey").alias("ck"))
     )
     top = (
         per_cust.join(c_keys, per_cust["o_custkey"] == c_keys["ck"], "left_semi")

@@ -37,22 +37,22 @@ RUNTIME_CONFS: dict[str, str] = {
 # SparkContext application ids that already had the package zip shipped.
 _PYFILES_ADDED: set[str] = set()
 
+# One package zip per PROCESS, removed at interpreter exit (ADVICE r5: the
+# r4 mkstemp fix leaked one zip per SparkSession for the life of the host).
+# The zip must outlive the session — in local mode executors fetch the
+# file: URL lazily at FIRST TASK, not at addPyFile time (unlinking right
+# after addPyFile made every task die with "does not match contents of
+# file:" under the 32-way concurrent first fetch) — so cleanup is atexit,
+# and caching one path per process bounds the live footprint to one file.
+_PKG_ZIP: str | None = None
 
-def _ship_package(spark: SparkSession) -> None:
-    """Make ``trino_demo_spark`` importable on Python WORKERS regardless
-    of the driver process's CWD (the driver contract imports this repo
-    by file path and may run from any directory; module-level pandas
-    UDFs — llm.multimodal — and the Python DataSource — sources.pyjsonl
-    — unpickle BY MODULE REFERENCE on the worker, so the worker must be
-    able to import the package itself). addPyFile distributes a zip of
-    the package and prepends it to every worker's sys.path."""
-    try:
-        sc = spark.sparkContext
-        key = sc.applicationId
-    except Exception:
-        return
-    if key in _PYFILES_ADDED:
-        return
+
+def _pkg_zip_path() -> str:
+    """Build (once per process) the shippable package zip."""
+    global _PKG_ZIP
+    if _PKG_ZIP is not None and os.path.exists(_PKG_ZIP):
+        return _PKG_ZIP
+    import atexit
     import tempfile
     import zipfile
 
@@ -73,8 +73,35 @@ def _ship_package(spark: SparkSession) -> None:
                     full = os.path.join(root, fn)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
+
+    def _cleanup(path: str = zpath) -> None:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+    atexit.register(_cleanup)
+    _PKG_ZIP = zpath
+    return zpath
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``trino_demo_spark`` importable on Python WORKERS regardless
+    of the driver process's CWD (the driver contract imports this repo
+    by file path and may run from any directory; module-level pandas
+    UDFs — llm.multimodal — and the Python DataSource — sources.pyjsonl
+    — unpickle BY MODULE REFERENCE on the worker, so the worker must be
+    able to import the package itself). addPyFile distributes a zip of
+    the package and prepends it to every worker's sys.path."""
     try:
-        sc.addPyFile(zpath)
+        sc = spark.sparkContext
+        key = sc.applicationId
+    except Exception:
+        return
+    if key in _PYFILES_ADDED:
+        return
+    try:
+        sc.addPyFile(_pkg_zip_path())
     except Exception:
         pass  # already added under another name, or cluster refuses — fine
     _PYFILES_ADDED.add(key)

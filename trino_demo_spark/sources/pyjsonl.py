@@ -15,6 +15,13 @@ only its file). Parsing is stdlib-json per line — this source exists to
 prove the connector surface; bulk columnar formats should stay on the
 native parquet/csv readers (the read path here is Python-speed by design
 and says so).
+
+Known divergence from Spark's native JSON reader: a line whose top-level
+value is an ARRAY of objects is quarantined as one corrupt record here
+(this source is strictly one-line-one-row), whereas the native multiLine
+reader expands such an array into multiple rows. The declared-mapping
+contract this source mirrors is object-per-line, so the strict reading is
+deliberate — but callers migrating from the native reader should know.
 """
 
 from __future__ import annotations
@@ -82,7 +89,10 @@ class JsonlReader(DataSourceReader):
                     rec = json.loads(line)
                     if not isinstance(rec, dict):
                         raise ValueError("top-level JSON value is not an object")
-                except ValueError:
+                # RecursionError included (ADVICE r5): stdlib json raises it
+                # on pathologically nested input, and a poison line must
+                # quarantine — not kill the scan task — in PERMISSIVE mode.
+                except (ValueError, RecursionError):
                     if failfast:
                         raise
                     yield tuple(
