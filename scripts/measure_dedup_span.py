@@ -1,0 +1,82 @@
+"""Measure the 10x wall-time span of the two heaviest LLM dedup queries
+(llm_dedup_clusters, llm_dedup_semantic_lsh) plus the CC round-count
+trajectory — VERDICT r5 §next-round-5.
+
+Method mirrors the q18/q10 span study (PERF.md): best-of-2 noop-sink
+wall time on a warm local[32] session at sf0.1 and at the key-offset
+replicated sf1-equivalent (scripts/make_scaled_sf.py). The large-star/
+small-star round count is observed by counting _edge_fingerprint calls
+(1 initial + 1 per round), giving the convergence trajectory the
+O(log^2 n) bound predicts.
+
+Usage: python scripts/measure_dedup_span.py [--sfs sf0.1:/root/testdata/sf0.1,sf1:.scratch/sf1]
+Prints one JSON line per (query, sf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+QUERIES = ["llm_dedup_clusters", "llm_dedup_semantic_lsh"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sfs",
+        default=f"sf0.1:/root/testdata/sf0.1,sf1:{_ROOT}/.scratch/sf1",
+    )
+    args = ap.parse_args()
+
+    import trino_demo_spark.parity_llm  # noqa: F401  (registers entries)
+    from trino_demo_spark.llm import dedup
+    from trino_demo_spark.parity import PARITY
+    from trino_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup_span")
+    spark.range(1000).count()  # JVM warmup
+
+    real_fp = dedup._edge_fingerprint
+    counter = {"n": 0}
+
+    def counting_fp(df):
+        counter["n"] += 1
+        return real_fp(df)
+
+    dedup._edge_fingerprint = counting_fp
+
+    for label_dir in args.sfs.split(","):
+        label, sf_dir = label_dir.split(":", 1)
+        for name in QUERIES:
+            fn = PARITY[name].fn
+            samples, rounds = [], None
+            for _ in range(2):
+                counter["n"] = 0
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(round(time.perf_counter() - t0, 3))
+                rounds = counter["n"] - 1  # 1 initial fingerprint + 1/round
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "sf": label,
+                        "best_sec": min(samples),
+                        "samples": samples,
+                        "cc_rounds": rounds,
+                    }
+                ),
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

