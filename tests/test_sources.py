@@ -324,3 +324,49 @@ def test_observation_metrics_without_second_scan(spark):
     assert got["n_null_value"] == direct["n_null_value"]
     assert got["sum_value"] == direct["sum_value"]
     assert kept == direct["n_rows"] - direct["n_null_value"]
+
+
+def test_jdbc_real_roundtrip_embedded_derby(spark, tmp_path):
+    """REAL JDBC round-trip through Spark's jdbc source against embedded
+    Derby (shipped in Spark's own jars) — the closest this sandbox gets
+    to the reference's live PostgreSQL catalog (no network daemons
+    allowed; docker client exists but no daemon). Exercises the actual
+    sources/jdbc.py path end-to-end: batched write, single-task dim
+    read, range-PARTITIONED parallel fact read (4 bound-split queries),
+    and predicate pushdown INTO the remote scan — none of which the
+    parquet stand-ins (`scan_jdbc`/`sink_jdbc_copy`) can prove."""
+    import pyspark.sql.functions as F
+
+    from trino_demo_spark.sources import jdbc as J
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("row"), F.col("id")).alias("s"),
+    )
+    J.write_table(df, url, "t_fact", mode="overwrite", **drv)
+
+    # single-task read (the dim shape)
+    dim = J.read_table(spark, url, "t_fact", **drv)
+    assert dim.rdd.getNumPartitions() == 1
+    assert dim.count() == 500
+
+    # partitioned parallel read (the fact shape): 4 range-bounded queries
+    fact = J.read_table(
+        spark, url, "t_fact",
+        partition_column="k", lower_bound=0, upper_bound=500,
+        num_partitions=4, **drv,
+    )
+    assert fact.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, fact.collect())) == sorted(map(tuple, df.collect()))
+
+    # predicate pushdown reaches the remote scan (filter runs in the DB,
+    # not in Spark — the JDBC analog of parquet PushedFilters)
+    plan = (
+        fact.filter(F.col("k") < 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "LessThan" in plan
+    assert fact.filter(F.col("k") < 10).count() == 10

@@ -1,12 +1,17 @@
 """JDBC source/sink adapter (the reference's PostgreSQL catalog,
 `trino/catalog/trinodemo.properties:1-6`).
 
-No database runs in the test container — these wrappers are exercised
-against parquet stand-ins in the parity suite (`scan_jdbc`,
-`sink_jdbc_copy`) and carry the scale-relevant read options: predicate
-and projection pushdown are automatic for the JDBC source; *parallel*
-reads require explicit partitioning bounds, which Trino handles
-internally and Spark exposes as options.
+No network database runs in the test container, but the wrappers ARE
+exercised against a real JDBC engine: embedded Derby (shipped in
+Spark's jars) round-trips write → single-task read → range-partitioned
+parallel read → pushed-down filter in
+tests/test_sources.py::test_jdbc_real_roundtrip_embedded_derby. The
+parity suite additionally runs the same shapes on parquet stand-ins
+(`scan_jdbc`, `sink_jdbc_copy`) for the driver's oracle compare. The
+scale-relevant read options: predicate and projection pushdown are
+automatic for the JDBC source; *parallel* reads require explicit
+partitioning bounds, which Trino handles internally and Spark exposes
+as options.
 """
 
 from __future__ import annotations
