@@ -21,13 +21,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Opt in to single-node join-strategy hints (parity._local_bench_hints):
-# the q18 pin was taken with broadcast(big) hinted, which is correct only
-# under local[32] static estimates — the shipped default plan leaves the
-# strategy to AQE because that side is linear in SF (ADVICE r5). Hints are
-# semantics-free; this flag affects strategy, never results.
-os.environ.setdefault("SPARK_GRAFT_LOCAL_HINTS", "1")
-
 from trino_demo_spark.parity import PARITY  # noqa: E402
 import trino_demo_spark.parity_llm  # noqa: E402,F401  (registers llm entries)
 from trino_demo_spark.session import get_spark  # noqa: E402
@@ -113,6 +106,14 @@ CANARY_SCAN_BASELINE_SEC: float | None = 0.3
 
 
 def main() -> None:
+    # Opt in to single-node join-strategy hints (parity._local_bench_hints):
+    # the q18 pin was taken with broadcast(big) hinted, which is correct
+    # only under local[32] static estimates — the shipped default plan
+    # leaves that join to AQE because the side is linear in SF (ADVICE r5).
+    # Hints are semantics-free; this flag affects strategy, never results.
+    # Set inside main(), not at import time: merely importing bench.py for
+    # its helpers must not flip plans in the importing process.
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_HINTS", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:

@@ -3,13 +3,15 @@
 trajectory — VERDICT r5 §next-round-5.
 
 Method mirrors the q18/q10 span study (PERF.md): best-of-2 noop-sink
-wall time on a warm local[32] session at sf0.1 and at the key-offset
-replicated sf1-equivalent (scripts/make_scaled_sf.py). The large-star/
-small-star round count is observed by counting _edge_fingerprint calls
-(1 initial + 1 per round), giving the convergence trajectory the
-O(log^2 n) bound predicts.
+wall time on a warm local[32] session, ONE FRESH SESSION PER SF (so a
+larger SF never rides the previous SF's cache/scratch warmth), at
+sf0.1 and the key-offset replicated sf1/sf10 equivalents
+(scripts/make_scaled_sf.py; missing dirs are skipped with a warning).
+The large-star/small-star round count is observed by counting
+_edge_fingerprint calls (1 initial + 1 per round), giving the
+convergence trajectory the O(log^2 n) bound predicts.
 
-Usage: python scripts/measure_dedup_span.py [--sfs sf0.1:/root/testdata/sf0.1,sf1:.scratch/sf1]
+Usage: python scripts/measure_dedup_span.py [--sfs label:dir,label:dir,...]
 Prints one JSON line per (query, sf).
 """
 
@@ -31,7 +33,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--sfs",
-        default=f"sf0.1:/root/testdata/sf0.1,sf1:{_ROOT}/.scratch/sf1",
+        default=(
+            f"sf0.1:/root/testdata/sf0.1,sf1:{_ROOT}/.scratch/sf1,"
+            f"sf10:{_ROOT}/.scratch/sf10"
+        ),
     )
     args = ap.parse_args()
 
@@ -39,9 +44,6 @@ def main() -> None:
     from trino_demo_spark.llm import dedup
     from trino_demo_spark.parity import PARITY
     from trino_demo_spark.session import get_spark
-
-    spark = get_spark(app_name="dedup_span")
-    spark.range(1000).count()  # JVM warmup
 
     real_fp = dedup._edge_fingerprint
     counter = {"n": 0}
@@ -54,6 +56,17 @@ def main() -> None:
 
     for label_dir in args.sfs.split(","):
         label, sf_dir = label_dir.split(":", 1)
+        if not os.path.isdir(sf_dir):
+            print(
+                f"skipping {label}: {sf_dir} missing "
+                "(build with scripts/make_scaled_sf.py)",
+                file=sys.stderr,
+            )
+            continue
+        # Fresh session per SF: a shared session lets the larger SF ride
+        # the smaller one's JIT/cache warmth and mixes persist() state.
+        spark = get_spark(app_name=f"dedup_span_{label}")
+        spark.range(1000).count()  # JVM warmup
         for name in QUERIES:
             fn = PARITY[name].fn
             samples, rounds = [], None
@@ -75,7 +88,7 @@ def main() -> None:
                 ),
                 flush=True,
             )
-    spark.stop()
+        spark.stop()
 
 
 if __name__ == "__main__":

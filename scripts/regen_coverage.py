@@ -93,11 +93,13 @@ def main() -> None:
         "Deliberate gaps: the driver testdata has no `partsupp` table and "
         "no `l_commitdate`/`l_receiptdate` lineitem columns, so the TPC-H "
         "shapes that need them are registered as documented analogs "
-        "instead — q9/q11/q15/q16/q20 substitute lineitem-derived "
+        "instead — q9/q11/q16/q20 substitute lineitem-derived "
         "supplier-part pairs for partsupp (profit omits ps_supplycost), "
         "and q21 keeps the sole-late-supplier EXISTS/NOT-EXISTS topology "
         "with shipdate-derived lateness. Each analog's docstring states "
-        "exactly what it substitutes. (generated — do not hand-edit)\n"
+        "exactly what it substitutes; q15's revenue-view shape needs no "
+        "substitution (lineitem+supplier only). "
+        "(generated — do not hand-edit)\n"
     )
 
     path = os.path.join(_ROOT, "COVERAGE.md")

@@ -335,8 +335,6 @@ def test_jdbc_real_roundtrip_embedded_derby(spark, tmp_path):
     read, range-PARTITIONED parallel fact read (4 bound-split queries),
     and predicate pushdown INTO the remote scan — none of which the
     parquet stand-ins (`scan_jdbc`/`sink_jdbc_copy`) can prove."""
-    import pyspark.sql.functions as F
-
     from trino_demo_spark.sources import jdbc as J
 
     url = f"jdbc:derby:{tmp_path}/db;create=true"

@@ -74,7 +74,15 @@ def _pkg_zip_path() -> str:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
 
+    owner_pid = os.getpid()
+
     def _cleanup(path: str = zpath) -> None:
+        # Only the process that created the zip may remove it: a forked
+        # child inherits this atexit hook, and firing it there would
+        # delete the file while the PARENT's executors still owe their
+        # lazy first-task fetch (the exact failure documented above).
+        if os.getpid() != owner_pid:
+            return
         try:
             os.unlink(path)
         except OSError:
