@@ -368,3 +368,36 @@ def test_jdbc_real_roundtrip_embedded_derby(spark, tmp_path):
     )
     assert "PushedFilters" in plan and "LessThan" in plan
     assert fact.filter(F.col("k") < 10).count() == 10
+
+
+def test_pkg_zip_per_process_cache_and_fork_safe_cleanup():
+    """session._pkg_zip_path contract (ADVICE r5 + review): one zip per
+    process (cached), removed at interpreter exit by the OWNING process
+    only — a forked child running its atexit stack must not delete the
+    parent's zip (local-mode executors fetch it lazily at first task).
+    Exercised in a subprocess so the atexit firing is observable."""
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+from trino_demo_spark import session as S
+p1 = S._pkg_zip_path()
+p2 = S._pkg_zip_path()
+assert p1 == p2, "not cached per process"
+assert os.path.exists(p1)
+pid = os.fork()
+if pid == 0:
+    sys.exit(0)  # child: normal interpreter shutdown DOES run atexit
+os.waitpid(pid, 0)
+assert os.path.exists(p1), "forked child's atexit deleted the parent's zip"
+print("ZIP=" + p1)
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    zpath = [l for l in r.stdout.splitlines() if l.startswith("ZIP=")][0][4:]
+    # the owning process has now exited → its atexit removed the zip
+    assert not os.path.exists(zpath), "owner exit did not clean up the zip"
