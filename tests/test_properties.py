@@ -523,3 +523,95 @@ def test_quarantine_vector_rule_null_component(spark):
         sdf, [("vec", ("nullish", lambda c: F.lit(None).cast("boolean")))]
     )
     assert annotated.filter(F.col("__quarantine_reason").isNull()).count() == 0
+
+
+_topk_facts = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 12)),  # custkey: NULL/dangling
+        st.integers(-1000, 1000),                  # integer revenue units
+    ),
+    max_size=30,
+)
+_topk_customers = st.dictionaries(
+    st.integers(0, 10),                            # c_custkey (unique: PK)
+    st.one_of(st.none(), st.integers(0, 8)),       # c_nationkey: NULL/dangling
+    max_size=10,
+)
+_topk_nations = st.sets(st.integers(0, 5), max_size=4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_topk_facts, _topk_customers, _topk_nations, st.integers(1, 5))
+def test_topk_before_dim_join_matches_join_first_model(
+    spark, facts, customers, nations, k
+):
+    """The q10/q18 restructure's correctness claim, as a property: for
+    ANY dirty input — NULL/dangling fact keys, NULL/dangling dim FKs —
+    aggregate-by-key + FULL FK guard (key IN customer AND nationkey IN
+    nation, both keys-only semi joins) + rank + top-k + dim join equals
+    the semantically obvious join-dims-first-then-rank order (what the
+    driver oracle does). This generalizes the hostile-dims gate that
+    caught the missing nation probe (ADVICE r5): with the guard on only
+    one FK, hypothesis finds a counterexample immediately. Assumes dim
+    PK uniqueness (dict/set strategies), like TPC-H and the oracle."""
+    fdf = spark.createDataFrame(
+        pd.DataFrame(facts, columns=["custkey", "rev"]).astype(
+            {"custkey": "Int64", "rev": "int64"}
+        ),
+        "custkey BIGINT, rev BIGINT",
+    )
+    cust_pdf = pd.DataFrame(
+        list(customers.items()), columns=["c_custkey", "c_nationkey"]
+    ).astype({"c_custkey": "Int64", "c_nationkey": "Int64"})
+    cdf = spark.createDataFrame(cust_pdf, "c_custkey BIGINT, c_nationkey BIGINT")
+    # separate frame for the guard, like parity.tpch_q10 loads customer
+    # twice — reusing cdf would make the final join an ambiguous self-join
+    cguard = spark.createDataFrame(
+        cust_pdf, "c_custkey BIGINT, c_nationkey BIGINT"
+    )
+    ndf = spark.createDataFrame(
+        pd.DataFrame({"n_nationkey": sorted(nations)}).astype("Int64"),
+        "n_nationkey BIGINT",
+    )
+
+    # engine shape (parity.tpch_q10's skeleton): agg FIRST, guard, rank
+    per = fdf.groupBy("custkey").agg(F.sum("rev").alias("revenue"))
+    ckeys = cguard.join(
+        F.broadcast(ndf),
+        cguard["c_nationkey"] == ndf["n_nationkey"],
+        "left_semi",
+    ).select(F.col("c_custkey").alias("ck"))
+    top = (
+        per.join(ckeys, per["custkey"] == F.col("ck"), "left_semi")
+        .orderBy(F.col("revenue").desc(), F.col("custkey"))
+        .limit(k)
+    )
+    got = sorted(
+        map(
+            tuple,
+            F.broadcast(top)
+            .join(cdf, top["custkey"] == cdf["c_custkey"])
+            .join(
+                F.broadcast(ndf), cdf["c_nationkey"] == ndf["n_nationkey"]
+            )
+            .select("custkey", "revenue", "n_nationkey")
+            .collect(),
+        )
+    )
+
+    # independent model: join dims FIRST, then aggregate, rank, top-k
+    kept = [
+        (ck, rev)
+        for ck, rev in facts
+        if ck is not None
+        and ck in customers
+        and customers[ck] is not None
+        and customers[ck] in nations
+    ]
+    agg: dict[int, int] = {}
+    for ck, rev in kept:
+        agg[ck] = agg.get(ck, 0) + rev
+    ranked = sorted(agg.items(), key=lambda t: (-t[1], t[0]))[:k]
+    exp = sorted((ck, rev, customers[ck]) for ck, rev in ranked)
+
+    assert got == exp, (facts, customers, nations, k)

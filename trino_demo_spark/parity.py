@@ -2553,7 +2553,13 @@ def tpch_q7(spark, sf_dir):
     "LIMIT 20 then runs as TakeOrderedAndProject on the aggregate, and "
     "only those 20 rows are broadcast into the customer/nation joins. "
     "Customer — the largest dim at 100 TB — is never broadcast, never "
-    "shuffled, and only probed by a 20-row build side.",
+    "shuffled, and only probed by a 20-row build side. The pre-top-k "
+    "guard mirrors BOTH of the oracle's pre-ranking inner joins (custkey "
+    "IN customer AND c_nationkey IN nation — ADVICE r5; "
+    "property-pinned in test_properties.py against a join-first model "
+    "on random dirty dims). Assumes dim PK uniqueness, like the oracle: "
+    "under duplicate c_custkey rows agg-first and join-first genuinely "
+    "diverge (join-first double-counts revenue into the ranking).",
 )
 def tpch_q10(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
