@@ -401,3 +401,25 @@ print("ZIP=" + p1)
     zpath = [l for l in r.stdout.splitlines() if l.startswith("ZIP=")][0][4:]
     # the owning process has now exited → its atexit removed the zip
     assert not os.path.exists(zpath), "owner exit did not clean up the zip"
+
+
+def test_all_sf_dirs_normalize_to_one_logical_schema(spark):
+    """Testdata-drift guard: the driver regenerates /root/testdata
+    between rounds and has flipped physical encodings before (events.ts
+    shipped as int64 TIMESTAMP(NANOS) one round, native timestamp[us]
+    the next — cost round 3 a day). registry.load_table must normalize
+    every table to ONE logical schema across all three SF dirs, so a
+    physical flip at any SF surfaces here as a named failure at round
+    start instead of as 278 mysterious oracle mismatches."""
+    from trino_demo_spark.registry import load_table
+
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    dirs = [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+    for t in tables:
+        schemas = {
+            d: load_table(spark, t, d).schema.simpleString() for d in dirs
+        }
+        assert len(set(schemas.values())) == 1, (t, schemas)
