@@ -38,9 +38,15 @@ def main() -> None:
             f"sf10:{_ROOT}/.scratch/sf10"
         ),
     )
+    ap.add_argument(
+        "--queries",
+        default=",".join(QUERIES),
+        help="comma-separated PARITY names (default: the two CC dedup heavies)",
+    )
     args = ap.parse_args()
 
     import trino_demo_spark.parity_llm  # noqa: F401  (registers entries)
+    import trino_demo_spark.parity_ml  # noqa: F401  (registers entries)
     from trino_demo_spark.llm import dedup
     from trino_demo_spark.parity import PARITY
     from trino_demo_spark.session import get_spark
@@ -67,7 +73,7 @@ def main() -> None:
         # the smaller one's JIT/cache warmth and mixes persist() state.
         spark = get_spark(app_name=f"dedup_span_{label}")
         spark.range(1000).count()  # JVM warmup
-        for name in QUERIES:
+        for name in args.queries.split(","):
             fn = PARITY[name].fn
             samples, rounds = [], None
             for _ in range(2):
