@@ -1111,3 +1111,47 @@ def test_capped_jaccard_keeps_exact_dup_clusters(spark):
     out = dedup.ngram_jaccard_pairs_capped(docs, df_max=5)
     assert out.count() == 100 * 99 // 2
     assert out.filter("jaccard != 1.0").count() == 0
+
+
+def test_dedup_clusters_adversarial_shapes_converge(spark):
+    """Convergence-margin gate for the shapes that stress large-star/
+    small-star differently (the random union-find property test rarely
+    generates them): a 1000-node path with the component MINIMUM at the
+    far end (labels must traverse the whole diameter — worst case for
+    propagation-style algorithms and 5× the existing 200-node gate), a
+    1000-leaf star centered at the HIGHEST id (one giant duplicate
+    cluster, the common real-corpus shape), and two 100-cliques joined
+    by a single bridge edge (dense locals + one global merge). All must
+    close well inside dedup_clusters' max_iters=25 default — asserted
+    at 15 to pin the safety margin — with cluster id = component min
+    and exactly one canonical per component."""
+    n = 1000
+    # path i—i+1 but RELABELED so node i carries id (n-1-i): the min id
+    # (0) sits at the far end of the diameter
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    path = spark.createDataFrame(
+        [(n - 1 - i, n - 1 - (i + 1)) for i in range(n - 1)],
+        "id_a long, id_b long",
+    )
+    out = dedup.dedup_clusters(ids, path, max_iters=15).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_canonical for r in out) == 1
+
+    star = spark.createDataFrame(
+        [(n - 1, i) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_clusters(ids, star, max_iters=15).collect()
+    assert all(r.cluster_id == 0 for r in out)
+    assert sum(r.is_canonical for r in out) == 1
+
+    m = 100
+    ids2 = spark.createDataFrame([(i,) for i in range(2 * m)], "doc_id long")
+    cliq = (
+        [(a, b) for a in range(m) for b in range(a + 1, m)]
+        + [(m + a, m + b) for a in range(m) for b in range(a + 1, m)]
+        + [(m - 1, m)]  # the bridge
+    )
+    pairs2 = spark.createDataFrame(cliq, "id_a long, id_b long")
+    out2 = dedup.dedup_clusters(ids2, pairs2, max_iters=15).collect()
+    assert all(r.cluster_id == 0 for r in out2)
+    assert sum(r.is_canonical for r in out2) == 1
