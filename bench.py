@@ -61,7 +61,15 @@ BASELINE_SEC = {
     "tpch_q5": 1.211,
     "tpch_q9": 1.757,
     "tpch_q6": 0.261,
-    "tpch_q18": 0.729,
+    # re-pinned round 7 (VERDICT r6 §next-round-2): the r01 pin (0.729)
+    # was taken WITH the broadcast(big) hint that the shipped plan
+    # correctly no longer carries (linear-in-SF side — OOM at 100 TB),
+    # manufacturing a 1.56× headline for a plan the repo deliberately
+    # doesn't ship. New pin = quiet-host best-of-3 of the shipped
+    # unhinted plan (canary 0.59 / scan 0.90 of their pins — fast host,
+    # so the pin is conservative); the SPARK_GRAFT_LOCAL_HINTS flag is
+    # retired with it.
+    "tpch_q18": 1.069,
     "tpch_q21": 1.105,
     "join_inner_eq": 0.541,
     "join_fact_fact_merge": 0.848,
@@ -106,14 +114,6 @@ CANARY_SCAN_BASELINE_SEC: float | None = 0.3
 
 
 def main() -> None:
-    # Opt in to single-node join-strategy hints (parity._local_bench_hints):
-    # the q18 pin was taken with broadcast(big) hinted, which is correct
-    # only under local[32] static estimates — the shipped default plan
-    # leaves that join to AQE because the side is linear in SF (ADVICE r5).
-    # Hints are semantics-free; this flag affects strategy, never results.
-    # Set inside main(), not at import time: merely importing bench.py for
-    # its helpers must not flip plans in the importing process.
-    os.environ.setdefault("SPARK_GRAFT_LOCAL_HINTS", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -179,12 +179,20 @@ def main() -> None:
     # Best-of-2 per query: local-mode timings carry JIT and ambient-load
     # noise on the first execution (~±50% observed on the heaviest query);
     # min-of-2 reports the engine's steady-state cost (see PERF.md).
-    # Noise escape hatch: when the two samples disagree by >1.4× the run
-    # clearly hit ambient load (a just-exited JVM, page-cache churn — the
-    # r4 driver session measured q18 at 2.7× its quiet-host cost this
-    # way), so ONE extra sample is taken. Triggered by spread only —
-    # agreeing samples never get a third, keeping the estimator honest
-    # vs the best-of-2 pins (PERF.md round-5 note).
+    # Noise escape hatches — a third sample is forced when either fires:
+    #   spread  — the two samples disagree by >1.4× (the run clearly hit
+    #             ambient load: a just-exited JVM, page-cache churn — the
+    #             r4 driver session measured q18 at 2.7× its quiet-host
+    #             cost this way);
+    #   vs-pin  — the best-of-2 still reads >1.5× the query's PIN
+    #             (VERDICT r6 §next-round-5: the r6 local session saw the
+    #             flagship's first pair agree at 2.02× of pin while a
+    #             settled third read 1.31× — agreement alone doesn't
+    #             prove steady state when both samples landed in the
+    #             same cold window; only the pin can flag that).
+    # Both trigger at most one extra sample each, and only on evidence of
+    # noise, keeping the estimator honest vs the best-of-2 pins (PERF.md
+    # round-5 note).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # Progress marker on stderr (stdout stays the one-JSON-line
@@ -199,6 +207,9 @@ def main() -> None:
 
         samples = [sample(), sample()]
         if max(samples) > 1.4 * min(samples):
+            samples.append(sample())
+        pin = BASELINE_SEC.get(name)
+        if pin and min(samples) > 1.5 * pin and len(samples) < 3:
             samples.append(sample())
         timings[name] = round(min(samples), 3)
         print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)

@@ -34,37 +34,29 @@ def test_dim_joins_broadcast(spark):
         assert "SortMergeJoin" not in plan, q
 
 
-def test_q18_broadcast_hint_gated_to_local_bench(spark, monkeypatch):
-    """ADVICE r5: q18's broadcast(big) hint force-broadcasts a side that
-    is LINEAR in SF — profitable only under local[32] static estimates,
-    an OOM at 100 TB. The shipped default plan must carry exactly one
-    hint (the provably-bounded 20-row top-k into customer) and leave
-    big⋈orders to AQE; the bench-only flag restores the tuned local
-    plan. Hints are semantics-free, so no result re-proof is needed."""
-
-    def n_hints():
-        qe = PARITY["tpch_q18"].fn(spark, SF_SMOKE)._jdf.queryExecution()
-        return qe.analyzed().toString().count("ResolvedHint")
-
-    monkeypatch.delenv("SPARK_GRAFT_LOCAL_HINTS", raising=False)
-    assert n_hints() == 1  # only the bounded top-20 broadcast
-    monkeypatch.setenv("SPARK_GRAFT_LOCAL_HINTS", "1")
-    assert n_hints() == 2  # bench opts in to the local-estimate fix
+def test_q18_single_bounded_hint(spark):
+    """ADVICE r5 + VERDICT r6 §next-round-2: q18's only join hint is the
+    provably-bounded 20-row top-k broadcast into customer; big⋈orders is
+    left to AQE because the HAVING-survivor side is LINEAR in SF — an
+    OOM to force-broadcast at 100 TB. The r1–r6 SPARK_GRAFT_LOCAL_HINTS
+    bench flag that restored that broadcast under local[32] static
+    estimates is retired (PERF.md r6 measured unhinted within 2% of
+    hinted on the same host), so the shipped plan and the benched plan
+    are now the same plan, always."""
+    qe = PARITY["tpch_q18"].fn(spark, SF_SMOKE)._jdf.queryExecution()
+    assert qe.analyzed().toString().count("ResolvedHint") == 1
 
 
-def test_bounded_side_broadcasts_never_customer(spark, monkeypatch):
+def test_bounded_side_broadcasts_never_customer(spark):
     """VERDICT r4 §next-round-6: when a HAVING/filter/limit provably
     bounds the fact-derived side, THAT side carries the broadcast hint —
     never customer, the largest dim at 100 TB. Both q18 and q10 hint
     only their bounded 20-row top-k into customer (q18's big⋈orders is
-    AQE-chosen by default since the r6 hint gating — pinned unset here
-    so the test sees the shipped plan even if the caller exported the
-    bench flag). The full-width customer relation must build the probe
-    (streamed) side of its join in both plans. (Keys-only LeftSemi
-    builds of customer/nation — the dangling-key guards — are exempt:
-    unhinted, so the planner shuffles them once the dim outgrows the
-    broadcast threshold.)"""
-    monkeypatch.delenv("SPARK_GRAFT_LOCAL_HINTS", raising=False)
+    always AQE-chosen since the r7 hint-flag retirement). The full-width
+    customer relation must build the probe (streamed) side of its join
+    in both plans. (Keys-only LeftSemi builds of customer/nation — the
+    dangling-key guards — are exempt: unhinted, so the planner shuffles
+    them once the dim outgrows the broadcast threshold.)"""
     for q in ("tpch_q18", "tpch_q10"):
         plan = _plan(PARITY[q].fn(spark, SF_SMOKE))
         joins = [

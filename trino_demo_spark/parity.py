@@ -206,21 +206,6 @@ def USUM(expr: str, scale: int) -> str:
     )
 
 
-def _local_bench_hints() -> bool:
-    """True only when the local bench harness opts in to single-node
-    join-strategy hints (``SPARK_GRAFT_LOCAL_HINTS=1``, set by bench.py).
-
-    Some hints are profitable ONLY under local[32]'s static estimates
-    (e.g. q18's broadcast of the HAVING survivors — a side that is
-    linear in SF and must NOT be force-broadcast on a real cluster).
-    Gating them here keeps the shipped default plan scale-safe while the
-    committed bench numbers still measure the tuned local plan (ADVICE
-    r5). Join hints are semantics-free: flag on/off changes strategy,
-    never results.
-    """
-    return os.environ.get("SPARK_GRAFT_LOCAL_HINTS", "") == "1"
-
-
 def _scratch(sf_dir: str) -> str:
     d = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", ".scratch",
@@ -2079,12 +2064,13 @@ def tpch_q6(spark, sf_dir):
     "join keeps dangling custkeys from holding a top-20 slot, and only "
     "those 20 rows broadcast into customer — the largest dim at 100 TB "
     "is never broadcast and never shuffled. The big⋈orders strategy is "
-    "left to AQE by default — big (HAVING survivors) is linear in SF, so "
-    "force-broadcasting it would OOM at 100 TB; only under the local "
-    "bench flag (SPARK_GRAFT_LOCAL_HINTS=1, see _local_bench_hints) is "
-    "it hinted broadcast, because local[32] static estimates pick the "
-    "byte-larger side. Every other stage is hint-independent and "
-    "bounded (ADVICE r5).",
+    "left to AQE — big (HAVING survivors) is linear in SF, so "
+    "force-broadcasting it would OOM at 100 TB (the r1-r6 local bench "
+    "flag that restored that hint is retired: PERF.md r6 measured the "
+    "unhinted plan within 2% of the hinted one on the same host, and "
+    "the r7 re-pin measures the shipped plan). Every stage is "
+    "hint-independent and bounded except the provably-20-row top-k "
+    "broadcast (ADVICE r5/r6).",
     tags=("bench",),
 )
 def tpch_q18(spark, sf_dir):
@@ -2094,8 +2080,6 @@ def tpch_q18(spark, sf_dir):
         .agg(usum(u2("l_quantity"), 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
-    if _local_bench_hints():
-        big = F.broadcast(big)
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     c_keys = _t(spark, sf_dir, "customer").select(
