@@ -89,6 +89,14 @@ def main() -> None:
         f"Totals: {n_total} query entries, {n_oracle} oracle-backed, "
         f"{n_total - n_oracle} rows-only. (generated — do not hand-edit)\n"
     )
+    # ADVICE r6: this note is prose the script MAINTAINS, not state it
+    # derives — label it as such, and keep it honest by asserting the
+    # analogs it names still exist in the live registry (a renamed or
+    # deleted analog fails the regen instead of silently rotting here).
+    _named_analogs = ("tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
+                      "tpch_q20", "tpch_q21")
+    _missing = [q for q in _named_analogs if q not in PARITY]
+    assert not _missing, f"gaps note names absent entries: {_missing}"
     gaps_line = (
         "Deliberate gaps: the driver testdata has no `partsupp` table and "
         "no `l_commitdate`/`l_receiptdate` lineitem columns, so the TPC-H "
@@ -99,7 +107,8 @@ def main() -> None:
         "with shipdate-derived lateness. Each analog's docstring states "
         "exactly what it substitutes; q15's revenue-view shape needs no "
         "substitution (lineitem+supplier only). "
-        "(generated — do not hand-edit)\n"
+        "(script-maintained prose — edit in regen_coverage.py; the named "
+        "analogs are asserted against the live registry at regen time)\n"
     )
 
     path = os.path.join(_ROOT, "COVERAGE.md")

@@ -379,19 +379,41 @@ def test_pkg_zip_per_process_cache_and_fork_safe_cleanup():
     import subprocess
     import sys as _sys
 
-    code = r"""
+    # ADVICE r6: derive the repo root instead of hardcoding /root/repo so
+    # the test survives a moved checkout.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = rf"""
 import os, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, {repo_root!r})
 from trino_demo_spark import session as S
 p1 = S._pkg_zip_path()
 p2 = S._pkg_zip_path()
 assert p1 == p2, "not cached per process"
 assert os.path.exists(p1)
+r, w = os.pipe()
 pid = os.fork()
 if pid == 0:
+    # ADVICE r6: the child must NOT inherit the parent's cached path —
+    # register_at_fork resets it so the child builds/owns its own zip
+    # (else the parent's exit-unlink strands the child's executors).
+    os.close(r)
+    child_zip = S._pkg_zip_path()
+    os.write(w, child_zip.encode())
+    os.close(w)
     sys.exit(0)  # child: normal interpreter shutdown DOES run atexit
+os.close(w)
+child_zip = b""
+while True:
+    chunk = os.read(r, 4096)
+    if not chunk:
+        break
+    child_zip += chunk
+os.close(r)
 os.waitpid(pid, 0)
+child_zip = child_zip.decode()
+assert child_zip and child_zip != p1, "child reused the parent's zip path"
 assert os.path.exists(p1), "forked child's atexit deleted the parent's zip"
+assert not os.path.exists(child_zip), "child exit did not clean up its own zip"
 print("ZIP=" + p1)
 """
     r = subprocess.run(

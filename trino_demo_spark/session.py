@@ -47,6 +47,21 @@ _PYFILES_ADDED: set[str] = set()
 _PKG_ZIP: str | None = None
 
 
+def _reset_pkg_zip_in_child() -> None:
+    # ADVICE r6: the owner-pid guard below is one-directional — it stops a
+    # forked CHILD's atexit from deleting the PARENT's zip, but a child
+    # that calls _pkg_zip_path() would still reuse the parent's cached
+    # path, and once the parent exits (unlinking it) the child's executors
+    # owe a lazy first-task fetch of a deleted file. Drop the inherited
+    # cache in the child so it builds and owns its own zip.
+    global _PKG_ZIP
+    _PKG_ZIP = None
+
+
+if hasattr(os, "register_at_fork"):  # POSIX; absent on Windows
+    os.register_at_fork(after_in_child=_reset_pkg_zip_in_child)
+
+
 def _pkg_zip_path() -> str:
     """Build (once per process) the shippable package zip."""
     global _PKG_ZIP
