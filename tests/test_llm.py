@@ -111,9 +111,13 @@ def test_multimodal_stub_contract(spark, docs):
     rows = feats.collect()
     assert len(rows) == docs.count()
     assert all(0 <= r.head_sig < 997 for r in rows)
-    # unsupported formats stay declared stubs
+    # unsupported formats stay declared stubs (PNG graduated to a real
+    # kernel in r7 — a bare 4-byte prefix is now a TRUNCATED signature,
+    # same declared error, different reason)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0")  # JPEG: still a stub
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")  # truncated/containerless
     # corrupt chunk header declaring more bytes than the payload carries
@@ -161,6 +165,72 @@ def test_ppm_decode_roundtrip():
     assert (g["width"], g["height"], g["channels"]) == (3, 2, 1)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"P3\n1 1\n255\n0 0 0")  # ASCII ppm
+
+
+def test_png_decode_roundtrip():
+    """decode_png reverses every PNG filter bit-exactly for gray/RGB/RGBA
+    at heights that collectively cover filter types 0-4 (the encoder
+    picks (y + height) % 5 per scanline)."""
+    for channels in (1, 3, 4):
+        for w, h in ((1, 1), (2, 3), (3, 5), (5, 7), (4, 2)):
+            pixels = bytes((i * 37 + channels * 11) % 256 for i in range(w * h * channels))
+            out = multimodal.decode_png(multimodal.encode_png(w, h, pixels, channels))
+            assert (out["width"], out["height"], out["channels"]) == (w, h, channels)
+            assert out["pixels"] == pixels
+    # decode_image dispatches on the PNG signature
+    pixels = bytes(range(12))
+    assert multimodal.decode_image(multimodal.encode_png(2, 2, pixels))["pixels"] == pixels
+
+
+def test_png_error_contracts():
+    """Corrupt/unsupported PNG streams surface the module's declared
+    NotImplementedError contract — never a raw struct/zlib error (the
+    WAV-truncation discipline, commit 3afd278)."""
+    import struct as st
+    import zlib
+
+    good = multimodal.encode_png(3, 4, bytes(36), channels=3)
+
+    with pytest.raises(NotImplementedError, match="truncated PNG signature|not a PNG"):
+        multimodal.decode_png(b"\x89PNG")
+    # chunk header declares more bytes than the payload carries
+    with pytest.raises(NotImplementedError, match="truncated PNG chunk"):
+        multimodal.decode_png(good[:20])
+    # flip one IDAT byte -> CRC mismatch, not a zlib traceback
+    idat_at = good.index(b"IDAT") + 4
+    corrupt = good[:idat_at] + bytes([good[idat_at] ^ 0xFF]) + good[idat_at + 1 :]
+    with pytest.raises(NotImplementedError, match="CRC mismatch"):
+        multimodal.decode_png(corrupt)
+    # IDAT inflates to fewer bytes than height*(1+stride): re-chunk a
+    # raster that drops the last scanline (filter bytes intact)
+    short_raw = zlib.compress(bytes((1 + 9) * 3))  # 3 of 4 scanlines
+    sig_ihdr = good[: good.index(b"IDAT") - 4]
+    rebuilt = (
+        sig_ihdr
+        + multimodal._png_chunk(b"IDAT", short_raw)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="truncated PNG raster"):
+        multimodal.decode_png(rebuilt)
+    # unsupported shapes: 16-bit depth, palette color, Adam7 interlace
+    for field_off, val, msg in (
+        (8, 16, "8-bit"),       # bit depth byte within IHDR data
+        (9, 3, "palette"),      # color type byte
+        (12, 1, "interlace"),   # interlace byte
+    ):
+        ihdr = st.pack(">II5B", 3, 4, 8, 2, 0, 0, 0)
+        ihdr = ihdr[:field_off] + bytes([val]) + ihdr[field_off + 1 :]
+        bad = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00"))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match=msg):
+            multimodal.decode_png(bad)
+    # missing IEND
+    with pytest.raises(NotImplementedError, match="missing IHDR/IDAT/IEND"):
+        multimodal.decode_png(good[: good.index(b"IEND") - 4])
 
 
 def test_ngram_empty_guard(spark):

@@ -4,14 +4,15 @@ Modality payloads are opaque BinaryType columns with a typed metadata
 struct alongside; decode / feature-extract run as Arrow-batched
 mapInPandas over those columns. Containerless formats are decoded with
 REAL pure-stdlib kernels: WAV/RIFF PCM16 audio (`decode_audio` /
-`encode_wav_pcm16`) and binary PPM/PGM images (`decode_image` /
-`encode_ppm`), binary PPM/PGM images (`decode_image` / `encode_ppm`),
+`encode_wav_pcm16`), binary PPM/PGM images (`decode_image` /
+`encode_ppm`), PNG — stdlib zlib inflate + chunk-CRC walk + full
+five-filter scanline reversal — (`decode_png` / `encode_png`),
 and concatenated-PPM video streams — ffmpeg's image2pipe/ppm raw-video
 format — (`frame_sample` / `encode_ppm_stream`), all exercised
 end-to-end through mapInPandas with DuckDB-oracle-checked features
-(parity_llm.llm_multimodal_wav/_ppm/_frames). Formats that need codec
-libraries not in this container (PNG/JPEG, compressed audio, mp4/webm
-video) raise NotImplementedError — declared stubs.
+(parity_llm.llm_multimodal_wav/_ppm/_png/_frames). Formats that need
+codec libraries not in this container (JPEG/WebP, compressed audio,
+mp4/webm video) raise NotImplementedError — declared stubs.
 """
 
 from __future__ import annotations
@@ -179,10 +180,182 @@ def _parse_netpbm(payload: bytes, pos: int = 0) -> "tuple[dict, int]":
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, channels: int = 3
+) -> bytes:
+    """Pure-stdlib PNG writer (bit depth 8; grayscale/RGB/RGBA). Each
+    scanline is REALLY filtered — filter type (y + height) % 5, so small
+    synthetic rasters of different heights collectively exercise every
+    filter (None/Sub/Up/Average/Paeth) and the decoder's full reversal
+    matrix — then zlib-deflated into one IDAT."""
+    import zlib
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("len(pixels) must be channels*w*h")
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ft = (y + height) % 5
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - (a + b) // 2
+            else:
+                v = row[x] - _paeth(a, b, c)
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">II5B", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL pure-stdlib PNG decode: chunk walk with CRC verification,
+    zlib inflate, per-scanline filter reversal (all five PNG filters).
+    Supports bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
+    non-interlaced — the shapes the stdlib can decode without an imaging
+    library. Palette / 16-bit / Adam7 raise NotImplementedError, and —
+    per this module's declared error contract (see the WAV kernel) —
+    so do truncated or CRC-corrupt streams, never a raw struct/zlib
+    error."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError(
+            "not a PNG stream (or truncated PNG signature)"
+        )
+    pos = 8
+    ihdr: "tuple[int, int, int, int] | None" = None  # w, h, depth, color
+    idat = bytearray()
+    saw_iend = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise NotImplementedError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise NotImplementedError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise NotImplementedError(
+                f"PNG chunk CRC mismatch in {ctype!r}"
+            )
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">II5B", data
+            )
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if color not in (0, 2, 6):
+                raise NotImplementedError(
+                    "palette/alpha-gray PNG color types not supported"
+                )
+            if comp != 0 or filt != 0:
+                raise NotImplementedError("nonstandard PNG comp/filter")
+            if interlace != 0:
+                raise NotImplementedError("Adam7 interlace not supported")
+            ihdr = (w, h, depth, color)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not idat or not saw_iend:
+        raise NotImplementedError("PNG missing IHDR/IDAT/IEND")
+    w, h, _depth, color = ihdr
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * channels
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise NotImplementedError(f"corrupt PNG IDAT: {exc}") from exc
+    if len(raw) != h * (1 + stride):
+        raise NotImplementedError("truncated PNG raster")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        cur = bytearray(stride)
+        for x in range(stride):
+            a = cur[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + a
+            elif ft == 2:
+                v = line[x] + b
+            elif ft == 3:
+                v = line[x] + (a + b) // 2
+            elif ft == 4:
+                v = line[x] + _paeth(a, b, c)
+            else:
+                raise NotImplementedError(f"PNG filter type {ft}")
+            cur[x] = v & 0xFF
+        out[y * stride : (y + 1) * stride] = cur
+        prev = bytes(cur)
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
 def decode_image(payload: bytes) -> dict:
-    """REAL decode kernel for binary PPM/PGM (P6/P5, the codec-free
-    netpbm formats). PNG/JPEG/etc. raise NotImplementedError (declared
-    stub — they require PIL/opencv, not in this container)."""
+    """REAL decode kernels for binary PPM/PGM (P6/P5 netpbm) and PNG
+    (8-bit gray/RGB/RGBA, zlib + full filter reversal — see decode_png).
+    JPEG/WebP/etc. raise NotImplementedError (declared stub — they
+    require codec libraries not in this container)."""
+    if payload[:4] == _PNG_SIG[:4]:
+        return decode_png(payload)
     frame, _ = _parse_netpbm(payload, 0)
     return frame
 
@@ -241,6 +414,18 @@ PPM_FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("width", T.LongType()),
         T.StructField("height", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+PNG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
         T.StructField("n_pixel_bytes", T.LongType()),
         T.StructField("pix_sum", T.LongType()),
         T.StructField("mean_pixel", T.DoubleType()),
@@ -324,6 +509,41 @@ def ppm_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)
+
+
+def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PNG decode exercised for real: deterministic RGB raster → REAL
+    PNG bytes (zlib deflate, per-scanline filters varying with height so
+    all five filter reversals run across the corpus) → decode_png →
+    features from the decoded raster, one Arrow-batched mapInPandas
+    pass (see wav_roundtrip_features). Any chunk-walk / CRC / inflate /
+    unfilter bug breaks the cross-engine match against the oracle's
+    source-formula recomputation."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, pixels = _synth_pixels(doc_id)
+                decoded = decode_png(encode_png(w, h, pixels, channels=3))
+                raster = decoded["pixels"]
+                assert raster == pixels  # bit-exact roundtrip, always
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": decoded["width"],
+                        "height": decoded["height"],
+                        "channels": decoded["channels"],
+                        "n_pixel_bytes": len(raster),
+                        "pix_sum": sum(raster),
+                        "mean_pixel": round(sum(raster) / len(raster) + 1e-9, 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
 
 
 def extract_features(media: DataFrame, head: int = 16) -> DataFrame:

@@ -691,6 +691,40 @@ def llm_multimodal_ppm(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_png",
+    sql="""
+    WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
+               FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, w, h, j FROM d, UNNEST(range(0, 72)) u(j)
+          WHERE j < 3 * w * h),
+    v AS (SELECT doc_id, w, h, (doc_id * 7 + j) % 256 AS px FROM s)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           COUNT(*) AS n_pixel_bytes,
+           CAST(SUM(px) AS BIGINT) AS pix_sum,
+           ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
+    FROM v GROUP BY doc_id, w, h
+    """,
+    doc="REAL PNG decode through the engine (VERDICT r6 §next-round-3): "
+    "a deterministic RGB raster per doc is encoded to a real PNG stream "
+    "— stdlib zlib deflate, chunk CRCs, per-scanline filters varying "
+    "with image height so all five PNG filters (None/Sub/Up/Average/"
+    "Paeth) are exercised across the corpus — then decoded back with "
+    "the pure-stdlib kernel (chunk-CRC walk, inflate, full filter "
+    "reversal) inside one Arrow mapInPandas pass. Features come from "
+    "the DECODED raster (a bit-exact roundtrip assert guards the rest), "
+    "the oracle recomputes them from the source formula. Converts the "
+    "PNG stub into a tested kernel (multimodal.py decode_png); "
+    "JPEG/mp4 remain declared stubs.",
+)
+def llm_multimodal_png(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.png_roundtrip_features(docs)
+
+
+@parity(
     "llm_corpus_clean",
     sql=f"""
     WITH base AS (
