@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "join_fact_fact_merge",  # full fact-fact SortMergeJoin (shuffle-heavy path)
     "win_dedup_keeplast",    # keep-last window dedup over the stream table
     "win_sliding_seq",       # sliding sequence windows per entity
+    "stream_join_attrib_outer",  # stream-stream LEFT OUTER interval join (batch twin)
     "llm_dedup_minhash",     # MinHash-LSH near-dup over documents
     "llm_dedup_span",        # C4-style span-level dedup + doc re-assembly
     "llm_similarity_topk",   # brute-force cosine top-k over embeddings
@@ -75,6 +76,8 @@ BASELINE_SEC = {
     "join_fact_fact_merge": 0.848,
     "win_dedup_keeplast": 0.355,
     "win_sliding_seq": 0.405,
+    # pinned round 7 at entry creation (best-of-3, quiet host)
+    "stream_join_attrib_outer": 0.584,
     "llm_dedup_minhash": 1.567,
     # pinned round-4 continuation: best-of-3, canary 0.50 / scan 0.66
     # (fast host — interpret future ratios against the canaries)

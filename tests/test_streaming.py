@@ -395,3 +395,82 @@ def test_quarantine_gate_on_stream(spark, tmp_path):
         "k:not_null",
         "v:unit_band_100",
     }
+
+
+def test_stream_stream_left_join_null_emission(spark, tmp_path):
+    """LEFT OUTER stream-stream join (VERDICT r6 §next-round-6a): the
+    batch-equivalence half is covered by the stream_join_attrib_outer
+    parity oracle; THIS test pins the streaming-only mechanics — an
+    unmatched purchase's NULL-click row is emitted only after the joint
+    watermark expires its state, driven here by a multi-batch file
+    source whose later batches carry watermark-advancing sentinels.
+    Sentinel purchases sit at/after the final watermark so whether the
+    engine runs a trailing flush batch may or may not emit them — the
+    assertion quotients them out and checks the REAL rows exactly."""
+    import datetime as dt
+    import time as _time
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    real = [
+        # user 1: click 30 min before purchase -> matched
+        (1, base, 1, "click", 1.0, None),
+        (2, base + dt.timedelta(minutes=30), 1, "purchase", 10.0, None),
+        # user 2: purchase with no click at all -> null emission
+        (3, base + dt.timedelta(minutes=10), 2, "purchase", 20.0, None),
+        # user 3: click 2 h before purchase -> outside window -> null emission
+        (4, base - dt.timedelta(hours=2), 3, "click", 1.0, None),
+        (5, base + dt.timedelta(minutes=5), 3, "purchase", 30.0, None),
+    ]
+    sentinel_purchase_ids = {900, 901}
+    sentinels = [
+        # both streams need watermark movement -> click AND purchase
+        [
+            (800, base + dt.timedelta(hours=12), 80, "click", 1.0, None),
+            (900, base + dt.timedelta(hours=12), 90, "purchase", 1.0, None),
+        ],
+        [
+            (801, base + dt.timedelta(hours=24), 81, "click", 1.0, None),
+            (901, base + dt.timedelta(hours=24), 91, "purchase", 1.0, None),
+        ],
+    ]
+    src = tmp_path / "in"
+    spark.createDataFrame(real, schema).coalesce(1).write.mode("append").parquet(str(src))
+    for batch_rows in sentinels:
+        _time.sleep(1.1)  # file source orders batches by mtime
+        spark.createDataFrame(batch_rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = ks.stream_stream_left_join(
+        raw.filter("event_type = 'click'"),
+        raw.filter("event_type = 'purchase'"),
+        "1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("loj_attrib_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM loj_attrib_out").collect()
+        if r["purchase_id"] not in sentinel_purchase_ids
+    }
+    expected = {
+        (1, 2, 1, 10.0),   # matched within the hour
+        (2, 3, None, 20.0),  # no click ever -> watermark-expired null row
+        (3, 5, None, 30.0),  # click outside window -> null row
+    }
+    assert got == expected

@@ -2014,6 +2014,39 @@ def stream_join_attrib(spark, sf_dir):
 
 
 @parity(
+    "stream_join_attrib_outer",
+    sql="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           p.value AS purchase_value
+    FROM events p LEFT OUTER JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Click→purchase attribution LEFT OUTER interval join — the batch "
+    "twin of streaming.kafka_shape.stream_stream_left_join (IDENTICAL "
+    "code path: the same lib function on batch frames, watermarks "
+    "no-op). Every purchase survives; ones with no same-user click in "
+    "the preceding hour carry a NULL click_id. In streaming, those NULL "
+    "rows are emitted only once the joint watermark expires the outer "
+    "row's state — the null-emission mechanics are pinned separately in "
+    "tests/test_streaming.py with a multi-batch source (the shape "
+    "SURVEY §2.9's batch-over-log model cannot express). Scale shape: "
+    "identical to the inner variant — one shuffle per side on user_id, "
+    "interval predicate as a residual, watermark bounds state to one "
+    "interval per user.",
+)
+def stream_join_attrib_outer(spark, sf_dir):
+    from .streaming import kafka_shape as ks
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return ks.stream_stream_left_join(clicks, purchases, "1 hour")
+
+
+@parity(
     "tpch_q6",
     sql=f"""
     SELECT {USUM(f"{U2('l_extendedprice')} * {U2('l_discount')}", 4)} AS revenue

@@ -291,6 +291,51 @@ def stream_stream_join(
     )
 
 
+def stream_stream_left_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-expired
+    null emission — the one streaming join shape this module lacked
+    (VERDICT r6 §next-round-6a; stream_stream_join is inner-only).
+
+    Every purchase emits AT LEAST its own row: matched purchases emit as
+    their qualifying clicks arrive; an unmatched purchase emits with
+    NULL click columns only once the JOINT watermark (min of both
+    sides') proves no click in its preceding `within` window can still
+    arrive — Spark holds the outer row in join state until then, so
+    null-emission latency equals the watermark delay, and state stays
+    bounded to one interval per user exactly as in the inner variant.
+    On batch frames the identical code path degrades to a plain
+    left-outer join (watermarks are no-ops), which is what the
+    stream_join_attrib_outer parity oracle checks; the streaming
+    null-emission behavior itself is pinned in tests/test_streaming.py
+    with a multi-batch file source whose final batch advances the
+    watermark past every real event."""
+    c = clicks.withWatermark("ts", within).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", within).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    # purchases are the LEFT (outer, state-held) side
+    return p.join(c, cond, "leftOuter").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_value",
+    )
+
+
 def static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: every micro-batch of the stream is
     joined against a STATIC dimension (profile / feature table) on the
