@@ -47,6 +47,30 @@ def test_minhash_recall_vs_exact_jaccard(spark, docs):
     assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} true pairs"
 
 
+def test_minhash_verified_pairs_exact_precision(spark, docs):
+    """The two-stage production op (LSH candidates + exact shingle-set
+    verification, VERDICT r6 §next-round-6b): every emitted pair must be
+    a TRUE exact-Jaccard pair with the identical jaccard value
+    (precision 1.0 by construction), and recall vs the exact op must be
+    the candidate-stage recall (≥ 0.8 on the planted near-dups)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_verified_pairs(
+            docs, threshold=0.5, candidate_threshold=0.35
+        ).collect()
+    }
+    assert exact and verified
+    # precision 1.0: verified ⊆ exact, with bit-identical jaccard values
+    for pair, j in verified.items():
+        assert pair in exact and exact[pair] == j, (pair, j)
+    recall = len(verified) / len(exact)
+    assert recall >= 0.8, f"verified recall {recall} over {len(exact)} true pairs"
+
+
 def test_minhash_estimate_tracks_jaccard(spark, docs):
     exact = {
         (r.id_a, r.id_b): r.jaccard

@@ -340,6 +340,66 @@ def minhash_lsh_pairs(
     return within.unionAll(expand_cross_pairs(cpairs, mem, "est_jaccard"))
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    candidate_threshold: float = 0.35,
+) -> DataFrame:
+    """The PRODUCTION near-dup pipeline (VERDICT r6 §next-round-6b):
+    banded MinHash-LSH candidate generation + EXACT n-gram Jaccard
+    verification computed on the candidates ONLY.
+
+    Raw LSH candidates trade precision for recall by design — measured
+    operating point at est≥0.5, b=8/r=4, J-truth≥0.5: recall 0.96 /
+    precision 0.19 at sf0.01 and recall 0.98 / precision 0.02 at sf0.1
+    (PERF.md r7; precision falls with corpus size because the number of
+    moderately-similar pairs whose NOISY 32-perm estimate crosses the
+    bar grows quadratically while true near-dups grow linearly). The
+    fix is this second stage: join each candidate pair to the two
+    docs' distinct shingle-set arrays and compute |A∩B|/|A∪B| exactly
+    (array_intersect — integer counts, bit-identical across engines),
+    keeping pairs with true Jaccard ≥ `threshold`. Precision becomes
+    1.0 BY CONSTRUCTION; recall stays the candidate-stage recall
+    (lifted by generating candidates at the lower
+    `candidate_threshold`, default 0.35, so estimate noise around the
+    final bar doesn't drop true pairs).
+
+    Scale: stage 1 is the shuffle-bounded LSH path (O(n·bands), never
+    all-pairs); stage 2 costs O(|candidates| · shingles-per-doc) — the
+    verification join ships each doc's shingle array only to its
+    candidate pairs. This is the standard two-stage shape (candidate
+    generation + verification) for corpus-scale near-dedup.
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, n, num_perm, bands, candidate_threshold
+    ).select("id_a", "id_b")
+    sets = (
+        ngram_shingles(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("gs"))
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("gs").alias("__gs_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("gs").alias("__gs_b"))
+    inter = F.size(F.array_intersect("__gs_a", "__gs_b"))
+    union = F.size("__gs_a") + F.size("__gs_b") - inter
+    jac = inter / union
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac + F.lit(EPS), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from token hashes: bit j of the
     fingerprint is the sign of the vote sum over tokens (+1 if the token's

@@ -173,6 +173,8 @@ def llm_dedup_ngram_capped(spark, sf_dir):
     "dominated by shingle-set-identical docs, which always collide). "
     "Raw candidates + recall curve stay tested in tests/test_llm.py.",
 )
+
+
 def llm_dedup_minhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
@@ -196,6 +198,75 @@ def llm_dedup_minhash(spark, sf_dir):
                 >= F.count("*") * F.lit(0.6)
             ).alias("recall_ok"),
         )
+    )
+
+
+@parity(
+    "llm_dedup_minhash_pr",
+    sql=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ng AS (SELECT DISTINCT doc_id,
+                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+              FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           true AS recall_ok,
+           true AS precision_exact,
+           true AS verified_nonempty
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.5
+    """,
+    doc="MinHash-LSH precision/recall report vs exact n-gram Jaccard "
+    "truth (VERDICT r6 §next-round-6b — the measured operating point "
+    "behind the LSH S-curve claim). Truth = exact Jaccard ≥ 0.5 pairs; "
+    "candidates = banded LSH at est ≥ 0.35 (b=8/r=4, 32 perms); "
+    "verified = candidates passing EXACT shingle-set verification at "
+    "J ≥ 0.5 (dedup.minhash_verified_pairs, the production two-stage "
+    "shape). MEASURED: raw candidates recall 0.96 / precision 0.19 at "
+    "sf0.01 and recall 0.98 / precision 0.02 at sf0.1 (precision falls "
+    "with corpus size — noisy-estimate pairs grow quadratically, true "
+    "pairs linearly); after verification precision is 1.0 BY "
+    "CONSTRUCTION at unchanged recall (0 false positives at every "
+    "measured SF; PERF.md r7). Driver surface: the oracle-checkable "
+    "truth-pair count plus three verdict booleans — recall ≥ 0.85 of "
+    "truth, verified ⊆ truth (exactness of the verification join), "
+    "and a non-empty verified set (vacuously true when the corpus has "
+    "no near-dups at all, e.g. the hostile corpora). One full-outer "
+    "join computes all three.",
+)
+def llm_dedup_minhash_pr(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        .select("id_a", "id_b", F.lit(1).alias("__t"))
+    )
+    ver = (
+        dedup.minhash_verified_pairs(
+            docs, threshold=0.5, candidate_threshold=0.35
+        ).select("id_a", "id_b", F.lit(1).alias("__v"))
+    )
+    j = truth.join(ver, ["id_a", "id_b"], "full_outer")
+    n_true = F.coalesce(F.sum("__t"), F.lit(0))
+    n_hit = F.coalesce(F.sum(F.col("__t") * F.col("__v")), F.lit(0))
+    n_false_pos = F.coalesce(
+        F.sum(F.when(F.col("__v").isNotNull() & F.col("__t").isNull(), 1)),
+        F.lit(0),
+    )
+    n_ver = F.coalesce(F.sum("__v"), F.lit(0))
+    return j.agg(
+        n_true.cast("long").alias("n_true_pairs"),
+        (n_hit >= n_true * F.lit(0.85)).alias("recall_ok"),
+        (n_false_pos == 0).alias("precision_exact"),
+        # vacuously true on a corpus with no near-dups at all (hostile
+        # corpora): an empty truth set makes every verdict trivial and
+        # must not read as a failure (same policy as llm_dedup_minhash's
+        # empty-set coalesce)
+        ((n_ver >= 1) | (n_true == 0)).alias("verified_nonempty"),
     )
 
 
