@@ -185,6 +185,16 @@ _RECHECK = {
     # exception-path-only change that cannot alter output on input that
     # doesn't raise (scan_jsonl_pysource round-trips to_json output, every
     # line parses); both are pytest-gated instead of burning driver slots.
+    # Round-7 no-recheck rationale (deliberate, documented): (a) tpch_q18's
+    # SPARK_GRAFT_LOCAL_HINTS branch was DELETED — with the flag unset
+    # (every driver run ever) the constructed plan is byte-identical to
+    # before, so the r6 green row still proves the shipped dataflow;
+    # (b) session.py gained an os.register_at_fork child-cache reset —
+    # process-lifecycle only, no query dataflow touched; (c) the r7
+    # additions (llm_multimodal_png, stream_join_attrib_outer,
+    # llm_dedup_minhash_pr) are NEW entries already leading the pending
+    # queue, and the engine functions they compose (minhash_lsh_pairs,
+    # ngram_jaccard_pairs, stream_stream_join) are unchanged.
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified
