@@ -114,10 +114,25 @@ def main() -> None:
     path = os.path.join(_ROOT, "COVERAGE.md")
     out: list[str] = []
     n_updated = 0
+    seen: set[str] = set()
     row_re = re.compile(r"^\| `([a-z0-9_]+)` \| ([^|]*) \|")
+    new_section = "## Entries added after the last sectioned edit"
+    skipping = False
     for line in open(path):
+        if line.startswith(new_section):
+            # the whole section is regenerated below from the live
+            # registry diff — skip its old lines, but KEEP the footer
+            # lines (Totals/gaps) that follow it
+            skipping = True
+            continue
+        if skipping:
+            if line.startswith(("Totals:", "Deliberate gaps:", "## ")):
+                skipping = False  # fall through and process normally
+            else:
+                continue
         m = row_re.match(line)
         if m and m.group(1) in PARITY:
+            seen.add(m.group(1))
             new_check = check(m.group(1))
             if m.group(2).strip() != new_check:
                 n_updated += 1
@@ -134,8 +149,33 @@ def main() -> None:
                 n_updated += 1
             line = gaps_line
         out.append(line)
+    # Registry entries missing from the hand-sectioned tables (r7 gap:
+    # the regen only UPDATED existing rows, so new @parity registrations
+    # silently never appeared here). Append them in a script-owned
+    # section so the inventory is complete by construction; they can be
+    # moved into their thematic section by hand later (the mover deletes
+    # them from this section; the next regen won't re-add moved rows).
+    missing = [n for n in PARITY if n not in seen]
+    if missing:
+        block = [f"{new_section}\n\n"]
+        block.append("(script-generated from the live registry — safe to "
+                     "relocate rows into the thematic sections above)\n\n")
+        block.append("| queries() key | check | summary |\n|---|---|---|\n")
+        for n in missing:
+            doc = " ".join((PARITY[n].doc or "").split())
+            if len(doc) > 158:
+                doc = doc[:158] + "..."
+            block.append(f"| `{n}` | {check(n)} | {doc} |\n")
+        block.append("\n")
+        # insert ABOVE the script-owned footer lines, not after them
+        anchor = next(
+            (i for i, ln in enumerate(out) if ln.startswith("Totals:")),
+            len(out),
+        )
+        out[anchor:anchor] = block
+        n_updated += len(missing)
     open(path, "w").write("".join(out))
-    print(f"updated {n_updated} rows")
+    print(f"updated {n_updated} rows ({len(missing)} appended)")
 
 
 if __name__ == "__main__":
