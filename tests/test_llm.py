@@ -462,6 +462,52 @@ def test_repetition_score_bounds(spark, docs):
     assert (r.n_words, r.n_unique_words, float(r.dup_word_ratio)) == (5, 3, 0.4)
 
 
+def test_gopher_ngram_repetition_hand_computed(spark):
+    """Gopher n-gram repetition signals on hand-computable docs: a
+    pathological repeater must fail the thresholds, a clean doc must
+    pass, short/NULL docs follow the documented edge policies."""
+    from trino_demo_spark.llm import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # "a b" ×3 of 5 bigrams
+            (2, "one two three four five six"),  # all distinct
+            (3, "solo"),                 # no n-grams at all
+            (4, None),                   # dropped at ingest
+            (5, "x y x y x y x y x y x y"),  # heavy 5-gram repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.gopher_ngram_repetition(df).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    # doc 1: n_chars=11; top bigram "a b" cnt=3, len 3 -> 9/11
+    r1 = out[1]
+    assert r1.n_chars == 11
+    assert float(r1.top2_char_frac) == round(9 / 11 + 1e-9, 4)
+    # 5-grams: "a b a b a", "b a b a b" -> both distinct -> 0.0
+    assert float(r1.dup_5gram_frac) == 0.0
+    assert r1.gopher_pass is False
+    # doc 2: every bigram unique (count-1 ties) -> the tie-break picks
+    # the lexicographically smallest gram, "five six" (len 8), of the
+    # 27 normalized chars -> 8/27
+    r2 = out[2]
+    assert r2.n_chars == 27
+    assert float(r2.top2_char_frac) == round(8 / 27 + 1e-9, 4)
+    # doc 3: no 2/3/4/5-grams -> all fractions 0.0, passes vacuously
+    r3 = out[3]
+    assert (
+        float(r3.top2_char_frac),
+        float(r3.top3_char_frac),
+        float(r3.top4_char_frac),
+        float(r3.dup_5gram_frac),
+    ) == (0.0, 0.0, 0.0, 0.0)
+    assert r3.gopher_pass is True
+    # doc 5: 12 tokens of period 2 -> 8 5-grams, only 2 distinct -> 6/8
+    r5 = out[5]
+    assert float(r5.dup_5gram_frac) == round(6 / 8 + 1e-9, 4)
+    assert r5.gopher_pass is False
+
+
 def test_vocab_topk_matches_pandas(spark, docs):
     from collections import Counter
 

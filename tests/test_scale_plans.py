@@ -71,6 +71,17 @@ def test_bounded_side_broadcasts_never_customer(spark):
         assert "SortMergeJoin" not in plan, (q, plan)
 
 
+def test_gopher_repetition_shuffle_free(spark):
+    """llm_gopher_repetition is ONE narrow projection: the top-n-gram
+    stats are per-doc sorted-run folds and the dup-5-gram stat is
+    size/array_distinct — no explode, no join, no Exchange anywhere
+    (the explode+groupBy+window draft it replaced cost 5.26 s vs 3.19 s
+    at sf0.1 and shuffled 18M (doc, n, gram) rows)."""
+    plan = _plan(PARITY["llm_gopher_repetition"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode either
+
+
 def test_keep_last_single_shuffle(spark):
     ev = load_table(spark, "events", SF_SMOKE)
     df = rel.keep_last(ev, keys=["user_id"], order_by=[F.col("ts").desc()])

@@ -32,6 +32,23 @@ def tokens_col(text_col: str):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def ngrams_sql(tokens_ref: str, n: int = 3) -> str:
+    """SQL-string form of ngrams_over_tokens, for callers that embed the
+    gram array inside a larger expression (e.g. text.py's sorted-run
+    fold) instead of projecting it as its own column."""
+    count = f"(size({tokens_ref}) - {n - 1})"
+
+    def suffix(j: int) -> str:
+        s = f"slice({tokens_ref}, {j + 1}, {count})"
+        if j == n - 1:
+            return s
+        return f"zip_with({s}, {suffix(j + 1)}, (x, y) -> concat(x, ' ', y))"
+
+    return (
+        f"CASE WHEN size({tokens_ref}) >= {n} THEN {suffix(0)} ELSE array() END"
+    )
+
+
 def ngrams_over_tokens(tokens_ref: str, n: int = 3):
     """n-gram array built from zip_with over n shifted slices of the
     token array.
@@ -44,17 +61,7 @@ def ngrams_over_tokens(tokens_ref: str, n: int = 3):
     undoes it; measured 3-6× on the minhash path). Zipping shifted slices
     keeps every lambda argument an element variable: the token expression
     is evaluated O(n) times per row, never per element."""
-    count = f"(size({tokens_ref}) - {n - 1})"
-
-    def suffix(j: int) -> str:
-        s = f"slice({tokens_ref}, {j + 1}, {count})"
-        if j == n - 1:
-            return s
-        return f"zip_with({s}, {suffix(j + 1)}, (x, y) -> concat(x, ' ', y))"
-
-    return F.expr(
-        f"CASE WHEN size({tokens_ref}) >= {n} THEN {suffix(0)} ELSE array() END"
-    )
+    return F.expr(ngrams_sql(tokens_ref, n))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

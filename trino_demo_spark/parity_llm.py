@@ -1309,6 +1309,68 @@ def llm_text_repetition(spark, sf_dir):
 
 
 @parity(
+    "llm_gopher_repetition",
+    sql=f"""
+    WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents WHERE text IS NOT NULL),
+    base AS (SELECT doc_id, t, length(array_to_string(t, ' ')) AS n_chars FROM d),
+    d5 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               ROUND((CAST(len(t) - 4 AS DOUBLE)
+                      - len(list_distinct(list_transform(range(1, CAST(len(t) AS BIGINT) - 3),
+                          i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+                               || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]))))
+                     / (len(t) - 4) + 1e-9, 4)
+             ELSE 0.0 END AS dup_5gram_frac
+      FROM base),
+    grams AS (
+      SELECT doc_id, 2 AS n, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] AS g
+      FROM base, UNNEST(range(1, CAST(len(t) AS BIGINT))) u(i)
+      UNION ALL
+      SELECT doc_id, 3, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
+      FROM base, UNNEST(range(1, CAST(len(t) AS BIGINT) - 1)) u(i)
+      UNION ALL
+      SELECT doc_id, 4, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2] || ' ' || t[CAST(i AS INT)+3]
+      FROM base, UNNEST(range(1, CAST(len(t) AS BIGINT) - 2)) u(i)
+    ),
+    cnt AS (SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+    top1 AS (SELECT doc_id, n, g, cnt,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g) AS rn
+             FROM cnt),
+    piv AS (SELECT doc_id,
+                   MAX(CASE WHEN n = 2 THEN cnt * length(g) END) AS c2,
+                   MAX(CASE WHEN n = 3 THEN cnt * length(g) END) AS c3,
+                   MAX(CASE WHEN n = 4 THEN cnt * length(g) END) AS c4
+            FROM top1 WHERE rn = 1 GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
+           ROUND(COALESCE(c2 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) AS top2_char_frac,
+           ROUND(COALESCE(c3 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) AS top3_char_frac,
+           ROUND(COALESCE(c4 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) AS top4_char_frac,
+           d5.dup_5gram_frac,
+           (ROUND(COALESCE(c2 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) <= 0.20
+            AND ROUND(COALESCE(c3 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) <= 0.18
+            AND ROUND(COALESCE(c4 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) <= 0.16
+            AND d5.dup_5gram_frac <= 0.15) AS gopher_pass
+    FROM base b
+    JOIN d5 USING (doc_id)
+    LEFT JOIN piv USING (doc_id)
+    """,
+    doc="Gopher n-gram repetition quality signals (Rae et al. 2021 "
+    "table A1): top-{2,3,4}-gram char fraction (thresholds "
+    "0.20/0.18/0.16, deterministic count-desc/gram-asc tie-break, "
+    "whitespace-normalized char denominator) + duplicate-5-gram "
+    "occurrence fraction (threshold 0.15; occurrence proxy for the "
+    "paper's positional char attribution — adaptation documented in "
+    "llm.text.gopher_ngram_repetition). The standard corpus-quality "
+    "rule set alongside llm_text_repetition's dup-word filter. One "
+    "explode pass for all three n (union → keyed count → per-(doc,n) "
+    "row_number); the dup-5-gram stat is shuffle-free array exprs.",
+)
+def llm_gopher_repetition(spark, sf_dir):
+    return text.gopher_ngram_repetition(_t(spark, sf_dir, "documents"))
+
+
+@parity(
     "llm_vocab_topk",
     sql=f"""
     WITH tok AS (SELECT {_TOK} AS t FROM documents)
