@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "llm_similarity_topk_arrow",  # same, Arrow/numpy matmul production shape
     "llm_text_quality",      # text quality scoring sweep
     "llm_gopher_repetition", # Gopher n-gram repetition signals (shuffle-free fold)
+    "llm_gopher_quality",    # Gopher non-repetition quality rules (one projection)
     "llm_dedup_clusters",    # exact pairs → large-star/small-star CC
     "llm_dedup_semantic_lsh",  # sign-LSH pairs → star CC (100 TB shape)
     "e2e_llm_data_pipeline", # fused quality→langid→dedup→buckets→shards
@@ -104,6 +105,8 @@ BASELINE_SEC = {
     # explode+groupBy+window draft measured 5.26 s on the same host;
     # the fold version is one narrow projection, no exchange at all)
     "llm_gopher_repetition": 3.193,
+    # pinned round 7 at entry creation (best-of-3, quiet host)
+    "llm_gopher_quality": 0.77,
     # pinned round-4 continuation, after the star-CC rewrite + collapse
     # fixes (idle host, best-of-3, canary ~0.7/1.1): the iterative CC
     # rounds dominate both — mostly fixed per-round cost at this SF

@@ -508,6 +508,44 @@ def test_gopher_ngram_repetition_hand_computed(spark):
     assert r5.gopher_pass is False
 
 
+def test_gopher_quality_hand_computed(spark):
+    """Non-repetition Gopher quality rules on hand-computable docs:
+    a passing doc, a too-short doc, and a symbol-heavy doc; NULL text
+    dropped at ingest."""
+    from trino_demo_spark.llm import text as t
+
+    passing = (
+        "the be to of and that have with " + "word " * 42 + "end"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, passing),                      # 51 words, all rules pass
+            (2, "the cat sat on the mat with a hat and more"),  # 11 words
+            (3, "x1 ## ... ..... num42 … ok"),  # symbol-heavy
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.gopher_quality(df).collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert r1.n_words == 51
+    assert float(r1.mean_word_len) == round(195 / 51 + 1e-9, 4)
+    assert r1.n_required_words == 8
+    assert r1.gopher_quality_pass is True
+    r2 = out[2]
+    assert r2.n_words == 11
+    assert float(r2.mean_word_len) == round(32 / 11 + 1e-9, 4)  # < 3 -> fail
+    assert r2.n_required_words == 3  # the, and, with
+    assert r2.gopher_quality_pass is False
+    r3 = out[3]
+    # symbols: 2×'#', '...' + one inside '.....' (left-to-right,
+    # non-overlapping), 1×'…' -> 5 symbols over 7 words
+    assert float(r3.symbol_word_ratio) == round(5 / 7 + 1e-9, 4)
+    assert float(r3.alpha_word_frac) == round(3 / 7 + 1e-9, 4)
+    assert r3.gopher_quality_pass is False
+
+
 def test_vocab_topk_matches_pandas(spark, docs):
     from collections import Counter
 

@@ -327,6 +327,87 @@ def gopher_ngram_repetition(
     )
 
 
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The NON-repetition half of Gopher's quality rules (Rae et al.
+    2021 table A1; the repetition half is gopher_ngram_repetition, the
+    simplified composite is quality_score):
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10] (sum of token code-point lengths /
+      token count — length(array_join(t, '')) evaluates the sum without
+      a per-token HOF)
+    - symbol-to-word ratio ≤ 0.1 (symbols = '#' occurrences + '...'
+      occurrences + '…' occurrences, counted by literal-replace length
+      deltas; both engines replace left-to-right non-overlapping, so
+      '.....' counts one ellipsis on both)
+    - fraction of words containing ≥1 alphabetic char ≥ 0.80
+    - ≥ 2 distinct words from Gopher's required list (the, be, to, of,
+      and, that, have, with)
+
+    The paper's per-LINE rules (bullet-start / ellipsis-end fractions)
+    are omitted: this corpus carries no newlines, so they would be
+    vacuous constants rather than signals.
+
+    Scale shape: one narrow projection — array/regex/replace
+    expressions only, no explode, no join, no shuffle. NULL text
+    dropped at ingest (oracle-mirrored). Tokenization yields at least
+    [''] for any non-NULL text, so the per-doc divisions never see a
+    zero denominator on either engine.
+    """
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__text"),
+            tokens_col(text_col).alias("t"),
+        )
+    )
+    n = F.size("t")
+    mean_len = F.round(
+        F.length(F.array_join("t", "")) / n + F.lit(EPS), 4
+    )
+    n_hash = F.length("__text") - F.length(F.expr("replace(__text, '#', '')"))
+    n_dots = (
+        F.length("__text") - F.length(F.expr("replace(__text, '...', '')"))
+    ) / F.lit(3)
+    n_uni = F.length("__text") - F.length(F.expr("replace(__text, '…', '')"))
+    symbol_ratio = F.round(
+        (n_hash + n_dots + n_uni) / n + F.lit(EPS), 4
+    )
+    alpha_frac = F.round(
+        F.size(F.expr("filter(t, x -> x RLIKE '[A-Za-z]')")) / n
+        + F.lit(EPS),
+        4,
+    )
+    n_req = F.size(
+        F.array_intersect(
+            F.array_distinct("t"),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    )
+    out = base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_req.cast("long").alias("n_required_words"),
+    )
+    return out.withColumn(
+        "gopher_quality_pass",
+        F.col("n_words").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_required_words") >= 2),
+    )
+
+
 def vocab_topk(
     df: DataFrame, k: int = 25, text_col: str = "text"
 ) -> DataFrame:

@@ -1371,6 +1371,45 @@ def llm_gopher_repetition(spark, sf_dir):
 
 
 @parity(
+    "llm_gopher_quality",
+    sql=f"""
+    WITH d AS (SELECT doc_id, text, {_TOK} AS t FROM documents WHERE text IS NOT NULL),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_words,
+             ROUND(length(array_to_string(t, '')) * 1.0 / len(t) + 1e-9, 4) AS mean_word_len,
+             ROUND(((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3
+                    + (length(text) - length(replace(text, '…', '')))) * 1.0
+                   / len(t) + 1e-9, 4) AS symbol_word_ratio,
+             ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                   / len(t) + 1e-9, 4) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(t),
+                  ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+               AS n_required_words
+      FROM d)
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND alpha_word_frac >= 0.8
+            AND n_required_words >= 2) AS gopher_quality_pass
+    FROM m
+    """,
+    doc="The non-repetition half of Gopher's quality rules (Rae et al. "
+    "2021 table A1; the repetition half is llm_gopher_repetition): "
+    "word count in [50, 100000], mean word length in [3, 10], "
+    "symbol-to-word ratio ≤ 0.1 ('#' + '...' + '…' by literal-replace "
+    "length deltas), alpha-word fraction ≥ 0.8, ≥ 2 distinct required "
+    "words. Per-LINE rules omitted — this corpus has no newlines, so "
+    "they'd be vacuous constants (documented in "
+    "llm.text.gopher_quality). One narrow shuffle-free projection.",
+)
+def llm_gopher_quality(spark, sf_dir):
+    return text.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@parity(
     "llm_vocab_topk",
     sql=f"""
     WITH tok AS (SELECT {_TOK} AS t FROM documents)
