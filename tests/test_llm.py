@@ -141,7 +141,9 @@ def test_multimodal_stub_contract(spark, docs):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0")  # JPEG: still a stub
+        # JPEG graduated to a real grayscale kernel in r7 — a bare SOI +
+        # APP0 prefix is now a TRUNCATED header, same declared error
+        multimodal.decode_image(b"\xff\xd8\xff\xe0")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF")  # truncated/containerless
     # corrupt chunk header declaring more bytes than the payload carries
@@ -255,6 +257,88 @@ def test_png_error_contracts():
     # missing IEND
     with pytest.raises(NotImplementedError, match="missing IHDR/IDAT/IEND"):
         multimodal.decode_png(good[: good.index(b"IEND") - 4])
+
+
+def test_jpeg_codec_roundtrip_bounds():
+    """Baseline grayscale JPEG codec: encode→decode stays inside the
+    documented Q90 error bounds on both smooth and pure-noise rasters,
+    dims/crop exact, and decode_image dispatches on the SOI marker. A
+    wrong zigzag/huffman/stuffing/IDCT blows these bounds or fails the
+    parse — the bounds ARE the correctness oracle for a lossy codec."""
+    import random
+
+    import numpy as np
+
+    from trino_demo_spark.llm import jpeg
+
+    def err_stats(w, h, px, quality=90):
+        dec = jpeg.decode_jpeg_gray(jpeg.encode_jpeg_gray(w, h, px, quality))
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 1)
+        assert len(dec["pixels"]) == w * h
+        a = np.frombuffer(px, dtype=np.uint8).astype(int)
+        b = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(int)
+        return np.abs(a - b).max(), np.abs(a - b).mean()
+
+    # smooth gradients: near-lossless at Q90
+    for seed, (w, h) in enumerate([(8, 8), (5, 7), (16, 12), (1, 1), (23, 17)]):
+        px = bytes(
+            ((seed * 7 + 2 * (i % w) + 3 * (i // w)) % 176) + 40
+            for i in range(w * h)
+        )
+        mx, mn = err_stats(w, h, px)
+        assert mx <= 3, (w, h, mx)
+    # pure noise: the documented worst case
+    random.seed(7)
+    w, h = 24, 16
+    px = bytes(random.randrange(256) for _ in range(w * h))
+    mx, mn = err_stats(w, h, px)
+    assert mx <= 16 and mn <= 4.0, (mx, mn)
+    # decode_image dispatch on the SOI marker
+    payload = jpeg.encode_jpeg_gray(4, 4, bytes(range(16)))
+    assert multimodal.decode_image(payload)["channels"] == 1
+
+
+def test_jpeg_error_contracts():
+    """Unsupported/corrupt JPEG streams surface the declared
+    NotImplementedError contract, never a raw struct/index error."""
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import jpeg
+
+    good = jpeg.encode_jpeg_gray(9, 6, bytes(54))
+
+    with _pytest.raises(NotImplementedError, match="missing SOI"):
+        jpeg.decode_jpeg_gray(b"\x89PNG")
+    with _pytest.raises(NotImplementedError, match="truncated JPEG"):
+        jpeg.decode_jpeg_gray(good[:20])
+    with _pytest.raises(NotImplementedError, match="truncated JPEG entropy"):
+        jpeg.decode_jpeg_gray(good[:-4])  # chop mid-bitstream
+    # progressive frame marker: flip SOF0 (0xC0) to SOF2 (0xC2)
+    sof_at = good.index(b"\xff\xc0")
+    prog = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :]
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        jpeg.decode_jpeg_gray(prog)
+    # restart interval segment injected before SOS
+    sos_at = prog.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x08"
+    with_dri = good[:sos_at] + dri + good[sos_at:]
+    with _pytest.raises(NotImplementedError, match="restart"):
+        jpeg.decode_jpeg_gray(with_dri)
+    # color (3-component) SOF0 is a declared stub
+    import struct as st
+
+    sof_payload = st.pack(">BHHB", 8, 6, 9, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    color = (
+        good[:sof_at]
+        + b"\xff\xc0"
+        + st.pack(">H", len(sof_payload) + 2)
+        + sof_payload
+        + good[good.index(b"\xff\xc4") :]
+    )
+    with _pytest.raises(NotImplementedError, match="color JPEG"):
+        jpeg.decode_jpeg_gray(color)
 
 
 def test_ngram_empty_guard(spark):

@@ -7,12 +7,16 @@ REAL pure-stdlib kernels: WAV/RIFF PCM16 audio (`decode_audio` /
 `encode_wav_pcm16`), binary PPM/PGM images (`decode_image` /
 `encode_ppm`), PNG — stdlib zlib inflate + chunk-CRC walk + full
 five-filter scanline reversal — (`decode_png` / `encode_png`),
-and concatenated-PPM video streams — ffmpeg's image2pipe/ppm raw-video
-format — (`frame_sample` / `encode_ppm_stream`), all exercised
-end-to-end through mapInPandas with DuckDB-oracle-checked features
-(parity_llm.llm_multimodal_wav/_ppm/_png/_frames). Formats that need
-codec libraries not in this container (JPEG/WebP, compressed audio,
-mp4/webm video) raise NotImplementedError — declared stubs.
+baseline grayscale JPEG — real DCT/huffman codec, see llm.jpeg —
+(`jpeg_roundtrip_features`, tolerance-verdict oracle since the codec
+is lossy), and concatenated-PPM video streams — ffmpeg's
+image2pipe/ppm raw-video format — (`frame_sample` /
+`encode_ppm_stream`), all exercised end-to-end through mapInPandas
+with DuckDB-oracle-checked features
+(parity_llm.llm_multimodal_wav/_ppm/_png/_jpeg/_frames). Formats that
+need codec libraries not in this container (color/progressive JPEG,
+WebP, compressed audio, mp4/webm video) raise NotImplementedError —
+declared stubs.
 """
 
 from __future__ import annotations
@@ -350,12 +354,17 @@ def decode_png(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """REAL decode kernels for binary PPM/PGM (P6/P5 netpbm) and PNG
-    (8-bit gray/RGB/RGBA, zlib + full filter reversal — see decode_png).
-    JPEG/WebP/etc. raise NotImplementedError (declared stub — they
-    require codec libraries not in this container)."""
+    """REAL decode kernels for binary PPM/PGM (P6/P5 netpbm), PNG
+    (8-bit gray/RGB/RGBA, zlib + full filter reversal — see decode_png),
+    and baseline grayscale JPEG (stream-parsed DQT/DHT tables, huffman +
+    dequant + IDCT — see llm.jpeg). Color JPEG, progressive JPEG, and
+    WebP/etc. raise NotImplementedError (declared stubs)."""
     if payload[:4] == _PNG_SIG[:4]:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from . import jpeg as _jpeg
+
+        return _jpeg.decode_jpeg_gray(payload)
     frame, _ = _parse_netpbm(payload, 0)
     return frame
 
@@ -544,6 +553,75 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
+
+
+JPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("max_err_ok", T.BooleanType()),
+        T.StructField("mean_err_ok", T.BooleanType()),
+    ]
+)
+
+
+def _synth_gray(doc_id: int) -> "tuple[int, int, bytes]":
+    w, h = (doc_id % 9) + 4, (doc_id % 7) + 4
+    px = bytes(
+        ((doc_id * 7 + 2 * (i % w) + 3 * (i // w)) % 176) + 40
+        for i in range(w * h)
+    )
+    return w, h, px
+
+
+def jpeg_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """JPEG decode exercised for real — with the lossy-codec twist:
+    deterministic grayscale raster → REAL baseline JPEG bytes (llm.jpeg
+    encoder: DCT, quality-90 quantization, huffman bitstream with byte
+    stuffing) → decode_jpeg_gray (stream-parsed tables, huffman decode,
+    dequant, IDCT) → a TOLERANCE VERDICT per doc. Quantization makes
+    decoded != source by design, so unlike the WAV/PPM/PNG kernels the
+    oracle cannot recompute pixel features from the source formula;
+    instead the exact dims/byte counts are oracle-checked and the error
+    bounds (max |err| ≤ 16, mean |err| ≤ 4 at Q90 — measured max 1 on
+    smooth rasters, 12 on pure noise) are boolean verdicts (the
+    llm_dedup_minhash verdict pattern). One Arrow mapInPandas pass."""
+    import numpy as np
+
+    from . import jpeg as _jpeg
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, px = _synth_gray(doc_id)
+                dec = _jpeg.decode_jpeg_gray(
+                    _jpeg.encode_jpeg_gray(w, h, px, quality=90)
+                )
+                assert (dec["width"], dec["height"]) == (w, h)
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                b = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                err = np.abs(a - b)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_pixel_bytes": len(dec["pixels"]),
+                        "max_err_ok": bool(err.max() <= 16),
+                        "mean_err_ok": bool(err.mean() <= 4.0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=JPEG_FEATURE_SCHEMA)
 
 
 def extract_features(media: DataFrame, head: int = 16) -> DataFrame:

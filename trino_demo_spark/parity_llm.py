@@ -796,6 +796,35 @@ def llm_multimodal_png(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_jpeg",
+    sql="""
+    SELECT doc_id,
+           CAST((doc_id % 9) + 4 AS BIGINT) AS width,
+           CAST((doc_id % 7) + 4 AS BIGINT) AS height,
+           CAST(((doc_id % 9) + 4) * ((doc_id % 7) + 4) AS BIGINT) AS n_pixel_bytes,
+           true AS max_err_ok,
+           true AS mean_err_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="REAL baseline JPEG codec through the engine (llm/jpeg.py: "
+    "block DCT, quality-90 Annex-K quantization, stream-declared "
+    "huffman tables, byte-stuffed bitstream; decoder parses DQT/DHT/"
+    "SOF0/SOS generically). Lossy-codec verdict surface: quantization "
+    "makes decoded != source BY DESIGN, so unlike WAV/PPM/PNG the "
+    "oracle cannot recompute pixel features from the source formula — "
+    "it checks the exact dims/byte counts and boolean error-bound "
+    "verdicts (max |err| ≤ 16, mean ≤ 4 at Q90; measured max 1 on "
+    "smooth rasters / 12 on pure noise). A wrong zigzag, huffman "
+    "table, stuffing byte, or IDCT would blow the bound or fail the "
+    "parse outright. Grayscale baseline only; color/progressive stay "
+    "declared stubs (PPM/PNG carry color).",
+)
+def llm_multimodal_jpeg(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.jpeg_roundtrip_features(docs)
+
+
+@parity(
     "llm_corpus_clean",
     sql=f"""
     WITH base AS (
