@@ -257,6 +257,18 @@ def test_png_error_contracts():
     # missing IEND
     with pytest.raises(NotImplementedError, match="missing IHDR/IDAT/IEND"):
         multimodal.decode_png(good[: good.index(b"IEND") - 4])
+    # review-pass contract (r7): a 12-byte IHDR with a VALID CRC must
+    # surface the declared error, not a raw struct.error (the CRC check
+    # passes because the attacker computes it over the short data)
+    short_ihdr = st.pack(">II4B", 3, 4, 8, 2, 0, 0)  # 12 bytes, no interlace
+    bad = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", short_ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00"))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="malformed PNG IHDR"):
+        multimodal.decode_png(bad)
 
 
 def test_jpeg_codec_roundtrip_bounds():
@@ -339,6 +351,31 @@ def test_jpeg_error_contracts():
     )
     with _pytest.raises(NotImplementedError, match="color JPEG"):
         jpeg.decode_jpeg_gray(color)
+    # review-pass contracts (r7): malformed-but-length-consistent
+    # segments must also surface the declared error, never a raw
+    # struct.error/IndexError
+    # (a) SOF0 whose declared segment length carries only 2 payload bytes
+    bad_sof = b"\xff\xd8" + b"\xff\xc0" + st.pack(">H", 4) + b"\x08\x00"
+    with _pytest.raises(NotImplementedError, match="truncated JPEG SOF0"):
+        jpeg.decode_jpeg_gray(bad_sof)
+    # (b) DHT whose BITS counts promise more vals than the segment holds
+    dht_at = good.index(b"\xff\xc4")
+    bits17 = bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12)  # 12 vals promised
+    bad_dht = (
+        good[:dht_at]
+        + b"\xff\xc4"
+        + st.pack(">H", len(bits17) + 2 + 3)  # only 3 of 12 vals present
+        + bits17
+        + b"\x00\x01\x02"
+        + good[good.index(b"\xff\xda") :]
+    )
+    with _pytest.raises(NotImplementedError, match="truncated JPEG DHT"):
+        jpeg.decode_jpeg_gray(bad_dht)
+    # (c) SOS segment shorter than one component spec
+    sos_at2 = good.index(b"\xff\xda")
+    bad_sos = good[:sos_at2] + b"\xff\xda" + st.pack(">H", 4) + b"\x01\x01"
+    with _pytest.raises(NotImplementedError, match="truncated JPEG SOS"):
+        jpeg.decode_jpeg_gray(bad_sos)
 
 
 def test_ngram_empty_guard(spark):

@@ -72,9 +72,6 @@ def _zigzag() -> "list[int]":
 
 
 _ZIGZAG = _zigzag()  # position k -> flat row-major index
-_UNZIGZAG = [0] * 64
-for _k, _fi in enumerate(_ZIGZAG):
-    _UNZIGZAG[_fi] = _k
 
 
 def _dct_matrix() -> np.ndarray:
@@ -270,7 +267,12 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        v = (self.acc >> self.nbits) & 1
+        # drop the consumed high bits — without this mask the bigint
+        # accumulator grows by 8 bits per entropy byte and the decode
+        # goes quadratic in stream size (measured 14.5× for 4× pixels)
+        self.acc &= (1 << self.nbits) - 1
+        return v
 
     def bits(self, n: int) -> int:
         v = 0
@@ -325,6 +327,8 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
+                if p + 65 > len(seg):
+                    raise NotImplementedError("truncated JPEG DQT segment")
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 if pq != 0:
                     raise NotImplementedError(
@@ -338,10 +342,14 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise NotImplementedError("truncated JPEG DHT segment")
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nvals])
+                if len(vals) != nvals:
+                    raise NotImplementedError("truncated JPEG DHT segment")
                 table = {}
                 code = 0
                 i = 0
@@ -354,6 +362,8 @@ def decode_jpeg_gray(payload: bytes) -> dict:
                 htabs[(tc, th)] = table
                 p += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 9:  # 6 header bytes + >=1 component spec
+                raise NotImplementedError("truncated JPEG SOF0 segment")
             prec, h, w_, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -374,6 +384,8 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise NotImplementedError("JPEG SOS before SOF0")
+            if len(seg) < 6:  # ncomp + 1 comp spec + spectral bytes
+                raise NotImplementedError("truncated JPEG SOS segment")
             if seg[0] != 1:
                 raise NotImplementedError(
                     "multi-component JPEG scan not supported"

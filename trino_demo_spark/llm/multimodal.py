@@ -289,6 +289,8 @@ def decode_png(payload: bytes) -> dict:
                 f"PNG chunk CRC mismatch in {ctype!r}"
             )
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise NotImplementedError("malformed PNG IHDR length")
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">II5B", data
             )
