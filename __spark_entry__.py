@@ -275,7 +275,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for n in names
         if status.get(n) == "rows_only" and PARITY[n].sql is None
     ]
-    proven = [n for n in names if status.get(n) == "green"]
+    # Green-row rotation (VERDICT r7 §next-round-7): with the backlog at
+    # zero, the driver's ~50 per-round slots would otherwise re-prove the
+    # same head forever. Order the proven tail OLDEST green round first
+    # (ties broken by registry order, deterministic) so every round
+    # refreshes the stalest rows — 67 entries were last proven in r1–r2
+    # under a much older engine.
+    proven = sorted(
+        (n for n in names if status.get(n) == "green"),
+        key=lambda n: (green_round.get(n, 0), names.index(n)),
+    )
     # Within never-tested: explicit user-impact priorities first, then the
     # rest with core and llm/ml extensions interleaved so a driver cap
     # still samples both families.

@@ -102,14 +102,68 @@ def test_recheck_entries_self_retire_on_postdating_green_row():
             len(names),
         )
         if retired:
-            assert pos > first_pending or status.get(n) != "green", (
-                f"retired recheck entry {n} still jumps the queue"
-            )
+            if first_pending < len(names):
+                assert pos > first_pending or status.get(n) != "green", (
+                    f"retired recheck entry {n} still jumps the queue"
+                )
+            # else: backlog-zero terminal state — every entry has a
+            # driver status, so there is no never-tested "front block"
+            # to jump (the r7 red: `pos > len(names)` is unsatisfiable).
+            # Ordering among greens is pinned by the rotation test below.
         elif status.get(n) == "green":
             assert pos < first_pending, (
                 f"active recheck entry {n} (green pre-change) ordered "
                 f"after the never-tested backlog"
             )
+
+
+def test_proven_tail_rotates_stalest_green_first():
+    """Green-row rotation (r8): within the proven tail, entries must be
+    ordered by OLDEST green round first so the driver's per-round cap
+    refreshes stale rows instead of re-proving the same head forever.
+    Active _RECHECK entries are excluded (they sort in the front block)."""
+    E = _load_entry()
+    status, green_round = E._driver_history()
+    names = list(E.queries())
+    active_recheck = {
+        n for n, r in E._RECHECK.items() if green_round.get(n, 0) < r
+    }
+    greens = [
+        n
+        for n in names
+        if status.get(n) == "green" and n not in active_recheck
+    ]
+    rounds = [green_round[n] for n in greens]
+    assert rounds == sorted(rounds), (
+        "proven tail not ordered stalest-green-first: "
+        + str([(n, r) for n, r in zip(greens, rounds)][:10])
+    )
+
+
+def test_queue_is_total_and_deterministic_in_backlog_zero_state():
+    """Regression for the r7 red (test harness, not engine): synthesize
+    the all-green state — every registry entry green, mixed rounds,
+    every _RECHECK retired — and require queries() to (a) return the
+    full registry exactly once each, (b) order it stalest-green-first,
+    (c) not crash on retired rechecks with no pending front block."""
+    E = _load_entry()
+    names = list(E.PARITY)
+    # deterministic mixed rounds: cycle 1..7 over registry order
+    synth_green = {n: 1 + (i % 7) for i, n in enumerate(names)}
+    for n in E._RECHECK:
+        if n in synth_green:
+            synth_green[n] = max(synth_green[n], E._RECHECK[n])  # retired
+    synth_status = {n: "green" for n in names}
+    orig = E._driver_history
+    E._driver_history = lambda: (synth_status, synth_green)
+    try:
+        ordered = list(E.queries())
+    finally:
+        E._driver_history = orig
+    assert sorted(ordered) == sorted(names)
+    assert len(ordered) == len(set(ordered))
+    rounds = [synth_green[n] for n in ordered]
+    assert rounds == sorted(rounds), "backlog-zero queue not rotated"
 
 
 def test_oracle_keys_subset_of_queries():
