@@ -195,6 +195,14 @@ _RECHECK = {
     # llm_dedup_minhash_pr) are NEW entries already leading the pending
     # queue, and the engine functions they compose (minhash_lsh_pairs,
     # ngram_jaccard_pairs, stream_stream_join) are unchanged.
+    # Round-8: decode_jpeg_gray was rewritten as a thin wrapper over the
+    # new general 1-/3-component decoder (color JPEG support), so the r7
+    # green row proves the OLD grayscale-only decoder. Round-8 no-recheck
+    # rationale: png_roundtrip_features/jpeg_roundtrip_features only
+    # swapped bare asserts for explicit raises (exception-path-only, no
+    # dataflow change on non-erroring input), and llm_multimodal_png's
+    # decode path is untouched.
+    "llm_multimodal_jpeg": 8,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

@@ -310,6 +310,168 @@ def test_jpeg_codec_roundtrip_bounds():
     assert multimodal.decode_image(payload)["channels"] == 1
 
 
+def test_jpeg_color_roundtrip_bounds():
+    """Baseline COLOR JPEG codec: encode→decode at 4:4:4/4:2:2/4:2:0
+    stays inside the documented Q90 bounds. Smooth rasters compare to
+    the SOURCE (chroma subsampling is near-lossless there); pure noise
+    — where subsampling loss dominates by design — compares the decode
+    to the IDEAL-SUBSAMPLING reference so the bound isolates codec
+    error (DCT/quant/huffman) from the declared lossy downsample."""
+    import random
+
+    import numpy as np
+
+    from trino_demo_spark.llm import jpeg
+
+    # smooth gradients per subsampling mode: tight source-relative bound
+    for sub in ("444", "422", "420"):
+        for seed, (w, h) in enumerate([(8, 8), (5, 7), (16, 12), (1, 1), (23, 17)]):
+            px = bytes(
+                min(255, 40 + c * 20 + 2 * (i % w) + 3 * (i // w) + seed)
+                for i in range(w * h)
+                for c in range(3)
+            )
+            dec = jpeg.decode_jpeg(jpeg.encode_jpeg_color(w, h, px, 90, sub))
+            assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+            assert len(dec["pixels"]) == w * h * 3
+            a = np.frombuffer(px, dtype=np.uint8).astype(int)
+            b = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(int)
+            assert np.abs(a - b).max() <= 8, (sub, w, h)
+
+    # pure noise: decompose vs the ideal-subsampling reference
+    def subsample_reference(w, h, px, hy, vy):
+        rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(float)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        lh = (h + 8 * vy - 1) // (8 * vy) * (8 * vy)
+        lw = (w + 8 * hy - 1) // (8 * hy) * (8 * hy)
+        pad = lambda p: np.pad(p, ((0, lh - h), (0, lw - w)), mode="edge")
+        yp, cbp, crp = pad(y), pad(cb), pad(cr)
+        if (hy, vy) != (1, 1):
+            ds = lambda p: p.reshape(lh // vy, vy, lw // hy, hy).mean(axis=(1, 3))
+            us = lambda p: np.repeat(np.repeat(p, vy, axis=0), hy, axis=1)
+            cbp, crp = us(ds(cbp)), us(ds(crp))
+        y2, cb2, cr2 = yp[:h, :w], cbp[:h, :w], crp[:h, :w]
+        r2 = y2 + 1.402 * (cr2 - 128)
+        g2 = y2 - 0.344136286 * (cb2 - 128) - 0.714136286 * (cr2 - 128)
+        b2 = y2 + 1.772 * (cb2 - 128)
+        return np.clip(
+            np.round(np.stack([r2, g2, b2], -1)), 0, 255
+        ).astype(int)
+
+    random.seed(7)
+    w, h = 24, 16
+    px = bytes(random.randrange(256) for _ in range(w * h * 3))
+    for sub, (hy, vy) in [("444", (1, 1)), ("422", (2, 1)), ("420", (2, 2))]:
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg_color(w, h, px, 90, sub))
+        got = (
+            np.frombuffer(dec["pixels"], dtype=np.uint8)
+            .astype(int)
+            .reshape(h, w, 3)
+        )
+        ref = subsample_reference(w, h, px, hy, vy)
+        e = np.abs(got - ref)
+        # measured 34 / 6.3 at Q90 (chroma table coarser than luma)
+        assert e.max() <= 48 and e.mean() <= 9.0, (sub, e.max(), e.mean())
+
+    # decode_image dispatch: color JPEG now decodes (3 channels)
+    assert multimodal.decode_image(
+        jpeg.encode_jpeg_color(6, 5, bytes(90), 90, "420")
+    )["channels"] == 3
+
+
+def test_jpeg_header_walk_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 (ADVICE r7): 0xFF fill bytes before a marker and
+    standalone length-less markers (TEM 0x01) in the header must not be
+    misparsed as length-prefixed segments — decode still succeeds."""
+    import numpy as np
+
+    from trino_demo_spark.llm import jpeg
+
+    px = bytes(range(54))
+    good = jpeg.encode_jpeg_gray(9, 6, px)
+    base = jpeg.decode_jpeg_gray(good)["pixels"]
+
+    sof_at = good.index(b"\xff\xc0")
+    # (a) fill bytes: pad 0xFF 0xFF 0xFF before the SOF0 marker
+    filled = good[:sof_at] + b"\xff\xff\xff" + good[sof_at:]
+    assert jpeg.decode_jpeg_gray(filled)["pixels"] == base
+    # (b) standalone TEM marker injected between header segments
+    tem = good[:sof_at] + b"\xff\x01" + good[sof_at:]
+    assert jpeg.decode_jpeg_gray(tem)["pixels"] == base
+    # (c) both, on the color path
+    color = jpeg.encode_jpeg_color(6, 5, bytes(90), 90, "444")
+    sof_at = color.index(b"\xff\xc0")
+    messy = color[:sof_at] + b"\xff\xff\x01" + color[sof_at:]
+    assert (
+        jpeg.decode_jpeg(messy)["pixels"]
+        == jpeg.decode_jpeg(color)["pixels"]
+    )
+
+
+def test_jpeg_color_error_contracts():
+    """Color-specific declared stubs surface NotImplementedError."""
+    import struct as st
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import jpeg
+
+    color = jpeg.encode_jpeg_color(6, 5, bytes(90), 90, "420")
+    sof_at = color.index(b"\xff\xc0")
+    sof_end = sof_at + 2 + st.unpack(">H", color[sof_at + 2 : sof_at + 4])[0]
+
+    def with_sof(payload: bytes) -> bytes:
+        return (
+            color[:sof_at]
+            + b"\xff\xc0"
+            + st.pack(">H", len(payload) + 2)
+            + payload
+            + color[sof_end:]
+        )
+
+    # 4-component (CMYK-shaped) frame
+    cmyk = with_sof(
+        st.pack(">BHHB", 8, 5, 6, 4)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 0])
+    )
+    with _pytest.raises(NotImplementedError, match="CMYK|4-component"):
+        jpeg.decode_jpeg(cmyk)
+    # sampling factor above 2
+    big = with_sof(
+        st.pack(">BHHB", 8, 5, 6, 3)
+        + bytes([1, 0x31, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    with _pytest.raises(NotImplementedError, match="sampling factors"):
+        jpeg.decode_jpeg(big)
+    # non-interleaved scan: SOS covering 1 of 3 components
+    sos_at = color.index(b"\xff\xda")
+    partial = (
+        color[:sos_at]
+        + b"\xff\xda"
+        + st.pack(">H", 8)
+        + bytes([1, 1, 0x00, 0, 63, 0])
+        + color[sos_at + 2 + st.unpack(">H", color[sos_at + 2 : sos_at + 4])[0] :]
+    )
+    with _pytest.raises(NotImplementedError, match="non-interleaved"):
+        jpeg.decode_jpeg(partial)
+    # grayscale path still rejects color streams by declared contract
+    with _pytest.raises(NotImplementedError, match="color JPEG"):
+        jpeg.decode_jpeg_gray(color)
+    # truncation contracts hold on the color path too
+    with _pytest.raises(NotImplementedError, match="truncated JPEG"):
+        jpeg.decode_jpeg(color[:15])  # chop mid-header
+    with _pytest.raises(NotImplementedError, match="truncated JPEG entropy"):
+        jpeg.decode_jpeg(color[:-4])  # chop mid-bitstream
+    # encoder input validation
+    with _pytest.raises(ValueError, match="width\\*height\\*3"):
+        jpeg.encode_jpeg_color(4, 4, bytes(10))
+    with _pytest.raises(ValueError, match="subsampling"):
+        jpeg.encode_jpeg_color(4, 4, bytes(48), 90, "411")
+
+
 def test_jpeg_error_contracts():
     """Unsupported/corrupt JPEG streams surface the declared
     NotImplementedError contract, never a raw struct/index error."""

@@ -1,33 +1,44 @@
-"""Baseline JPEG codec (ITU-T T.81, public spec) — grayscale, pure
-stdlib + numpy block DCT. Closes the JPEG half of the multimodal image
-stubs the same way the PNG/PPM/WAV kernels were closed: a REAL
-encoder + decoder pair exercised end-to-end through mapInPandas
-(multimodal.jpeg_roundtrip_features), with the lossy-codec twist that
-the driver surface is a TOLERANCE VERDICT rather than a bit-exact
-feature compare (quantization makes decoded != source by design, so a
-DuckDB oracle cannot recompute pixel features from the source formula;
-it checks the exact dims/byte counts plus boolean error-bound verdicts
-instead — the llm_dedup_minhash verdict pattern).
+"""Baseline JPEG codec (ITU-T T.81, public spec) — grayscale AND color
+(YCbCr 4:4:4 / 4:2:2 / 4:2:0), pure stdlib + numpy block DCT. Closes
+the JPEG half of the multimodal image stubs the same way the
+PNG/PPM/WAV kernels were closed: a REAL encoder + decoder pair
+exercised end-to-end through mapInPandas
+(multimodal.jpeg_roundtrip_features / jpeg_color_roundtrip_features),
+with the lossy-codec twist that the driver surface is a TOLERANCE
+VERDICT rather than a bit-exact feature compare (quantization + chroma
+subsampling make decoded != source by design, so a DuckDB oracle
+cannot recompute pixel features from the source formula; it checks the
+exact dims/byte counts plus boolean error-bound verdicts instead — the
+llm_dedup_minhash verdict pattern).
 
 Scope (declared, like every kernel contract in multimodal.py):
-- ENCODER: baseline sequential DCT, 8-bit, single (luma) component,
-  quality-scaled Annex-K luminance quantization table, custom
-  fixed-length Huffman tables (DC: all 4-bit, AC: all 9-bit). Custom
-  tables are spec-legal — JPEG Huffman tables are STREAM-DECLARED in
-  DHT segments, and canonical fixed-length specs satisfy T.81 C.2
-  (no code is all-ones, Kraft sum < 1) — chosen over transcribing the
-  162-entry Annex-K AC table, which would be an untestable-by-parts
-  constant; any standards-compliant decoder reads these files.
-- DECODER: general baseline single-component: parses DQT/DHT/SOF0/SOS
-  from the stream (NOT hardwired to this encoder's tables), handles
-  byte unstuffing, huffman-decodes DC diffs + AC run-lengths,
-  dequantizes, inverse-zigzags, IDCTs, clamps, crops edge padding.
+- ENCODER: baseline sequential DCT, 8-bit. Grayscale (single luma
+  component) or JFIF YCbCr color (T.871 full-range transform) at
+  4:4:4, 4:2:2, or 4:2:0 chroma subsampling (box-average downsample);
+  quality-scaled Annex-K K.1 luma / K.2 chroma quantization tables,
+  custom fixed-length Huffman tables (DC: all 4-bit, AC: all 9-bit),
+  shared across components. Custom tables are spec-legal — JPEG
+  Huffman tables are STREAM-DECLARED in DHT segments, and canonical
+  fixed-length specs satisfy T.81 C.2 (no code is all-ones, Kraft sum
+  < 1) — chosen over transcribing the 162-entry Annex-K AC table,
+  which would be an untestable-by-parts constant; any
+  standards-compliant decoder reads these files.
+- DECODER (`decode_jpeg`): general baseline 1- or 3-component
+  interleaved scan: parses DQT/DHT/SOF0/SOS from the stream (NOT
+  hardwired to this encoder's tables — per-component sampling factors
+  up to 2x2, per-component quant/huffman table selectors), handles
+  0xFF fill bytes and standalone markers in the header walk (T.81
+  B.1.1.2), byte unstuffing, huffman-decodes DC diffs + AC
+  run-lengths, dequantizes, inverse-zigzags, IDCTs, replication-
+  upsamples chroma, applies the T.871 YCbCr→RGB transform, clamps,
+  crops edge padding. 3-component SOF order is taken as Y,Cb,Cr per
+  JFIF (ids 1,2,3); Adobe APP14 color transforms are not interpreted.
 - NOT supported, per the module error contract (NotImplementedError,
   never a raw struct/index error): progressive (SOF2) and every
-  non-SOF0 frame type, multi-component (color) scans, restart
-  intervals (DRI/RSTn), 16-bit quant tables, arithmetic coding.
-  Color JPEG stays a declared stub — PPM/PNG carry the color-decode
-  parity load.
+  non-SOF0 frame type, CMYK/4-component frames, non-interleaved
+  (multi-scan) baseline, sampling factors > 2 or fractional ratios,
+  restart intervals (DRI/RSTn inside entropy data), 16-bit quant
+  tables, arithmetic coding.
 """
 
 from __future__ import annotations
@@ -52,11 +63,27 @@ _LUMA_Q = np.array(
 )
 
 
-def _quant_table(quality: int) -> np.ndarray:
-    """IJG quality scaling of the Annex-K table (public formula)."""
+# ITU-T T.81 Annex K.2 chrominance quantization table (public constants).
+_CHROMA_Q = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _quant_table(quality: int, base: np.ndarray = _LUMA_Q) -> np.ndarray:
+    """IJG quality scaling of an Annex-K table (public formula)."""
     q = max(1, min(100, int(quality)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    t = (_LUMA_Q * scale + 50) // 100
+    t = (base * scale + 50) // 100
     return np.clip(t, 1, 255).astype(np.int32)
 
 
@@ -154,6 +181,58 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+def _encode_block(
+    w: "_BitWriter", block: np.ndarray, qt: np.ndarray, prev_dc: int
+) -> int:
+    """FDCT + quantize + entropy-code one 8x8 level-shifted block;
+    returns the block's quantized DC (the next block's predictor)."""
+    coefs = _C @ block @ _C.T
+    q = np.round(coefs / qt).astype(np.int64)
+    # AC size caps at 10 in the symbol alphabet; clamping is a (lossy)
+    # spec-alphabet bound, like every real encoder's quant floor at
+    # those frequencies
+    zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
+    zz[1:] = [max(-1023, min(1023, v)) for v in zz[1:]]
+    diff = zz[0] - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = _DC_CODES[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c0, l0 = _AC_CODES[0xF0]
+            w.write(c0, l0)
+            run -= 16
+        size, bits = _magnitude(v)
+        c0, l0 = _AC_CODES[(run << 4) | size]
+        w.write(c0, l0)
+        w.write(bits, size)
+        run = 0
+    if run:
+        c0, l0 = _AC_CODES[0x00]  # EOB
+        w.write(c0, l0)
+    return zz[0]
+
+
+def _pad_replicate(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate a 2-D plane up to (ph, pw) — the standard MCU
+    padding (the decoder crops back to the declared dims)."""
+    h, w = plane.shape
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = plane
+    if ph > h:
+        out[h:, :w] = out[h - 1 : h, :w]
+    if pw > w:
+        out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
 def encode_jpeg_gray(
     width: int, height: int, pixels: bytes, quality: int = 90
 ) -> bytes:
@@ -175,39 +254,9 @@ def encode_jpeg_gray(
     prev_dc = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw_, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
-            coefs = _C @ block @ _C.T
-            q = np.round(coefs / qt).astype(np.int64)
-            # AC size caps at 10 in the symbol alphabet; clamping is a
-            # (lossy) spec-alphabet bound, like every real encoder's
-            # quant floor at those frequencies
-            zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
-            zz[1:] = [max(-1023, min(1023, v)) for v in zz[1:]]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size, bits = _magnitude(diff)
-            code, length = _DC_CODES[size]
-            w.write(code, length)
-            if size:
-                w.write(bits, size)
-            run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c0, l0 = _AC_CODES[0xF0]
-                    w.write(c0, l0)
-                    run -= 16
-                size, bits = _magnitude(v)
-                c0, l0 = _AC_CODES[(run << 4) | size]
-                w.write(c0, l0)
-                w.write(bits, size)
-                run = 0
-            if run:
-                c0, l0 = _AC_CODES[0x00]  # EOB
-                w.write(c0, l0)
+            prev_dc = _encode_block(
+                w, padded[by : by + 8, bx : bx + 8] - 128.0, qt, prev_dc
+            )
     w.flush()
 
     dqt = bytes([0x00]) + bytes(int(qt.flat[_ZIGZAG[k]]) for k in range(64))
@@ -217,6 +266,99 @@ def encode_jpeg_gray(
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC0, sof0)
+        + _seg(0xC4, dht)
+        + _seg(0xDA, sos)
+        + bytes(w.buf)
+        + b"\xff\xd9"
+    )
+
+
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsampling: str = "420",
+) -> bytes:
+    """Baseline JFIF color JPEG writer. `pixels` is row-major
+    interleaved 8-bit RGB, len == width*height*3. T.871 full-range
+    RGB→YCbCr, box-average chroma downsample at the requested
+    subsampling ('444'/'422'/'420'), Annex-K K.1/K.2 quant tables,
+    interleaved 3-component scan (the universal crawl-corpus shape)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("len(pixels) must be width*height*3")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
+    hy, vy = _SUBSAMPLING[subsampling]
+    rgb = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    # ITU-T T.871 (JFIF) full-range transform
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    # luma plane padded to MCU multiples; chroma subsampled from the
+    # padded plane so its own dims land exactly on 8x8 blocks
+    lh = (height + 8 * vy - 1) // (8 * vy) * (8 * vy)
+    lw = (width + 8 * hy - 1) // (8 * hy) * (8 * hy)
+    yp = _pad_replicate(y, lh, lw)
+    cbp = _pad_replicate(cb, lh, lw)
+    crp = _pad_replicate(cr, lh, lw)
+    if (hy, vy) != (1, 1):
+        cbp = cbp.reshape(lh // vy, vy, lw // hy, hy).mean(axis=(1, 3))
+        crp = crp.reshape(lh // vy, vy, lw // hy, hy).mean(axis=(1, 3))
+
+    qt_l = _quant_table(quality, _LUMA_Q)
+    qt_c = _quant_table(quality, _CHROMA_Q)
+    comps = [  # (plane, qt, h, v)
+        (yp, qt_l, hy, vy),
+        (cbp, qt_c, 1, 1),
+        (crp, qt_c, 1, 1),
+    ]
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(lh // (8 * vy)):
+        for mx in range(lw // (8 * hy)):
+            for ci, (plane, qt, ch, cv) in enumerate(comps):
+                for bv in range(cv):
+                    for bh_ in range(ch):
+                        py = (my * cv + bv) * 8
+                        px = (mx * ch + bh_) * 8
+                        prev[ci] = _encode_block(
+                            w,
+                            plane[py : py + 8, px : px + 8] - 128.0,
+                            qt,
+                            prev[ci],
+                        )
+    w.flush()
+
+    dqt = (
+        bytes([0x00])
+        + bytes(int(qt_l.flat[_ZIGZAG[k]]) for k in range(64))
+        + bytes([0x01])
+        + bytes(int(qt_c.flat[_ZIGZAG[k]]) for k in range(64))
+    )
+    sof0 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, (hy << 4) | vy, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    # all three components share huffman pair (0,0) — spec-legal, the
+    # tables are stream-declared and component-selected in SOS
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
     return (
         b"\xff\xd8"
         + _seg(0xDB, dqt)
@@ -298,28 +440,41 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> dict:
-    """Baseline single-component JPEG decode. Returns
-    {width, height, channels: 1, pixels}. Tables are parsed from the
-    stream; see the module docstring for the declared scope and the
-    NotImplementedError contract."""
+def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
+    """Baseline 1- or 3-component JPEG decode. Returns
+    {width, height, channels: 1|3, pixels} — channels=3 is interleaved
+    RGB after the T.871 YCbCr transform. Tables and sampling factors
+    are parsed from the stream; see the module docstring for the
+    declared scope and the NotImplementedError contract."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream (missing SOI)")
     pos = 2
     qtabs: dict = {}
     htabs: dict = {}
     sof = None
-    comp_q = 0
-    dc_id = ac_id = 0
+    comps: "list[dict]" = []  # SOF order: [{'id','h','v','tq','td','ta'}]
     while True:
-        if pos + 4 > len(payload):
+        if pos + 2 > len(payload):
             raise NotImplementedError("truncated JPEG header")
         if payload[pos] != 0xFF:
             raise NotImplementedError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them instead of misreading 0xFF as the marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise NotImplementedError("truncated JPEG header")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
             raise NotImplementedError("JPEG has no scan (EOI before SOS)")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, stray RSTn): no length field —
+            # treating them as length-prefixed would mis-skip into
+            # arbitrary bytes (ADVICE r7)
+            continue
+        if pos + 2 > len(payload):
+            raise NotImplementedError("truncated JPEG header")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
@@ -367,12 +522,39 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             prec, h, w_, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "color JPEG not supported (declared stub — "
-                    "PPM/PNG carry the color parity load)"
+                    "only 1-component (gray) or 3-component (YCbCr) "
+                    "baseline JPEG supported (CMYK/4-component is not)"
                 )
-            comp_q = seg[8]
+            if ncomp == 3 and not _allow_color:
+                raise NotImplementedError(
+                    "color JPEG stream on the grayscale decode path — "
+                    "use decode_jpeg / decode_image"
+                )
+            if len(seg) < 6 + 3 * ncomp:
+                raise NotImplementedError("truncated JPEG SOF0 segment")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                ch, cv = hv >> 4, hv & 0xF
+                if ncomp == 1:
+                    # a single-component scan has MCU = one data unit
+                    # regardless of declared sampling (T.81 A.2.2)
+                    ch = cv = 1
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise NotImplementedError(
+                        "JPEG sampling factors above 2 not supported"
+                    )
+                comps.append(
+                    {"id": cid, "h": ch, "v": cv, "tq": tq, "td": 0, "ta": 0}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+                raise NotImplementedError(
+                    "fractional JPEG chroma sampling ratios not supported"
+                )
             sof = (w_, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -384,59 +566,124 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise NotImplementedError("JPEG SOS before SOF0")
-            if len(seg) < 6:  # ncomp + 1 comp spec + spectral bytes
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise NotImplementedError("truncated JPEG SOS segment")
-            if seg[0] != 1:
+            ns = seg[0]
+            if ns != len(comps):
                 raise NotImplementedError(
-                    "multi-component JPEG scan not supported"
+                    "non-interleaved JPEG scans not supported (SOS must "
+                    "cover every frame component in one scan)"
                 )
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+            by_id = {c["id"]: c for c in comps}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cs not in by_id:
+                    raise NotImplementedError(
+                        "JPEG SOS references an undeclared component"
+                    )
+                by_id[cs]["td"] = tdta >> 4
+                by_id[cs]["ta"] = tdta & 0xF
             pos += seglen
             break
         # APPn / COM / anything else: skip
         pos += seglen
 
     w_, h = sof
-    if (0, dc_id) not in htabs or (1, ac_id) not in htabs or comp_q not in qtabs:
-        raise NotImplementedError("JPEG scan references missing tables")
-    dc_tab, ac_tab = htabs[(0, dc_id)], htabs[(1, ac_id)]
-    qt = qtabs[comp_q]
-    bh = (h + 7) // 8 * 8
-    bw_ = (w_ + 7) // 8 * 8
-    out = np.zeros((bh, bw_), dtype=np.float64)
+    for c in comps:
+        if (
+            (0, c["td"]) not in htabs
+            or (1, c["ta"]) not in htabs
+            or c["tq"] not in qtabs
+        ):
+            raise NotImplementedError("JPEG scan references missing tables")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
     reader = _BitReader(payload, pos)
-    prev_dc = 0
-    for by in range(0, bh, 8):
-        for bx in range(0, bw_, 8):
-            zz = [0] * 64
-            size = _read_huff(reader, dc_tab)
-            prev_dc += _extend(reader.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_huff(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise NotImplementedError(
-                        "JPEG AC run overflows the block"
-                    )
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            coefs = np.zeros(64, dtype=np.float64)
-            for i in range(64):
-                coefs[_ZIGZAG[i]] = zz[i]
-            block = _C.T @ (coefs.reshape(8, 8) * qt) @ _C
-            out[by : by + 8, bx : bx + 8] = block + 128.0
-    pixels = np.clip(np.round(out[:h, :w_]), 0, 255).astype(np.uint8)
+    prev = [0] * len(comps)
+
+    def _decode_block(dc_tab, ac_tab, qt, prev_dc):
+        zz = [0] * 64
+        size = _read_huff(reader, dc_tab)
+        prev_dc += _extend(reader.bits(size), size)
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _read_huff(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                raise NotImplementedError("JPEG AC run overflows the block")
+            zz[k] = _extend(reader.bits(size), size)
+            k += 1
+        coefs = np.zeros(64, dtype=np.float64)
+        for i in range(64):
+            coefs[_ZIGZAG[i]] = zz[i]
+        return _C.T @ (coefs.reshape(8, 8) * qt) @ _C + 128.0, prev_dc
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                dc_tab, ac_tab = htabs[(0, c["td"])], htabs[(1, c["ta"])]
+                qt = qtabs[c["tq"]]
+                for bv in range(c["v"]):
+                    for bh_ in range(c["h"]):
+                        block, prev[ci] = _decode_block(
+                            dc_tab, ac_tab, qt, prev[ci]
+                        )
+                        py = (my * c["v"] + bv) * 8
+                        px = (mx * c["h"] + bh_) * 8
+                        planes[ci][py : py + 8, px : px + 8] = block
+
+    if len(comps) == 1:
+        pixels = np.clip(np.round(planes[0][:h, :w_]), 0, 255).astype(
+            np.uint8
+        )
+        return {
+            "width": w_,
+            "height": h,
+            "channels": 1,
+            "pixels": pixels.tobytes(),
+        }
+    # SOF order is Y,Cb,Cr per JFIF (T.871); replication-upsample the
+    # subsampled chroma back to luma resolution, then invert the
+    # full-range transform
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["v"] != vmax or c["h"] != hmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(p[: mcuy * 8 * vmax, : mcux * 8 * hmax][:h, :w_])
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return {
         "width": w_,
         "height": h,
-        "channels": 1,
+        "channels": 3,
         "pixels": pixels.tobytes(),
     }
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """Baseline single-component JPEG decode (the r7 surface, kept for
+    the grayscale kernels). Returns {width, height, channels: 1,
+    pixels}; a 3-component stream raises the declared
+    NotImplementedError at the SOF0 parse — route color through
+    decode_jpeg / multimodal.decode_image."""
+    return decode_jpeg(payload, _allow_color=False)

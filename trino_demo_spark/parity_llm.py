@@ -816,12 +816,43 @@ def llm_multimodal_png(spark, sf_dir):
     "verdicts (max |err| ≤ 16, mean ≤ 4 at Q90; measured max 1 on "
     "smooth rasters / 12 on pure noise). A wrong zigzag, huffman "
     "table, stuffing byte, or IDCT would blow the bound or fail the "
-    "parse outright. Grayscale baseline only; color/progressive stay "
-    "declared stubs (PPM/PNG carry color).",
+    "parse outright. Grayscale surface; the color codec is "
+    "llm_multimodal_jpeg_color (progressive stays a declared stub).",
 )
 def llm_multimodal_jpeg(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return multimodal.jpeg_roundtrip_features(docs)
+
+
+@parity(
+    "llm_multimodal_jpeg_color",
+    sql="""
+    SELECT doc_id,
+           CAST((doc_id % 9) + 4 AS BIGINT) AS width,
+           CAST((doc_id % 7) + 4 AS BIGINT) AS height,
+           CAST(((doc_id % 9) + 4) * ((doc_id % 7) + 4) * 3 AS BIGINT) AS n_pixel_bytes,
+           CASE doc_id % 3 WHEN 0 THEN '444' WHEN 1 THEN '422' ELSE '420' END AS subsampling,
+           true AS max_err_ok,
+           true AS mean_err_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="REAL baseline COLOR JPEG codec through the engine (VERDICT r7 "
+    "§next-round-3; llm/jpeg.py encode_jpeg_color/decode_jpeg): T.871 "
+    "full-range RGB⇄YCbCr, box-average chroma subsampling cycling "
+    "4:4:4/4:2:2/4:2:0 across the corpus, Annex-K K.1 luma + K.2 "
+    "chroma quantization, interleaved-MCU scan; the decoder parses "
+    "sampling factors and per-component table selectors from the "
+    "stream and replication-upsamples chroma. Verdict surface (lossy "
+    "codec — same discipline as llm_multimodal_jpeg): exact "
+    "dims/bytes/subsampling oracle-checked, error bounds max ≤ 8 / "
+    "mean ≤ 2 at Q90 on smooth rasters (measured 4 / 1.2 over the "
+    "corpus; noise worst-case decomposed vs the ideal-subsampling "
+    "reference in tests). The crawl-corpus shape: web images are "
+    "overwhelmingly 4:2:0 color JPEG.",
+)
+def llm_multimodal_jpeg_color(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.jpeg_color_roundtrip_features(docs)
 
 
 @parity(
