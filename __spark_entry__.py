@@ -203,6 +203,10 @@ _RECHECK = {
     # dataflow change on non-erroring input), and llm_multimodal_png's
     # decode path is untouched.
     "llm_multimodal_jpeg": 8,
+    # Round-8: tpch_q21 gained a repartition(l_orderkey) so the groupBy
+    # and the window share ONE fact shuffle (2x at sf1) — a dataflow
+    # change to a green-row query.
+    "tpch_q21": 8,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

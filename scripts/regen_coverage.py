@@ -94,19 +94,23 @@ def main() -> None:
     # analogs it names still exist in the live registry (a renamed or
     # deleted analog fails the regen instead of silently rotting here).
     _named_analogs = ("tpch_q9", "tpch_q11", "tpch_q15", "tpch_q16",
-                      "tpch_q20", "tpch_q21")
+                      "tpch_q20", "tpch_q21",
+                      "tpch_q9_full", "tpch_q11_full", "tpch_q16_full",
+                      "tpch_q20_full", "tpch_q21_full")
     _missing = [q for q in _named_analogs if q not in PARITY]
     assert not _missing, f"gaps note names absent entries: {_missing}"
     gaps_line = (
         "Deliberate gaps: the driver testdata has no `partsupp` table and "
         "no `l_commitdate`/`l_receiptdate` lineitem columns, so the TPC-H "
-        "shapes that need them are registered as documented analogs "
-        "instead — q9/q11/q16/q20 substitute lineitem-derived "
-        "supplier-part pairs for partsupp (profit omits ps_supplycost), "
-        "and q21 keeps the sole-late-supplier EXISTS/NOT-EXISTS topology "
-        "with shipdate-derived lateness. Each analog's docstring states "
-        "exactly what it substitutes; q15's revenue-view shape needs no "
-        "substitution (lineitem+supplier only). "
+        "shapes that need them run twice — as the original documented "
+        "analogs (q9/q11/q16/q20 substitute lineitem-derived "
+        "supplier-part pairs for partsupp; q21 uses shipdate-derived "
+        "lateness) AND, since r8, as `_full` variants restoring the "
+        "CANONICAL topology (two-sided partsupp probe, "
+        "receipt-vs-commit lateness) over a partsupp/date derivation "
+        "both engines define identically, so the oracle self-checks at "
+        "any SF. q15's revenue-view shape needs no substitution "
+        "(lineitem+supplier only). "
         "(script-maintained prose — edit in regen_coverage.py; the named "
         "analogs are asserted against the live registry at regen time)\n"
     )

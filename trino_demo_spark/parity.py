@@ -3287,6 +3287,409 @@ def tpch_q21(spark, sf_dir):
         "l_suppkey",
         (F.col("l_shipdate") > F.date_add("o_orderdate", 60)).alias("is_late"),
     )
+    # ONE fact shuffle, not two: hash-partitioning on l_orderkey alone
+    # satisfies both the (l_orderkey, l_suppkey) groupBy clustering AND
+    # the l_orderkey window — without it Catalyst inserts a composite-key
+    # exchange for the aggregate and a second prefix-key exchange for
+    # the window (measured 20.2 s vs 11.1 s on the q21_full twin at sf1)
+    lo = lo.repartition("l_orderkey")
+    per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("pair_late")
+    )
+    w = W.partitionBy("l_orderkey")
+    waiter = (
+        per_pair.withColumn("n_supps", F.count("*").over(w))
+        .withColumn(
+            "n_late_supps",
+            F.sum(F.when(F.col("pair_late"), 1).otherwise(0)).over(w),
+        )
+        .filter(
+            F.col("pair_late")
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        waiter.join(F.broadcast(s), waiter["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Faithful TPC-H topology variants (VERDICT r7 §next-round-6). The driver
+# testdata has no partsupp table and no l_commitdate/l_receiptdate, so the
+# canonical q9/q11/q16/q20/q21 run above as documented analogs. The _full
+# variants below restore the CANONICAL join topology — the two-sided
+# partsupp probe and the commit/receipt lateness predicate — over tables
+# DERIVED deterministically from the driver testdata with logic both
+# engines express identically (so the oracle defines the exact same
+# partsupp/date columns as a CTE; self-oracled at any SF, no generator
+# artifacts to ship):
+#   partsupp: one row per DISTINCT (l_partkey, l_suppkey) pair in
+#     lineitem; ps_supplycost_cents = 100 + (pk*31 + sk*17) % 99900
+#     (exact integer cents, $1.00–$999.99), ps_availqty = 1 + (pk*7 +
+#     sk*13) % 9999. Keys positive, so % is identical cross-engine.
+#   l_commitdate = l_shipdate + ((l_orderkey*3 + l_linenumber*5) % 30
+#     - 10) days; l_receiptdate = l_shipdate + ((l_orderkey +
+#     l_linenumber*7) % 14 + 1) days — receipt always after ship,
+#     commit in [-10, +19], giving a realistic ~40% late mix.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+    partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             100 + ((l_partkey * 31 + l_suppkey * 17) % 99900)
+               AS ps_supplycost_cents,
+             CAST(1 + ((l_partkey * 7 + l_suppkey * 13) % 9999) AS BIGINT)
+               AS ps_availqty
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """Engine-side twin of _PARTSUPP_CTE (same derivation, same types)."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        (
+            F.lit(100)
+            + (F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 99900
+        ).alias("ps_supplycost_cents"),
+        (
+            F.lit(1)
+            + (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 9999
+        )
+        .cast("long")
+        .alias("ps_availqty"),
+    )
+
+
+_LI_DATED_CTE = """
+    lineitem_dated AS (
+      SELECT l.*,
+             CAST(l_shipdate AS DATE)
+               + CAST((l_orderkey * 3 + l_linenumber * 5) % 30 - 10 AS INTEGER)
+               AS l_commitdate,
+             CAST(l_shipdate AS DATE)
+               + CAST((l_orderkey + l_linenumber * 7) % 14 + 1 AS INTEGER)
+               AS l_receiptdate
+      FROM lineitem l
+    )
+"""
+
+
+def _li_dated(spark, sf_dir):
+    """Engine-side twin of _LI_DATED_CTE."""
+    li = _t(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    return li.withColumn(
+        "l_commitdate",
+        F.date_add(
+            ship,
+            (
+                (F.col("l_orderkey") * 3 + F.col("l_linenumber") * 5) % 30
+                - 10
+            ).cast("int"),
+        ),
+    ).withColumn(
+        "l_receiptdate",
+        F.date_add(
+            ship,
+            ((F.col("l_orderkey") + F.col("l_linenumber") * 7) % 14 + 1).cast(
+                "int"
+            ),
+        ),
+    )
+
+
+@parity(
+    "tpch_q9_full",
+    sql=f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {USUM(f"({UREV('l')} - ps.ps_supplycost_cents * CAST(ROUND(l.l_quantity) AS BIGINT) * 100)", 4)} AS sum_profit
+    FROM lineitem l
+    JOIN partsupp ps
+      ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    """,
+    doc="CANONICAL TPC-H Q9 (VERDICT r7 §next-round-6): product-type "
+    "profit with the real two-sided partsupp probe — profit = "
+    "l_extendedprice·(1−l_discount) − ps_supplycost·l_quantity, "
+    "partsupp joined on BOTH l_partkey AND l_suppkey (the composite-key "
+    "fact-to-fact shape the analog tpch_q9 cannot exercise). partsupp "
+    "is derived deterministically (see the section comment), profit "
+    "stays in exact 1e-4 integer units end-to-end. Scale plan: partsupp "
+    "is fact-sized so that join shuffles on the composite key; the "
+    "dims (filtered part, supplier, nation) broadcast; one final "
+    "shuffle for the (nation, year) rollup.",
+)
+def tpch_q9_full(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    o = _t(spark, sf_dir, "orders")
+    profit_units = urev() - F.col("ps_supplycost_cents") * F.round(
+        "l_quantity"
+    ).cast("long") * F.lit(100)
+    return (
+        li.join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(usum(profit_units, 4).alias("sum_profit"))
+    )
+
+
+@parity(
+    "tpch_q11_full",
+    sql=f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    g AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost_cents * ps.ps_availqty AS v_cents
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, {USUM('v_cents', 2)} AS stock_value
+    FROM g GROUP BY ps_partkey
+    HAVING 1000 * SUM(v_cents) > (SELECT SUM(v_cents) FROM g)
+    """,
+    doc="CANONICAL TPC-H Q11 (VERDICT r7 §next-round-6): important-stock "
+    "identification — per-part partsupp value (ps_supplycost × "
+    "ps_availqty) within one nation, kept where the part's share "
+    "exceeds 0.1% of the national total. The fraction guard runs in "
+    "EXACT integer cents on both engines (1000·part > total — no "
+    "float boundary), the surfaced value takes the usum decimal→double "
+    "discipline. Scale plan: one shuffle for the per-part rollup; the "
+    "national total is a 1-row broadcast comparator (the q15 pattern).",
+)
+def tpch_q11_full(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    g = (
+        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias(
+                "v_cents"
+            ),
+        )
+    )
+    per_part = g.groupBy("ps_partkey").agg(
+        F.sum(F.col("v_cents").cast("decimal(38,0)")).alias("v_exact"),
+        usum(F.col("v_cents"), 2).alias("stock_value"),
+    )
+    total = g.agg(
+        F.sum(F.col("v_cents").cast("decimal(38,0)")).alias("t_exact")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("v_exact") * 1000 > F.col("t_exact"))
+        .select("ps_partkey", "stock_value")
+    )
+
+
+@parity(
+    "tpch_q16_full",
+    sql=f"""
+    WITH {_PARTSUPP_CTE.strip()}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="CANONICAL TPC-H Q16 (VERDICT r7 §next-round-6): supplier "
+    "diversity per part segment counted over PARTSUPP (not lineitem — "
+    "the analog tpch_q16's substitution), with the canonical "
+    "excluded-supplier NOT IN rendered as a broadcast anti-join "
+    "(s_suppkey is non-null, so NOT IN ≡ anti join). COUNT(DISTINCT) "
+    "runs as Spark's two-phase partial-distinct aggregate.",
+)
+def tpch_q16_full(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(bad),
+            ps["ps_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@parity(
+    "tpch_q20_full",
+    sql=f"""
+    WITH {_PARTSUPP_CTE.strip()},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    candidates AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN shipped sh
+        ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        AND ps.ps_availqty > 0.5 * sh.qty
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (SELECT ps_suppkey FROM candidates)
+    """,
+    doc="CANONICAL TPC-H Q20 (VERDICT r7 §next-round-6): suppliers with "
+    "excess stock of a part family — the correlated ps_availqty > "
+    "0.5·SUM(l_quantity shipped that year for THIS (part, supplier)) "
+    "probe, decorrelated as a (partkey, suppkey) pre-aggregate joined "
+    "back to partsupp on the composite key (the canonical topology the "
+    "analog lacks: partsupp probed by part-family on one side and "
+    "shipment volume on the other). The inner join drops pairs with no "
+    "shipments — matching SQL's NULL comparison semantics. Quantity "
+    "sums are integral doubles, so 0.5·qty is exact on both engines. "
+    "Scale plan: one fact shuffle for `shipped`, composite-key shuffle "
+    "join to partsupp, part family + supplier/nation broadcast.",
+)
+def tpch_q20_full(spark, sf_dir):
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    fam = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    cands = (
+        ps.join(F.broadcast(fam), ps["ps_partkey"] == fam["p_partkey"], "left_semi")
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .join(cands, s["s_suppkey"] == cands["ps_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@parity(
+    "tpch_q21_full",
+    sql=f"""
+    WITH {_LI_DATED_CTE.strip()},
+    f_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    ),
+    lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_receiptdate > l.l_commitdate) AS is_late
+      FROM lineitem_dated l
+      JOIN f_orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait FROM (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lo l1
+      WHERE l1.is_late
+        AND EXISTS (SELECT 1 FROM lo l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+    ) waiter
+    JOIN supplier s ON s.s_suppkey = waiter.l_suppkey
+    GROUP BY s.s_name
+    """,
+    doc="CANONICAL TPC-H Q21 (VERDICT r7 §next-round-6): the "
+    "sole-late-supplier query with the REAL lateness predicate "
+    "l_receiptdate > l_commitdate (derived deterministically — see the "
+    "section comment — instead of the analog's shipdate-vs-orderdate "
+    "substitute). Same scale plan as tpch_q21: both correlated "
+    "subqueries collapse into per-order window counts over the "
+    "per-(order, supplier) frame — one fact scan, one reduce, one "
+    "window, no self-joins.",
+)
+def tpch_q21_full(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    lo = (
+        _li_dated(spark, sf_dir)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_receiptdate") > F.col("l_commitdate")).alias(
+                "is_late"
+            ),
+        )
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", "is_late")
+    )
+    # one fact shuffle shared by the groupBy and the window (see
+    # tpch_q21's comment; measured 2x at sf1)
+    lo = lo.repartition("l_orderkey")
     per_pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("is_late").alias("pair_late")
     )
