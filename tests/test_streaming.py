@@ -474,3 +474,201 @@ def test_stream_stream_left_join_null_emission(spark, tmp_path):
         (3, 5, None, 30.0),  # click outside window -> null row
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# State-store BOUND gates (VERDICT r7 §next-round-8): the stateful ops'
+# result equivalence is pinned above; these gates MEASURE the "bounded
+# state under watermark" claim — StreamingQueryProgress stateOperators
+# metrics across multi-batch hostile replays (duplicate floods + late
+# stragglers) must stay within an explicit key-horizon bound instead of
+# tracking the replay volume, and eviction/watermark-drop counters must
+# actually fire.
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, ts_ns BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _write_batches(spark, src, batches):
+    import time as _time
+
+    for i, rows in enumerate(batches):
+        if i:
+            _time.sleep(1.05)  # file source orders batches by mtime
+        spark.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+
+def _file_stream(spark, src):
+    return (
+        spark.readStream.schema(_STATE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def _state_metrics(q):
+    """Per-operator maxima/totals over every micro-batch progress."""
+    per: dict = {}
+    for p in q.recentProgress:
+        for op in p["stateOperators"]:
+            c = per.setdefault(
+                op["operatorName"],
+                {"max_rows": 0, "max_bytes": 0, "removed": 0, "dropped": 0},
+            )
+            c["max_rows"] = max(c["max_rows"], op["numRowsTotal"])
+            c["max_bytes"] = max(c["max_bytes"], op["memoryUsedBytes"])
+            c["removed"] += op["numRowsRemoved"]
+            c["dropped"] += op.get("numRowsDroppedByWatermark", 0)
+    return per
+
+
+def test_dedup_state_bounded_under_duplicate_and_late_flood(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must hold ~the watermark-live
+    key horizon, never the replay volume: 8 hourly batches × 50 keys,
+    every event replayed 4×, plus a 10-event late flood per batch
+    stamped 3 h back (beyond the 1 h watermark once it moves). Measured
+    max 150 rows (= 3 batch-horizons of keys) for 1 680 rows fed."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ns = lambda t: int(t.timestamp() * 1e9)
+    HOURS, KEYS, DUP = 8, 50, 4
+    batches = []
+    for hb in range(HOURS):
+        rows = []
+        for k in range(KEYS):
+            eid = hb * KEYS + k
+            t = base + dt.timedelta(hours=hb, minutes=k % 60)
+            rows += [(eid, t, ns(t), eid, "click", 1.0, None)] * DUP
+        for k in range(10):  # late flood: 3 h behind the batch frontier
+            t = base + dt.timedelta(hours=hb - 3)
+            rows.append(
+                (max(0, hb - 3) * KEYS + k, t, ns(t), k, "click", 1.0, None)
+            )
+        batches.append(rows)
+    src = tmp_path / "in"
+    _write_batches(spark, src, batches)
+    q = (
+        ks.dedup_late(_file_stream(spark, src), "1 hour")
+        .writeStream.format("memory")
+        .queryName("state_gate_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    m = _state_metrics(q)["dedupeWithinWatermark"]
+    assert m["max_rows"] <= 3 * KEYS, m  # explicit horizon bound
+    assert m["max_rows"] < HOURS * KEYS, m  # never the full key set
+    assert m["removed"] > 0, "watermark eviction never fired"
+    assert m["dropped"] > 0, "late flood was not dropped by the watermark"
+    out = spark.sql(
+        "SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM state_gate_dedup"
+    ).first()
+    # every key once, no re-emission after eviction (late replays are
+    # beyond the watermark, so they drop instead of re-entering state)
+    assert out.c == out.d == HOURS * KEYS
+
+
+def test_keep_latest_state_bounded_across_days(spark, tmp_path):
+    """applyInPandasWithState (keep-latest) keys on (user, day): 6 daily
+    batches × 40 users × 3 revisions. The EventTimeTimeout eviction must
+    cap live state at ~the current day's keys (measured max 80 = 2 days'
+    worth during handoff) while 240 (user, day) keys stream through."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ns = lambda t: int(t.timestamp() * 1e9)
+    DAYS, USERS, REV = 6, 40, 3
+    batches = []
+    for db in range(DAYS):
+        rows = []
+        for u in range(USERS):
+            for r in range(REV):
+                t = base + dt.timedelta(days=db, hours=r, minutes=u % 60)
+                rows.append(
+                    (db * 1000 + u * 10 + r, t, ns(t), u, "rev", float(r), None)
+                )
+        batches.append(rows)
+    src = tmp_path / "in"
+    _write_batches(spark, src, batches)
+    q = (
+        ks.keep_latest_stateful(_file_stream(spark, src), "1 hour")
+        .writeStream.format("memory")
+        .queryName("state_gate_keep")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    m = _state_metrics(q)["applyInPandasWithState"]
+    assert m["max_rows"] <= 3 * USERS, m
+    assert m["max_rows"] < DAYS * USERS, m
+    assert m["removed"] > 0, "day-end EventTimeTimeout eviction never fired"
+
+
+def test_stream_stream_loj_state_bounded(spark, tmp_path):
+    """Symmetric-hash join state for the LEFT OUTER interval join must
+    stay within the interval+watermark horizon on BOTH sides: 8 hourly
+    batches × (30 clicks + 30 purchases), plus 5 replayed 2-h-late
+    clicks per batch. Measured max 215 rows (~3.5 batch-horizons) for
+    520 rows fed; every purchase emits at least once."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ns = lambda t: int(t.timestamp() * 1e9)
+    HOURS, N = 8, 30
+    batches = []
+    for hb in range(HOURS):
+        rows = []
+        for k in range(N):
+            u = hb * N + k
+            tc = base + dt.timedelta(hours=hb, minutes=5)
+            tp = base + dt.timedelta(hours=hb, minutes=35)
+            rows.append((hb * 10000 + k, tc, ns(tc), u, "click", 1.0, None))
+            rows.append(
+                (hb * 10000 + 5000 + k, tp, ns(tp), u, "purchase", 9.9, None)
+            )
+        for k in range(5):  # replayed + late clicks
+            t = base + dt.timedelta(hours=hb - 2)
+            rows.append(
+                (
+                    max(0, hb - 2) * 10000 + k,
+                    t,
+                    ns(t),
+                    max(0, hb - 2) * N + k,
+                    "click",
+                    1.0,
+                    None,
+                )
+            )
+        batches.append(rows)
+    src = tmp_path / "in"
+    _write_batches(spark, src, batches)
+    raw = _file_stream(spark, src)
+    q = (
+        ks.stream_stream_left_join(
+            raw.filter("event_type = 'click'"),
+            raw.filter("event_type = 'purchase'"),
+            "1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("state_gate_loj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    m = _state_metrics(q)["symmetricHashJoin"]
+    assert m["max_rows"] <= 8 * N, m  # 240: interval+watermark horizon
+    assert m["max_rows"] < HOURS * 2 * N + 40, m  # never all rows fed
+    assert m["removed"] > 0, "join-state eviction never fired"
+    emitted = spark.sql(
+        "SELECT COUNT(DISTINCT purchase_id) d FROM state_gate_loj"
+    ).first()
+    assert emitted.d == HOURS * N  # every purchase surfaced
