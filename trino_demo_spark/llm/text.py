@@ -229,11 +229,20 @@ def gopher_ngram_repetition(
     definition needs it and documented here:
 
     - top-{2,3,4}-gram CHAR fraction (Gopher thresholds 0.20/0.18/0.16):
-      chars covered by all occurrences of the single most frequent
-      word n-gram, / chars of the whitespace-normalized text
-      (strlen(array_join(tokens, ' ')) — the raw-text denominator would
-      mix tokenizer normalizations into the ratio). Deterministic
-      tie-break: highest count, then lexicographically smallest gram.
+      count(top gram) × len(gram) / chars of the whitespace-normalized
+      text (strlen(array_join(tokens, ' ')) — the raw-text denominator
+      would mix tokenizer normalizations into the ratio). ADAPTATION
+      (ADVICE r7, documented like the dup-5-gram proxy below): the
+      numerator counts each occurrence's characters independently, so
+      characters shared by OVERLAPPING occurrences are double-counted
+      and the fraction can exceed 1.0 on degenerate repetition
+      ('a a a a': 3 bigram occurrences × 3 chars = 9 over 7 chars);
+      the paper's bounded positional-coverage attribution is not
+      cross-engine-exactly expressible. The proxy is monotone in
+      repetition, so the thresholds fire at least as aggressively as
+      Gopher's — conservative for a QUALITY filter (never under-flags).
+      Deterministic tie-break: highest count, then lexicographically
+      smallest gram.
     - duplicate-5-gram fraction (Gopher checks n=5..10 by character
       attribution with positional overlap, thresholds 0.15..0.10; the
       occurrence-overlap attribution is not cross-engine-exactly
