@@ -207,6 +207,10 @@ _RECHECK = {
     # and the window share ONE fact shuffle (2x at sf1) — a dataflow
     # change to a green-row query.
     "tpch_q21": 8,
+    # Round-8: decode_png's chunk walk gained PLTE/tRNS handling and the
+    # color-type-3 branch for palette support; gray/RGB/RGBA dataflow is
+    # output-identical, but the shared walk changed — re-prove.
+    "llm_multimodal_png": 8,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

@@ -208,6 +208,74 @@ def test_png_decode_roundtrip():
     assert multimodal.decode_image(multimodal.encode_png(2, 2, pixels))["pixels"] == pixels
 
 
+def test_png_palette_roundtrip_and_contracts():
+    """Indexed-color (PLTE) PNG: bit-exact roundtrip through palette
+    build → filtered index scanlines (bpp=1) → PLTE expansion; the
+    palette-specific declared stubs surface NotImplementedError."""
+    import struct as st
+    import zlib as zl
+
+    import pytest as _pytest
+
+    for doc_id in range(25):  # covers all (w, h) combos and filters
+        w, h, px = multimodal._synth_indexed(doc_id)
+        out = multimodal.decode_png(multimodal.encode_png_palette(w, h, px))
+        assert (out["width"], out["height"], out["channels"]) == (w, h, 3)
+        assert out["pixels"] == px
+    # >256 unique colors is an encoder input error
+    big = bytearray()
+    for i in range(300):
+        big += bytes((i % 256, (i // 256) * 50 + (i % 50), (i * 7) % 251))
+    with _pytest.raises(ValueError, match="256 unique colors"):
+        multimodal.encode_png_palette(30, 10, bytes(big))
+
+    good = multimodal.encode_png_palette(*multimodal._synth_indexed(1))
+
+    def find_chunk(b, name):
+        pos = 8
+        while pos < len(b):
+            (ln,) = st.unpack(">I", b[pos : pos + 4])
+            if b[pos + 4 : pos + 8] == name:
+                return pos, ln
+            pos += 12 + ln
+
+    pos, ln = find_chunk(good, b"PLTE")
+    # palette stream without its PLTE
+    with _pytest.raises(NotImplementedError, match="missing PLTE"):
+        multimodal.decode_png(good[:pos] + good[pos + 12 + ln :])
+    # tRNS transparency is a declared stub
+    trns = (
+        st.pack(">I", 1)
+        + b"tRNS\x80"
+        + st.pack(">I", zl.crc32(b"tRNS\x80") & 0xFFFFFFFF)
+    )
+    with _pytest.raises(NotImplementedError, match="tRNS"):
+        multimodal.decode_png(good[:pos] + trns + good[pos:])
+    # PLTE shrunk to one entry -> raster indices overflow it
+    entry = good[pos + 8 : pos + 11]
+    small = (
+        good[:pos]
+        + st.pack(">I", 3)
+        + b"PLTE"
+        + entry
+        + st.pack(">I", zl.crc32(b"PLTE" + entry) & 0xFFFFFFFF)
+        + good[pos + 12 + ln :]
+    )
+    with _pytest.raises(NotImplementedError, match="out of PLTE range"):
+        multimodal.decode_png(small)
+    # malformed PLTE length (not a multiple of 3)
+    bad = (
+        good[:pos]
+        + st.pack(">I", 2)
+        + b"PLTE"
+        + entry[:2]
+        + st.pack(">I", zl.crc32(b"PLTE" + entry[:2]) & 0xFFFFFFFF)
+        + good[pos + 12 + ln :]
+    )
+    with _pytest.raises(NotImplementedError, match="malformed PNG PLTE"):
+        multimodal.decode_png(bad)
+
+
 def test_png_error_contracts():
     """Corrupt/unsupported PNG streams surface the module's declared
     NotImplementedError contract — never a raw struct/zlib error (the

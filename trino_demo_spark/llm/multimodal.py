@@ -254,15 +254,68 @@ def encode_png(
     )
 
 
+def encode_png_palette(width: int, height: int, pixels: bytes) -> bytes:
+    """Pure-stdlib indexed-color PNG writer (color type 3, bit depth 8):
+    builds a deterministic (sorted) palette from the raster's unique RGB
+    triples — at most 256, else ValueError — writes it as PLTE, and
+    filters the 1-byte-per-pixel index scanlines with the same
+    (y + height) % 5 rotation as encode_png so the decoder's filter
+    reversal runs at bpp=1 too."""
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("len(pixels) must be 3*w*h (RGB input)")
+    triples = [pixels[i : i + 3] for i in range(0, len(pixels), 3)]
+    palette = sorted(set(triples))
+    if len(palette) > 256:
+        raise ValueError(
+            f"palette PNG needs <=256 unique colors, raster has "
+            f"{len(palette)}"
+        )
+    index_of = {t: i for i, t in enumerate(palette)}
+    idx = bytes(index_of[t] for t in triples)
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = idx[y * width : (y + 1) * width]
+        ft = (y + height) % 5
+        raw.append(ft)
+        for x in range(width):
+            a = row[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - a
+            elif ft == 2:
+                v = row[x] - b
+            elif ft == 3:
+                v = row[x] - (a + b) // 2
+            else:
+                v = row[x] - _paeth(a, b, c)
+            raw.append(v & 0xFF)
+        prev = row
+    ihdr = struct.pack(">II5B", width, height, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", b"".join(palette))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png(payload: bytes) -> dict:
     """REAL pure-stdlib PNG decode: chunk walk with CRC verification,
     zlib inflate, per-scanline filter reversal (all five PNG filters).
-    Supports bit depth 8, color types 0 (gray) / 2 (RGB) / 6 (RGBA),
-    non-interlaced — the shapes the stdlib can decode without an imaging
-    library. Palette / 16-bit / Adam7 raise NotImplementedError, and —
-    per this module's declared error contract (see the WAV kernel) —
-    so do truncated or CRC-corrupt streams, never a raw struct/zlib
-    error."""
+    Supports bit depth 8, color types 0 (gray) / 2 (RGB) / 3 (indexed —
+    PLTE lookup expands to RGB) / 6 (RGBA), non-interlaced — the shapes
+    the stdlib can decode without an imaging library. 16-bit / sub-byte
+    palette depths / Adam7 / palette transparency (tRNS) raise
+    NotImplementedError, and — per this module's declared error contract
+    (see the WAV kernel) — so do truncated or CRC-corrupt streams and
+    out-of-range palette indices, never a raw struct/zlib error."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -272,6 +325,7 @@ def decode_png(payload: bytes) -> dict:
     pos = 8
     ihdr: "tuple[int, int, int, int] | None" = None  # w, h, depth, color
     idat = bytearray()
+    plte: bytes | None = None
     saw_iend = False
     while pos < len(payload):
         if pos + 8 > len(payload):
@@ -296,15 +350,23 @@ def decode_png(payload: bytes) -> dict:
             )
             if depth != 8:
                 raise NotImplementedError("only 8-bit PNG supported")
-            if color not in (0, 2, 6):
+            if color not in (0, 2, 3, 6):
                 raise NotImplementedError(
-                    "palette/alpha-gray PNG color types not supported"
+                    "alpha-gray PNG color type not supported"
                 )
             if comp != 0 or filt != 0:
                 raise NotImplementedError("nonstandard PNG comp/filter")
             if interlace != 0:
                 raise NotImplementedError("Adam7 interlace not supported")
             ihdr = (w, h, depth, color)
+        elif ctype == b"PLTE":
+            if length == 0 or length % 3 or length > 768:
+                raise NotImplementedError("malformed PNG PLTE length")
+            plte = bytes(data)
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "PNG palette transparency (tRNS) not supported"
+            )
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -314,7 +376,9 @@ def decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat or not saw_iend:
         raise NotImplementedError("PNG missing IHDR/IDAT/IEND")
     w, h, _depth, color = ihdr
-    channels = {0: 1, 2: 3, 6: 4}[color]
+    if color == 3 and plte is None:
+        raise NotImplementedError("palette PNG missing PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     stride = w * channels
     try:
         raw = zlib.decompress(bytes(idat))
@@ -347,6 +411,22 @@ def decode_png(payload: bytes) -> dict:
             cur[x] = v & 0xFF
         out[y * stride : (y + 1) * stride] = cur
         prev = bytes(cur)
+    if color == 3:
+        # expand indices through the palette to interleaved RGB
+        n_entries = len(plte) // 3
+        if any(i >= n_entries for i in out):
+            raise NotImplementedError(
+                "PNG palette index out of PLTE range"
+            )
+        rgb = bytearray(w * h * 3)
+        for j, i in enumerate(out):
+            rgb[3 * j : 3 * j + 3] = plte[3 * i : 3 * i + 3]
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "pixels": bytes(rgb),
+        }
     return {
         "width": w,
         "height": h,
@@ -357,7 +437,8 @@ def decode_png(payload: bytes) -> dict:
 
 def decode_image(payload: bytes) -> dict:
     """REAL decode kernels for binary PPM/PGM (P6/P5 netpbm), PNG
-    (8-bit gray/RGB/RGBA, zlib + full filter reversal — see decode_png),
+    (8-bit gray/RGB/indexed-palette/RGBA, zlib + full filter reversal —
+    see decode_png),
     and baseline JPEG — grayscale or YCbCr color at 4:4:4/4:2:2/4:2:0
     (stream-parsed DQT/DHT tables + sampling factors, huffman + dequant
     + IDCT + chroma upsample — see llm.jpeg). Progressive JPEG, CMYK,
@@ -561,6 +642,79 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
+
+
+PNG_PALETTE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_colors", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def _synth_indexed(doc_id: int) -> "tuple[int, int, bytes]":
+    """Deterministic RGB raster drawn from a 16-color palette: pixel i
+    uses color c = (doc_id + i) % 16, color c = ((40 + 13c) % 256,
+    (60 + 29c) % 256, (80 + 41c) % 256) — formulas simple enough for
+    the oracle to recompute pixel features exactly."""
+    w, h = (doc_id % 6) + 3, (doc_id % 4) + 3
+    px = bytearray()
+    for i in range(w * h):
+        c = (doc_id + i) % 16
+        px += bytes(
+            ((40 + 13 * c) % 256, (60 + 29 * c) % 256, (80 + 41 * c) % 256)
+        )
+    return w, h, bytes(px)
+
+
+def png_palette_roundtrip_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Indexed-color (PLTE) PNG decode exercised for real: deterministic
+    16-color raster → encode_png_palette (palette build, index
+    scanlines, the full filter rotation at bpp=1) → decode_png (PLTE
+    parse, unfilter, palette expansion back to RGB) → features from the
+    DECODED raster, bit-exact-roundtrip-guarded; the oracle recomputes
+    them from the source formula (lossless codec — same discipline as
+    llm_multimodal_png). One Arrow mapInPandas pass."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, pixels = _synth_indexed(doc_id)
+                decoded = decode_png(encode_png_palette(w, h, pixels))
+                raster = decoded["pixels"]
+                if raster != pixels or decoded["channels"] != 3:
+                    raise RuntimeError(
+                        f"palette PNG roundtrip not bit-exact for doc "
+                        f"{doc_id}"
+                    )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": decoded["width"],
+                        "height": decoded["height"],
+                        "channels": decoded["channels"],
+                        "n_colors": min(16, w * h),
+                        "n_pixel_bytes": len(raster),
+                        "pix_sum": sum(raster),
+                        "mean_pixel": round(
+                            sum(raster) / len(raster) + 1e-9, 4
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=PNG_PALETTE_FEATURE_SCHEMA)
 
 
 JPEG_FEATURE_SCHEMA = T.StructType(

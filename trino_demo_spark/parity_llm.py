@@ -796,6 +796,43 @@ def llm_multimodal_png(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_png_palette",
+    sql="""
+    WITH d AS (SELECT doc_id, (doc_id % 6) + 3 AS w, (doc_id % 4) + 3 AS h
+               FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, w, h, i FROM d, UNNEST(range(0, 48)) u(i)
+          WHERE i < w * h),
+    v AS (SELECT doc_id, w, h,
+                 (40 + 13 * ((doc_id + i) % 16)) % 256 AS r,
+                 (60 + 29 * ((doc_id + i) % 16)) % 256 AS g,
+                 (80 + 41 * ((doc_id + i) % 16)) % 256 AS b
+          FROM s)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(LEAST(16, w * h) AS BIGINT) AS n_colors,
+           CAST(3 * w * h AS BIGINT) AS n_pixel_bytes,
+           CAST(SUM(r + g + b) AS BIGINT) AS pix_sum,
+           ROUND(SUM(r + g + b) * 1.0 / (3 * w * h) + 1e-9, 4) AS mean_pixel
+    FROM v GROUP BY doc_id, w, h
+    """,
+    doc="REAL indexed-color (PLTE) PNG decode through the engine — the "
+    "palette half of the r7 PNG stub closed the same way "
+    "(multimodal.encode_png_palette/decode_png): deterministic 16-color "
+    "raster → palette build + index scanlines through the full "
+    "five-filter rotation at bpp=1 → PLTE parse, unfilter, palette "
+    "expansion back to RGB. Lossless, so the oracle recomputes pixel "
+    "features from the source formula and the worker bit-exact-guards "
+    "the roundtrip. Remaining PNG stubs: sub-byte palette depths, "
+    "16-bit, Adam7, tRNS (each a tested NotImplementedError contract).",
+)
+def llm_multimodal_png_palette(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.png_palette_roundtrip_features(docs)
+
+
+@parity(
     "llm_multimodal_jpeg",
     sql="""
     SELECT doc_id,
