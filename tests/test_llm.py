@@ -276,6 +276,52 @@ def test_png_palette_roundtrip_and_contracts():
         multimodal.decode_png(bad)
 
 
+def test_png_adam7_roundtrip_and_contracts():
+    """Adam7 interlace: bit-exact roundtrip for gray/RGB/RGBA and
+    palette across sizes that exercise empty passes (w or h < pass
+    offsets) and all filters; a raster that does not match the declared
+    pass layout surfaces the declared contract error."""
+    import pytest as _pytest
+
+    for channels in (1, 3, 4):
+        for w, h in ((1, 1), (2, 3), (3, 5), (5, 7), (8, 8), (9, 10), (1, 9)):
+            px = bytes(
+                (i * 37 + channels * 11) % 256
+                for i in range(w * h * channels)
+            )
+            out = multimodal.decode_png(
+                multimodal.encode_png(w, h, px, channels, interlace=True)
+            )
+            assert out["pixels"] == px and out["channels"] == channels
+    # palette + Adam7 compose
+    w, h, px = multimodal._synth_indexed(7)
+    out = multimodal.decode_png(
+        multimodal.encode_png_palette(w, h, px, interlace=True)
+    )
+    assert out["pixels"] == px and out["channels"] == 3
+    # interlaced stream whose IDAT is the NON-interlaced layout: the
+    # pass walk must reject the length mismatch, not mis-scatter
+    import struct as st
+    import zlib as zl
+
+    plain = multimodal.encode_png(5, 7, bytes(105), 3)  # interlace=0 stream
+    # flip the IHDR interlace byte to 1 and fix the chunk CRC
+    ihdr_at = plain.index(b"IHDR") - 4
+    ihdr_data = bytearray(plain[ihdr_at + 8 : ihdr_at + 8 + 13])
+    ihdr_data[12] = 1
+    patched = (
+        plain[: ihdr_at + 4]
+        + b"IHDR"
+        + bytes(ihdr_data)
+        + st.pack(">I", zl.crc32(b"IHDR" + bytes(ihdr_data)) & 0xFFFFFFFF)
+        + plain[ihdr_at + 8 + 13 + 4 :]
+    )
+    with _pytest.raises(
+        NotImplementedError, match="truncated PNG raster|Adam7 pass layout"
+    ):
+        multimodal.decode_png(patched)
+
+
 def test_png_error_contracts():
     """Corrupt/unsupported PNG streams surface the module's declared
     NotImplementedError contract — never a raw struct/zlib error (the
@@ -306,11 +352,14 @@ def test_png_error_contracts():
     )
     with pytest.raises(NotImplementedError, match="truncated PNG raster"):
         multimodal.decode_png(rebuilt)
-    # unsupported shapes: 16-bit depth, palette color, Adam7 interlace
+    # unsupported/incomplete shapes: 16-bit depth stays a declared stub;
+    # palette (now supported) without its PLTE and Adam7 (now supported)
+    # with a raster that doesn't match the pass layout surface their own
+    # contracts
     for field_off, val, msg in (
         (8, 16, "8-bit"),       # bit depth byte within IHDR data
-        (9, 3, "palette"),      # color type byte
-        (12, 1, "interlace"),   # interlace byte
+        (9, 3, "missing PLTE"),  # color type 3 but no PLTE chunk
+        (12, 1, "truncated PNG raster|Adam7 pass layout"),  # interlace
     ):
         ihdr = st.pack(">II5B", 3, 4, 8, 2, 0, 0, 0)
         ihdr = ihdr[:field_off] + bytes([val]) + ihdr[field_off + 1 :]

@@ -198,36 +198,64 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _png_chunk(ctype: bytes, data: bytes) -> bytes:
-    import zlib
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    return (
-        struct.pack(">I", len(data))
-        + ctype
-        + data
-        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-    )
 
-
-def encode_png(
-    width: int, height: int, pixels: bytes, channels: int = 3
-) -> bytes:
-    """Pure-stdlib PNG writer (bit depth 8; grayscale/RGB/RGBA). Each
-    scanline is REALLY filtered — filter type (y + height) % 5, so small
-    synthetic rasters of different heights collectively exercise every
-    filter (None/Sub/Up/Average/Paeth) and the decoder's full reversal
-    matrix — then zlib-deflated into one IDAT."""
-    import zlib
-
-    if len(pixels) != width * height * channels:
-        raise ValueError("len(pixels) must be channels*w*h")
-    color = {1: 0, 3: 2, 4: 6}[channels]
-    stride = width * channels
-    raw = bytearray()
+def _unfilter_lines(
+    raw: bytes, off: int, n_rows: int, stride: int, channels: int
+) -> "tuple[list[bytes], int]":
+    """Reverse PNG scanline filtering for one contiguous block of rows
+    (the whole image, or one Adam7 pass); returns (rows, next offset)."""
+    if off + n_rows * (1 + stride) > len(raw):
+        raise NotImplementedError("truncated PNG raster")
+    rows: "list[bytes]" = []
     prev = bytes(stride)
-    for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
-        ft = (y + height) % 5
+    for _ in range(n_rows):
+        ft = raw[off]
+        line = raw[off + 1 : off + 1 + stride]
+        off += 1 + stride
+        cur = bytearray(stride)
+        for x in range(stride):
+            a = cur[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + a
+            elif ft == 2:
+                v = line[x] + b
+            elif ft == 3:
+                v = line[x] + (a + b) // 2
+            elif ft == 4:
+                v = line[x] + _paeth(a, b, c)
+            else:
+                raise NotImplementedError(f"PNG filter type {ft}")
+            cur[x] = v & 0xFF
+        prev = bytes(cur)
+        rows.append(prev)
+    return rows, off
+
+
+def _filter_lines(rows: "list[bytes]", channels: int) -> bytearray:
+    """Apply the (y + n_rows) % 5 filter rotation to one block of rows
+    (whole image or one Adam7 pass) — every filter type gets exercised
+    across heights, and the matching _unfilter_lines reverses it."""
+    raw = bytearray()
+    n = len(rows)
+    stride = len(rows[0]) if rows else 0
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        ft = (y + n) % 5
         raw.append(ft)
         for x in range(stride):
             a = row[x - channels] if x >= channels else 0
@@ -245,7 +273,75 @@ def encode_png(
                 v = row[x] - _paeth(a, b, c)
             raw.append(v & 0xFF)
         prev = row
-    ihdr = struct.pack(">II5B", width, height, 8, color, 0, 0, 0)
+    return raw
+
+
+def _adam7_split(
+    width: int, height: int, pixels: bytes, channels: int
+) -> "list[list[bytes]]":
+    """Slice an image into the seven Adam7 pass sub-images (row lists);
+    empty passes come back as empty lists."""
+    passes: "list[list[bytes]]" = []
+    for xs, ys, xst, yst in _ADAM7:
+        pw = (width - xs + xst - 1) // xst if width > xs else 0
+        ph = (height - ys + yst - 1) // yst if height > ys else 0
+        rows: "list[bytes]" = []
+        for ry in range(ph):
+            y = ys + ry * yst
+            row = bytearray()
+            for rx in range(pw):
+                x = xs + rx * xst
+                src = (y * width + x) * channels
+                row += pixels[src : src + channels]
+            rows.append(bytes(row))
+        passes.append(rows if pw and ph else [])
+    return passes
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    interlace: bool = False,
+) -> bytes:
+    """Pure-stdlib PNG writer (bit depth 8; grayscale/RGB/RGBA;
+    optionally Adam7-interlaced). Each scanline is REALLY filtered —
+    filter type (y + pass_height) % 5, so small synthetic rasters of
+    different heights collectively exercise every filter
+    (None/Sub/Up/Average/Paeth) and the decoder's full reversal matrix
+    — then zlib-deflated into one IDAT. With interlace=True the raster
+    is split into the seven Adam7 sub-images, each filtered
+    independently (spec §8.2)."""
+    import zlib
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("len(pixels) must be channels*w*h")
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if interlace:
+        raw = bytearray()
+        for rows in _adam7_split(width, height, pixels, channels):
+            raw += _filter_lines(rows, channels)
+    else:
+        raw = _filter_lines(
+            [pixels[y * stride : (y + 1) * stride] for y in range(height)],
+            channels,
+        )
+    ihdr = struct.pack(
+        ">II5B", width, height, 8, color, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -254,13 +350,16 @@ def encode_png(
     )
 
 
-def encode_png_palette(width: int, height: int, pixels: bytes) -> bytes:
+def encode_png_palette(
+    width: int, height: int, pixels: bytes, interlace: bool = False
+) -> bytes:
     """Pure-stdlib indexed-color PNG writer (color type 3, bit depth 8):
     builds a deterministic (sorted) palette from the raster's unique RGB
     triples — at most 256, else ValueError — writes it as PLTE, and
     filters the 1-byte-per-pixel index scanlines with the same
     (y + height) % 5 rotation as encode_png so the decoder's filter
-    reversal runs at bpp=1 too."""
+    reversal runs at bpp=1 too. interlace=True emits the Adam7 pass
+    layout (see encode_png)."""
     import zlib
 
     if len(pixels) != width * height * 3:
@@ -274,29 +373,17 @@ def encode_png_palette(width: int, height: int, pixels: bytes) -> bytes:
         )
     index_of = {t: i for i, t in enumerate(palette)}
     idx = bytes(index_of[t] for t in triples)
-    raw = bytearray()
-    prev = bytes(width)
-    for y in range(height):
-        row = idx[y * width : (y + 1) * width]
-        ft = (y + height) % 5
-        raw.append(ft)
-        for x in range(width):
-            a = row[x - 1] if x >= 1 else 0
-            b = prev[x]
-            c = prev[x - 1] if x >= 1 else 0
-            if ft == 0:
-                v = row[x]
-            elif ft == 1:
-                v = row[x] - a
-            elif ft == 2:
-                v = row[x] - b
-            elif ft == 3:
-                v = row[x] - (a + b) // 2
-            else:
-                v = row[x] - _paeth(a, b, c)
-            raw.append(v & 0xFF)
-        prev = row
-    ihdr = struct.pack(">II5B", width, height, 8, 3, 0, 0, 0)
+    if interlace:
+        raw = bytearray()
+        for rows in _adam7_split(width, height, idx, 1):
+            raw += _filter_lines(rows, 1)
+    else:
+        raw = _filter_lines(
+            [idx[y * width : (y + 1) * width] for y in range(height)], 1
+        )
+    ihdr = struct.pack(
+        ">II5B", width, height, 8, 3, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -310,12 +397,15 @@ def decode_png(payload: bytes) -> dict:
     """REAL pure-stdlib PNG decode: chunk walk with CRC verification,
     zlib inflate, per-scanline filter reversal (all five PNG filters).
     Supports bit depth 8, color types 0 (gray) / 2 (RGB) / 3 (indexed —
-    PLTE lookup expands to RGB) / 6 (RGBA), non-interlaced — the shapes
-    the stdlib can decode without an imaging library. 16-bit / sub-byte
-    palette depths / Adam7 / palette transparency (tRNS) raise
-    NotImplementedError, and — per this module's declared error contract
-    (see the WAV kernel) — so do truncated or CRC-corrupt streams and
-    out-of-range palette indices, never a raw struct/zlib error."""
+    PLTE lookup expands to RGB) / 6 (RGBA), both non-interlaced and
+    Adam7-interlaced (seven independently-filtered passes scattered
+    back onto the pixel grid, spec §8.2) — the shapes the stdlib can
+    decode without an imaging library. 16-bit / sub-byte palette
+    depths / palette transparency (tRNS) raise NotImplementedError,
+    and — per this module's declared error contract (see the WAV
+    kernel) — so do truncated or CRC-corrupt streams, rasters that
+    don't match the declared pass layout, and out-of-range palette
+    indices, never a raw struct/zlib error."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -356,9 +446,11 @@ def decode_png(payload: bytes) -> dict:
                 )
             if comp != 0 or filt != 0:
                 raise NotImplementedError("nonstandard PNG comp/filter")
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlace not supported")
-            ihdr = (w, h, depth, color)
+            if interlace not in (0, 1):
+                raise NotImplementedError(
+                    "nonstandard PNG interlace method"
+                )
+            ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             if length == 0 or length % 3 or length > 768:
                 raise NotImplementedError("malformed PNG PLTE length")
@@ -375,7 +467,7 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + length
     if ihdr is None or not idat or not saw_iend:
         raise NotImplementedError("PNG missing IHDR/IDAT/IEND")
-    w, h, _depth, color = ihdr
+    w, h, _depth, color, interlace = ihdr
     if color == 3 and plte is None:
         raise NotImplementedError("palette PNG missing PLTE chunk")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
@@ -384,33 +476,37 @@ def decode_png(payload: bytes) -> dict:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise NotImplementedError(f"corrupt PNG IDAT: {exc}") from exc
-    if len(raw) != h * (1 + stride):
-        raise NotImplementedError("truncated PNG raster")
-    out = bytearray(h * stride)
-    prev = bytes(stride)
-    for y in range(h):
-        ft = raw[y * (1 + stride)]
-        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-        cur = bytearray(stride)
-        for x in range(stride):
-            a = cur[x - channels] if x >= channels else 0
-            b = prev[x]
-            c = prev[x - channels] if x >= channels else 0
-            if ft == 0:
-                v = line[x]
-            elif ft == 1:
-                v = line[x] + a
-            elif ft == 2:
-                v = line[x] + b
-            elif ft == 3:
-                v = line[x] + (a + b) // 2
-            elif ft == 4:
-                v = line[x] + _paeth(a, b, c)
-            else:
-                raise NotImplementedError(f"PNG filter type {ft}")
-            cur[x] = v & 0xFF
-        out[y * stride : (y + 1) * stride] = cur
-        prev = bytes(cur)
+    if interlace == 0:
+        if len(raw) != h * (1 + stride):
+            raise NotImplementedError("truncated PNG raster")
+        rows, _ = _unfilter_lines(raw, 0, h, stride, channels)
+        out = bytearray(h * stride)
+        for y, row in enumerate(rows):
+            out[y * stride : (y + 1) * stride] = row
+    else:
+        # Adam7: seven independently-filtered sub-images (spec §8.2) —
+        # each pass's scanlines unfilter against that PASS's previous
+        # row, then scatter onto the final pixel grid
+        out = bytearray(h * stride)
+        off = 0
+        for xs, ys, xst, yst in _ADAM7:
+            pw = (w - xs + xst - 1) // xst if w > xs else 0
+            ph = (h - ys + yst - 1) // yst if h > ys else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass carries no bytes, not even filters
+            rows, off = _unfilter_lines(raw, off, ph, pw * channels, channels)
+            for ry, row in enumerate(rows):
+                y = ys + ry * yst
+                for rx in range(pw):
+                    x = xs + rx * xst
+                    dst = (y * w + x) * channels
+                    out[dst : dst + channels] = row[
+                        rx * channels : (rx + 1) * channels
+                    ]
+        if off != len(raw):
+            raise NotImplementedError(
+                "PNG raster length does not match the Adam7 pass layout"
+            )
     if color == 3:
         # expand indices through the palette to interleaved RGB
         n_entries = len(plte) // 3
@@ -637,6 +733,50 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                         "n_pixel_bytes": len(raster),
                         "pix_sum": sum(raster),
                         "mean_pixel": round(sum(raster) / len(raster) + 1e-9, 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
+
+
+def png_adam7_roundtrip_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Adam7-interlaced PNG decode exercised for real: the same
+    deterministic RGB rasters as png_roundtrip_features, but encoded
+    with interlace=1 — seven independently-filtered sub-images — and
+    decoded back through the pass-scatter path. Features come from the
+    DECODED raster (bit-exact-roundtrip-guarded); the oracle recomputes
+    them from the source formula, identical to llm_multimodal_png's
+    (interlacing must be output-invisible)."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, pixels = _synth_pixels(doc_id)
+                decoded = decode_png(
+                    encode_png(w, h, pixels, channels=3, interlace=True)
+                )
+                raster = decoded["pixels"]
+                if raster != pixels:
+                    raise RuntimeError(
+                        f"Adam7 PNG roundtrip not bit-exact for doc {doc_id}"
+                    )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": decoded["width"],
+                        "height": decoded["height"],
+                        "channels": decoded["channels"],
+                        "n_pixel_bytes": len(raster),
+                        "pix_sum": sum(raster),
+                        "mean_pixel": round(
+                            sum(raster) / len(raster) + 1e-9, 4
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)

@@ -796,6 +796,38 @@ def llm_multimodal_png(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_png_adam7",
+    sql="""
+    WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
+               FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, w, h, j FROM d, UNNEST(range(0, 72)) u(j)
+          WHERE j < 3 * w * h),
+    v AS (SELECT doc_id, w, h, (doc_id * 7 + j) % 256 AS px FROM s)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           COUNT(*) AS n_pixel_bytes,
+           CAST(SUM(px) AS BIGINT) AS pix_sum,
+           ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
+    FROM v GROUP BY doc_id, w, h
+    """,
+    doc="Adam7-INTERLACED PNG decode through the engine: the same "
+    "rasters and oracle as llm_multimodal_png, but the stream carries "
+    "interlace method 1 — seven independently-filtered sub-images "
+    "(spec §8.2 pass grid) that the decoder unfilters per pass and "
+    "scatters back onto the pixel grid. Interlacing must be "
+    "output-invisible, so the oracle is IDENTICAL to the "
+    "non-interlaced entry's — any pass-layout, per-pass filter-state, "
+    "or scatter bug shifts pixels and breaks the hash. Closes the "
+    "Adam7 declared stub.",
+)
+def llm_multimodal_png_adam7(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.png_adam7_roundtrip_features(docs)
+
+
+@parity(
     "llm_multimodal_png_palette",
     sql="""
     WITH d AS (SELECT doc_id, (doc_id % 6) + 3 AS w, (doc_id % 4) + 3 AS h
@@ -825,7 +857,8 @@ def llm_multimodal_png(spark, sf_dir):
     "expansion back to RGB. Lossless, so the oracle recomputes pixel "
     "features from the source formula and the worker bit-exact-guards "
     "the roundtrip. Remaining PNG stubs: sub-byte palette depths, "
-    "16-bit, Adam7, tRNS (each a tested NotImplementedError contract).",
+    "16-bit, tRNS (each a tested NotImplementedError contract); Adam7 "
+    "is covered by llm_multimodal_png_adam7.",
 )
 def llm_multimodal_png_palette(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
