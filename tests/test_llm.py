@@ -276,6 +276,83 @@ def test_png_palette_roundtrip_and_contracts():
         multimodal.decode_png(bad)
 
 
+def test_png_trns_palette_alpha_roundtrip_and_contracts():
+    """tRNS palette transparency: RGBA-in → PLTE + truncated tRNS
+    (non-opaque entries sorted first, trailing 255s dropped per the
+    spec default-opaque rule) → decode expands to RGBA bit-exactly;
+    all-opaque input emits no tRNS and decodes as plain RGB; malformed
+    tRNS and gray/RGB color-key transparency surface contracts."""
+    import struct as st
+    import zlib as zl
+
+    import pytest as _pytest
+
+    for seed in range(12):
+        w, h = (seed % 6) + 3, (seed % 4) + 3
+        px = bytearray()
+        for i in range(w * h):
+            c = (seed + i) % 12
+            a = 255 if c % 3 else (40 + 17 * c) % 255
+            px += bytes(
+                (
+                    (40 + 13 * c) % 256,
+                    (60 + 29 * c) % 256,
+                    (80 + 41 * c) % 256,
+                    a,
+                )
+            )
+        for inter in (False, True):
+            out = multimodal.decode_png(
+                multimodal.encode_png_palette(
+                    w, h, bytes(px), interlace=inter, channels=4
+                )
+            )
+            assert out["pixels"] == bytes(px) and out["channels"] == 4
+    # all-opaque RGBA palette: no tRNS emitted, decodes as RGB
+    px = bytes(
+        b
+        for i in range(9)
+        for b in ((i * 10) % 256, (i * 20) % 256, (i * 30) % 256, 255)
+    )
+    assert (
+        multimodal.decode_png(
+            multimodal.encode_png_palette(3, 3, px, channels=4)
+        )["channels"]
+        == 3
+    )
+    # tRNS longer than the palette
+    w, h, px3 = multimodal._synth_indexed(5)
+    good = multimodal.encode_png_palette(w, h, px3)
+    pos = 8
+    while pos < len(good):
+        (ln,) = st.unpack(">I", good[pos : pos + 4])
+        if good[pos + 4 : pos + 8] == b"PLTE":
+            break
+        pos += 12 + ln
+    bad_trns = bytes([7] * (ln // 3 + 1))
+    chunk = (
+        st.pack(">I", len(bad_trns))
+        + b"tRNS"
+        + bad_trns
+        + st.pack(">I", zl.crc32(b"tRNS" + bad_trns) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(NotImplementedError, match="malformed PNG tRNS"):
+        multimodal.decode_png(
+            good[: pos + 12 + ln] + chunk + good[pos + 12 + ln :]
+        )
+    # color-key transparency on an RGB frame stays a declared stub
+    rgb = multimodal.encode_png(3, 3, bytes(27), 3)
+    ck = (
+        st.pack(">I", 6)
+        + b"tRNS"
+        + bytes(6)
+        + st.pack(">I", zl.crc32(b"tRNS" + bytes(6)) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 12 + 13
+    with _pytest.raises(NotImplementedError, match="color-key"):
+        multimodal.decode_png(rgb[:ihdr_end] + ck + rgb[ihdr_end:])
+
+
 def test_png_adam7_roundtrip_and_contracts():
     """Adam7 interlace: bit-exact roundtrip for gray/RGB/RGBA and
     palette across sizes that exercise empty passes (w or h < pass

@@ -351,21 +351,40 @@ def encode_png(
 
 
 def encode_png_palette(
-    width: int, height: int, pixels: bytes, interlace: bool = False
+    width: int,
+    height: int,
+    pixels: bytes,
+    interlace: bool = False,
+    channels: int = 3,
 ) -> bytes:
     """Pure-stdlib indexed-color PNG writer (color type 3, bit depth 8):
-    builds a deterministic (sorted) palette from the raster's unique RGB
-    triples — at most 256, else ValueError — writes it as PLTE, and
+    builds a deterministic (sorted) palette from the raster's unique
+    colors — at most 256, else ValueError — writes it as PLTE, and
     filters the 1-byte-per-pixel index scanlines with the same
     (y + height) % 5 rotation as encode_png so the decoder's filter
     reversal runs at bpp=1 too. interlace=True emits the Adam7 pass
-    layout (see encode_png)."""
+    layout (see encode_png). channels=4 takes RGBA input: palette
+    entries sort non-opaque first so the emitted tRNS alpha table can
+    be truncated at the last non-255 entry (the spec's default-opaque
+    rule), exercising the decoder's entries-past-tRNS path."""
     import zlib
 
-    if len(pixels) != width * height * 3:
-        raise ValueError("len(pixels) must be 3*w*h (RGB input)")
-    triples = [pixels[i : i + 3] for i in range(0, len(pixels), 3)]
-    palette = sorted(set(triples))
+    if channels not in (3, 4):
+        raise ValueError("palette input must be RGB (3) or RGBA (4)")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            "len(pixels) must be 3*w*h (RGB input)"
+            if channels == 3
+            else "len(pixels) must be 4*w*h (RGBA input)"
+        )
+    triples = [
+        pixels[i : i + channels] for i in range(0, len(pixels), channels)
+    ]
+    # RGBA: alpha-ascending sort puts transparent entries first → short
+    # tRNS; plain RGB sorts by triple (deterministic either way)
+    palette = sorted(
+        set(triples), key=(lambda t: (t[3], t[:3])) if channels == 4 else None
+    )
     if len(palette) > 256:
         raise ValueError(
             f"palette PNG needs <=256 unique colors, raster has "
@@ -384,10 +403,20 @@ def encode_png_palette(
     ihdr = struct.pack(
         ">II5B", width, height, 8, 3, 0, 0, 1 if interlace else 0
     )
+    chunks = _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"PLTE", b"".join(t[:3] for t in palette)
+    )
+    if channels == 4:
+        alphas = bytes(t[3] for t in palette)
+        # spec default-opaque rule: truncate trailing 255 entries
+        cut = len(alphas)
+        while cut and alphas[cut - 1] == 255:
+            cut -= 1
+        if cut:
+            chunks += _png_chunk(b"tRNS", alphas[:cut])
     return (
         _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"PLTE", b"".join(palette))
+        + chunks
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -397,15 +426,17 @@ def decode_png(payload: bytes) -> dict:
     """REAL pure-stdlib PNG decode: chunk walk with CRC verification,
     zlib inflate, per-scanline filter reversal (all five PNG filters).
     Supports bit depth 8, color types 0 (gray) / 2 (RGB) / 3 (indexed —
-    PLTE lookup expands to RGB) / 6 (RGBA), both non-interlaced and
-    Adam7-interlaced (seven independently-filtered passes scattered
-    back onto the pixel grid, spec §8.2) — the shapes the stdlib can
-    decode without an imaging library. 16-bit / sub-byte palette
-    depths / palette transparency (tRNS) raise NotImplementedError,
-    and — per this module's declared error contract (see the WAV
-    kernel) — so do truncated or CRC-corrupt streams, rasters that
-    don't match the declared pass layout, and out-of-range palette
-    indices, never a raw struct/zlib error."""
+    PLTE lookup expands to RGB, or RGBA when a tRNS alpha table is
+    present, entries past its end opaque per spec) / 6 (RGBA), both
+    non-interlaced and Adam7-interlaced (seven independently-filtered
+    passes scattered back onto the pixel grid, spec §8.2) — the shapes
+    the stdlib can decode without an imaging library. 16-bit /
+    sub-byte palette depths / gray-RGB color-key transparency raise
+    NotImplementedError, and — per this module's declared error
+    contract (see the WAV kernel) — so do truncated or CRC-corrupt
+    streams, rasters that don't match the declared pass layout,
+    out-of-range palette indices, and tRNS tables longer than the
+    palette, never a raw struct/zlib error."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -413,9 +444,10 @@ def decode_png(payload: bytes) -> dict:
             "not a PNG stream (or truncated PNG signature)"
         )
     pos = 8
-    ihdr: "tuple[int, int, int, int] | None" = None  # w, h, depth, color
+    ihdr = None  # (w, h, depth, color, interlace)
     idat = bytearray()
     plte: bytes | None = None
+    trns: bytes | None = None
     saw_iend = False
     while pos < len(payload):
         if pos + 8 > len(payload):
@@ -456,9 +488,19 @@ def decode_png(payload: bytes) -> dict:
                 raise NotImplementedError("malformed PNG PLTE length")
             plte = bytes(data)
         elif ctype == b"tRNS":
-            raise NotImplementedError(
-                "PNG palette transparency (tRNS) not supported"
-            )
+            if ihdr is None or ihdr[3] != 3:
+                # color-key transparency for gray/RGB frames stays a
+                # declared stub; palette alpha is supported below
+                raise NotImplementedError(
+                    "PNG color-key transparency (tRNS on gray/RGB) not "
+                    "supported"
+                )
+            if plte is None or length > len(plte) // 3:
+                raise NotImplementedError(
+                    "malformed PNG tRNS (no PLTE or more alphas than "
+                    "palette entries)"
+                )
+            trns = bytes(data)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -508,20 +550,33 @@ def decode_png(payload: bytes) -> dict:
                 "PNG raster length does not match the Adam7 pass layout"
             )
     if color == 3:
-        # expand indices through the palette to interleaved RGB
+        # expand indices through the palette — to RGB, or RGBA when a
+        # tRNS alpha table is present (entries past its end are opaque
+        # 255 per spec)
         n_entries = len(plte) // 3
         if any(i >= n_entries for i in out):
             raise NotImplementedError(
                 "PNG palette index out of PLTE range"
             )
-        rgb = bytearray(w * h * 3)
+        if trns is None:
+            rgb = bytearray(w * h * 3)
+            for j, i in enumerate(out):
+                rgb[3 * j : 3 * j + 3] = plte[3 * i : 3 * i + 3]
+            return {
+                "width": w,
+                "height": h,
+                "channels": 3,
+                "pixels": bytes(rgb),
+            }
+        rgba = bytearray(w * h * 4)
         for j, i in enumerate(out):
-            rgb[3 * j : 3 * j + 3] = plte[3 * i : 3 * i + 3]
+            rgba[4 * j : 4 * j + 3] = plte[3 * i : 3 * i + 3]
+            rgba[4 * j + 3] = trns[i] if i < len(trns) else 255
         return {
             "width": w,
             "height": h,
-            "channels": 3,
-            "pixels": bytes(rgb),
+            "channels": 4,
+            "pixels": bytes(rgba),
         }
     return {
         "width": w,
@@ -855,6 +910,62 @@ def png_palette_roundtrip_features(
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=PNG_PALETTE_FEATURE_SCHEMA)
+
+
+def png_trns_roundtrip_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Palette-transparency (tRNS) PNG decode exercised for real: a
+    deterministic RGBA raster mixing opaque and translucent palette
+    entries → encode_png_palette(channels=4) (alpha-ascending palette
+    sort, truncated tRNS table) → decode_png (PLTE + tRNS expansion to
+    RGBA, entries past the table opaque). Lossless; the oracle
+    recomputes features from the source formula. One Arrow mapInPandas
+    pass."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = (doc_id % 6) + 3, (doc_id % 4) + 3
+                px = bytearray()
+                for i in range(w * h):
+                    c = (doc_id + i) % 12
+                    a = 255 if c % 3 else (40 + 17 * c) % 255
+                    px += bytes(
+                        (
+                            (40 + 13 * c) % 256,
+                            (60 + 29 * c) % 256,
+                            (80 + 41 * c) % 256,
+                            a,
+                        )
+                    )
+                decoded = decode_png(
+                    encode_png_palette(w, h, bytes(px), channels=4)
+                )
+                raster = decoded["pixels"]
+                if raster != bytes(px) or decoded["channels"] != 4:
+                    raise RuntimeError(
+                        f"tRNS PNG roundtrip not bit-exact for doc {doc_id}"
+                    )
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": decoded["width"],
+                        "height": decoded["height"],
+                        "channels": decoded["channels"],
+                        "n_pixel_bytes": len(raster),
+                        "pix_sum": sum(raster),
+                        "mean_pixel": round(
+                            sum(raster) / len(raster) + 1e-9, 4
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
 
 
 JPEG_FEATURE_SCHEMA = T.StructType(

@@ -796,6 +796,42 @@ def llm_multimodal_png(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_png_trns",
+    sql="""
+    WITH d AS (SELECT doc_id, (doc_id % 6) + 3 AS w, (doc_id % 4) + 3 AS h
+               FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, w, h, (doc_id + i) % 12 AS c
+          FROM d, UNNEST(range(0, 48)) u(i) WHERE i < w * h),
+    v AS (SELECT doc_id, w, h,
+                 (40 + 13 * c) % 256 AS r,
+                 (60 + 29 * c) % 256 AS g,
+                 (80 + 41 * c) % 256 AS b,
+                 CASE WHEN c % 3 <> 0 THEN 255 ELSE (40 + 17 * c) % 255 END AS a
+          FROM s)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS channels,
+           CAST(4 * w * h AS BIGINT) AS n_pixel_bytes,
+           CAST(SUM(r + g + b + a) AS BIGINT) AS pix_sum,
+           ROUND(SUM(r + g + b + a) * 1.0 / (4 * w * h) + 1e-9, 4) AS mean_pixel
+    FROM v GROUP BY doc_id, w, h
+    """,
+    doc="Palette-TRANSPARENCY (tRNS) PNG decode through the engine: "
+    "RGBA rasters mixing opaque and translucent palette entries are "
+    "written as PLTE + a TRUNCATED tRNS table (alpha-ascending palette "
+    "sort, trailing opaque entries dropped per the spec default-255 "
+    "rule — so the decoder's entries-past-the-table path runs on every "
+    "doc) and decoded back to RGBA bit-exactly. Lossless; oracle "
+    "recomputes from the source formula. Closes the tRNS declared "
+    "stub; gray/RGB color-key transparency remains one.",
+)
+def llm_multimodal_png_trns(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.png_trns_roundtrip_features(docs)
+
+
+@parity(
     "llm_multimodal_png_adam7",
     sql="""
     WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
