@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "tpch_q9",               # heaviest star join: 7-way, dual fact use
     "tpch_q18",              # agg+HAVING pre-join shrink + top-k
     "tpch_q21",              # correlated EXISTS/NOT EXISTS via window collapse
+    "tpch_q9_full",          # CANONICAL q9: two-sided partsupp composite-key probe
+    "tpch_q21_full",         # CANONICAL q21: receipt>commit lateness, 1-shuffle window
     "join_inner_eq",         # flagship date-key join (pre-aggregated sides)
     "join_fact_fact_merge",  # full fact-fact SortMergeJoin (shuffle-heavy path)
     "win_dedup_keeplast",    # keep-last window dedup over the stream table
@@ -115,6 +117,11 @@ BASELINE_SEC = {
     # pinned round-4 continuation (best-of-3 0.75 s, canary 0.67 —
     # fast host; the fused scalar stages amortize into one scan)
     "e2e_llm_data_pipeline": 0.75,
+    # pinned round 8 at entry creation (best-of-4, quiet host, canary
+    # 0.93): the canonical partsupp-probe q9 and the single-fact-shuffle
+    # q21 with the real receipt>commit lateness (PERF.md r8 span rows)
+    "tpch_q9_full": 2.768,
+    "tpch_q21_full": 1.172,
 }
 
 # Canary pin: first clean-machine measurement (round 2, idle local[32],
