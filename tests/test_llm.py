@@ -666,6 +666,86 @@ def test_jpeg_color_error_contracts():
         jpeg.encode_jpeg_color(4, 4, bytes(48), 90, "411")
 
 
+def test_jpeg_progressive_roundtrip_and_contracts():
+    """Spectral-selection progressive JPEG: the decode must be
+    BIT-IDENTICAL to the baseline decode of the same raster (same
+    quantized coefficients, different scan layout); EOB-runs > 1 decode
+    correctly; successive approximation and in-frame baseline scans
+    surface their declared contracts."""
+    import struct as st
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import jpeg
+
+    # gray + color, every subsampling: bit-identity with baseline
+    for w, h in ((8, 8), (5, 7), (16, 12), (1, 1), (23, 17)):
+        px = bytes(((7 + 2 * (i % w) + 3 * (i // w)) % 176) + 40 for i in range(w * h))
+        assert (
+            jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(w, h, px))["pixels"]
+            == jpeg.decode_jpeg(jpeg.encode_jpeg_gray(w, h, px))["pixels"]
+        )
+    for sub in ("444", "422", "420"):
+        w, h = 9, 6
+        px = bytes(
+            min(255, 40 + c * 20 + 2 * (i % w) + 3 * (i // w))
+            for i in range(w * h)
+            for c in range(3)
+        )
+        assert (
+            jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(w, h, px, 90, sub))[
+                "pixels"
+            ]
+            == jpeg.decode_jpeg(jpeg.encode_jpeg_color(w, h, px, 90, sub))[
+                "pixels"
+            ]
+        )
+
+    # EOBRUN > 1: hand-code an AC scan that ends 4 blocks with one EOB4
+    # (category 2 + 2 extra bits = 3 + 1). A flat raster has zero ACs,
+    # so the coefficient outcome must equal the encoder's per-block-EOB
+    # stream.
+    w, h = 16, 16  # 4 blocks
+    px = bytes([77]) * (w * h)
+    ref = jpeg.encode_jpeg_progressive(w, h, px)
+    sos_positions = []
+    p = 2
+    while p < len(ref):
+        p = ref.find(b"\xff\xda", p)
+        if p < 0:
+            break
+        sos_positions.append(p)
+        p += 2
+    ac_sos = sos_positions[1]  # DC scan first, AC scan second
+    (ac_len,) = st.unpack(">H", ref[ac_sos + 2 : ac_sos + 4])
+    head = ref[: ac_sos + 2 + ac_len]  # headers + DC scan + AC SOS
+    wtr = jpeg._BitWriter()
+    code, length = jpeg._AC_CODES[0x20]  # EOBn, category 2
+    wtr.write(code, length)
+    wtr.write(1, 2)  # EOBRUN = (1<<2) - 1 + 1 = 4
+    wtr.flush()
+    crafted = head + bytes(wtr.buf) + b"\xff\xd9"
+    assert (
+        jpeg.decode_jpeg(crafted)["pixels"]
+        == jpeg.decode_jpeg(ref)["pixels"]
+    )
+
+    # successive approximation (Al=1 on the AC scan) is a declared stub
+    approx = bytearray(ref)
+    approx[ac_sos + 2 + ac_len - 1] = 0x01  # AhAl byte of the AC SOS
+    with _pytest.raises(NotImplementedError, match="successive approximation"):
+        jpeg.decode_jpeg(bytes(approx))
+    # a full-spectrum (baseline-shaped) scan inside a progressive frame
+    gray = jpeg.encode_jpeg_gray(9, 6, bytes(54))
+    sof_at = gray.index(b"\xff\xc0")
+    prog_framed = gray[:sof_at] + b"\xff\xc2" + gray[sof_at + 2 :]
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        jpeg.decode_jpeg(prog_framed)
+    # truncation contracts hold across scan boundaries
+    with _pytest.raises(NotImplementedError, match="truncated JPEG"):
+        jpeg.decode_jpeg(ref[: ac_sos + 4])
+
+
 def test_jpeg_error_contracts():
     """Unsupported/corrupt JPEG streams surface the declared
     NotImplementedError contract, never a raw struct/index error."""

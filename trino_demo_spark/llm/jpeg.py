@@ -33,12 +33,21 @@ Scope (declared, like every kernel contract in multimodal.py):
   upsamples chroma, applies the T.871 YCbCr→RGB transform, clamps,
   crops edge padding. 3-component SOF order is taken as Y,Cb,Cr per
   JFIF (ids 1,2,3); Adobe APP14 color transforms are not interpreted.
+- PROGRESSIVE (SOF2), spectral-selection subset: the decoder handles
+  multi-scan streams — interleaved or single-component DC scans, and
+  non-interleaved AC scans with EOB-run (EOBn) coding — accumulating
+  quantized coefficients per component and running dequant+IDCT once
+  at EOI. `encode_jpeg_progressive` emits the simplest spec-legal
+  layout (one interleaved DC scan + one full-band AC scan per
+  component, Ah=Al=0); its decode is bit-identical to the baseline
+  encoding of the same raster, which is the plumbing oracle.
 - NOT supported, per the module error contract (NotImplementedError,
-  never a raw struct/index error): progressive (SOF2) and every
-  non-SOF0 frame type, CMYK/4-component frames, non-interleaved
-  (multi-scan) baseline, sampling factors > 2 or fractional ratios,
-  restart intervals (DRI/RSTn inside entropy data), 16-bit quant
-  tables, arithmetic coding.
+  never a raw struct/index error): successive approximation
+  (progressive scans with Ah or Al != 0 — the libjpeg refinement
+  ladder), every non-SOF0/SOF2 frame type, CMYK/4-component frames,
+  non-interleaved baseline scans, sampling factors > 2 or fractional
+  ratios, restart intervals (DRI/RSTn inside entropy data), 16-bit
+  quant tables, arithmetic coding.
 """
 
 from __future__ import annotations
@@ -115,9 +124,14 @@ _C = _dct_matrix()
 # AC: EOB + ZRL + (run 0..15 x size 1..10), all 9-bit codes.
 _DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
-_AC_VALS = [0x00, 0xF0] + [
-    (run << 4) | size for run in range(16) for size in range(1, 11)
-]
+_AC_VALS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    # EOBn symbols (run<<4, size 0) for progressive EOB-run coding —
+    # category 1..14 covers runs up to 32767 (T.81 G.1.2.2); harmless
+    # surplus alphabet entries in baseline scans
+    + [run << 4 for run in range(1, 15)]
+)
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0]
 
 
@@ -370,6 +384,217 @@ def encode_jpeg_color(
     )
 
 
+def _quantized_zz_blocks(plane: np.ndarray, qt: np.ndarray):
+    """FDCT + quantize every 8x8 block of a padded plane → nested list
+    of zigzag-ordered coefficient lists (the progressive encoder needs
+    all blocks up front because scans revisit them)."""
+    bh, bw = plane.shape
+    rows = []
+    for by in range(0, bh, 8):
+        row = []
+        for bx in range(0, bw, 8):
+            block = plane[by : by + 8, bx : bx + 8] - 128.0
+            q = np.round((_C @ block @ _C.T) / qt).astype(np.int64)
+            zz = [int(q.flat[_ZIGZAG[k]]) for k in range(64)]
+            zz[1:] = [max(-1023, min(1023, v)) for v in zz[1:]]
+            row.append(zz)
+        rows.append(row)
+    return rows
+
+
+class _EobRun:
+    """Progressive AC-scan EOB-run accumulator (T.81 G.1.2.2): blocks
+    whose band ends early merge into one EOBn symbol — category
+    floor(log2(n)) plus that many extra bits — flushed before the next
+    coded coefficient or at scan end."""
+
+    def __init__(self, w: "_BitWriter") -> None:
+        self.w = w
+        self.n = 0
+
+    def bump(self) -> None:
+        self.n += 1
+        if self.n == 32767:  # max representable at category 14
+            self.flush()
+
+    def flush(self) -> None:
+        if not self.n:
+            return
+        cat = self.n.bit_length() - 1
+        c0, l0 = _AC_CODES[cat << 4]
+        self.w.write(c0, l0)
+        if cat:
+            self.w.write(self.n - (1 << cat), cat)
+        self.n = 0
+
+
+def _write_ac_band(
+    w: "_BitWriter", eob: "_EobRun", zz: "list[int]", lo: int, hi: int
+) -> None:
+    """Progressive AC-first coding of one block's zz[lo..hi] band:
+    ZRL runs + coefficients, with the trailing-zero tail folded into
+    the shared EOB-run accumulator."""
+    last = hi
+    while last >= lo and zz[last] == 0:
+        last -= 1
+    if last < lo:  # whole band empty: one more block in the EOB run
+        eob.bump()
+        return
+    eob.flush()  # pending run must be coded before this block's symbols
+    run = 0
+    for k in range(lo, last + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c0, l0 = _AC_CODES[0xF0]
+            w.write(c0, l0)
+            run -= 16
+        size, bits = _magnitude(v)
+        c0, l0 = _AC_CODES[(run << 4) | size]
+        w.write(c0, l0)
+        w.write(bits, size)
+        run = 0
+    if last < hi:  # trailing zeros: this block starts/extends a run
+        eob.bump()
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsampling: str = "420",
+) -> bytes:
+    """Spectral-selection progressive JPEG writer (SOF2): one
+    interleaved DC scan (Ss=0, Se=0) followed by one full-band AC scan
+    per component (Ss=1, Se=63, non-interleaved per spec), all with
+    Ah=Al=0 — the simplest spec-legal progressive layout (libjpeg's
+    successive-approximation ladders remain a decoder stub). Grayscale
+    input (len == w*h) or RGB (len == 3*w*h, YCbCr at the requested
+    subsampling). Consecutive blocks with empty bands merge into real
+    EOBn runs (T.81 G.1.2.2), so any standards-compliant progressive
+    decoder reads these files and the EOB-run decode path is exercised
+    by every flat region."""
+    if len(pixels) == width * height:
+        qt_l = _quant_table(quality, _LUMA_Q)
+        img = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        )
+        lh = (height + 7) // 8 * 8
+        lw = (width + 7) // 8 * 8
+        comps = [
+            {"id": 1, "h": 1, "v": 1, "tq": 0,
+             "zz": _quantized_zz_blocks(_pad_replicate(img, lh, lw), qt_l)}
+        ]
+        hy = vy = 1
+        mcux, mcuy = lw // 8, lh // 8
+        dqt = bytes([0x00]) + bytes(
+            int(qt_l.flat[_ZIGZAG[k]]) for k in range(64)
+        )
+    elif len(pixels) == width * height * 3:
+        if subsampling not in _SUBSAMPLING:
+            raise ValueError(
+                f"subsampling must be one of {sorted(_SUBSAMPLING)}"
+            )
+        hy, vy = _SUBSAMPLING[subsampling]
+        qt_l = _quant_table(quality, _LUMA_Q)
+        qt_c = _quant_table(quality, _CHROMA_Q)
+        rgb = (
+            np.frombuffer(pixels, dtype=np.uint8)
+            .reshape(height, width, 3)
+            .astype(np.float64)
+        )
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        lh = (height + 8 * vy - 1) // (8 * vy) * (8 * vy)
+        lw = (width + 8 * hy - 1) // (8 * hy) * (8 * hy)
+        yp = _pad_replicate(y, lh, lw)
+        cbp = _pad_replicate(cb, lh, lw)
+        crp = _pad_replicate(cr, lh, lw)
+        if (hy, vy) != (1, 1):
+            cbp = cbp.reshape(lh // vy, vy, lw // hy, hy).mean(axis=(1, 3))
+            crp = crp.reshape(lh // vy, vy, lw // hy, hy).mean(axis=(1, 3))
+        comps = [
+            {"id": 1, "h": hy, "v": vy, "tq": 0,
+             "zz": _quantized_zz_blocks(yp, qt_l)},
+            {"id": 2, "h": 1, "v": 1, "tq": 1,
+             "zz": _quantized_zz_blocks(cbp, qt_c)},
+            {"id": 3, "h": 1, "v": 1, "tq": 1,
+             "zz": _quantized_zz_blocks(crp, qt_c)},
+        ]
+        mcux, mcuy = lw // (8 * hy), lh // (8 * vy)
+        dqt = (
+            bytes([0x00])
+            + bytes(int(qt_l.flat[_ZIGZAG[k]]) for k in range(64))
+            + bytes([0x01])
+            + bytes(int(qt_c.flat[_ZIGZAG[k]]) for k in range(64))
+        )
+    else:
+        raise ValueError("len(pixels) must be w*h (gray) or 3*w*h (RGB)")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    # scan 1: interleaved DC (Ss=0 Se=0 Ah=Al=0)
+    w = _BitWriter()
+    prev = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for bv in range(c["v"]):
+                    for bh_ in range(c["h"]):
+                        zz = c["zz"][my * c["v"] + bv][mx * c["h"] + bh_]
+                        size, bits = _magnitude(zz[0] - prev[ci])
+                        prev[ci] = zz[0]
+                        code, length = _DC_CODES[size]
+                        w.write(code, length)
+                        if size:
+                            w.write(bits, size)
+    w.flush()
+    sos_dc = (
+        bytes([len(comps)])
+        + b"".join(bytes([c["id"], 0x00]) for c in comps)
+        + bytes([0, 0, 0])
+    )
+    scans = _seg(0xDA, sos_dc) + bytes(w.buf)
+    # per-component AC scans (Ss=1 Se=63), component-grid raster order
+    for c in comps:
+        cw = (width * c["h"] + hmax - 1) // hmax
+        chh = (height * c["v"] + vmax - 1) // vmax
+        cbx, cby = (cw + 7) // 8, (chh + 7) // 8
+        w = _BitWriter()
+        eob = _EobRun(w)
+        for by in range(cby):
+            for bx in range(cbx):
+                _write_ac_band(w, eob, c["zz"][by][bx], 1, 63)
+        eob.flush()
+        w.flush()
+        scans += _seg(0xDA, bytes([1, c["id"], 0x00, 1, 63, 0])) + bytes(
+            w.buf
+        )
+
+    sof2 = struct.pack(">BHHB", 8, height, width, len(comps)) + b"".join(
+        bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps
+    )
+    dht = (
+        bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, dqt)
+        + _seg(0xC2, sof2)
+        + _seg(0xC4, dht)
+        + scans
+        + b"\xff\xd9"
+    )
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; raises the
     declared contract error on truncation or an unexpected marker."""
@@ -440,19 +665,182 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _next_marker(payload: bytes, p: int) -> int:
+    """Advance past any residual entropy/padding bytes to the next
+    marker (0xFF followed by a non-stuffing byte)."""
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(payload)
+
+
+def _decode_block_zz(reader, dc_tab, ac_tab, prev_dc):
+    """Baseline full-spectrum block decode → (zigzag coefficient list,
+    new DC predictor)."""
+    zz = [0] * 64
+    size = _read_huff(reader, dc_tab)
+    prev_dc += _extend(reader.bits(size), size)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_huff(reader, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        k += run
+        if k > 63:
+            raise NotImplementedError("JPEG AC run overflows the block")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    return zz, prev_dc
+
+
+def _decode_scan(
+    payload, pos, progressive, comps, scomps, qtabs, htabs, coefs,
+    mcux, mcuy, ss, se, ah, al,
+):
+    """Decode one entropy-coded scan into the per-component coefficient
+    arrays; returns the offset of the next marker. Baseline: one
+    interleaved full-spectrum scan. Progressive (spectral selection
+    only): DC scans (interleaved or single-component) and
+    single-component AC scans with EOB-run coding."""
+    reader = _BitReader(payload, pos)
+    if not progressive:
+        if len(scomps) != len(comps):
+            raise NotImplementedError(
+                "non-interleaved JPEG scans not supported (SOS must "
+                "cover every frame component in one scan)"
+            )
+        for c in comps:
+            if (
+                (0, c["td"]) not in htabs
+                or (1, c["ta"]) not in htabs
+                or c["tq"] not in qtabs
+            ):
+                raise NotImplementedError(
+                    "JPEG scan references missing tables"
+                )
+        prev = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    dc_tab = htabs[(0, c["td"])]
+                    ac_tab = htabs[(1, c["ta"])]
+                    for bv in range(c["v"]):
+                        for bh_ in range(c["h"]):
+                            zz, prev[c["ci"]] = _decode_block_zz(
+                                reader, dc_tab, ac_tab, prev[c["ci"]]
+                            )
+                            coefs[c["ci"]][
+                                my * c["v"] + bv, mx * c["h"] + bh_
+                            ] = zz
+        return _next_marker(payload, reader.pos)
+
+    if ah != 0 or al != 0:
+        raise NotImplementedError(
+            "JPEG successive approximation not supported "
+            "(spectral-selection progressive only)"
+        )
+    if ss == 0:
+        if se != 0:
+            raise NotImplementedError(
+                "progressive frame carries a full-spectrum baseline "
+                "scan (Ss=0 requires Se=0)"
+            )
+        for c in scomps:
+            if (0, c["td"]) not in htabs:
+                raise NotImplementedError(
+                    "JPEG scan references missing tables"
+                )
+        prev = {c["ci"]: 0 for c in scomps}
+
+        def dc_one(c, by, bx):
+            size = _read_huff(reader, htabs[(0, c["td"])])
+            prev[c["ci"]] += _extend(reader.bits(size), size)
+            coefs[c["ci"]][by, bx, 0] = prev[c["ci"]]
+
+        if len(scomps) > 1:  # interleaved DC scan: MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c in scomps:
+                        for bv in range(c["v"]):
+                            for bh_ in range(c["h"]):
+                                dc_one(c, my * c["v"] + bv, mx * c["h"] + bh_)
+        else:  # single-component DC scan: component-grid raster order
+            c = scomps[0]
+            for by in range(c["cby"]):
+                for bx in range(c["cbx"]):
+                    dc_one(c, by, bx)
+        return _next_marker(payload, reader.pos)
+
+    # AC scan (first pass, Al=0): spec F.2.3 — exactly one component,
+    # EOB-run coding across blocks in component-grid raster order
+    if len(scomps) != 1:
+        raise NotImplementedError(
+            "progressive AC scan must cover exactly one component"
+        )
+    if not (1 <= ss <= se <= 63):
+        raise NotImplementedError(
+            "invalid progressive spectral selection range"
+        )
+    c = scomps[0]
+    if (1, c["ta"]) not in htabs:
+        raise NotImplementedError("JPEG scan references missing tables")
+    ac_tab = htabs[(1, c["ta"])]
+    arr = coefs[c["ci"]]
+    eobrun = 0
+    for by in range(c["cby"]):
+        for bx in range(c["cbx"]):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _read_huff(reader, ac_tab)
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1  # EOBn: this block + n more
+                    if run:
+                        eobrun += reader.bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise NotImplementedError(
+                        "JPEG AC run overflows the spectral band"
+                    )
+                arr[by, bx, k] = _extend(reader.bits(size), size)
+                k += 1
+    return _next_marker(payload, reader.pos)
+
+
 def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
-    """Baseline 1- or 3-component JPEG decode. Returns
+    """1- or 3-component JPEG decode: baseline sequential (SOF0) or
+    spectral-selection progressive (SOF2 — interleaved/per-component DC
+    scans + non-interleaved AC scans with EOB-run coding; successive
+    approximation Ah/Al != 0 is a declared stub). Returns
     {width, height, channels: 1|3, pixels} — channels=3 is interleaved
     RGB after the T.871 YCbCr transform. Tables and sampling factors
-    are parsed from the stream; see the module docstring for the
-    declared scope and the NotImplementedError contract."""
+    are parsed from the stream; every scan accumulates quantized
+    coefficients per component, dequant + IDCT run once at EOI. See the
+    module docstring for the declared scope and the NotImplementedError
+    contract."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream (missing SOI)")
     pos = 2
     qtabs: dict = {}
     htabs: dict = {}
     sof = None
+    progressive = False
     comps: "list[dict]" = []  # SOF order: [{'id','h','v','tq','td','ta'}]
+    coefs: "list[np.ndarray]" = []  # per comp: (nby, nbx, 64) zigzag order
+    scan_seen = False
     while True:
         if pos + 2 > len(payload):
             raise NotImplementedError("truncated JPEG header")
@@ -466,8 +854,10 @@ def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
             raise NotImplementedError("truncated JPEG header")
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:
-            raise NotImplementedError("JPEG has no scan (EOI before SOS)")
+        if marker == 0xD9:  # EOI
+            if not scan_seen:
+                raise NotImplementedError("JPEG has no scan (EOI before SOS)")
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # standalone markers (TEM, stray RSTn): no length field —
             # treating them as length-prefixed would mis-skip into
@@ -516,7 +906,8 @@ def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
                     code <<= 1
                 htabs[(tc, th)] = table
                 p += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(seg) < 9:  # 6 header bytes + >=1 component spec
                 raise NotImplementedError("truncated JPEG SOF0 segment")
             prec, h, w_, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -556,10 +947,28 @@ def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
                     "fractional JPEG chroma sampling ratios not supported"
                 )
             sof = (w_, h)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                )
+                for c in comps
+            ]
+            for ci, c in enumerate(comps):
+                # component-grid block dims (T.81 A.2.2): NON-interleaved
+                # scans cover ceil(comp_size/8) blocks, a subset of the
+                # MCU-padded grid
+                cw = (w_ * c["h"] + hmax - 1) // hmax
+                chh = (h * c["v"] + vmax - 1) // vmax
+                c["cbx"] = (cw + 7) // 8
+                c["cby"] = (chh + 7) // 8
+                c["ci"] = ci
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) JPEG supported"
+                "only baseline sequential (SOF0) or progressive (SOF2) "
+                "JPEG supported"
             )
         elif marker == 0xDD:  # DRI
             raise NotImplementedError("JPEG restart intervals not supported")
@@ -569,12 +978,8 @@ def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
                 raise NotImplementedError("truncated JPEG SOS segment")
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved JPEG scans not supported (SOS must "
-                    "cover every frame component in one scan)"
-                )
             by_id = {c["id"]: c for c in comps}
+            scomps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 if cs not in by_id:
@@ -583,67 +988,45 @@ def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
                     )
                 by_id[cs]["td"] = tdta >> 4
                 by_id[cs]["ta"] = tdta & 0xF
+                scomps.append(by_id[cs])
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             pos += seglen
-            break
+            pos = _decode_scan(
+                payload, pos, progressive, comps, scomps, qtabs, htabs,
+                coefs, mcux, mcuy, ss, se, ahal >> 4, ahal & 0xF,
+            )
+            scan_seen = True
+            continue
         # APPn / COM / anything else: skip
         pos += seglen
 
     w_, h = sof
-    for c in comps:
-        if (
-            (0, c["td"]) not in htabs
-            or (1, c["ta"]) not in htabs
-            or c["tq"] not in qtabs
-        ):
-            raise NotImplementedError("JPEG scan references missing tables")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w_ + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
-        for c in comps
-    ]
-    reader = _BitReader(payload, pos)
-    prev = [0] * len(comps)
-
-    def _decode_block(dc_tab, ac_tab, qt, prev_dc):
-        zz = [0] * 64
-        size = _read_huff(reader, dc_tab)
-        prev_dc += _extend(reader.bits(size), size)
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_huff(reader, ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 0xF
-            k += run
-            if k > 63:
-                raise NotImplementedError("JPEG AC run overflows the block")
-            zz[k] = _extend(reader.bits(size), size)
-            k += 1
-        coefs = np.zeros(64, dtype=np.float64)
-        for i in range(64):
-            coefs[_ZIGZAG[i]] = zz[i]
-        return _C.T @ (coefs.reshape(8, 8) * qt) @ _C + 128.0, prev_dc
-
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, c in enumerate(comps):
-                dc_tab, ac_tab = htabs[(0, c["td"])], htabs[(1, c["ta"])]
-                qt = qtabs[c["tq"]]
-                for bv in range(c["v"]):
-                    for bh_ in range(c["h"]):
-                        block, prev[ci] = _decode_block(
-                            dc_tab, ac_tab, qt, prev[ci]
-                        )
-                        py = (my * c["v"] + bv) * 8
-                        px = (mx * c["h"] + bh_) * 8
-                        planes[ci][py : py + 8, px : px + 8] = block
+    # dequant + inverse zigzag + IDCT, once, from the accumulated
+    # coefficients (baseline fills them in one scan; progressive across
+    # several)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtabs:
+            raise NotImplementedError("JPEG scan references missing tables")
+        qt = qtabs[c["tq"]]
+        plane = np.zeros(
+            (mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64
+        )
+        for by in range(mcuy * c["v"]):
+            for bx in range(mcux * c["h"]):
+                zz = coefs[ci][by, bx]
+                mat = np.zeros(64, dtype=np.float64)
+                for i in range(64):
+                    mat[_ZIGZAG[i]] = zz[i]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ (mat.reshape(8, 8) * qt) @ _C + 128.0
+                )
+        planes.append(plane)
 
     if len(comps) == 1:
         pixels = np.clip(np.round(planes[0][:h, :w_]), 0, 255).astype(
