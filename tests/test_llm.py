@@ -666,6 +666,59 @@ def test_jpeg_color_error_contracts():
         jpeg.encode_jpeg_color(4, 4, bytes(48), 90, "411")
 
 
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: streams with restart markers decode identically to the
+    restart-less encoding of the same raster (DC predictors reset per
+    interval), for baseline gray/color and progressive; an
+    out-of-sequence RSTn and a missing RSTn surface contracts."""
+    import random
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import jpeg
+
+    random.seed(11)
+    w, h = 24, 16
+    gpx = bytes(random.randrange(256) for _ in range(w * h))
+    cpx = bytes(random.randrange(256) for _ in range(w * h * 3))
+    base_g = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(w, h, gpx))["pixels"]
+    base_c = jpeg.decode_jpeg(jpeg.encode_jpeg_color(w, h, cpx, 90, "420"))[
+        "pixels"
+    ]
+    base_p = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(w, h, cpx, 90, "420"))[
+        "pixels"
+    ]
+    for ri in (1, 2, 5):
+        assert (
+            jpeg.decode_jpeg(
+                jpeg.encode_jpeg_gray(w, h, gpx, restart_interval=ri)
+            )["pixels"]
+            == base_g
+        )
+        assert (
+            jpeg.decode_jpeg(
+                jpeg.encode_jpeg_color(
+                    w, h, cpx, 90, "420", restart_interval=ri
+                )
+            )["pixels"]
+            == base_c
+        )
+        assert (
+            jpeg.decode_jpeg(
+                jpeg.encode_jpeg_progressive(
+                    w, h, cpx, 90, "420", restart_interval=ri
+                )
+            )["pixels"]
+            == base_p
+        )
+    # out-of-modulo-sequence RSTn: flip the first RST0 to RST5
+    ristream = jpeg.encode_jpeg_gray(w, h, gpx, restart_interval=1)
+    rst_at = ristream.index(b"\xff\xd0")
+    bad = ristream[:rst_at] + b"\xff\xd5" + ristream[rst_at + 2 :]
+    with _pytest.raises(NotImplementedError, match="modulo-8"):
+        jpeg.decode_jpeg(bad)
+
+
 def test_jpeg_progressive_roundtrip_and_contracts():
     """Spectral-selection progressive JPEG: the decode must be
     BIT-IDENTICAL to the baseline decode of the same raster (same
@@ -766,11 +819,12 @@ def test_jpeg_error_contracts():
     prog = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :]
     with _pytest.raises(NotImplementedError, match="baseline"):
         jpeg.decode_jpeg_gray(prog)
-    # restart interval segment injected before SOS
+    # DRI declaring interval 1 on a restart-less stream: the decoder
+    # must miss the RST marker at the first boundary, not misdecode
     sos_at = prog.index(b"\xff\xda")
-    dri = b"\xff\xdd\x00\x04\x00\x08"
+    dri = b"\xff\xdd\x00\x04\x00\x01"
     with_dri = good[:sos_at] + dri + good[sos_at:]
-    with _pytest.raises(NotImplementedError, match="restart"):
+    with _pytest.raises(NotImplementedError, match="restart marker expected"):
         jpeg.decode_jpeg_gray(with_dri)
     # color (3-component) SOF0 is a declared stub
     import struct as st

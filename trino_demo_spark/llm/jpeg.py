@@ -46,8 +46,11 @@ Scope (declared, like every kernel contract in multimodal.py):
   (progressive scans with Ah or Al != 0 — the libjpeg refinement
   ladder), every non-SOF0/SOF2 frame type, CMYK/4-component frames,
   non-interleaved baseline scans, sampling factors > 2 or fractional
-  ratios, restart intervals (DRI/RSTn inside entropy data), 16-bit
-  quant tables, arithmetic coding.
+  ratios, 16-bit quant tables, arithmetic coding. Restart intervals
+  (DRI/RSTn) ARE supported in both directions: every encoder takes
+  restart_interval (DC-predictor/EOB-run reset + modulo-8 RSTn
+  sequence check), and the decoder enforces the declared interval in
+  baseline and progressive scans.
 """
 
 from __future__ import annotations
@@ -247,12 +250,26 @@ def _pad_replicate(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return out
 
 
+def _emit_restart(w: "_BitWriter", nrst: int) -> int:
+    """Close the entropy interval at a restart boundary: byte-align
+    (1-padding + stuffing via flush) and append RST(nrst % 8)."""
+    w.flush()
+    w.buf += bytes([0xFF, 0xD0 + (nrst % 8)])
+    return nrst + 1
+
+
 def encode_jpeg_gray(
-    width: int, height: int, pixels: bytes, quality: int = 90
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int = 90,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline grayscale JPEG writer. `pixels` is row-major 8-bit
     luma, len == width*height. Edge-replicates to 8x8 block multiples
-    (the decoder crops back)."""
+    (the decoder crops back). restart_interval > 0 emits a DRI segment
+    and RSTn markers every that many MCUs (DC predictor reset) — the
+    camera-firmware resilience shape."""
     if len(pixels) != width * height:
         raise ValueError("len(pixels) must be width*height")
     qt = _quant_table(quality)
@@ -266,11 +283,16 @@ def encode_jpeg_gray(
 
     w = _BitWriter()
     prev_dc = 0
+    mcu_i = nrst = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw_, 8):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                nrst = _emit_restart(w, nrst)
+                prev_dc = 0
             prev_dc = _encode_block(
                 w, padded[by : by + 8, bx : bx + 8] - 128.0, qt, prev_dc
             )
+            mcu_i += 1
     w.flush()
 
     dqt = bytes([0x00]) + bytes(int(qt.flat[_ZIGZAG[k]]) for k in range(64))
@@ -280,11 +302,17 @@ def encode_jpeg_gray(
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof0)
         + _seg(0xC4, dht)
+        + dri
         + _seg(0xDA, sos)
         + bytes(w.buf)
         + b"\xff\xd9"
@@ -300,12 +328,14 @@ def encode_jpeg_color(
     pixels: bytes,
     quality: int = 90,
     subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF color JPEG writer. `pixels` is row-major
     interleaved 8-bit RGB, len == width*height*3. T.871 full-range
     RGB→YCbCr, box-average chroma downsample at the requested
     subsampling ('444'/'422'/'420'), Annex-K K.1/K.2 quant tables,
-    interleaved 3-component scan (the universal crawl-corpus shape)."""
+    interleaved 3-component scan (the universal crawl-corpus shape).
+    restart_interval > 0 emits DRI + RSTn every that many MCUs."""
     if len(pixels) != width * height * 3:
         raise ValueError("len(pixels) must be width*height*3")
     if subsampling not in _SUBSAMPLING:
@@ -342,8 +372,13 @@ def encode_jpeg_color(
     ]
     w = _BitWriter()
     prev = [0, 0, 0]
+    mcu_i = nrst = 0
     for my in range(lh // (8 * vy)):
         for mx in range(lw // (8 * hy)):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                nrst = _emit_restart(w, nrst)
+                prev = [0, 0, 0]
+            mcu_i += 1
             for ci, (plane, qt, ch, cv) in enumerate(comps):
                 for bv in range(cv):
                     for bh_ in range(ch):
@@ -373,11 +408,17 @@ def encode_jpeg_color(
     # all three components share huffman pair (0,0) — spec-legal, the
     # tables are stream-declared and component-selected in SOS
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xDB, dqt)
         + _seg(0xC0, sof0)
         + _seg(0xC4, dht)
+        + dri
         + _seg(0xDA, sos)
         + bytes(w.buf)
         + b"\xff\xd9"
@@ -466,6 +507,7 @@ def encode_jpeg_progressive(
     pixels: bytes,
     quality: int = 90,
     subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """Spectral-selection progressive JPEG writer (SOF2): one
     interleaved DC scan (Ss=0, Se=0) followed by one full-band AC scan
@@ -543,8 +585,13 @@ def encode_jpeg_progressive(
     # scan 1: interleaved DC (Ss=0 Se=0 Ah=Al=0)
     w = _BitWriter()
     prev = [0] * len(comps)
+    mcu_i = nrst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                nrst = _emit_restart(w, nrst)
+                prev = [0] * len(comps)
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 for bv in range(c["v"]):
                     for bh_ in range(c["h"]):
@@ -569,8 +616,13 @@ def encode_jpeg_progressive(
         cbx, cby = (cw + 7) // 8, (chh + 7) // 8
         w = _BitWriter()
         eob = _EobRun(w)
+        blk_i = nrst = 0
         for by in range(cby):
             for bx in range(cbx):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    eob.flush()  # EOB runs must not cross a restart
+                    nrst = _emit_restart(w, nrst)
+                blk_i += 1
                 _write_ac_band(w, eob, c["zz"][by][bx], 1, 63)
         eob.flush()
         w.flush()
@@ -585,11 +637,17 @@ def encode_jpeg_progressive(
         bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
         + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xDB, dqt)
         + _seg(0xC2, sof2)
         + _seg(0xC4, dht)
+        + dri
         + scans
         + b"\xff\xd9"
     )
@@ -621,7 +679,8 @@ class _BitReader:
                 raise NotImplementedError("truncated JPEG entropy stream")
             elif 0xD0 <= m <= 0xD7:
                 raise NotImplementedError(
-                    "JPEG restart markers not supported"
+                    "unexpected JPEG restart marker inside an entropy "
+                    "interval (bits requested across a restart boundary)"
                 )
             else:
                 raise NotImplementedError(
@@ -646,6 +705,24 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def expect_restart(self, n: int) -> None:
+        """Consume the RSTn marker at a restart boundary: discard the
+        current byte's padding bits, then require 0xFF 0xD(n%8)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise NotImplementedError("truncated JPEG entropy stream")
+        m = self.data[self.pos + 1]
+        if self.data[self.pos] != 0xFF or not (0xD0 <= m <= 0xD7):
+            raise NotImplementedError(
+                "JPEG restart marker expected at the declared interval"
+            )
+        if m != 0xD0 + (n % 8):
+            raise NotImplementedError(
+                "JPEG restart marker out of modulo-8 sequence"
+            )
+        self.pos += 2
 
 
 def _read_huff(reader: "_BitReader", table: dict) -> int:
@@ -701,7 +778,7 @@ def _decode_block_zz(reader, dc_tab, ac_tab, prev_dc):
 
 def _decode_scan(
     payload, pos, progressive, comps, scomps, qtabs, htabs, coefs,
-    mcux, mcuy, ss, se, ah, al,
+    mcux, mcuy, ss, se, ah, al, dri=0,
 ):
     """Decode one entropy-coded scan into the per-component coefficient
     arrays; returns the offset of the next marker. Baseline: one
@@ -725,8 +802,16 @@ def _decode_scan(
                     "JPEG scan references missing tables"
                 )
         prev = [0] * len(comps)
+        since = nrst = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if dri and since == dri:
+                    # restart boundary: byte-align, consume RSTn, reset
+                    # the DC predictors (T.81 F.2.1.3.1)
+                    reader.expect_restart(nrst)
+                    nrst += 1
+                    since = 0
+                    prev = [0] * len(comps)
                 for c in comps:
                     dc_tab = htabs[(0, c["td"])]
                     ac_tab = htabs[(1, c["ta"])]
@@ -738,6 +823,7 @@ def _decode_scan(
                             coefs[c["ci"]][
                                 my * c["v"] + bv, mx * c["h"] + bh_
                             ] = zz
+                since += 1
         return _next_marker(payload, reader.pos)
 
     if ah != 0 or al != 0:
@@ -763,18 +849,33 @@ def _decode_scan(
             prev[c["ci"]] += _extend(reader.bits(size), size)
             coefs[c["ci"]][by, bx, 0] = prev[c["ci"]]
 
+        since = nrst = 0
+
+        def restart_dc():
+            nonlocal since, nrst
+            if dri and since == dri:
+                reader.expect_restart(nrst)
+                nrst += 1
+                since = 0
+                for ci in prev:
+                    prev[ci] = 0
+
         if len(scomps) > 1:  # interleaved DC scan: MCU order
             for my in range(mcuy):
                 for mx in range(mcux):
+                    restart_dc()
                     for c in scomps:
                         for bv in range(c["v"]):
                             for bh_ in range(c["h"]):
                                 dc_one(c, my * c["v"] + bv, mx * c["h"] + bh_)
+                    since += 1
         else:  # single-component DC scan: component-grid raster order
             c = scomps[0]
             for by in range(c["cby"]):
                 for bx in range(c["cbx"]):
+                    restart_dc()
                     dc_one(c, by, bx)
+                    since += 1
         return _next_marker(payload, reader.pos)
 
     # AC scan (first pass, Al=0): spec F.2.3 — exactly one component,
@@ -793,8 +894,17 @@ def _decode_scan(
     ac_tab = htabs[(1, c["ta"])]
     arr = coefs[c["ci"]]
     eobrun = 0
+    since = nrst = 0
     for by in range(c["cby"]):
         for bx in range(c["cbx"]):
+            if dri and since == dri:
+                # restart boundary in an AC scan: EOB runs must not
+                # cross it (encoder contract), state resets
+                reader.expect_restart(nrst)
+                nrst += 1
+                since = 0
+                eobrun = 0
+            since += 1
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -841,6 +951,7 @@ def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
     comps: "list[dict]" = []  # SOF order: [{'id','h','v','tq','td','ta'}]
     coefs: "list[np.ndarray]" = []  # per comp: (nby, nbx, 64) zigzag order
     scan_seen = False
+    dri = 0  # restart interval in MCUs/blocks (0 = none)
     while True:
         if pos + 2 > len(payload):
             raise NotImplementedError("truncated JPEG header")
@@ -971,7 +1082,9 @@ def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
                 "JPEG supported"
             )
         elif marker == 0xDD:  # DRI
-            raise NotImplementedError("JPEG restart intervals not supported")
+            if len(seg) != 2:
+                raise NotImplementedError("malformed JPEG DRI segment")
+            (dri,) = struct.unpack(">H", seg)
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise NotImplementedError("JPEG SOS before SOF0")
@@ -994,7 +1107,7 @@ def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
             pos += seglen
             pos = _decode_scan(
                 payload, pos, progressive, comps, scomps, qtabs, htabs,
-                coefs, mcux, mcuy, ss, se, ahal >> 4, ahal & 0xF,
+                coefs, mcux, mcuy, ss, se, ahal >> 4, ahal & 0xF, dri,
             )
             scan_seen = True
             continue
