@@ -276,6 +276,41 @@ def test_png_palette_roundtrip_and_contracts():
         multimodal.decode_png(bad)
 
 
+def test_png_16bit_roundtrip():
+    """16-bit PNG (big-endian u16 samples, filter distance 2·channels
+    bytes per spec §9.2): bit-exact roundtrip for gray/RGB/RGBA, plain
+    and Adam7; 16-bit palette stays rejected (not spec-legal)."""
+    import struct as st
+    import zlib as zl
+
+    import pytest as _pytest
+
+    for channels in (1, 3, 4):
+        for w, h in ((1, 1), (3, 5), (8, 8), (9, 10)):
+            n = w * h * channels
+            vals = [(i * 4099 + channels * 7919) % 65536 for i in range(n)]
+            px = st.pack(f">{n}H", *vals)
+            for inter in (False, True):
+                out = multimodal.decode_png(
+                    multimodal.encode_png(
+                        w, h, px, channels, interlace=inter, depth=16
+                    )
+                )
+                assert out["pixels"] == px and out["depth"] == 16
+    assert multimodal.decode_png(multimodal.encode_png(2, 2, bytes(12)))[
+        "depth"
+    ] == 8
+    ihdr = st.pack(">II5B", 2, 2, 16, 3, 0, 0, 0)
+    bad = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zl.compress(b"\x00"))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="not spec-legal"):
+        multimodal.decode_png(bad)
+
+
 def test_png_trns_palette_alpha_roundtrip_and_contracts():
     """tRNS palette transparency: RGBA-in → PLTE + truncated tRNS
     (non-opaque entries sorted first, trailing 255s dropped per the
@@ -434,7 +469,7 @@ def test_png_error_contracts():
     # with a raster that doesn't match the pass layout surface their own
     # contracts
     for field_off, val, msg in (
-        (8, 16, "8-bit"),       # bit depth byte within IHDR data
+        (8, 4, "sub-byte"),     # bit depth 4 (sub-byte) stays a stub
         (9, 3, "missing PLTE"),  # color type 3 but no PLTE chunk
         (12, 1, "truncated PNG raster|Adam7 pass layout"),  # interlace
     ):

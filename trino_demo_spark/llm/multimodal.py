@@ -7,16 +7,18 @@ REAL pure-stdlib kernels: WAV/RIFF PCM16 audio (`decode_audio` /
 `encode_wav_pcm16`), binary PPM/PGM images (`decode_image` /
 `encode_ppm`), PNG — stdlib zlib inflate + chunk-CRC walk + full
 five-filter scanline reversal — (`decode_png` / `encode_png`),
-baseline grayscale JPEG — real DCT/huffman codec, see llm.jpeg —
-(`jpeg_roundtrip_features`, tolerance-verdict oracle since the codec
-is lossy), and concatenated-PPM video streams — ffmpeg's
-image2pipe/ppm raw-video format — (`frame_sample` /
-`encode_ppm_stream`), all exercised end-to-end through mapInPandas
-with DuckDB-oracle-checked features
-(parity_llm.llm_multimodal_wav/_ppm/_png/_jpeg/_frames). Formats that
-need codec libraries not in this container (color/progressive JPEG,
-WebP, compressed audio, mp4/webm video) raise NotImplementedError —
-declared stubs.
+JPEG — real DCT/huffman codec: baseline gray + YCbCr color
+(4:4:4/4:2:2/4:2:0), spectral-selection progressive, restart
+intervals, see llm.jpeg — (`jpeg_roundtrip_features` and kin,
+tolerance-verdict oracles since the codec is lossy), and
+concatenated-PPM video streams — ffmpeg's image2pipe/ppm raw-video
+format — (`frame_sample` / `encode_ppm_stream`), all exercised
+end-to-end through mapInPandas with DuckDB-oracle-checked features
+(parity_llm.llm_multimodal_wav/_ppm/_png/_png_palette/_png_adam7/
+_png_trns/_jpeg/_jpeg_color/_jpeg_progressive/_frames). Formats that
+need codec libraries not in this container (WebP,
+successive-approximation progressive JPEG, compressed audio, mp4/webm
+video) raise NotImplementedError — declared stubs.
 """
 
 from __future__ import annotations
@@ -315,32 +317,38 @@ def encode_png(
     pixels: bytes,
     channels: int = 3,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Pure-stdlib PNG writer (bit depth 8; grayscale/RGB/RGBA;
+    """Pure-stdlib PNG writer (bit depth 8 or 16; grayscale/RGB/RGBA;
     optionally Adam7-interlaced). Each scanline is REALLY filtered —
     filter type (y + pass_height) % 5, so small synthetic rasters of
     different heights collectively exercise every filter
     (None/Sub/Up/Average/Paeth) and the decoder's full reversal matrix
     — then zlib-deflated into one IDAT. With interlace=True the raster
     is split into the seven Adam7 sub-images, each filtered
-    independently (spec §8.2)."""
+    independently (spec §8.2). depth=16 takes big-endian u16 samples
+    (len == 2*channels*w*h); PNG filtering operates on BYTES with
+    bpp = 2*channels per spec §9.2."""
     import zlib
 
-    if len(pixels) != width * height * channels:
-        raise ValueError("len(pixels) must be channels*w*h")
+    if depth not in (8, 16):
+        raise ValueError("PNG depth must be 8 or 16")
+    bpp = channels * (depth // 8)
+    if len(pixels) != width * height * bpp:
+        raise ValueError("len(pixels) must be channels*w*h*(depth/8)")
     color = {1: 0, 3: 2, 4: 6}[channels]
-    stride = width * channels
+    stride = width * bpp
     if interlace:
         raw = bytearray()
-        for rows in _adam7_split(width, height, pixels, channels):
-            raw += _filter_lines(rows, channels)
+        for rows in _adam7_split(width, height, pixels, bpp):
+            raw += _filter_lines(rows, bpp)
     else:
         raw = _filter_lines(
             [pixels[y * stride : (y + 1) * stride] for y in range(height)],
-            channels,
+            bpp,
         )
     ihdr = struct.pack(
-        ">II5B", width, height, 8, color, 0, 0, 1 if interlace else 0
+        ">II5B", width, height, depth, color, 0, 0, 1 if interlace else 0
     )
     return (
         _PNG_SIG
@@ -470,11 +478,18 @@ def decode_png(payload: bytes) -> dict:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">II5B", data
             )
-            if depth != 8:
-                raise NotImplementedError("only 8-bit PNG supported")
+            if depth not in (8, 16):
+                raise NotImplementedError(
+                    "only 8- or 16-bit PNG supported (sub-byte palette "
+                    "depths are not)"
+                )
             if color not in (0, 2, 3, 6):
                 raise NotImplementedError(
                     "alpha-gray PNG color type not supported"
+                )
+            if depth == 16 and color == 3:
+                raise NotImplementedError(
+                    "16-bit palette PNG is not spec-legal"
                 )
             if comp != 0 or filt != 0:
                 raise NotImplementedError("nonstandard PNG comp/filter")
@@ -509,11 +524,12 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + length
     if ihdr is None or not idat or not saw_iend:
         raise NotImplementedError("PNG missing IHDR/IDAT/IEND")
-    w, h, _depth, color, interlace = ihdr
+    w, h, depth, color, interlace = ihdr
     if color == 3 and plte is None:
         raise NotImplementedError("palette PNG missing PLTE chunk")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    stride = w * channels
+    bpp = channels * (depth // 8)  # filter distance is in BYTES (§9.2)
+    stride = w * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -521,7 +537,7 @@ def decode_png(payload: bytes) -> dict:
     if interlace == 0:
         if len(raw) != h * (1 + stride):
             raise NotImplementedError("truncated PNG raster")
-        rows, _ = _unfilter_lines(raw, 0, h, stride, channels)
+        rows, _ = _unfilter_lines(raw, 0, h, stride, bpp)
         out = bytearray(h * stride)
         for y, row in enumerate(rows):
             out[y * stride : (y + 1) * stride] = row
@@ -536,15 +552,13 @@ def decode_png(payload: bytes) -> dict:
             ph = (h - ys + yst - 1) // yst if h > ys else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass carries no bytes, not even filters
-            rows, off = _unfilter_lines(raw, off, ph, pw * channels, channels)
+            rows, off = _unfilter_lines(raw, off, ph, pw * bpp, bpp)
             for ry, row in enumerate(rows):
                 y = ys + ry * yst
                 for rx in range(pw):
                     x = xs + rx * xst
-                    dst = (y * w + x) * channels
-                    out[dst : dst + channels] = row[
-                        rx * channels : (rx + 1) * channels
-                    ]
+                    dst = (y * w + x) * bpp
+                    out[dst : dst + bpp] = row[rx * bpp : (rx + 1) * bpp]
         if off != len(raw):
             raise NotImplementedError(
                 "PNG raster length does not match the Adam7 pass layout"
@@ -566,6 +580,7 @@ def decode_png(payload: bytes) -> dict:
                 "width": w,
                 "height": h,
                 "channels": 3,
+                "depth": 8,
                 "pixels": bytes(rgb),
             }
         rgba = bytearray(w * h * 4)
@@ -576,12 +591,14 @@ def decode_png(payload: bytes) -> dict:
             "width": w,
             "height": h,
             "channels": 4,
+            "depth": 8,
             "pixels": bytes(rgba),
         }
     return {
         "width": w,
         "height": h,
         "channels": channels,
+        "depth": depth,  # 16-bit rasters stay big-endian u16 bytes
         "pixels": bytes(out),
     }
 
@@ -912,6 +929,65 @@ def png_palette_roundtrip_features(
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=PNG_PALETTE_FEATURE_SCHEMA)
+
+
+PNG16_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("depth", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("mean_sample", T.DoubleType()),
+    ]
+)
+
+
+def png_16bit_roundtrip_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit PNG decode exercised for real: deterministic big-endian
+    u16 RGB rasters → encode_png(depth=16) (filter distance 6 bytes per
+    spec §9.2) → decode_png → features from the DECODED u16 samples,
+    bit-exact-roundtrip-guarded; the oracle recomputes them from the
+    source formula. One Arrow mapInPandas pass."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = (doc_id % 5) + 2, (doc_id % 3) + 2
+                n = 3 * w * h
+                vals = [(doc_id * 257 + j * 4099) % 65536 for j in range(n)]
+                px = struct.pack(f">{n}H", *vals)
+                decoded = decode_png(
+                    encode_png(w, h, px, channels=3, depth=16)
+                )
+                if decoded["pixels"] != px or decoded["depth"] != 16:
+                    raise RuntimeError(
+                        f"16-bit PNG roundtrip not bit-exact for doc "
+                        f"{doc_id}"
+                    )
+                got = struct.unpack(f">{n}H", decoded["pixels"])
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "channels": 3,
+                        "depth": 16,
+                        "n_pixel_bytes": len(decoded["pixels"]),
+                        "sample_sum": sum(got),
+                        "mean_sample": round(sum(got) / n + 1e-9, 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=PNG16_FEATURE_SCHEMA)
 
 
 def png_trns_roundtrip_features(

@@ -796,6 +796,36 @@ def llm_multimodal_png(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_png_16bit",
+    sql="""
+    WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
+               FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, w, h, (doc_id * 257 + j * 4099) % 65536 AS v
+          FROM d, UNNEST(range(0, 72)) u(j) WHERE j < 3 * w * h)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS depth,
+           CAST(6 * w * h AS BIGINT) AS n_pixel_bytes,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           ROUND(SUM(v) * 1.0 / (3 * w * h) + 1e-9, 4) AS mean_sample
+    FROM s GROUP BY doc_id, w, h
+    """,
+    doc="16-BIT PNG decode through the engine: big-endian u16 RGB "
+    "rasters written with the spec §9.2 byte-filter distance (6 bytes "
+    "at depth 16) and decoded back bit-exactly; features come from the "
+    "decoded u16 samples and the oracle recomputes them from the "
+    "source formula. Closes the 16-bit declared stub; sub-byte palette "
+    "depths remain one (16-bit palette is not spec-legal and is "
+    "rejected).",
+)
+def llm_multimodal_png_16bit(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.png_16bit_roundtrip_features(docs)
+
+
+@parity(
     "llm_multimodal_png_trns",
     sql="""
     WITH d AS (SELECT doc_id, (doc_id % 6) + 3 AS w, (doc_id % 4) + 3 AS h
