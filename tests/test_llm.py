@@ -818,10 +818,49 @@ def test_jpeg_progressive_roundtrip_and_contracts():
         == jpeg.decode_jpeg(ref)["pixels"]
     )
 
-    # successive approximation (Al=1 on the AC scan) is a declared stub
+    # SUCCESSIVE APPROXIMATION: the full ladder (DC Al=1 + refine, AC
+    # Al=1 + refine with correction-bit buffering) must land exactly on
+    # the baseline coefficients — bit-identical pixels
+    import random as _random
+
+    _random.seed(5)
+    for sub in ("444", "420"):
+        for q in (25, 90):
+            w, h = 24, 16
+            px = bytes(_random.randrange(256) for _ in range(w * h * 3))
+            assert (
+                jpeg.decode_jpeg(
+                    jpeg.encode_jpeg_progressive(
+                        w, h, px, q, sub, successive=True
+                    )
+                )["pixels"]
+                == jpeg.decode_jpeg(jpeg.encode_jpeg_color(w, h, px, q, sub))[
+                    "pixels"
+                ]
+            ), (sub, q)
+    gpx = bytes(_random.randrange(256) for _ in range(23 * 17))
+    assert (
+        jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(23, 17, gpx, successive=True)
+        )["pixels"]
+        == jpeg.decode_jpeg(jpeg.encode_jpeg_gray(23, 17, gpx))["pixels"]
+    )
+    # SA + restart intervals compose
+    px = bytes(_random.randrange(256) for _ in range(24 * 16 * 3))
+    assert (
+        jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(
+                24, 16, px, 90, "420", restart_interval=2, successive=True
+            )
+        )["pixels"]
+        == jpeg.decode_jpeg(jpeg.encode_jpeg_color(24, 16, px, 90, "420"))[
+            "pixels"
+        ]
+    )
+    # a refinement scan skipping a bit plane (Ah=2, Al=0) is rejected
     approx = bytearray(ref)
-    approx[ac_sos + 2 + ac_len - 1] = 0x01  # AhAl byte of the AC SOS
-    with _pytest.raises(NotImplementedError, match="successive approximation"):
+    approx[ac_sos + 2 + ac_len - 1] = 0x20  # AhAl byte of the AC SOS
+    with _pytest.raises(NotImplementedError, match="Ah != Al"):
         jpeg.decode_jpeg(bytes(approx))
     # a full-spectrum (baseline-shaped) scan inside a progressive frame
     gray = jpeg.encode_jpeg_gray(9, 6, bytes(54))

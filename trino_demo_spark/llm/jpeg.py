@@ -33,24 +33,27 @@ Scope (declared, like every kernel contract in multimodal.py):
   upsamples chroma, applies the T.871 YCbCr→RGB transform, clamps,
   crops edge padding. 3-component SOF order is taken as Y,Cb,Cr per
   JFIF (ids 1,2,3); Adobe APP14 color transforms are not interpreted.
-- PROGRESSIVE (SOF2), spectral-selection subset: the decoder handles
-  multi-scan streams — interleaved or single-component DC scans, and
-  non-interleaved AC scans with EOB-run (EOBn) coding — accumulating
-  quantized coefficients per component and running dequant+IDCT once
-  at EOI. `encode_jpeg_progressive` emits the simplest spec-legal
-  layout (one interleaved DC scan + one full-band AC scan per
-  component, Ah=Al=0); its decode is bit-identical to the baseline
-  encoding of the same raster, which is the plumbing oracle.
+- PROGRESSIVE (SOF2), full ladder: the decoder handles multi-scan
+  streams — interleaved or single-component DC scans, non-interleaved
+  AC scans with EOB-run (EOBn) coding, AND successive approximation
+  (point-transformed first scans at any Al; DC refinement raw bits;
+  AC refinement per T.81 G.1.2.3 with correction bits consumed across
+  EOB-run regions — the libjpeg decode_mcu_AC_refine shape) —
+  accumulating quantized coefficients per component and running
+  dequant+IDCT once at EOI. `encode_jpeg_progressive` emits either
+  pure spectral selection or (successive=True) the libjpeg-shaped SA
+  ladder with correction-bit buffering; both decode BIT-IDENTICAL to
+  the baseline encoding of the same raster, which is the plumbing
+  oracle.
 - NOT supported, per the module error contract (NotImplementedError,
-  never a raw struct/index error): successive approximation
-  (progressive scans with Ah or Al != 0 — the libjpeg refinement
-  ladder), every non-SOF0/SOF2 frame type, CMYK/4-component frames,
-  non-interleaved baseline scans, sampling factors > 2 or fractional
-  ratios, 16-bit quant tables, arithmetic coding. Restart intervals
-  (DRI/RSTn) ARE supported in both directions: every encoder takes
-  restart_interval (DC-predictor/EOB-run reset + modulo-8 RSTn
-  sequence check), and the decoder enforces the declared interval in
-  baseline and progressive scans.
+  never a raw struct/index error): refinement scans with
+  Ah != Al + 1, every non-SOF0/SOF2 frame type, CMYK/4-component
+  frames, non-interleaved baseline scans, sampling factors > 2 or
+  fractional ratios, 16-bit quant tables, arithmetic coding. Restart
+  intervals (DRI/RSTn) ARE supported in both directions: every
+  encoder takes restart_interval (DC-predictor/EOB-run reset +
+  modulo-8 RSTn sequence check), and the decoder enforces the
+  declared interval in baseline and progressive scans.
 """
 
 from __future__ import annotations
@@ -508,17 +511,22 @@ def encode_jpeg_progressive(
     quality: int = 90,
     subsampling: str = "420",
     restart_interval: int = 0,
+    successive: bool = False,
 ) -> bytes:
-    """Spectral-selection progressive JPEG writer (SOF2): one
-    interleaved DC scan (Ss=0, Se=0) followed by one full-band AC scan
-    per component (Ss=1, Se=63, non-interleaved per spec), all with
-    Ah=Al=0 — the simplest spec-legal progressive layout (libjpeg's
-    successive-approximation ladders remain a decoder stub). Grayscale
-    input (len == w*h) or RGB (len == 3*w*h, YCbCr at the requested
-    subsampling). Consecutive blocks with empty bands merge into real
-    EOBn runs (T.81 G.1.2.2), so any standards-compliant progressive
-    decoder reads these files and the EOB-run decode path is exercised
-    by every flat region."""
+    """Progressive JPEG writer (SOF2). Default layout: one interleaved
+    DC scan (Ss=0, Se=0) + one full-band AC scan per component (Ss=1,
+    Se=63, non-interleaved per spec), Ah=Al=0 — pure spectral
+    selection. successive=True emits the libjpeg-shaped
+    SUCCESSIVE-APPROXIMATION ladder: DC first at Al=1 + a DC
+    refinement scan, then per-component AC first scans at Al=1 + AC
+    refinement scans (correction-bit buffering behind open EOB runs,
+    cjpeg's encode_mcu_AC_refine emission order) — the full precision
+    lands exactly on the baseline quantized coefficients, which is the
+    decoder's identity oracle. Grayscale input (len == w*h) or RGB
+    (len == 3*w*h, YCbCr at the requested subsampling). Consecutive
+    blocks with empty bands merge into real EOBn runs (T.81 G.1.2.2),
+    so any standards-compliant progressive decoder reads these files
+    and the EOB-run decode path is exercised by every flat region."""
     if len(pixels) == width * height:
         qt_l = _quant_table(quality, _LUMA_Q)
         img = (
@@ -582,38 +590,69 @@ def encode_jpeg_progressive(
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    # scan 1: interleaved DC (Ss=0 Se=0 Ah=Al=0)
-    w = _BitWriter()
-    prev = [0] * len(comps)
-    mcu_i = nrst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                nrst = _emit_restart(w, nrst)
-                prev = [0] * len(comps)
-            mcu_i += 1
-            for ci, c in enumerate(comps):
-                for bv in range(c["v"]):
-                    for bh_ in range(c["h"]):
-                        zz = c["zz"][my * c["v"] + bv][mx * c["h"] + bh_]
-                        size, bits = _magnitude(zz[0] - prev[ci])
-                        prev[ci] = zz[0]
-                        code, length = _DC_CODES[size]
-                        w.write(code, length)
-                        if size:
-                            w.write(bits, size)
-    w.flush()
-    sos_dc = (
-        bytes([len(comps)])
-        + b"".join(bytes([c["id"], 0x00]) for c in comps)
-        + bytes([0, 0, 0])
-    )
-    scans = _seg(0xDA, sos_dc) + bytes(w.buf)
-    # per-component AC scans (Ss=1 Se=63), component-grid raster order
-    for c in comps:
+
+    def comp_grid(c):
         cw = (width * c["h"] + hmax - 1) // hmax
         chh = (height * c["v"] + vmax - 1) // vmax
-        cbx, cby = (cw + 7) // 8, (chh + 7) // 8
+        return (cw + 7) // 8, (chh + 7) // 8
+
+    def dc_first_scan(al):
+        # interleaved DC scan (Ss=0 Se=0 Ah=0): diffs accumulate in the
+        # point-transformed (arithmetic >> Al) domain
+        w = _BitWriter()
+        prev = [0] * len(comps)
+        mcu_i = nrst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    nrst = _emit_restart(w, nrst)
+                    prev = [0] * len(comps)
+                mcu_i += 1
+                for ci, c in enumerate(comps):
+                    for bv in range(c["v"]):
+                        for bh_ in range(c["h"]):
+                            zz = c["zz"][my * c["v"] + bv][mx * c["h"] + bh_]
+                            v = zz[0] >> al
+                            size, bits = _magnitude(v - prev[ci])
+                            prev[ci] = v
+                            code, length = _DC_CODES[size]
+                            w.write(code, length)
+                            if size:
+                                w.write(bits, size)
+        w.flush()
+        sos = (
+            bytes([len(comps)])
+            + b"".join(bytes([c["id"], 0x00]) for c in comps)
+            + bytes([0, 0, al])
+        )
+        return _seg(0xDA, sos) + bytes(w.buf)
+
+    def dc_refine_scan(al):
+        # DC refinement (Ah=Al+1): one raw bit — bit Al of each DC —
+        # per block in interleaved MCU order
+        w = _BitWriter()
+        mcu_i = nrst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    nrst = _emit_restart(w, nrst)
+                mcu_i += 1
+                for c in comps:
+                    for bv in range(c["v"]):
+                        for bh_ in range(c["h"]):
+                            zz = c["zz"][my * c["v"] + bv][mx * c["h"] + bh_]
+                            w.write((zz[0] >> al) & 1, 1)
+        w.flush()
+        sos = (
+            bytes([len(comps)])
+            + b"".join(bytes([c["id"], 0x00]) for c in comps)
+            + bytes([0, 0, ((al + 1) << 4) | al])
+        )
+        return _seg(0xDA, sos) + bytes(w.buf)
+
+    def ac_first_scan(c, al):
+        # non-interleaved AC scan, values sign·(|v| >> Al)
+        cbx, cby = comp_grid(c)
         w = _BitWriter()
         eob = _EobRun(w)
         blk_i = nrst = 0
@@ -623,12 +662,106 @@ def encode_jpeg_progressive(
                     eob.flush()  # EOB runs must not cross a restart
                     nrst = _emit_restart(w, nrst)
                 blk_i += 1
-                _write_ac_band(w, eob, c["zz"][by][bx], 1, 63)
+                zz = c["zz"][by][bx]
+                if al:
+                    band = [0] + [
+                        (1 if v > 0 else -1) * (abs(v) >> al) if v else 0
+                        for v in zz[1:]
+                    ]
+                else:
+                    band = zz
+                _write_ac_band(w, eob, band, 1, 63)
         eob.flush()
         w.flush()
-        scans += _seg(0xDA, bytes([1, c["id"], 0x00, 1, 63, 0])) + bytes(
+        return _seg(0xDA, bytes([1, c["id"], 0x00, 1, 63, al])) + bytes(
             w.buf
         )
+
+    def ac_refine_scan(c, al):
+        # AC refinement (T.81 G.1.2.3 / cjpeg encode_mcu_AC_refine):
+        # newly-significant coefficients (|v| >> Al == 1) emit
+        # (run, 1) + sign; history coefficients emit correction bits,
+        # buffered behind the open EOB run and flushed with each
+        # ZRL / (run,1) / EOBn symbol in coefficient order
+        cbx, cby = comp_grid(c)
+        w = _BitWriter()
+        state = {"eobrun": 0, "be": []}
+
+        def flush_eob():
+            if state["eobrun"]:
+                cat = state["eobrun"].bit_length() - 1
+                c0, l0 = _AC_CODES[cat << 4]
+                w.write(c0, l0)
+                if cat:
+                    w.write(state["eobrun"] - (1 << cat), cat)
+                state["eobrun"] = 0
+                for b in state["be"]:
+                    w.write(b, 1)
+                state["be"] = []
+
+        blk_i = nrst = 0
+        for by in range(cby):
+            for bx in range(cbx):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    flush_eob()
+                    nrst = _emit_restart(w, nrst)
+                blk_i += 1
+                zz = c["zz"][by][bx]
+                absv = [abs(v) >> al for v in zz]
+                eobpos = 0  # last newly-significant position
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eobpos = k
+                r = 0
+                pending: "list[int]" = []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobpos:
+                        flush_eob()
+                        c0, l0 = _AC_CODES[0xF0]
+                        w.write(c0, l0)
+                        r -= 16
+                        for b in pending:
+                            w.write(b, 1)
+                        pending = []
+                    if t > 1:
+                        pending.append(t & 1)
+                        continue
+                    flush_eob()
+                    c0, l0 = _AC_CODES[(r << 4) | 1]
+                    w.write(c0, l0)
+                    w.write(1 if zz[k] > 0 else 0, 1)
+                    for b in pending:
+                        w.write(b, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    state["eobrun"] += 1
+                    state["be"].extend(pending)
+                    if state["eobrun"] == 32767 or len(state["be"]) > 930:
+                        flush_eob()
+        flush_eob()
+        w.flush()
+        return _seg(
+            0xDA, bytes([1, c["id"], 0x00, 1, 63, ((al + 1) << 4) | al])
+        ) + bytes(w.buf)
+
+    if successive:
+        # the libjpeg-shaped ladder: coarse pass at Al=1, then one
+        # refinement bit — final coefficients are exactly the baseline
+        # quantized set, which is the identity oracle
+        scans = dc_first_scan(1) + dc_refine_scan(0)
+        for c in comps:
+            scans += ac_first_scan(c, 1)
+        for c in comps:
+            scans += ac_refine_scan(c, 0)
+    else:
+        scans = dc_first_scan(0)
+        for c in comps:
+            scans += ac_first_scan(c, 0)
 
     sof2 = struct.pack(">BHHB", 8, height, width, len(comps)) + b"".join(
         bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps
@@ -826,10 +959,10 @@ def _decode_scan(
                 since += 1
         return _next_marker(payload, reader.pos)
 
-    if ah != 0 or al != 0:
+    if ah != 0 and ah != al + 1:
         raise NotImplementedError(
-            "JPEG successive approximation not supported "
-            "(spectral-selection progressive only)"
+            "JPEG successive-approximation scan with Ah != Al + 1 "
+            "(each refinement adds exactly one bit)"
         )
     if ss == 0:
         if se != 0:
@@ -837,17 +970,26 @@ def _decode_scan(
                 "progressive frame carries a full-spectrum baseline "
                 "scan (Ss=0 requires Se=0)"
             )
-        for c in scomps:
-            if (0, c["td"]) not in htabs:
-                raise NotImplementedError(
-                    "JPEG scan references missing tables"
-                )
-        prev = {c["ci"]: 0 for c in scomps}
+        if ah != 0:
+            # DC refinement (T.81 G.1.2.1): one raw bit per block,
+            # ORed into bit position Al
+            def dc_one(c, by, bx):
+                if reader.bit():
+                    coefs[c["ci"]][by, bx, 0] |= 1 << al
+        else:
+            for c in scomps:
+                if (0, c["td"]) not in htabs:
+                    raise NotImplementedError(
+                        "JPEG scan references missing tables"
+                    )
+            prev = {c["ci"]: 0 for c in scomps}
 
-        def dc_one(c, by, bx):
-            size = _read_huff(reader, htabs[(0, c["td"])])
-            prev[c["ci"]] += _extend(reader.bits(size), size)
-            coefs[c["ci"]][by, bx, 0] = prev[c["ci"]]
+            def dc_one(c, by, bx):
+                # first DC scan: diffs accumulate in the point-
+                # transformed domain, output shifted by Al
+                size = _read_huff(reader, htabs[(0, c["td"])])
+                prev[c["ci"]] += _extend(reader.bits(size), size)
+                coefs[c["ci"]][by, bx, 0] = prev[c["ci"]] << al
 
         since = nrst = 0
 
@@ -857,8 +999,9 @@ def _decode_scan(
                 reader.expect_restart(nrst)
                 nrst += 1
                 since = 0
-                for ci in prev:
-                    prev[ci] = 0
+                if ah == 0:
+                    for ci in prev:
+                        prev[ci] = 0
 
         if len(scomps) > 1:  # interleaved DC scan: MCU order
             for my in range(mcuy):
@@ -895,38 +1038,101 @@ def _decode_scan(
     arr = coefs[c["ci"]]
     eobrun = 0
     since = nrst = 0
+    if ah == 0:
+        # AC first scan (possibly point-transformed: values << Al)
+        for by in range(c["cby"]):
+            for bx in range(c["cbx"]):
+                if dri and since == dri:
+                    # restart boundary in an AC scan: EOB runs must not
+                    # cross it (encoder contract), state resets
+                    reader.expect_restart(nrst)
+                    nrst += 1
+                    since = 0
+                    eobrun = 0
+                since += 1
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_huff(reader, ac_tab)
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1  # EOBn: this + n more
+                        if run:
+                            eobrun += reader.bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise NotImplementedError(
+                            "JPEG AC run overflows the spectral band"
+                        )
+                    arr[by, bx, k] = _extend(reader.bits(size), size) << al
+                    k += 1
+        return _next_marker(payload, reader.pos)
+
+    # AC refinement scan (T.81 G.1.2.3, the libjpeg decode_mcu_AC_refine
+    # shape): newly-significant coefficients arrive as ±1<<Al; every
+    # nonzero-history coefficient passed over — including the whole band
+    # of blocks inside an EOB run — consumes one correction bit that may
+    # set bit Al of its magnitude.
+    p1 = 1 << al
     for by in range(c["cby"]):
         for bx in range(c["cbx"]):
             if dri and since == dri:
-                # restart boundary in an AC scan: EOB runs must not
-                # cross it (encoder contract), state resets
                 reader.expect_restart(nrst)
                 nrst += 1
                 since = 0
                 eobrun = 0
             since += 1
-            if eobrun > 0:
-                eobrun -= 1
-                continue
+            blk = arr[by, bx]
             k = ss
-            while k <= se:
-                sym = _read_huff(reader, ac_tab)
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    eobrun = (1 << run) - 1  # EOBn: this block + n more
-                    if run:
-                        eobrun += reader.bits(run)
-                    break
-                k += run
-                if k > se:
-                    raise NotImplementedError(
-                        "JPEG AC run overflows the spectral band"
-                    )
-                arr[by, bx, k] = _extend(reader.bits(size), size)
-                k += 1
+            if eobrun == 0:
+                while k <= se:
+                    sym = _read_huff(reader, ac_tab)
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            eobrun = (1 << run)  # incl. this block
+                            if run:
+                                eobrun += reader.bits(run)
+                            break
+                        zeros = 15  # ZRL: pass 16 zero-history slots
+                        newval = 0
+                    else:
+                        if size != 1:
+                            raise NotImplementedError(
+                                "JPEG AC refinement symbol with "
+                                "magnitude size != 1"
+                            )
+                        zeros = run
+                        newval = p1 if reader.bit() else -p1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if reader.bit() and not (abs(v) & p1):
+                                blk[k] = v + (p1 if v > 0 else -p1)
+                        else:
+                            if zeros == 0:
+                                break
+                            zeros -= 1
+                        k += 1
+                    if k <= se:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+            if eobrun > 0:
+                # end-of-band region: correction bits only, for every
+                # nonzero coefficient left in this block's band
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0 and reader.bit() and not (abs(v) & p1):
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                    k += 1
+                eobrun -= 1
     return _next_marker(payload, reader.pos)
 
 

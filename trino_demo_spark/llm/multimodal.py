@@ -1224,6 +1224,7 @@ JPEG_PROGRESSIVE_FEATURE_SCHEMA = T.StructType(
         T.StructField("n_pixel_bytes", T.LongType()),
         T.StructField("subsampling", T.StringType()),
         T.StructField("matches_baseline", T.BooleanType()),
+        T.StructField("sa_matches_baseline", T.BooleanType()),
         T.StructField("max_err_ok", T.BooleanType()),
     ]
 )
@@ -1259,6 +1260,12 @@ def jpeg_progressive_roundtrip_features(
                         w, h, px, quality=90, subsampling=sub
                     )
                 )
+                sa = _jpeg.decode_jpeg(
+                    _jpeg.encode_jpeg_progressive(
+                        w, h, px, quality=90, subsampling=sub,
+                        successive=True,
+                    )
+                )
                 base = _jpeg.decode_jpeg(
                     _jpeg.encode_jpeg_color(
                         w, h, px, quality=90, subsampling=sub
@@ -1284,6 +1291,8 @@ def jpeg_progressive_roundtrip_features(
                         "n_pixel_bytes": len(prog["pixels"]),
                         "subsampling": sub,
                         "matches_baseline": prog["pixels"]
+                        == base["pixels"],
+                        "sa_matches_baseline": sa["pixels"]
                         == base["pixels"],
                         "max_err_ok": bool(np.abs(a - b).max() <= 8),
                     }

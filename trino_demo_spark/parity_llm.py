@@ -1000,21 +1000,23 @@ def llm_multimodal_jpeg_color(spark, sf_dir):
            CAST(((doc_id % 9) + 4) * ((doc_id % 7) + 4) * 3 AS BIGINT) AS n_pixel_bytes,
            CASE doc_id % 3 WHEN 0 THEN '444' WHEN 1 THEN '422' ELSE '420' END AS subsampling,
            true AS matches_baseline,
+           true AS sa_matches_baseline,
            true AS max_err_ok
     FROM documents WHERE doc_id < 50
     """,
     doc="PROGRESSIVE (SOF2) JPEG through the engine — the remaining "
-    "crawl-corpus JPEG shape after llm_multimodal_jpeg_color: "
-    "spectral-selection streams (one interleaved DC scan + "
-    "non-interleaved per-component AC scans with EOB-run coding, "
-    "llm/jpeg.py encode_jpeg_progressive) decoded through the "
-    "multi-scan coefficient-accumulation path. Verdict surface: "
-    "progressive and baseline encodings of the same raster share the "
-    "exact quantized coefficients, so `matches_baseline` asserts the "
-    "decodes are BIT-IDENTICAL — the strongest oracle a lossy codec "
-    "admits; any scan-ordering/EOB-run/spectral-band/component-grid "
-    "bug flips it. Successive approximation (Ah/Al != 0) remains the "
-    "declared stub.",
+    "crawl-corpus JPEG shape after llm_multimodal_jpeg_color, BOTH "
+    "layouts: pure spectral selection (interleaved DC scan + "
+    "non-interleaved per-component AC scans with EOB-run coding) AND "
+    "the libjpeg-shaped successive-approximation ladder (DC Al=1 + "
+    "refinement bits; AC Al=1 + G.1.2.3 refinement with correction "
+    "bits buffered behind open EOB runs), decoded through the "
+    "multi-scan coefficient-accumulation path. Verdict surface: both "
+    "encodings share the exact baseline quantized coefficients, so "
+    "`matches_baseline` and `sa_matches_baseline` assert the decodes "
+    "are BIT-IDENTICAL — the strongest oracle a lossy codec admits; "
+    "any scan-ordering/EOB-run/refinement/component-grid bug flips "
+    "one.",
 )
 def llm_multimodal_jpeg_progressive(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
