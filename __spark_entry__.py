@@ -211,6 +211,10 @@ _RECHECK = {
     # color-type-3 branch for palette support; gray/RGB/RGBA dataflow is
     # output-identical, but the shared walk changed — re-prove.
     "llm_multimodal_png": 8,
+    # Round-8: decode_audio gained the G.711 format branch and a codec
+    # tag in its return dict — the WAV entry's features are unchanged
+    # (verified locally) but the shared kernel changed — re-prove.
+    "llm_multimodal_wav": 8,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

@@ -160,11 +160,58 @@ def test_multimodal_stub_contract(spark, docs):
         multimodal.decode_audio(corrupt)
 
 
+def test_g711_telephony_wav():
+    """G.711 µ-law/A-law WAV: decode tables hit the canonical ITU
+    extrema (±32124 / ±32256, code 0xFF → 0), companding error stays
+    inside the top-segment half-step (+clip), decode∘encode is
+    idempotent, and malformed G.711 streams surface contracts."""
+    import random
+
+    import pytest as _pytest
+
+    assert multimodal._ULAW_TABLE[0xFF] == 0
+    assert (min(multimodal._ULAW_TABLE), max(multimodal._ULAW_TABLE)) == (
+        -32124,
+        32124,
+    )
+    assert (min(multimodal._ALAW_TABLE), max(multimodal._ALAW_TABLE)) == (
+        -32256,
+        32256,
+    )
+    random.seed(9)
+    samples = [random.randrange(-32768, 32768) for _ in range(2000)]
+    for law, bound in (("ulaw", 650), ("alaw", 520)):
+        wav = multimodal.encode_wav_g711(samples, 8000, 1, law)
+        dec = multimodal.decode_audio(wav)
+        assert dec["codec"] == law and dec["sample_rate"] == 8000
+        assert max(
+            abs(s - d) for s, d in zip(samples, dec["samples"])
+        ) <= bound
+        # companding is idempotent once on the codec lattice
+        wav2 = multimodal.encode_wav_g711(dec["samples"], 8000, 1, law)
+        assert multimodal.decode_audio(wav2)["samples"] == dec["samples"]
+    # PCM16 keeps its codec tag
+    pcm = multimodal.encode_wav_pcm16([0, 100, -100])
+    assert multimodal.decode_audio(pcm)["codec"] == "pcm16"
+    # G.711 with a wrong bits-per-sample declaration
+    bad = bytearray(multimodal.encode_wav_g711(samples[:8], 8000, 1, "ulaw"))
+    bad[34] = 16  # bits field inside fmt
+    with _pytest.raises(NotImplementedError, match="8 bits"):
+        multimodal.decode_audio(bytes(bad))
+    with _pytest.raises(ValueError, match="ulaw.*alaw|'ulaw' or 'alaw'"):
+        multimodal.encode_wav_g711([0], law="mp3")
+
+
 def test_wav_decode_roundtrip():
     samples = [0, 1000, -1000, 32767, -32768, 17]
     payload = multimodal.encode_wav_pcm16(samples, sample_rate=16000)
     out = multimodal.decode_audio(payload)
-    assert out == {"sample_rate": 16000, "channels": 1, "samples": samples}
+    assert out == {
+        "sample_rate": 16000,
+        "channels": 1,
+        "samples": samples,
+        "codec": "pcm16",
+    }
     # extra chunk before data (LIST) is walked over, odd-size word-aligned
     import struct as st
 

@@ -91,13 +91,104 @@ def encode_wav_pcm16(samples: "list[int]", sample_rate: int = 8000, channels: in
     return header + data
 
 
+def _ulaw_decode_byte(b: int) -> int:
+    """G.711 µ-law expansion (ITU-T G.711, public formula)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    val = (((mant << 3) + 0x84) << exp) - 0x84
+    return -val if sign else val
+
+
+def _alaw_decode_byte(a: int) -> int:
+    """G.711 A-law expansion (ITU-T G.711, public formula)."""
+    a ^= 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    if exp == 0:
+        val = (mant << 4) + 8
+    else:
+        val = ((mant << 4) + 0x108) << (exp - 1)
+    return -val if sign else val
+
+
+_ULAW_TABLE = [_ulaw_decode_byte(b) for b in range(256)]
+_ALAW_TABLE = [_alaw_decode_byte(b) for b in range(256)]
+
+
+def _g711_encoder(table: "list[int]"):
+    """Nearest-neighbor companding encoder built from the decode table:
+    every emitted code is a spec-legal G.711 byte and decode∘encode is
+    the optimal quantizer for OUR decoder by construction (ties break
+    to the smaller decoded value, deterministic). Sidesteps the
+    bit-twiddling convention splits between ITU reference encoders."""
+    import bisect
+
+    pairs = sorted((v, c) for c, v in enumerate(table))
+    vals = [v for v, _ in pairs]
+
+    def enc(x: int) -> int:
+        i = bisect.bisect_left(vals, x)
+        if i == 0:
+            return pairs[0][1]
+        if i == len(vals):
+            return pairs[-1][1]
+        lo_v, lo_c = pairs[i - 1]
+        hi_v, hi_c = pairs[i]
+        return lo_c if x - lo_v <= hi_v - x else hi_c
+
+    return enc
+
+
+_ULAW_ENCODE = _g711_encoder(_ULAW_TABLE)
+_ALAW_ENCODE = _g711_encoder(_ALAW_TABLE)
+
+# WAVE_FORMAT codes (public registry): 6 = A-law, 7 = µ-law
+_G711_FORMATS = {6: _ALAW_TABLE, 7: _ULAW_TABLE}
+
+
+def encode_wav_g711(
+    samples: "list[int]",
+    sample_rate: int = 8000,
+    channels: int = 1,
+    law: str = "ulaw",
+) -> bytes:
+    """RIFF/WAVE writer for G.711 companded audio (format code 7 µ-law /
+    6 A-law, 8 bits per sample) — the telephony WAV shape."""
+    if law == "ulaw":
+        code, enc = 7, _ULAW_ENCODE
+    elif law == "alaw":
+        code, enc = 6, _ALAW_ENCODE
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    data = bytes(enc(int(s)) for s in samples)
+    byte_rate = sample_rate * channels
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, code, channels, sample_rate, byte_rate,
+            channels, 8,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
 def decode_audio(payload: bytes) -> dict:
-    """REAL decode kernel for RIFF/WAVE PCM16 (the container has no codec
-    libraries, but WAV needs none): walks the RIFF chunk list, parses
-    `fmt `, and unpacks the `data` chunk to int16 samples. Returns
-    {sample_rate, channels, samples}. Compressed/float formats and
-    non-WAV containers raise NotImplementedError (declared stub —
-    they require ffmpeg/soundfile)."""
+    """REAL decode kernels for RIFF/WAVE audio (the container has no
+    codec libraries, but these need none): walks the RIFF chunk list,
+    parses `fmt `, and expands the `data` chunk to int16 samples —
+    linear PCM16 (format 1) and G.711 µ-law / A-law companded 8-bit
+    telephony audio (formats 7 / 6, ITU-T G.711 expansion formulas).
+    Returns {sample_rate, channels, samples, codec}. Other compressed/
+    float formats and non-WAV containers raise NotImplementedError
+    (declared stub — they require ffmpeg/soundfile)."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "only RIFF/WAVE payloads decodable without codec libraries"
@@ -123,15 +214,29 @@ def decode_audio(payload: bytes) -> dict:
     audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
+    if audio_format in _G711_FORMATS:
+        if bits != 8:
+            raise NotImplementedError(
+                f"G.711 WAV must be 8 bits per sample (got {bits})"
+            )
+        table = _G711_FORMATS[audio_format]
+        return {
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "samples": [table[b] for b in data],
+            "codec": "alaw" if audio_format == 6 else "ulaw",
+        }
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"only PCM16 decodable without codec libs (format={audio_format}, bits={bits})"
+            f"only PCM16 and G.711 ulaw/alaw decodable without codec "
+            f"libs (format={audio_format}, bits={bits})"
         )
     n = len(data) // 2
     return {
         "sample_rate": sample_rate,
         "channels": channels,
         "samples": list(struct.unpack(f"<{n}h", data[: 2 * n])),
+        "codec": "pcm16",
     }
 
 
@@ -929,6 +1034,67 @@ def png_palette_roundtrip_features(
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=PNG_PALETTE_FEATURE_SCHEMA)
+
+
+G711_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("max_err_ok", T.BooleanType()),
+        T.StructField("idempotent_ok", T.BooleanType()),
+    ]
+)
+
+
+def g711_roundtrip_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """G.711 telephony audio exercised for real: deterministic PCM16
+    signal → µ-law/A-law companding (format cycles per doc) → RIFF
+    container → decode_audio expansion. Lossy, so the verdict surface
+    is the jpeg pattern: exact codec/rate/count columns oracle-checked,
+    plus bounds — companding error within the top-segment half-step
+    (+clip), and decode∘encode idempotent on the codec lattice."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                law = "ulaw" if doc_id % 2 == 0 else "alaw"
+                n = 200 + (doc_id % 7) * 50
+                samples = [
+                    ((doc_id * 131 + i * 7919) % 65536) - 32768
+                    for i in range(n)
+                ]
+                wav = encode_wav_g711(samples, 8000, 1, law)
+                dec = decode_audio(wav)
+                if dec["codec"] != law or len(dec["samples"]) != n:
+                    raise RuntimeError(
+                        f"G.711 decode shape mismatch for doc {doc_id}"
+                    )
+                bound = 650 if law == "ulaw" else 520
+                max_err = max(
+                    abs(s - d) for s, d in zip(samples, dec["samples"])
+                )
+                wav2 = encode_wav_g711(dec["samples"], 8000, 1, law)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "codec": law,
+                        "sample_rate": dec["sample_rate"],
+                        "n_samples": n,
+                        "max_err_ok": max_err <= bound,
+                        "idempotent_ok": decode_audio(wav2)["samples"]
+                        == dec["samples"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=G711_FEATURE_SCHEMA)
 
 
 PNG16_FEATURE_SCHEMA = T.StructType(

@@ -796,6 +796,33 @@ def llm_multimodal_png(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_g711",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(200 + (doc_id % 7) * 50 AS BIGINT) AS n_samples,
+           true AS max_err_ok,
+           true AS idempotent_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="G.711 µ-law/A-law telephony WAV through the engine (ITU-T "
+    "G.711 expansion formulas; multimodal.encode_wav_g711/"
+    "decode_audio): deterministic PCM16 signals companded to 8-bit "
+    "format-7/format-6 RIFF streams and expanded back. Decode tables "
+    "hit the canonical ITU extrema (±32124 µ / ±32256 A, pinned in "
+    "tests); the verdict columns bound companding error to the "
+    "top-segment half-step (+clip at the µ-law 32124 ceiling) and "
+    "assert decode∘encode idempotence on the codec lattice. Closes "
+    "the telephony slice of the compressed-audio stub; perceptual "
+    "codecs (mp3/aac/opus) remain declared stubs.",
+)
+def llm_multimodal_g711(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.g711_roundtrip_features(docs)
+
+
+@parity(
     "llm_multimodal_png_16bit",
     sql="""
     WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
