@@ -202,6 +202,42 @@ def test_g711_telephony_wav():
         multimodal.encode_wav_g711([0], law="mp3")
 
 
+def test_ima_adpcm_wav():
+    """IMA/DVI ADPCM (WAV format 0x11, 4-bit, 4:1): block headers carry
+    the exact first sample, the forward-adaptive encoder and decoder
+    track the same predictor lattice (slope-bounded signals stay within
+    a small band), multi-block streams decode, and malformed headers
+    surface contracts."""
+    import math
+
+    import pytest as _pytest
+
+    def tri(n, amp=30000, period=400):
+        return [
+            int(amp * (abs(((i % period) / period) * 4 - 2) - 1))
+            for i in range(n)
+        ]
+
+    for n in (505, 1200, 37):  # exact block, multi-block + tail, short
+        s = tri(n)
+        dec = multimodal.decode_audio(multimodal.encode_wav_ima_adpcm(s))
+        assert dec["codec"] == "ima_adpcm"
+        assert len(dec["samples"]) >= n  # tail block may pad one sample
+        assert dec["samples"][0] == s[0]  # header sample is exact
+        assert max(abs(a - b) for a, b in zip(s, dec["samples"])) <= 1200
+    s = [int(25000 * math.sin(i / 30)) for i in range(1500)]
+    dec = multimodal.decode_audio(multimodal.encode_wav_ima_adpcm(s))
+    assert max(abs(a - b) for a, b in zip(s, dec["samples"])) <= 5000
+    # corrupt block header index
+    wav = bytearray(multimodal.encode_wav_ima_adpcm(tri(37)))
+    data_at = bytes(wav).index(b"data") + 8
+    wav[data_at + 2] = 99  # step index > 88
+    with _pytest.raises(NotImplementedError, match="corrupt IMA ADPCM"):
+        multimodal.decode_audio(bytes(wav))
+    with _pytest.raises(ValueError, match="odd"):
+        multimodal.encode_wav_ima_adpcm([0], block_samples=4)
+
+
 def test_wav_decode_roundtrip():
     samples = [0, 1000, -1000, 32767, -32768, 17]
     payload = multimodal.encode_wav_pcm16(samples, sample_rate=16000)

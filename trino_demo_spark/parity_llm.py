@@ -796,6 +796,33 @@ def llm_multimodal_png(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_adpcm",
+    sql="""
+    SELECT doc_id,
+           'ima_adpcm' AS codec,
+           CAST(400 + (doc_id % 5) * 101 AS BIGINT) AS n_samples,
+           CAST(20000 + (doc_id % 11) * 1000 AS BIGINT) AS first_sample,
+           true AS max_err_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="IMA/DVI ADPCM (WAV format 0x11, 4-bit differential, 4:1 "
+    "compression) through the engine: slope-bounded triangle signals "
+    "forward-adaptively encoded and block-decoded "
+    "(multimodal.encode_wav_ima_adpcm/_decode_ima_adpcm — encoder and "
+    "decoder share the one reconstruction step, so they track the same "
+    "predictor lattice). The block header's first sample is EXACT and "
+    "oracle-checked per doc; reconstruction error is bound-verdicted "
+    "(a step-table/index-clamp/nibble-order bug blows it). Together "
+    "with G.711 this closes the uncompressed+telephony+ADPCM slices of "
+    "the audio stub; perceptual codecs (mp3/aac/opus) remain declared "
+    "stubs.",
+)
+def llm_multimodal_adpcm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.adpcm_roundtrip_features(docs)
+
+
+@parity(
     "llm_multimodal_g711",
     sql="""
     SELECT doc_id,
