@@ -2,11 +2,14 @@
 
 Modality payloads are opaque BinaryType columns with a typed metadata
 struct alongside; decode / feature-extract run as Arrow-batched
-mapInPandas over those columns. Containerless formats are decoded with
-REAL pure-stdlib kernels: WAV/RIFF PCM16 audio (`decode_audio` /
-`encode_wav_pcm16`), binary PPM/PGM images (`decode_image` /
+mapInPandas over those columns. Formats are decoded with REAL
+pure-stdlib kernels: WAV/RIFF audio — linear PCM16, G.711 µ-law/A-law
+telephony companding, and IMA ADPCM 4-bit differential
+(`decode_audio` / `encode_wav_pcm16` / `encode_wav_g711` /
+`encode_wav_ima_adpcm`) — binary PPM/PGM images (`decode_image` /
 `encode_ppm`), PNG — stdlib zlib inflate + chunk-CRC walk + full
-five-filter scanline reversal — (`decode_png` / `encode_png`),
+five-filter scanline reversal; 8/16-bit, indexed palette + tRNS,
+Adam7 — (`decode_png` / `encode_png` / `encode_png_palette`),
 JPEG — real DCT/huffman codec: baseline gray + YCbCr color
 (4:4:4/4:2:2/4:2:0), spectral-selection progressive, restart
 intervals, see llm.jpeg — (`jpeg_roundtrip_features` and kin,
@@ -16,9 +19,9 @@ format — (`frame_sample` / `encode_ppm_stream`), all exercised
 end-to-end through mapInPandas with DuckDB-oracle-checked features
 (parity_llm.llm_multimodal_wav/_ppm/_png/_png_palette/_png_adam7/
 _png_trns/_jpeg/_jpeg_color/_jpeg_progressive/_frames). Formats that
-need codec libraries not in this container (WebP,
-successive-approximation progressive JPEG, compressed audio, mp4/webm
-video) raise NotImplementedError — declared stubs.
+need codec libraries not in this container (WebP, perceptual audio
+codecs mp3/aac/opus, mp4/webm video) raise NotImplementedError —
+declared stubs.
 """
 
 from __future__ import annotations
