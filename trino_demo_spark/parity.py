@@ -530,7 +530,15 @@ def sink_jdbc_live(spark, sf_dir):
 @parity(
     "scan_jdbc_live",
     sql="""
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    -- non-finite money NULLs at the relational sink (Derby DOUBLE
+    -- rejects NaN/Infinity with SQLDataException — a real relational
+    -- engine constraint, same policy as the exact-unit accumulators);
+    -- + 0.0 normalizes -0.0, which Derby canonicalizes on write (the
+    -- llm_select_dsir negative-zero discipline)
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN isfinite(o_totalprice) THEN o_totalprice + 0.0 END
+             AS o_totalprice
+    FROM orders
     WHERE o_custkey < 500
     """,
     doc="REAL partitioned-parallel JDBC fact scan with predicate pushdown "
@@ -540,14 +548,26 @@ def sink_jdbc_live(spark, sf_dir):
     "queries over o_orderkey; the o_custkey filter is REQUIRED to reach "
     "the remote scan (runtime PushedFilters guard — the JDBC analog of "
     "parquet pushdown), so the driver row proves the scan shape, not "
-    "just the values.",
+    "just the values. Non-finite money NULLs at the sink: Derby's "
+    "DOUBLE domain excludes NaN/Infinity (SQLDataException on write), "
+    "so the hostile-orders corpus forces the declared policy.",
 )
 def scan_jdbc_live(spark, sf_dir):
     from trino_demo_spark.sources import jdbc as J
 
     url, drv = _derby_url(sf_dir, "orders")
+    price = F.col("o_totalprice")
+    finite = (
+        price.isNotNull()
+        & (price > F.lit(float("-inf")))
+        & (price < F.lit(float("inf")))
+    )  # NaN sorts above +inf in Spark, so both guards exclude it
     orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+        "o_orderkey",
+        "o_custkey",
+        # + 0.0: IEEE -0.0 + 0.0 = +0.0 on both engines (Derby
+        # canonicalizes the sign bit on write; DuckDB keeps it)
+        F.when(finite, price + F.lit(0.0)).alias("o_totalprice"),
     )
     J.write_table(orders, url, "orders_fact", mode="overwrite", **drv)
     bounds = orders.agg(
