@@ -82,6 +82,48 @@ def test_gopher_repetition_shuffle_free(spark):
     assert "Generate" not in plan, plan  # no explode either
 
 
+def test_q21_window_reuses_pair_agg_shuffle(spark):
+    """tpch_q21 / tpch_q21_full: the repartition(l_orderkey) ahead of
+    the (l_orderkey, l_suppkey) aggregate must satisfy BOTH the groupBy
+    clustering and the order window, so the fact shuffles ONCE — no
+    composite-key Exchange, no second prefix-key Exchange (measured
+    20.2 s → 11.1 s at sf1; PERF.md r8)."""
+    import re
+
+    for name in ("tpch_q21", "tpch_q21_full"):
+        plan = _plan(PARITY[name].fn(spark, SF_SMOKE))
+        fact_exchanges = re.findall(
+            r"Exchange hashpartitioning\(l_orderkey[^)]*\)", plan
+        )
+        assert len(fact_exchanges) == 1, (name, fact_exchanges)
+        assert not re.search(
+            r"hashpartitioning\(l_orderkey#\d+L?, l_suppkey", plan
+        ), f"{name}: composite-key exchange crept back"
+
+
+def test_q9_full_composite_probe_shape(spark):
+    """tpch_q9_full: the canonical partsupp probe joins the fact on
+    BOTH keys — the composite-key equi-join must appear in the plan
+    with no hint forcing a strategy: at smoke SF, AQE legitimately
+    broadcasts the tiny derived partsupp; at scale it exceeds the
+    threshold and takes the shuffle path (the sf1 span row measured
+    that path). The dims (filtered part, supplier, nation) broadcast."""
+    import re
+
+    plan = _plan(PARITY["tpch_q9_full"].fn(spark, SF_SMOKE))
+    # composite-key equi-join on (partkey, suppkey) present
+    assert re.search(
+        r"Join \[l_partkey#\d+L?, l_suppkey#\d+L?\], "
+        r"\[ps_partkey#\d+L?, ps_suppkey#\d+L?\]",
+        plan,
+    ), "partsupp probe lost the two-sided composite key"
+    # no join-strategy hint anywhere (AQE must stay free to re-plan)
+    opt = _optimized(PARITY["tpch_q9_full"].fn(spark, SF_SMOKE))
+    assert "JoinHint" not in opt or "leftHint=none, rightHint=none" in opt
+    # dims arrive via broadcast
+    assert plan.count("BroadcastExchange") >= 3
+
+
 def test_keep_last_single_shuffle(spark):
     ev = load_table(spark, "events", SF_SMOKE)
     df = rel.keep_last(ev, keys=["user_id"], order_by=[F.col("ts").desc()])
