@@ -215,6 +215,10 @@ _RECHECK = {
     # tag in its return dict — the WAV entry's features are unchanged
     # (verified locally) but the shared kernel changed — re-prove.
     "llm_multimodal_wav": 8,
+    # Round-8: frame_sample gained the MJPEG dispatch ahead of the PPM
+    # walk — PPM dataflow unchanged (verified locally), shared entry
+    # point changed — re-prove.
+    "llm_multimodal_frames": 8,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

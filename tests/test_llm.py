@@ -784,6 +784,55 @@ def test_jpeg_color_error_contracts():
         jpeg.encode_jpeg_color(4, 4, bytes(48), 90, "411")
 
 
+def test_mjpeg_demux_and_sampling():
+    """MJPEG: the no-decode boundary walk finds every frame end exactly
+    across a hostile mixed stream (gray/color/progressive/SA frames,
+    one with restart markers), sampled frames decode bit-identical to
+    their standalone encodings, and truncation surfaces the contract."""
+    import random
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import jpeg
+
+    random.seed(4)
+    frames = []
+    stream = b""
+    for i in range(7):
+        w, h = 8 + i, 6 + i
+        if i % 3 == 0:
+            px = bytes(random.randrange(256) for _ in range(w * h))
+            enc = jpeg.encode_jpeg_gray(
+                w, h, px, restart_interval=2 if i == 3 else 0
+            )
+        elif i % 3 == 1:
+            px = bytes(random.randrange(256) for _ in range(w * h * 3))
+            enc = jpeg.encode_jpeg_color(w, h, px, 90, "422")
+        else:
+            px = bytes(random.randrange(256) for _ in range(w * h * 3))
+            enc = jpeg.encode_jpeg_progressive(
+                w, h, px, 90, "420", successive=(i == 5)
+            )
+        frames.append(enc)
+        stream += enc
+    pos = 0
+    for i, enc in enumerate(frames):
+        end = jpeg.jpeg_stream_end(stream, pos)
+        assert end - pos == len(enc), i
+        pos = end
+    assert pos == len(stream)
+    out = multimodal.frame_sample(stream, 2)
+    assert [f["frame_idx"] for f in out] == [0, 2, 4, 6]
+    for f in out:
+        single = jpeg.decode_jpeg(frames[f["frame_idx"]])
+        assert f["pixels"] == single["pixels"]
+    assert len(multimodal.frame_sample(stream, 1)) == 7
+    with _pytest.raises(NotImplementedError, match="truncated JPEG"):
+        jpeg.jpeg_stream_end(stream[:-3], pos - len(frames[-1]))
+    with _pytest.raises(NotImplementedError, match="PPM and MJPEG"):
+        multimodal.frame_sample(b"\x00\x00RIFF", 1)
+
+
 def test_jpeg_restart_intervals():
     """DRI/RSTn: streams with restart markers decode identically to the
     restart-less encoding of the same raster (DC predictors reset per

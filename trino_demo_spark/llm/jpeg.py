@@ -1136,6 +1136,51 @@ def _decode_scan(
     return _next_marker(payload, reader.pos)
 
 
+def jpeg_stream_end(payload: bytes, start: int = 0) -> int:
+    """Offset just past the EOI of the JPEG stream starting at `start`,
+    WITHOUT decoding — the MJPEG demux walk. Segment lengths are parsed
+    in the header; entropy data is skipped marker-aware (stuffed 0xFF00
+    and RSTn are data, anything else ends the scan), so a 0xFFD9 byte
+    pair inside a segment payload or entropy interval never truncates
+    the frame. Multi-scan (progressive) streams walk scan by scan."""
+    if payload[start : start + 2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG stream (missing SOI)")
+    pos = start + 2
+    while True:
+        if pos + 2 > len(payload):
+            raise NotImplementedError("truncated JPEG header")
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker sync lost")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise NotImplementedError("truncated JPEG header")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI — frame ends here
+            return pos
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if pos + 2 > len(payload):
+            raise NotImplementedError("truncated JPEG header")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if pos + seglen > len(payload):
+            raise NotImplementedError("truncated JPEG segment")
+        is_sos = marker == 0xDA
+        pos += seglen
+        if is_sos:
+            while True:
+                pos = _next_marker(payload, pos)
+                if pos + 1 >= len(payload):
+                    raise NotImplementedError(
+                        "truncated JPEG entropy stream"
+                    )
+                if 0xD0 <= payload[pos + 1] <= 0xD7:
+                    pos += 2  # restart marker: entropy continues
+                    continue
+                break
+
+
 def decode_jpeg(payload: bytes, _allow_color: bool = True) -> dict:
     """1- or 3-component JPEG decode: baseline sequential (SOF0) or
     spectral-selection progressive (SOF2 — interleaved/per-component DC

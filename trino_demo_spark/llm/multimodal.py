@@ -868,20 +868,39 @@ def encode_ppm_stream(frames: "list[tuple[int, int, bytes]]") -> bytes:
 
 def frame_sample(payload: bytes, every_n: int = 30) -> "list[dict]":
     """REAL video frame sampling for concatenated-PPM streams (the
-    ffmpeg image2pipe/ppm raw-video format): walk the stream frame by
-    frame and keep every `every_n`-th frame (always including frame 0),
-    each as {frame_idx, width, height, channels, pixels}. The walk must
-    still PARSE every frame header to find the next offset — exactly
-    like real video demuxing, where sampling saves decode, not I/O.
-    Codec-compressed containers (mp4/webm/...) raise NotImplementedError
-    (declared stub — they require ffmpeg, not in this container)."""
-    if payload[:2] not in (b"P6", b"P5"):
-        raise NotImplementedError(
-            "only concatenated-PPM video decodable without ffmpeg"
-        )
+    ffmpeg image2pipe/ppm raw-video format) and MJPEG (back-to-back
+    JPEG frames — motion-JPEG AVI payloads / multipart camera
+    streams): walk the stream frame by frame and keep every
+    `every_n`-th frame (always including frame 0), each as
+    {frame_idx, width, height, channels, pixels}. The walk must still
+    PARSE every frame header to find the next offset — exactly like
+    real video demuxing, where sampling saves DECODE, not I/O: skipped
+    MJPEG frames are boundary-walked (llm.jpeg.jpeg_stream_end) but
+    never entropy-decoded. Codec-compressed containers (mp4/webm/...)
+    raise NotImplementedError (declared stub — they require ffmpeg,
+    not in this container)."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    out: "list[dict]" = []
+    if payload[:2] == b"\xff\xd8":  # MJPEG
+        from . import jpeg as _jpeg
+
+        out: "list[dict]" = []
+        pos, idx = 0, 0
+        while pos < len(payload):
+            end = _jpeg.jpeg_stream_end(payload, pos)
+            if idx % every_n == 0:
+                frame = _jpeg.decode_jpeg(payload[pos:end])
+                frame["frame_idx"] = idx
+                out.append(frame)
+            pos = end
+            idx += 1
+        return out
+    if payload[:2] not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            "only concatenated-PPM and MJPEG video decodable without "
+            "ffmpeg"
+        )
+    out = []
     pos, idx = 0, 0
     while pos < len(payload):
         frame, pos = _parse_netpbm(payload, pos)
@@ -1226,6 +1245,77 @@ def g711_roundtrip_features(
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=G711_FEATURE_SCHEMA)
+
+
+MJPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("matches_single", T.BooleanType()),
+    ]
+)
+
+
+def mjpeg_sample_features(
+    docs: DataFrame, id_col: str = "doc_id", every_n: int = 2
+) -> DataFrame:
+    """MJPEG demux exercised for real: per doc, a concatenated-JPEG
+    stream of color frames with PER-FRAME subsampling (cycling
+    4:4:4/4:2:2/4:2:0 — the hostile demux case: boundaries fall in
+    different scan layouts), sampled every `every_n` frames. Skipped
+    frames are boundary-walked but never entropy-decoded (real demux
+    economics). One row per SAMPLED frame; `matches_single` asserts
+    the demuxed frame decodes bit-identical to the same frame encoded
+    alone — any boundary-walk error shifts an offset and breaks it."""
+    from . import jpeg as _jpeg
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def synth_frame(doc_id: int, j: int) -> "tuple[int, int, bytes]":
+        w, h = 6 + j, 5 + j
+        px = bytearray()
+        for i in range(w * h):
+            x, y = i % w, i // w
+            px.append(40 + 2 * x + 3 * y + (doc_id * 5 + j * 11) % 60)
+            px.append(60 + 3 * x + y + (doc_id * 7 + j * 13) % 60)
+            px.append(80 + x + 2 * y + (doc_id * 11 + j * 17) % 60)
+        return w, h, bytes(px)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_frames = 4 + doc_id % 4
+                encs = []
+                for j in range(n_frames):
+                    w, h, px = synth_frame(doc_id, j)
+                    encs.append(
+                        _jpeg.encode_jpeg_color(
+                            w, h, px, 90, _JPEG_SUBSAMPLINGS[j % 3]
+                        )
+                    )
+                stream = b"".join(encs)
+                for f in frame_sample(stream, every_n):
+                    j = f["frame_idx"]
+                    single = _jpeg.decode_jpeg(encs[j])
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": j,
+                            "width": f["width"],
+                            "height": f["height"],
+                            "n_pixel_bytes": len(f["pixels"]),
+                            "matches_single": f["pixels"]
+                            == single["pixels"],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=MJPEG_FEATURE_SCHEMA)
 
 
 ADPCM_FEATURE_SCHEMA = T.StructType(

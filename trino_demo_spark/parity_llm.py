@@ -796,6 +796,39 @@ def llm_multimodal_png(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_mjpeg",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 4 AS nf
+               FROM documents WHERE doc_id < 40),
+    f AS (SELECT doc_id, j FROM d, UNNEST(range(0, 8)) u(j)
+          WHERE j < nf AND j % 2 = 0)
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS frame_idx,
+           CAST(6 + j AS BIGINT) AS width,
+           CAST(5 + j AS BIGINT) AS height,
+           CAST(3 * (6 + j) * (5 + j) AS BIGINT) AS n_pixel_bytes,
+           true AS matches_single
+    FROM f
+    """,
+    doc="MJPEG (concatenated-JPEG video) frame sampling through the "
+    "engine: per-doc streams of color frames with PER-FRAME "
+    "subsampling cycling 4:4:4/4:2:2/4:2:0, demuxed by the "
+    "no-decode boundary walk (llm/jpeg.py jpeg_stream_end — segment "
+    "lengths in headers, marker-aware entropy skip, so 0xFFD9 bytes "
+    "inside payloads never truncate a frame) and sampled every 2nd "
+    "frame; skipped frames are walked, never entropy-decoded (real "
+    "demux economics — sampling saves DECODE, not I/O). One row per "
+    "sampled frame; `matches_single` asserts the demuxed bytes decode "
+    "bit-identical to the frame encoded alone. The motion-JPEG camera/"
+    "AVI payload shape, next to the PPM image2pipe stream op "
+    "(llm_multimodal_frames).",
+)
+def llm_multimodal_mjpeg(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return multimodal.mjpeg_sample_features(docs)
+
+
+@parity(
     "llm_multimodal_adpcm",
     sql="""
     SELECT doc_id,
