@@ -219,6 +219,16 @@ _RECHECK = {
     # walk — PPM dataflow unchanged (verified locally), shared entry
     # point changed — re-prove.
     "llm_multimodal_frames": 8,
+    # Round-8 no-recheck rationale (deliberate, documented): (a) the AC
+    # huffman alphabet gained 14 EOBn symbols — this re-codes every
+    # emitted JPEG byte stream, but the only green-row consumer
+    # (llm_multimodal_jpeg) is already re-queued above and the other
+    # JPEG entries are NEW r8 entries leading the pending queue; (b)
+    # bench.py's vs-pin hatch and the plan gates are harness/test-only;
+    # (c) png_roundtrip_features / jpeg_roundtrip_features swapped bare
+    # asserts for explicit raises (exception-path-only); (d)
+    # scan_jdbc_live's hostile-money policy landed BEFORE its first
+    # driver row (new entry), so there is no stale green to invalidate.
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified
