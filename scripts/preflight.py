@@ -9,16 +9,37 @@ local gate's session carries engine confs; round 3 lost a day to
 exactly such a conf-only divergence), run over the full inventory
 rather than the driver's ~50-query sample.
 
+Round 9 extends it into the big-SF differential sweep driver
+(VERDICT r8 item 1):
+
+- `--json OUT` writes a per-query record (status/seconds/rows) so
+  chunked background runs produce a committable sweep artifact
+  (`scripts/merge_sweep.py` folds chunk files into one record);
+- `--timeout-sec N` cancels a runaway query (Spark cancelAllJobs +
+  DuckDB interrupt) and records TIMEOUT instead of hanging the chunk;
+- `--skip-file F` reads {name: reason} exclusions (the bounded-corpus
+  oracle twins whose BY-CONTRACT-quadratic oracles are intractable at
+  sf1) and records them as excluded-with-reason, not silently dropped;
+- `--cpus/--driver-mem` size the local JVM like the cluster it stands
+  in for (PERF.md r4: Spark's 1g driver default OOMs on sf1 broadcasts
+  in local mode because driver + all executor threads share one JVM).
+  The sf0.01 driver-parity run keeps the plain default.
+
 Usage:
     python scripts/preflight.py [--sf /root/testdata/sf0.01] [--only a,b]
     python scripts/preflight.py --start 56 --count 60   # queue slice
+    python scripts/preflight.py --sf .scratch/sf1 --cpus 10 \
+        --driver-mem 14g --timeout-sec 1200 --json .scratch/sweep_a.json \
+        --skip-file scripts/sf1_exclusions.json --start 0 --count 100
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
+import threading
 import time
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -36,6 +57,11 @@ def main() -> None:
     ap.add_argument("--only", default=None)
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--count", type=int, default=None)
+    ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--timeout-sec", type=float, default=None)
+    ap.add_argument("--skip-file", default=None)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--driver-mem", default=None)
     args = ap.parse_args()
 
     import duckdb
@@ -44,15 +70,25 @@ def main() -> None:
     import __spark_entry__ as E
     from tests.test_parity import _canon
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    builder = SparkSession.builder.master(f"local[{args.cpus}]")
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = E.queries(), E.oracle_sql()
     con = duckdb.connect()
+    # Parallel chunk runs share the host: bound DuckDB to the same core
+    # budget as the Spark session instead of its all-cores default.
+    con.sql(f"SET threads={args.cpus}")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{args.sf}/{t}.parquet')"
         )
+
+    skip: dict[str, str] = {}
+    if args.skip_file:
+        skip = json.load(open(args.skip_file))
 
     names = list(qs)
     if args.only:
@@ -61,27 +97,87 @@ def main() -> None:
         end = len(names) if args.count is None else args.start + args.count
         names = names[args.start : end]
 
+    record: dict[str, dict] = {}
     bad: list[str] = []
+
+    def run_one(name: str, out: dict) -> None:
+        spdf = qs[name](spark, args.sf).toPandas()
+        out["spark_rows"] = len(spdf)
+        if name in osql:
+            dpdf = con.sql(osql[name]).df()
+            cs, rs = _canon(spdf)
+            cd, rd = _canon(dpdf)
+            out["ok"] = cs == cd and rs == rd
+            out["tag"] = (
+                "OK" if out["ok"] else ("COLS" if cs != cd else "VALUES")
+            )
+        else:
+            out["ok"], out["tag"] = True, f"rows_only({len(spdf)})"
+
     for name in names:
+        if name in skip:
+            record[name] = {"status": "excluded", "reason": skip[name]}
+            print(f"{name:38s} EXCLUDED       ({skip[name][:80]})", flush=True)
+            continue
         t0 = time.time()
-        try:
-            spdf = qs[name](spark, args.sf).toPandas()
-            if name in osql:
-                dpdf = con.sql(osql[name]).df()
-                cs, rs = _canon(spdf)
-                cd, rd = _canon(dpdf)
-                ok = cs == cd and rs == rd
-                tag = "OK" if ok else ("COLS" if cs != cd else "VALUES")
-            else:
-                ok, tag = True, f"rows_only({len(spdf)})"
-            if not ok:
-                bad.append(name)
-            print(f"{name:38s} {tag:14s} {time.time() - t0:5.1f}s", flush=True)
-        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+        out: dict = {}
+        worker = threading.Thread(target=_trap(run_one, out), args=(name, out))
+        worker.start()
+        worker.join(args.timeout_sec)
+        if worker.is_alive():
+            # Runaway query: cancel both engines, record, keep sweeping.
+            spark.sparkContext.cancelAllJobs()
+            con.interrupt()
+            worker.join(120)
             bad.append(name)
-            print(f"{name:38s} ERROR {str(ex)[:160]}", flush=True)
-    print(f"PREFLIGHT SUMMARY: {len(names) - len(bad)}/{len(names)} green; bad={bad}")
+            record[name] = {
+                "status": "timeout",
+                "seconds": round(time.time() - t0, 1),
+            }
+            print(f"{name:38s} TIMEOUT        {time.time() - t0:6.1f}s", flush=True)
+            continue
+        dt = time.time() - t0
+        if "error" in out:
+            bad.append(name)
+            record[name] = {
+                "status": "error",
+                "seconds": round(dt, 1),
+                "err": out["error"][:200],
+            }
+            print(f"{name:38s} ERROR {out['error'][:160]}", flush=True)
+            continue
+        ok, tag = out["ok"], out["tag"]
+        if not ok:
+            bad.append(name)
+        record[name] = {
+            "status": "green" if ok else tag.lower(),
+            "seconds": round(dt, 1),
+            "spark_rows": out.get("spark_rows"),
+        }
+        print(f"{name:38s} {tag:14s} {dt:6.1f}s", flush=True)
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    n_run = len([n for n in names if n not in skip])
+    print(
+        f"PREFLIGHT SUMMARY: {n_run - len(bad)}/{n_run} green"
+        f" ({len(names) - n_run} excluded); bad={bad}"
+    )
     sys.exit(1 if bad else 0)
+
+
+def _trap(fn, out: dict):
+    """Wrap the worker so exceptions land in `out` instead of the
+    thread's stderr (the main thread owns reporting)."""
+
+    def inner(name: str, o: dict) -> None:
+        try:
+            fn(name, o)
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            out["error"] = str(ex)
+
+    return inner
 
 
 if __name__ == "__main__":
