@@ -216,9 +216,8 @@ _RECHECK = {
     # (verified locally) but the shared kernel changed — re-prove.
     "llm_multimodal_wav": 8,
     # Round-8: frame_sample gained the MJPEG dispatch ahead of the PPM
-    # walk — PPM dataflow unchanged (verified locally), shared entry
-    # point changed — re-prove.
-    "llm_multimodal_frames": 8,
+    # walk — re-proven green r8; superseded by the r9 entry below (the
+    # same shared entry point changed again).
     # Round-8 no-recheck rationale (deliberate, documented): (a) the AC
     # huffman alphabet gained 14 EOBn symbols — this re-codes every
     # emitted JPEG byte stream, but the only green-row consumer
@@ -229,6 +228,14 @@ _RECHECK = {
     # asserts for explicit raises (exception-path-only); (d)
     # scan_jdbc_live's hostile-money policy landed BEFORE its first
     # driver row (new entry), so there is no stale green to invalidate.
+    # Round-9: frame_sample gained the ISO-BMFF(MP4) dispatch between
+    # the MJPEG branch and the PPM walk — MJPEG/PPM dataflow is
+    # unchanged (verified locally: the new branch keys on bytes 4:8 ==
+    # 'ftyp', unreachable for JPEG/PPM payloads), but the shared entry
+    # point changed — re-prove both green-row consumers, per the r8
+    # frame_sample precedent.
+    "llm_multimodal_frames": 9,
+    "llm_multimodal_mjpeg": 9,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

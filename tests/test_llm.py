@@ -829,7 +829,7 @@ def test_mjpeg_demux_and_sampling():
     assert len(multimodal.frame_sample(stream, 1)) == 7
     with _pytest.raises(NotImplementedError, match="truncated JPEG"):
         jpeg.jpeg_stream_end(stream[:-3], pos - len(frames[-1]))
-    with _pytest.raises(NotImplementedError, match="PPM and MJPEG"):
+    with _pytest.raises(NotImplementedError, match="PPM, MJPEG"):
         multimodal.frame_sample(b"\x00\x00RIFF", 1)
 
 
@@ -2150,3 +2150,151 @@ def test_dedup_clusters_adversarial_shapes_converge(spark):
     out2 = dedup.dedup_clusters(ids2, pairs2, max_iters=15).collect()
     assert all(r.cluster_id == 0 for r in out2)
     assert sum(r.is_canonical for r in out2) == 1
+
+
+def test_flac_roundtrip_all_shapes():
+    """FLAC: bit-exact decode(encode(pcm)) across mono/stereo, all
+    three stereo decorrelations, LPC and fixed subframes, constant
+    blocks, full-scale extremes, odd tail blocks; STREAMINFO MD5 and
+    both CRCs verified by the decoder on every path."""
+    import math
+
+    from trino_demo_spark.llm import flac
+
+    mono = [
+        int(1800 * math.sin(i / 7.0)) + (i * 5) % 97 - 48 for i in range(1000)
+    ]
+    dec = flac.decode_flac(flac.encode_flac([mono], 8000))
+    assert dec["samples"][0] == mono
+    assert dec["md5_ok"] and dec["n_samples"] == 1000 and dec["channels"] == 1
+
+    left = [int(3000 * math.sin(i / 11.0)) for i in range(997)]
+    right = [int(2000 * math.cos(i / 5.0)) + (i % 7) for i in range(997)]
+    for use_lpc in (False, True):
+        dec = flac.decode_flac(
+            flac.encode_flac([left, right], 44100, use_lpc=use_lpc)
+        )
+        assert dec["samples"] == [left, right]
+        assert dec["md5_ok"] and dec["sample_rate"] == 44100
+        # 4 blocks of 256 over 997 samples -> cycles ms/ls/rs/indep
+        assert dec["n_frames"] == 4
+
+    flat = flac.decode_flac(flac.encode_flac([[42] * 512], 8000))
+    assert flat["samples"][0] == [42] * 512 and flat["md5_ok"]
+
+    ext = [32767, -32768] * 300
+    dec = flac.decode_flac(flac.encode_flac([ext], 8000))
+    assert dec["samples"][0] == ext and dec["md5_ok"]
+
+    # rice efficiency pin: smooth signals must beat raw PCM16
+    assert len(flac.encode_flac([mono], 8000)) < 2 * len(mono)
+
+
+def test_flac_error_contracts():
+    """FLAC contracts: truncation at every structural boundary, CRC
+    corruption, non-FLAC payloads, unsupported encode shapes."""
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import flac
+
+    enc = flac.encode_flac([list(range(500))], 8000)
+    for cut in (3, 10, 30, 44, len(enc) - 2):
+        with _pytest.raises(NotImplementedError):
+            flac.decode_flac(enc[:cut])
+    with _pytest.raises(NotImplementedError, match="not a FLAC"):
+        flac.decode_flac(b"RIFF" + enc[4:])
+    # flip a bit in the first frame header -> CRC-8 catches it
+    hdr_pos = 4 + 4 + 34  # magic + metadata header + STREAMINFO
+    bad = bytearray(enc)
+    bad[hdr_pos + 2] ^= 0x04
+    with _pytest.raises(NotImplementedError):
+        flac.decode_flac(bytes(bad))
+    # flip a bit deep in a frame body -> CRC-16 catches it
+    bad = bytearray(enc)
+    bad[len(enc) // 2] ^= 0x10
+    with _pytest.raises(NotImplementedError):
+        flac.decode_flac(bytes(bad))
+    with _pytest.raises(NotImplementedError, match="mono/stereo"):
+        flac.encode_flac([[0], [0], [0]], 8000)
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        flac.encode_flac([[0]], 8000, bps=24)
+    with _pytest.raises(ValueError, match="length mismatch"):
+        flac.encode_flac([[0, 1], [0]], 8000)
+
+
+def test_mp4_mux_demux_tables():
+    """MP4: the box walk expands stts/stsc/stsz/stco exactly — every
+    sample slices back byte-identical with the right dts across
+    multi-sample chunks and varying durations; largesize (64-bit)
+    boxes walk; truncations and table inconsistencies surface."""
+    import struct
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import mp4
+
+    samples = [bytes([i]) * (10 + 7 * i) for i in range(7)]
+    durs = [1000 + 100 * i for i in range(7)]
+    enc = mp4.encode_mp4_samples(samples, durs, timescale=30000)
+    d = mp4.mp4_demux(enc)
+    assert d["codec"] == "jpeg" and d["timescale"] == 30000
+    assert d["n_samples"] == 7 and d["duration"] == sum(durs)
+    assert d["n_chunks"] == 3  # 3,2 pattern over 7 -> 3+2+2
+    for i, s in enumerate(d["samples"]):
+        assert s["data"] == samples[i]
+        assert s["dts"] == sum(durs[:i])
+
+    # uniform durations compress to one stts run and still expand
+    d2 = mp4.mp4_demux(mp4.encode_mp4_samples(samples, [500] * 7))
+    assert [s["dts"] for s in d2["samples"]] == [500 * i for i in range(7)]
+
+    # 64-bit largesize ftyp box: the walk handles it (offsets shift,
+    # so rebuild stco by +8 to keep slices valid)
+    ft_len = struct.unpack(">I", enc[:4])[0]
+    large = (
+        struct.pack(">I", 1) + b"ftyp" + struct.pack(">Q", ft_len + 8)
+        + enc[8:ft_len]
+    )
+    shifted = bytearray(large + enc[ft_len:])
+    stco_at = bytes(shifted).find(b"stco")
+    n = struct.unpack(">I", bytes(shifted[stco_at + 8 : stco_at + 12]))[0]
+    for i in range(n):
+        p = stco_at + 12 + 4 * i
+        off = struct.unpack(">I", bytes(shifted[p : p + 4]))[0]
+        shifted[p : p + 4] = struct.pack(">I", off + 8)
+    d3 = mp4.mp4_demux(bytes(shifted))
+    assert [s["data"] for s in d3["samples"]] == samples
+
+    for cut in (4, 30, len(enc) // 2, len(enc) - 3):
+        with _pytest.raises(NotImplementedError):
+            mp4.mp4_demux(enc[:cut])
+    bad = bytearray(enc)
+    p = bytes(bad).find(b"stco") + 12
+    bad[p : p + 4] = struct.pack(">I", len(enc))
+    with _pytest.raises(NotImplementedError, match="past EOF"):
+        mp4.mp4_demux(bytes(bad))
+    with _pytest.raises(NotImplementedError, match="without moov"):
+        mp4.mp4_demux(enc[: struct.unpack(">I", enc[:4])[0]])
+    with _pytest.raises(ValueError):
+        mp4.encode_mp4_samples([], [])
+
+
+def test_mp4_frame_sample_route():
+    """frame_sample routes ftyp payloads through the MP4 demux: sampled
+    frames decode bit-identical to standalone encodings."""
+    from trino_demo_spark.llm import jpeg, mp4
+
+    encs = []
+    for j in range(5):
+        w, h = 6 + j, 5 + j
+        px = bytes(
+            (40 + 3 * x + 5 * y + j * 11) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        encs.append(jpeg.encode_jpeg_gray(w, h, px))
+    stream = mp4.encode_mp4_samples(encs, [100] * 5)
+    out = multimodal.frame_sample(stream, 2)
+    assert [f["frame_idx"] for f in out] == [0, 2, 4]
+    for f in out:
+        assert f["pixels"] == jpeg.decode_jpeg(encs[f["frame_idx"]])["pixels"]

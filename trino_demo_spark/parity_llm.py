@@ -883,6 +883,79 @@ def llm_multimodal_g711(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_flac",
+    sql="""
+    SELECT doc_id,
+           'flac' AS codec,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(400 + (doc_id % 5) * 80 AS BIGINT) AS n_samples,
+           CAST((doc_id % 9) * 100 - 400 AS BIGINT) AS first_sample,
+           true AS bit_exact_ok,
+           true AS md5_ok,
+           true AS compressed_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="FLAC lossless audio through the engine (llm/flac.py — the "
+    "real bitstream per RFC 9639: rice-partitioned residuals, "
+    "CONSTANT/VERBATIM/FIXED/LPC subframes, left-/right-/mid-side "
+    "stereo decorrelations cycling per block, CRC-8 header + CRC-16 "
+    "frame checks, UTF-8-coded frame numbers). Lossless admits the "
+    "strongest oracle: `bit_exact_ok` is decode(encode(pcm)) == pcm "
+    "sample-for-sample and `md5_ok` is the decoder's independent "
+    "STREAMINFO-MD5 verification of the reconstructed interleaved "
+    "PCM; `compressed_ok` pins rice efficiency (smooth signals must "
+    "beat raw PCM16). LPC subframes are genuine on every third doc — "
+    "a chosen quantized coefficient set, since bit-exactness needs "
+    "the decoder's integer prediction reversed, not Levinson-Durbin. "
+    "Closes the lossless half of the compressed-audio stub "
+    "(VERDICT r8 item 3); perceptual codecs (mp3/aac/opus) remain "
+    "declared stubs.",
+)
+def llm_multimodal_flac(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.flac_roundtrip_features(docs)
+
+
+@parity(
+    "llm_multimodal_mp4_demux",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 4 AS nf
+               FROM documents WHERE doc_id < 40),
+    f AS (SELECT doc_id, j FROM d, UNNEST(range(0, 8)) u(j)
+          WHERE j < nf AND j % 2 = 0)
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS frame_idx,
+           CAST(1000 * j + 50 * j * (j - 1) AS BIGINT) AS dts,
+           'jpeg' AS codec,
+           CAST(6 + j AS BIGINT) AS width,
+           CAST(5 + j AS BIGINT) AS height,
+           CAST(3 * (6 + j) * (5 + j) AS BIGINT) AS n_pixel_bytes,
+           true AS matches_single
+    FROM f
+    """,
+    doc="MP4 (ISO-BMFF) demux through the engine (llm/mp4.py, VERDICT "
+    "r8 item 3): per-doc MJPEG-in-MP4 files — color JPEG samples with "
+    "cycling subsampling muxed behind real sample tables (stts "
+    "run-length durations that VARY per sample, stsc multi-run "
+    "3/2-sample chunking, stsz sizes, stco absolute offsets, "
+    "mdat-before-moov layout) — box-walk demuxed and sampled every "
+    "2nd sample. The walk parses only headers + tables and slices "
+    "sample bytes by offset; skipped samples are never entropy-"
+    "decoded (demux saves DECODE, not parse — the MJPEG stream-walk "
+    "economics, now with table-driven random access, which is what a "
+    "100 TB crawl shard actually wants: decode k frames without "
+    "scanning the stream). `dts` is oracle-checked against the stts "
+    "expansion formula and `matches_single` asserts the demuxed "
+    "sample bytes equal AND decode bit-identical to the frame "
+    "encoded alone — any stsz/stco/stsc expansion bug shifts an "
+    "offset and breaks it. webm/VPx remains the declared video stub.",
+)
+def llm_multimodal_mp4_demux(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return multimodal.mp4_sample_features(docs)
+
+
+@parity(
     "llm_multimodal_png_16bit",
     sql="""
     WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
