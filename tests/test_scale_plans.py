@@ -300,6 +300,90 @@ def test_merge_upsert_semantics(spark):
     assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
 
 
+def test_aqe_splits_skewed_q9_composite_probe(spark):
+    """The q9_full shape under a hot part (VERDICT r8 §next-round-5):
+    a lineitem-shaped fact with 95% of rows on ONE (partkey, suppkey)
+    pair joins a uniform partsupp-shaped fact on the COMPOSITE key,
+    then rolls up — AQE must split the skewed partition of that
+    composite-key exchange at runtime (skew=true in the final plan)
+    and the rollup must still be exact. q9_full itself is hint-free;
+    this gate proves the runtime answer it relies on fires for its
+    exact join shape when a part goes hot."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot (partkey=7, suppkey=3) on 95% of fact rows, like one part
+        # dominating a crawl shard; uniform composite-key dim-fact side
+        li = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("l_partkey"),
+            F.when(F.col("id") % 20 != 0, F.lit(3))
+            .otherwise(F.col("id") % 10)
+            .alias("l_suppkey"),
+            (F.col("id") % 50).cast("long").alias("l_quantity"),
+            F.concat(F.lit("pad_pad_pad_pad_pad_"), F.col("id")).alias("pad"),
+        )
+        ps = (
+            spark.range(1000)
+            .select(F.col("id").alias("ps_partkey"))
+            .crossJoin(
+                spark.range(10).select(F.col("id").alias("ps_suppkey"))
+            )
+            .select(
+                "ps_partkey",
+                "ps_suppkey",
+                (F.col("ps_partkey") * 10 + F.col("ps_suppkey"))
+                .cast("long")
+                .alias("ps_supplycost_cents"),
+            )
+        )
+        joined = li.hint("merge").join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        rollup = joined.groupBy("l_suppkey").agg(
+            F.sum(F.col("l_quantity") * F.col("ps_supplycost_cents")).alias(
+                "cost"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        rows = {r.l_suppkey: (r.cost, r.n) for r in rollup.collect()}
+        plan = rollup._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "isFinalPlan=true" in plan, plan
+        # exactness under the split: the hot pair's partial sums must
+        # reassemble — recompute the hot cell's expected value directly
+        hot_n = sum(1 for i in range(200_000) if i % 20 != 0)
+        hot_cost = sum(
+            (i % 50) * (7 * 10 + 3) for i in range(200_000) if i % 20 != 0
+        )
+        assert rows[3][1] >= hot_n, rows[3]
+        cold_3 = sum(
+            (i % 50) * ((i % 1000) * 10 + 3)
+            for i in range(200_000)
+            if i % 20 == 0 and i % 10 == 3
+        )
+        cold_n_3 = sum(
+            1 for i in range(200_000) if i % 20 == 0 and i % 10 == 3
+        )
+        assert rows[3] == (hot_cost + cold_3, hot_n + cold_n_3)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE skew-join mitigation is live: a 95%-one-key left side joined
     SMJ against a uniform right side gets its skewed partition split at

@@ -5,6 +5,8 @@ the parity batch ops."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -518,21 +520,74 @@ def _state_metrics(q):
         for op in p["stateOperators"]:
             c = per.setdefault(
                 op["operatorName"],
-                {"max_rows": 0, "max_bytes": 0, "removed": 0, "dropped": 0},
+                {
+                    "max_rows": 0,
+                    "max_bytes": 0,
+                    "removed": 0,
+                    "dropped": 0,
+                    "custom": set(),
+                },
             )
             c["max_rows"] = max(c["max_rows"], op["numRowsTotal"])
             c["max_bytes"] = max(c["max_bytes"], op["memoryUsedBytes"])
             c["removed"] += op["numRowsRemoved"]
             c["dropped"] += op.get("numRowsDroppedByWatermark", 0)
+            c["custom"].update((op.get("customMetrics") or {}).keys())
     return per
 
 
-def test_dedup_state_bounded_under_duplicate_and_late_flood(spark, tmp_path):
+# At 100 TB the state store is RocksDB, not the default HDFS-backed
+# in-memory map (VERDICT r8 §next-round-7) — the bounds must hold under
+# BOTH providers, and RocksDB must expose its memory metrics in
+# stateOperators.customMetrics. providerClass is a runtime conf read at
+# query start, so it parametrizes cleanly within one session.
+_STATE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+@contextmanager
+def _state_provider(spark, provider):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, _STATE_PROVIDERS[provider])
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def _check_provider_metrics(m, provider):
+    """RocksDB must surface its native-memory accounting; both
+    providers must report non-trivial memory for live state."""
+    assert m["max_bytes"] > 0, m
+    if provider == "rocksdb":
+        assert any(k.startswith("rocksdb") for k in m["custom"]), m["custom"]
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_dedup_state_bounded_under_duplicate_and_late_flood(
+    spark, tmp_path, provider
+):
     """dropDuplicatesWithinWatermark state must hold ~the watermark-live
     key horizon, never the replay volume: 8 hourly batches × 50 keys,
     every event replayed 4×, plus a 10-event late flood per batch
     stamped 3 h back (beyond the 1 h watermark once it moves). Measured
-    max 150 rows (= 3 batch-horizons of keys) for 1 680 rows fed."""
+    max 150 rows (= 3 batch-horizons of keys) for 1 680 rows fed —
+    under BOTH state-store providers (RocksDB is the 100 TB one)."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1)
@@ -553,33 +608,38 @@ def test_dedup_state_bounded_under_duplicate_and_late_flood(spark, tmp_path):
         batches.append(rows)
     src = tmp_path / "in"
     _write_batches(spark, src, batches)
-    q = (
-        ks.dedup_late(_file_stream(spark, src), "1 hour")
-        .writeStream.format("memory")
-        .queryName("state_gate_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with _state_provider(spark, provider):
+        q = (
+            ks.dedup_late(_file_stream(spark, src), "1 hour")
+            .writeStream.format("memory")
+            .queryName(f"state_gate_dedup_{provider}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     m = _state_metrics(q)["dedupeWithinWatermark"]
     assert m["max_rows"] <= 3 * KEYS, m  # explicit horizon bound
     assert m["max_rows"] < HOURS * KEYS, m  # never the full key set
     assert m["removed"] > 0, "watermark eviction never fired"
     assert m["dropped"] > 0, "late flood was not dropped by the watermark"
+    _check_provider_metrics(m, provider)
     out = spark.sql(
-        "SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM state_gate_dedup"
+        "SELECT COUNT(*) c, COUNT(DISTINCT event_id) d "
+        f"FROM state_gate_dedup_{provider}"
     ).first()
     # every key once, no re-emission after eviction (late replays are
     # beyond the watermark, so they drop instead of re-entering state)
     assert out.c == out.d == HOURS * KEYS
 
 
-def test_keep_latest_state_bounded_across_days(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_keep_latest_state_bounded_across_days(spark, tmp_path, provider):
     """applyInPandasWithState (keep-latest) keys on (user, day): 6 daily
     batches × 40 users × 3 revisions. The EventTimeTimeout eviction must
     cap live state at ~the current day's keys (measured max 80 = 2 days'
-    worth during handoff) while 240 (user, day) keys stream through."""
+    worth during handoff) while 240 (user, day) keys stream through —
+    under both state-store providers."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1)
@@ -597,27 +657,31 @@ def test_keep_latest_state_bounded_across_days(spark, tmp_path):
         batches.append(rows)
     src = tmp_path / "in"
     _write_batches(spark, src, batches)
-    q = (
-        ks.keep_latest_stateful(_file_stream(spark, src), "1 hour")
-        .writeStream.format("memory")
-        .queryName("state_gate_keep")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+    with _state_provider(spark, provider):
+        q = (
+            ks.keep_latest_stateful(_file_stream(spark, src), "1 hour")
+            .writeStream.format("memory")
+            .queryName(f"state_gate_keep_{provider}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
     m = _state_metrics(q)["applyInPandasWithState"]
     assert m["max_rows"] <= 3 * USERS, m
     assert m["max_rows"] < DAYS * USERS, m
     assert m["removed"] > 0, "day-end EventTimeTimeout eviction never fired"
+    _check_provider_metrics(m, provider)
 
 
-def test_stream_stream_loj_state_bounded(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_stream_stream_loj_state_bounded(spark, tmp_path, provider):
     """Symmetric-hash join state for the LEFT OUTER interval join must
     stay within the interval+watermark horizon on BOTH sides: 8 hourly
     batches × (30 clicks + 30 purchases), plus 5 replayed 2-h-late
     clicks per batch. Measured max 215 rows (~3.5 batch-horizons) for
-    520 rows fed; every purchase emits at least once."""
+    520 rows fed; every purchase emits at least once — under both
+    state-store providers."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1)
@@ -651,24 +715,27 @@ def test_stream_stream_loj_state_bounded(spark, tmp_path):
     src = tmp_path / "in"
     _write_batches(spark, src, batches)
     raw = _file_stream(spark, src)
-    q = (
-        ks.stream_stream_left_join(
-            raw.filter("event_type = 'click'"),
-            raw.filter("event_type = 'purchase'"),
-            "1 hour",
+    with _state_provider(spark, provider):
+        q = (
+            ks.stream_stream_left_join(
+                raw.filter("event_type = 'click'"),
+                raw.filter("event_type = 'purchase'"),
+                "1 hour",
+            )
+            .writeStream.format("memory")
+            .queryName(f"state_gate_loj_{provider}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName("state_gate_loj")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+        q.awaitTermination(180)
     m = _state_metrics(q)["symmetricHashJoin"]
     assert m["max_rows"] <= 8 * N, m  # 240: interval+watermark horizon
     assert m["max_rows"] < HOURS * 2 * N + 40, m  # never all rows fed
     assert m["removed"] > 0, "join-state eviction never fired"
+    _check_provider_metrics(m, provider)
     emitted = spark.sql(
-        "SELECT COUNT(DISTINCT purchase_id) d FROM state_gate_loj"
+        "SELECT COUNT(DISTINCT purchase_id) d "
+        f"FROM state_gate_loj_{provider}"
     ).first()
     assert emitted.d == HOURS * N  # every purchase surfaced
