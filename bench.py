@@ -137,6 +137,34 @@ CANARY_BASELINE_SEC: float | None = 0.271
 # sessions/hosts — which is exactly what this pin makes visible.
 CANARY_SCAN_BASELINE_SEC: float | None = 0.3
 
+# Which canary a pinned query's ambient drift tracks (VERDICT r8
+# §next-round-4: r8's per-query drift table showed q6 moving with the
+# scan canary, the join/CC families with the ALU canary). "scan" =
+# wall time dominated by parquet scan/decode of the fact table;
+# everything else defaults to "alu" (shuffle/join/compute). Used only
+# for the *normalized* ratios — the raw per-query ratios are always
+# reported unchanged.
+CANARY_KIND: dict[str, str] = {
+    "tpch_q6": "scan",
+    "tpch_q1": "scan",
+    "agg_groupby_key": "scan",
+    "llm_text_quality": "scan",
+    "llm_gopher_quality": "scan",
+}
+
+
+def _ambient(kind: str, alu_ratio: float | None, scan_ratio: float | None) -> float:
+    """Ambient host-slowdown normalizer for one query.
+
+    Floored at 1.0: a fast host never *inflates* a query's normalized
+    ratio (we only ever explain away slowness that the matching canary
+    independently measured, never manufacture headroom).
+    """
+    r = scan_ratio if kind == "scan" else alu_ratio
+    if r is None:
+        return 1.0
+    return max(1.0, r)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -186,6 +214,15 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         scan_best = min(scan_best, time.perf_counter() - t0)
     canary_scan_sec = round(scan_best, 3)
+
+    alu_ratio = (
+        round(canary_sec / CANARY_BASELINE_SEC, 2) if CANARY_BASELINE_SEC else None
+    )
+    scan_ratio = (
+        round(canary_scan_sec / CANARY_SCAN_BASELINE_SEC, 2)
+        if CANARY_SCAN_BASELINE_SEC
+        else None
+    )
 
     # Workload overrides: entries whose PARITY surface later became a
     # driver-verdict wrapper (round 4: llm_dedup_minhash's parity entry
@@ -250,9 +287,14 @@ def main() -> None:
         # 0.84 s). Capped at 3 extra samples (worst case 6 total incl.
         # the spread hatch), and only ever on evidence of being off-pin,
         # keeping the estimator honest vs the best-of-2/3 pins.
+        # The hatch keys off the CANARY-NORMALIZED reading (VERDICT r8
+        # §next-round-4): on a host whose matching canary already reads
+        # 1.4x, a query at 1.3x of pin is ambient, and three forced
+        # re-samples can't beat the host — they just burn bench time.
         if pin:
+            amb = _ambient(CANARY_KIND.get(name, "alu"), alu_ratio, scan_ratio)
             for _ in range(3):
-                if min(samples) <= 1.2 * pin:
+                if min(samples) <= 1.2 * pin * amb:
                     break
                 samples.append(sample())
         timings[name] = round(min(samples), 3)
@@ -264,9 +306,35 @@ def main() -> None:
     # config can eyeball drift). Ratio covers the pinned subset only.
     pinned = {q: b for q, b in BASELINE_SEC.items() if b is not None and q in timings}
     ratio = None
+    ratio_norm = None
+    per_query_norm = {}
     if pinned:
         ratio = round(
             sum(timings[q] for q in pinned) / sum(pinned.values()), 3
+        )
+        # Canary-normalized ratios: raw ratio ÷ the matching canary's
+        # ambient drift (floored at 1.0 — see _ambient). An ambient
+        # round (r8: canaries 1.34/1.67, raw 1.09x) self-documents as
+        # ~1.0x normalized instead of needing manual PERF.md
+        # adjudication; an engine regression moves the normalized
+        # number because the canaries don't.
+        per_query_norm = {
+            q: round(
+                timings[q]
+                / b
+                / _ambient(CANARY_KIND.get(q, "alu"), alu_ratio, scan_ratio),
+                2,
+            )
+            for q, b in pinned.items()
+        }
+        ratio_norm = round(
+            sum(
+                timings[q]
+                / _ambient(CANARY_KIND.get(q, "alu"), alu_ratio, scan_ratio)
+                for q in pinned
+            )
+            / sum(pinned.values()),
+            3,
         )
     print(
         json.dumps(
@@ -278,23 +346,17 @@ def main() -> None:
                 "sf": sf_val,
                 "baseline_total_sec": round(sum(pinned.values()), 3) if pinned else None,
                 "ratio_vs_baseline": ratio,
+                "ratio_vs_baseline_normalized": ratio_norm,
                 "per_query_ratio": {
                     q: round(timings[q] / b, 2) for q, b in pinned.items()
                 },
+                "per_query_ratio_normalized": per_query_norm,
                 "canary_sec": canary_sec,
                 "canary_baseline_sec": CANARY_BASELINE_SEC,
-                "canary_ratio": (
-                    round(canary_sec / CANARY_BASELINE_SEC, 2)
-                    if CANARY_BASELINE_SEC
-                    else None
-                ),
+                "canary_ratio": alu_ratio,
                 "canary_scan_sec": canary_scan_sec,
                 "canary_scan_baseline_sec": CANARY_SCAN_BASELINE_SEC,
-                "canary_scan_ratio": (
-                    round(canary_scan_sec / CANARY_SCAN_BASELINE_SEC, 2)
-                    if CANARY_SCAN_BASELINE_SEC
-                    else None
-                ),
+                "canary_scan_ratio": scan_ratio,
             }
         )
     )
