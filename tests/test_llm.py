@@ -2298,3 +2298,159 @@ def test_mp4_frame_sample_route():
     assert [f["frame_idx"] for f in out] == [0, 2, 4]
     for f in out:
         assert f["pixels"] == jpeg.decode_jpeg(encs[f["frame_idx"]])["pixels"]
+
+
+def test_webm_mux_demux_lacing():
+    """Matroska: the EBML walk expands clusters and Xiph lacing exactly
+    — every frame slices back byte-identical, laced frames share their
+    block timestamp, the unknown-size Segment walks to EOF, the Void
+    element is skipped, and truncations surface as the declared
+    contract."""
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import webm
+
+    frames = [bytes([i]) * (50 + 37 * i) for i in range(7)]
+    pts = [40 * j + j * (j - 1) for j in range(7)]
+    enc = webm.encode_webm_frames(frames, pts, width=6, height=5)
+    d = webm.webm_demux(enc)
+    assert d["codec_id"] == "V_MJPEG"
+    assert d["timestamp_scale"] == 1_000_000
+    assert (d["width"], d["height"]) == (6, 5)
+    assert [s["data"] for s in d["samples"]] == frames
+    # lacing pts rule: cluster positions 1.. share the first laced pts
+    expect_pts = [
+        pts[j] if j % 3 != 2 else pts[j - 1] for j in range(7)
+    ]
+    assert [s["pts"] for s in d["samples"]] == expect_pts
+    assert all(s["keyframe"] for s in d["samples"])
+
+    # a frame whose length needs multiple 255-run lacing bytes
+    big = [bytes(600), b"x" * 255, b"y" * 10]
+    d2 = webm.webm_demux(
+        webm.encode_webm_frames(big, [0, 10, 20], cluster_every=3)
+    )
+    assert [s["data"] for s in d2["samples"]] == big
+
+    # every frame solo (lace path off): same expansion
+    d3 = webm.webm_demux(
+        webm.encode_webm_frames(frames, pts, cluster_every=1)
+    )
+    assert [s["data"] for s in d3["samples"]] == frames
+    assert [s["pts"] for s in d3["samples"]] == pts
+
+    for cut in (2, 20, len(enc) // 2, len(enc) - 3):
+        with _pytest.raises(NotImplementedError):
+            webm.webm_demux(enc[:cut])
+    with _pytest.raises(NotImplementedError, match="DocType"):
+        webm.webm_demux(
+            enc.replace(b"matroska", b"notroska", 1)
+        )
+    with _pytest.raises(NotImplementedError, match="EBML"):
+        webm.webm_demux(b"\x00\x01\x02\x03" + enc)
+    with _pytest.raises(ValueError):
+        webm.encode_webm_frames([], [])
+
+
+def test_webm_frame_sample_route():
+    """frame_sample routes EBML payloads through the Matroska demux:
+    sampled frames decode bit-identical to standalone encodings, and
+    non-MJPEG codec ids raise the declared VPx stub."""
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import jpeg, webm
+
+    encs = []
+    for j in range(5):
+        w, h = 6 + j, 5 + j
+        px = bytes(
+            (40 + 3 * x + 5 * y + j * 11) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        encs.append(jpeg.encode_jpeg_gray(w, h, px))
+    stream = webm.encode_webm_frames(encs, [40 * j for j in range(5)])
+    out = multimodal.frame_sample(stream, 2)
+    assert [f["frame_idx"] for f in out] == [0, 2, 4]
+    for f in out:
+        assert f["pixels"] == jpeg.decode_jpeg(encs[f["frame_idx"]])["pixels"]
+
+    vpx = webm.encode_webm_frames(encs, [0, 1, 2, 3, 4], codec_id="V_VP9")
+    with _pytest.raises(NotImplementedError, match="V_VP9"):
+        multimodal.frame_sample(vpx, 2)
+
+
+def test_ogg_mux_demux_spanning_crc():
+    """Ogg: pages verify the real unreflected CRC-32, packets
+    reassemble byte-identical across page boundaries (255-run lacing +
+    continued flags), granule positions follow RFC 3533
+    page-completion semantics, and framing violations surface."""
+    import struct
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import ogg
+
+    # known-vector check pins the polynomial/reflection choice: the
+    # Ogg CRC of "OggS" must differ from zlib's reflected crc32
+    import zlib
+
+    assert ogg.ogg_crc(b"OggS") != zlib.crc32(b"OggS")
+    assert ogg.ogg_crc(b"") == 0
+
+    pkts = [
+        bytes((7 * i + 11 * j) % 256 for i in range(100 + 300 * (j % 3)))
+        for j in range(8)
+    ]
+    grans = [960 * (j + 1) for j in range(8)]
+    enc = ogg.encode_ogg_opus(
+        pkts, grans, channels=1, pre_skip=99, max_segments_per_page=3
+    )
+    d = ogg.ogg_demux(enc)
+    assert (d["channels"], d["pre_skip"], d["input_sample_rate"]) == (1, 99, 48000)
+    audio = d["packets"][2:]
+    assert [p["data"] for p in audio] == pkts
+    # a page that completes no packet never donates a granule; ones
+    # that do carry the LAST completed packet's granule
+    for p in audio:
+        assert p["granule"] in grans
+
+    # exact multiple of 255 ends with an explicit 0 lacing value
+    d2 = ogg.ogg_demux(ogg.encode_ogg_opus([bytes(510)], [960]))
+    assert d2["packets"][2]["size"] == 510
+
+    # corrupt one body byte -> CRC mismatch
+    bad = bytearray(enc)
+    bad[-1] ^= 0xFF
+    with _pytest.raises(NotImplementedError, match="CRC"):
+        ogg.ogg_demux(bytes(bad))
+    # bad capture pattern
+    with _pytest.raises(NotImplementedError, match="capture"):
+        ogg.ogg_demux(b"NotO" + enc[4:])
+    # drop a whole middle page -> sequence gap (find page 2's offset
+    # by walking lengths from the demuxer's own framing)
+    p2 = enc.find(b"OggS", 4)
+    p3 = enc.find(b"OggS", p2 + 4)
+    with _pytest.raises(NotImplementedError, match="sequence|continued"):
+        ogg.ogg_demux(enc[:p2] + enc[p3:])
+    # truncations
+    for cut in (3, 20, len(enc) // 2 + 1):
+        with _pytest.raises(NotImplementedError):
+            ogg.ogg_demux(enc[:cut])
+    # content tampering breaks the CRC before anything else (the CRC
+    # guard outranks content checks — framing first)
+    with _pytest.raises(NotImplementedError, match="CRC"):
+        ogg.ogg_demux(
+            ogg.encode_ogg_opus(pkts[:1], grans[:1]).replace(
+                b"OpusHead", b"Vorbis!!", 1
+            )
+        )
+    # a VALIDLY-framed stream whose first packet isn't OpusHead is
+    # rejected by the content check
+    not_opus = b"Vorbis!!rest"
+    with _pytest.raises(NotImplementedError, match="OpusHead"):
+        ogg.ogg_demux(
+            ogg._page(0x02, 0, 1, 0, bytes(ogg._lacing(not_opus)), not_opus)
+        )
+    with _pytest.raises(ValueError):
+        ogg.encode_ogg_opus([], [])

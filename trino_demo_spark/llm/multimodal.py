@@ -24,10 +24,13 @@ containers are box-walk demuxed for real (llm.mp4 /
 mdat slicing, MJPEG-in-MP4 sample decode) and FLAC lossless audio is
 a real bit-exact codec (llm.flac / `flac_roundtrip_features`: rice
 residuals, fixed+LPC predictors, all three stereo decorrelations,
-CRC-8/16 + STREAMINFO MD5 verification). Formats that need codec
-libraries not in this container (WebP, perceptual audio codecs
-mp3/aac/opus, webm/VPx video) raise NotImplementedError — declared
-stubs.
+CRC-8/16 + STREAMINFO MD5 verification). The Matroska/webm container
+is a real EBML walk (llm.webm / `webm_sample_features`) and Ogg is a
+real page walk with CRC + packet reassembly (llm.ogg /
+`ogg_packet_features`) — demux-without-decode, like mp4. What still
+raises NotImplementedError is PAYLOAD decode for codecs whose
+libraries are not in this container (WebP, perceptual audio
+mp3/aac/opus, VPx video) — declared stubs.
 """
 
 from __future__ import annotations
@@ -883,9 +886,11 @@ def frame_sample(payload: bytes, every_n: int = 30) -> "list[dict]":
     real video demuxing, where sampling saves DECODE, not I/O: skipped
     MJPEG frames are boundary-walked (llm.jpeg.jpeg_stream_end) but
     never entropy-decoded. MP4 (ISO-BMFF) payloads route to the real
-    box-walk demux (llm.mp4 / mp4_sample_features); other
-    codec-compressed containers (webm/VPx) raise NotImplementedError
-    (declared stub — they require ffmpeg, not in this container)."""
+    box-walk demux (llm.mp4 / mp4_sample_features) and EBML payloads
+    to the Matroska walk (llm.webm / webm_sample_features); Matroska
+    tracks carrying codecs other than V_MJPEG raise
+    NotImplementedError (VPx decode requires ffmpeg — declared
+    stub)."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
     if payload[:2] == b"\xff\xd8":  # MJPEG
@@ -913,10 +918,27 @@ def frame_sample(payload: bytes, every_n: int = 30) -> "list[dict]":
                 frame["frame_idx"] = s["sample_idx"]
                 out.append(frame)
         return out
+    if payload[:4] == b"\x1a\x45\xdf\xa3":  # EBML: Matroska/webm walk
+        from . import jpeg as _jpeg
+        from . import webm as _webm
+
+        demux = _webm.webm_demux(payload)
+        if demux["codec_id"] != "V_MJPEG":
+            raise NotImplementedError(
+                f"Matroska codec {demux['codec_id']} requires ffmpeg "
+                "(only V_MJPEG decodable here)"
+            )
+        out = []
+        for s in demux["samples"]:
+            if s["sample_idx"] % every_n == 0:
+                frame = _jpeg.decode_jpeg(s["data"])
+                frame["frame_idx"] = s["sample_idx"]
+                out.append(frame)
+        return out
     if payload[:2] not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "only concatenated-PPM, MJPEG, and ISO-BMFF(MP4) video "
-            "decodable without ffmpeg"
+            "only concatenated-PPM, MJPEG, ISO-BMFF(MP4), and "
+            "Matroska(V_MJPEG) video decodable without ffmpeg"
         )
     out = []
     pos, idx = 0, 0
@@ -2127,3 +2149,191 @@ def mp4_sample_features(
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=MP4_FEATURE_SCHEMA)
+
+
+WEBM_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("pts_ms", T.LongType()),
+        T.StructField("codec_id", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("matches_single", T.BooleanType()),
+    ]
+)
+
+
+def webm_sample_features(
+    docs: DataFrame, id_col: str = "doc_id", every_n: int = 2
+) -> DataFrame:
+    """Matroska/webm demux exercised for real: per doc, color JPEG
+    frames with cycling subsampling are muxed into a genuine Matroska
+    stream (llm.webm — EBML header, UNKNOWN-size Segment, Info/Tracks,
+    a Void element the walk must skip, multi-frame Clusters mixing
+    solo SimpleBlocks with Xiph-LACED blocks), then EBML-walk demuxed
+    and sampled every `every_n` frames. The walk parses only element
+    headers, lacing tables, and block headers — frame bytes are sliced
+    by offset, and skipped frames are never entropy-decoded (demux
+    saves DECODE, not parse — the mp4/MJPEG economics on the other
+    container a crawl actually carries). One row per SAMPLED frame;
+    `pts_ms` comes from cluster-timestamp + block-relative expansion
+    (laced frames share their block's timestamp — the oracle mirrors
+    that formula) and `matches_single` asserts the sliced frame bytes
+    equal AND decode bit-identical to the frame encoded alone — any
+    vint/lacing/offset bug shifts a boundary and breaks it."""
+    from . import jpeg as _jpeg
+    from . import webm as _webm
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def synth_frame(doc_id: int, j: int) -> "tuple[int, int, bytes]":
+        w, h = 6 + j, 5 + j
+        px = bytearray()
+        for i in range(w * h):
+            x, y = i % w, i // w
+            px.append(40 + 2 * x + 3 * y + (doc_id * 5 + j * 11) % 50)
+            px.append(80 + 3 * x + y + (doc_id * 7 + j * 3) % 50)
+            px.append(20 + x + 2 * y + (doc_id * 11 + j * 13) % 50)
+        return w, h, bytes(px)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n_frames = 4 + doc_id % 4
+                encs = []
+                for j in range(n_frames):
+                    w, h, px = synth_frame(doc_id, j)
+                    encs.append(
+                        _jpeg.encode_jpeg_color(
+                            w, h, px, 90, _JPEG_SUBSAMPLINGS[j % 3]
+                        )
+                    )
+                pts = [40 * j + j * (j - 1) for j in range(n_frames)]
+                stream = _webm.encode_webm_frames(
+                    encs, pts, width=6, height=5, cluster_every=3, lace_from=1
+                )
+                demux = _webm.webm_demux(stream)
+                for s in demux["samples"]:
+                    j = s["sample_idx"]
+                    if j % every_n != 0:
+                        continue  # skipped: sliced by the walk, never decoded
+                    frame = _jpeg.decode_jpeg(s["data"])
+                    single = _jpeg.decode_jpeg(encs[j])
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": j,
+                            "pts_ms": s["pts"],
+                            "codec_id": demux["codec_id"],
+                            "width": frame["width"],
+                            "height": frame["height"],
+                            "n_pixel_bytes": len(frame["pixels"]),
+                            "matches_single": frame["pixels"]
+                            == single["pixels"]
+                            and s["data"] == encs[j],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=WEBM_FEATURE_SCHEMA)
+
+
+OGG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("packet_idx", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("head_sig", T.LongType()),
+        T.StructField("granule", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pre_skip", T.LongType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("matches_original", T.BooleanType()),
+        T.StructField("n_pages_spanning", T.LongType()),
+        T.StructField("spanning_ok", T.BooleanType()),
+    ]
+)
+
+
+def ogg_packet_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Ogg (RFC 3533) container demux exercised for real: per doc, two
+    genuine Ogg-Opus-shaped streams (llm.ogg — OpusHead/OpusTags
+    header packets, segment-lacing tables, BOS/EOS/continued flags,
+    the real unreflected Ogg CRC-32 verified on every page):
+
+    stream A — sub-255-byte packets, two per page, whose per-packet
+    `size`, `head_sig` (first-16-bytes checksum of the deterministic
+    payload), page-completion `granule` (RFC 3533: packets completing
+    on one page share its granule — the oracle reproduces the pairing
+    formula), OpusHead `channels`/`pre_skip`, and page count are each
+    recomputed independently by the SQL oracle;
+
+    stream B — oversized packets under a 3-segment page cap, so
+    packets SPAN pages via 255-run lacing + continued flags:
+    `spanning_ok` asserts every reassembled packet is byte-identical
+    to its original and `n_pages_spanning` checks the page count
+    against the lacing arithmetic (2 header pages + ceil(total
+    segments / 3)). Opus payload DECODE (SILK/CELT) remains the
+    declared perceptual-codec stub — the container is what a 100 TB
+    crawl shard needs to slice without paying a codec."""
+    from . import ogg as _ogg
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 5 + doc_id % 4
+                pkts = [
+                    bytes(
+                        (doc_id * 7 + j * 11 + 3 * i) % 256
+                        for i in range(100 + 10 * j)
+                    )
+                    for j in range(n)
+                ]
+                grans = [960 * (j + 1) for j in range(n)]
+                stream_a = _ogg.encode_ogg_opus(
+                    pkts,
+                    grans,
+                    channels=1 + doc_id % 2,
+                    pre_skip=312 + doc_id % 7,
+                    max_segments_per_page=2,
+                )
+                da = _ogg.ogg_demux(stream_a)
+                # stream B: 300/555-byte packets (2/3 lacing segments)
+                # under a 3-segment page cap => guaranteed spanning
+                pkts_b = [
+                    bytes((doc_id * 3 + j * 5 + i) % 256 for i in range(300 + 255 * (j % 2)))
+                    for j in range(n)
+                ]
+                db = _ogg.ogg_demux(
+                    _ogg.encode_ogg_opus(
+                        pkts_b, grans, max_segments_per_page=3
+                    )
+                )
+                spanning_ok = [p["data"] for p in db["packets"][2:]] == pkts_b
+                for j, p in enumerate(da["packets"][2:]):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "packet_idx": j,
+                            "size": p["size"],
+                            "head_sig": sum(p["data"][:16]) % 997,
+                            "granule": p["granule"],
+                            "channels": da["channels"],
+                            "pre_skip": da["pre_skip"],
+                            "n_pages": da["n_pages"],
+                            "matches_original": p["data"] == pkts[j],
+                            "n_pages_spanning": db["n_pages"],
+                            "spanning_ok": spanning_ok,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=OGG_FEATURE_SCHEMA)

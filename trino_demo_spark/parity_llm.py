@@ -956,6 +956,94 @@ def llm_multimodal_mp4_demux(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_webm_demux",
+    sql="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 4 AS nf
+               FROM documents WHERE doc_id < 40),
+    f AS (SELECT doc_id, j FROM d, UNNEST(range(0, 8)) u(j)
+          WHERE j < nf AND j % 2 = 0)
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN j % 3 = 2
+                     THEN 40 * (j - 1) + (j - 1) * (j - 2)
+                     ELSE 40 * j + j * (j - 1) END AS BIGINT) AS pts_ms,
+           'V_MJPEG' AS codec_id,
+           CAST(6 + j AS BIGINT) AS width,
+           CAST(5 + j AS BIGINT) AS height,
+           CAST(3 * (6 + j) * (5 + j) AS BIGINT) AS n_pixel_bytes,
+           true AS matches_single
+    FROM f
+    """,
+    doc="Matroska/webm (EBML) demux through the engine (llm/webm.py): "
+    "per-doc MJPEG-in-Matroska streams — color JPEG frames with "
+    "cycling subsampling muxed behind a real EBML layout (UNKNOWN-size "
+    "Segment as streaming muxers emit, Info/Tracks with V_MJPEG codec "
+    "id, a Void element the walk must skip, 3-frame Clusters mixing "
+    "solo SimpleBlocks with Xiph-LACED multi-frame blocks) — EBML-walk "
+    "demuxed and sampled every 2nd frame. The walk parses only "
+    "variable-length element headers, lacing tables, and block "
+    "headers; frame bytes are sliced by offset and skipped frames are "
+    "never entropy-decoded (the mp4 economics on the other container "
+    "a crawl carries). `pts_ms` is oracle-checked against the "
+    "cluster-base + relative-timestamp expansion INCLUDING the lacing "
+    "rule (laced frames share their block's timestamp: j%3==2 shares "
+    "j-1's pts) and `matches_single` asserts the sliced bytes equal "
+    "AND decode bit-identical to the frame encoded alone — any "
+    "vint/lacing/offset bug shifts a boundary and breaks it. VPx "
+    "PAYLOAD decode remains the declared stub; the container no "
+    "longer is.",
+)
+def llm_multimodal_webm_demux(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return multimodal.webm_sample_features(docs)
+
+
+@parity(
+    "llm_multimodal_ogg_demux",
+    sql="""
+    WITH d AS (SELECT doc_id, 5 + doc_id % 4 AS n
+               FROM documents WHERE doc_id < 40),
+    p AS (SELECT doc_id, n, j FROM d, UNNEST(range(0, 9)) u(j)
+          WHERE j < n)
+    SELECT p.doc_id,
+           CAST(j AS BIGINT) AS packet_idx,
+           CAST(100 + 10 * j AS BIGINT) AS size,
+           CAST((SELECT SUM((p.doc_id * 7 + p.j * 11 + 3 * i) % 256) % 997
+                 FROM UNNEST(range(0, 16)) t(i)) AS BIGINT) AS head_sig,
+           CAST(960 * (LEAST(j - (j % 2) + 1, n - 1) + 1) AS BIGINT)
+               AS granule,
+           CAST(1 + p.doc_id % 2 AS BIGINT) AS channels,
+           CAST(312 + p.doc_id % 7 AS BIGINT) AS pre_skip,
+           CAST(2 + (n + 1) // 2 AS BIGINT) AS n_pages,
+           true AS matches_original,
+           CAST(2 + CAST(CEIL((2.0 * n + FLOOR(n / 2.0)) / 3) AS BIGINT)
+               AS BIGINT) AS n_pages_spanning,
+           true AS spanning_ok
+    FROM p
+    """,
+    doc="Ogg container (RFC 3533) demux through the engine "
+    "(llm/ogg.py): per-doc Ogg-Opus-shaped streams — OpusHead/"
+    "OpusTags header packets then audio packets with cumulative "
+    "48 kHz granule positions — page-walk demuxed with the REAL "
+    "unreflected Ogg CRC-32 verified on every page, sequence-gap "
+    "and flag-sanity checks, and packet reassembly from segment "
+    "lacing tables. Stream A's per-packet size/checksum/granule "
+    "(RFC 3533 page-completion semantics: packets completing on one "
+    "page share its granule — the oracle reproduces the 2-per-page "
+    "pairing), OpusHead channels/pre_skip, and page count are each "
+    "recomputed independently by the oracle; stream B forces packets "
+    "to SPAN pages (255-run lacing + continued flags under a "
+    "3-segment cap) and `spanning_ok` asserts byte-identical "
+    "reassembly with the page count checked against the lacing "
+    "arithmetic. Opus PAYLOAD decode (SILK/CELT) remains the "
+    "declared perceptual-codec stub — the container no longer is.",
+)
+def llm_multimodal_ogg_demux(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return multimodal.ogg_packet_features(docs)
+
+
+@parity(
     "llm_multimodal_png_16bit",
     sql="""
     WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
