@@ -236,6 +236,38 @@ _RECHECK = {
     # frame_sample precedent.
     "llm_multimodal_frames": 9,
     "llm_multimodal_mjpeg": 9,
+    # r9 usum/USUM surfacing fix (double(S)/10^scale replaces the
+    # DECIMAL(38,s)→DOUBLE route, which double-rounded in DuckDB past
+    # 2^53 units — caught by the r9 sf1 sweep on tpch_q1): every entry
+    # whose engine AND oracle route money sums through the shared
+    # helpers changed and must re-prove green.
+    "join_fact_fact_merge": 9,
+    "join_skew_salted": 9,
+    "join_bucketed_flagship": 9,
+    "agg_groupby_key": 9,
+    "tpch_q1": 9,
+    "tpch_q3": 9,
+    "tpch_q5": 9,
+    "tpch_q6": 9,
+    "tpch_q7": 9,
+    "tpch_q8": 9,
+    "tpch_q9": 9,
+    "tpch_q9_full": 9,
+    "tpch_q10": 9,
+    "tpch_q11": 9,
+    "tpch_q11_full": 9,
+    "tpch_q14": 9,
+    "tpch_q15": 9,
+    "tpch_q17": 9,
+    "tpch_q18": 9,
+    "tpch_q19": 9,
+    "tpch_q22": 9,
+    "agg_rollup": 9,
+    "udaf_weighted_mean": 9,
+    # r9 signed-zero fix (sf1 sweep): weighted-sample keys rounding to
+    # zero rendered '-0.0' (DuckDB) vs '0.0' (Spark); both sides now
+    # normalize with + 0.0.
+    "llm_sample_weighted": 9,
 }
 
 # Never-driver-tested entries most valuable to a reference user, verified

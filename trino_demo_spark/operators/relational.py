@@ -582,7 +582,14 @@ def weighted_sample_topk(
     # ln(u)/w is monotone with u^(1/w) and numerically safer.
     # try_divide: weight 0 means inclusion probability 0 — the row is
     # excluded (NULL key filtered), not a DIVIDE_BY_ZERO under ANSI.
-    skey = F.round(F.try_divide(F.log(u), weight_col) + F.lit(1e-9), round_to)
+    # + 0.0 normalizes IEEE -0.0 to +0.0: with heavy docs a near-zero
+    # negative key rounds to zero, and a signed zero renders '-0.0'
+    # vs '0.0' across engines (caught by the r9 sf1 sweep — Spark's
+    # BigDecimal-backed round emits +0.0, DuckDB's keeps the sign).
+    skey = (
+        F.round(F.try_divide(F.log(u), weight_col) + F.lit(1e-9), round_to)
+        + F.lit(0.0)
+    )
     return (
         df.withColumn("sample_key", skey)
         .filter(F.col("sample_key").isNotNull())

@@ -86,16 +86,20 @@ def r_(col, n: int):
 #     TPC-H magnitudes (lo < N*2^20; hi < N*max_units/2^20) — far past
 #     100 TB (Q1 at sf100k is ~1.5e11 rows/group); beyond that Spark's
 #     ANSI mode raises rather than corrupts;
-#   * the result is pinned to DECIMAL(38, s) so both engines print the
-#     identical representation. Integer sums are order-independent, so
-#     the value is bit-identical under any partitioning at any scale.
+#   * the result is surfaced as double(S)/10^s — one int→double
+#     rounding of the exact unit total, then an IEEE division by the
+#     exactly-representable power of ten; verified bit-identical
+#     Spark-vs-DuckDB across 2^53-boundary, negative, and beyond-int64
+#     totals. Integer sums are order-independent, so the value is
+#     bit-identical under any partitioning at any scale.
 #
 # The oracle mirrors the same per-row unit arithmetic; DuckDB sums
 # BIGINT into HUGEINT (exact, no split needed — sum(hi)*1e6 + sum(lo)
-# == sum(units) identically) and scales down via an exact
-# decimal-literal multiply (division is avoided: DuckDB routes decimal
-# division through double). Verified byte-identical to the round-2
-# DECIMAL(18,2) formulation at sf0.001/0.01/0.1.
+# == sum(units) identically) and surfaces through the same
+# double(S)/10^s. (The r2–r8 formulation pinned DECIMAL(38,s) and cast
+# that to DOUBLE; DuckDB's decimal→double multiplies the int128 by an
+# inexact 10^-s — a second rounding that diverged by one ulp once
+# totals crossed 2^53 units. Caught by the r9 sf1 sweep on tpch_q1.)
 def u2(name: str):
     """2-decimal money/rate column → exact integer units (×100), long.
 
@@ -134,8 +138,8 @@ def urev():
 def usum(units, scale: int):
     """Exact order-independent money sum at long speed (see block
     comment above): hi/lo split-accumulator long sums recombined in
-    decimal, pinned to DECIMAL(38, scale). `units` must be an integer
-    expression in 10^-scale units.
+    decimal, surfaced as double(S)/10^scale. `units` must be an
+    integer expression in 10^-scale units.
 
     The split is bitwise (hi = units >> 20, lo = units & 0xFFFFF —
     x == (x>>20)·2^20 + (x & 0xFFFFF) holds for all ints under
@@ -143,16 +147,20 @@ def usum(units, scale: int):
     the Q1 shape. Same envelope as the 1e6 split: lo < N·2^20 keeps
     int64 to N ≈ 8.8e12 rows/group.
 
-    The final value is surfaced as DOUBLE: the sum itself stays exact
-    (integer accumulators recombined in decimal), and only the finished
-    per-group total takes one decimal→double rounding. Both engines
-    round the SAME exact decimal, and for totals below 2^53 units that
-    rounding is correctly-rounded on both (Java BigDecimal.doubleValue;
-    DuckDB exact-int ÷ exact power of ten), so the doubles are
-    bit-identical — and, unlike DECIMAL, both pandas bridges render
-    them with the identical shortest repr ('297175.0', never
+    The final value is surfaced as DOUBLE via `double(S) / 10^scale`:
+    the exact integer unit total S takes ONE int→double rounding
+    (round-to-nearest on both engines — verified bit-identical Spark
+    vs DuckDB across 2^53-boundary, negative, and beyond-int64
+    values), then an IEEE division by the exactly-representable
+    power of ten (scale ≤ 15). The earlier surfacing rounded a
+    DECIMAL(38,scale) instead, and DuckDB's decimal→double multiplies
+    the int128 by an inexact 10^-scale — a SECOND rounding that
+    diverged from Spark by one ulp once totals crossed 2^53 units
+    (caught by the r9 sf1 sweep on tpch_q1's sum_charge: 2.8e16 units
+    at scale 6). Unlike DECIMAL output, both pandas bridges render
+    the double with the identical shortest repr ('297175.0', never
     '297175.00'), which is what the driver's string canonicalizer
-    hashes. Decimal output cost us 3 hash rows in round 2 on
+    hashes — decimal output cost us 3 hash rows in round 2 on
     trailing-zero totals."""
     lo = units.bitwiseAND(F.lit((1 << 20) - 1))
     hi = F.shiftright(units, 20)
@@ -160,7 +168,7 @@ def usum(units, scale: int):
         F.sum(hi).cast("decimal(31,0)") * F.lit(1 << 20).cast("decimal(7,0)")
         + F.sum(lo).cast("decimal(31,0)")
     )
-    return (tot / F.lit(10**scale)).cast(f"decimal(38,{scale})").cast("double")
+    return tot.cast("double") / F.lit(float(10**scale))
 
 
 def U2(col: str) -> str:
@@ -195,15 +203,12 @@ def UREV(a: str = "") -> str:
 
 
 def USUM(expr: str, scale: int) -> str:
-    """Oracle-side mirror of usum: HUGEINT sum scaled down by an exact
-    decimal-literal multiply, pinned to DECIMAL(38, scale), surfaced as
-    DOUBLE (same one-rounding-of-the-same-exact-decimal argument as
-    usum — see its docstring)."""
-    one = f"CAST({10**-scale:.{scale}f} AS DECIMAL({scale + 1},{scale}))"
-    return (
-        f"CAST(CAST(CAST(SUM({expr}) AS DECIMAL({37 - scale},0)) * {one} "
-        f"AS DECIMAL(38,{scale})) AS DOUBLE)"
-    )
+    """Oracle-side mirror of usum: the HUGEINT unit sum takes one
+    int→double rounding, then an IEEE division by the exact power of
+    ten — bit-identical to usum's double(S)/10^scale surfacing (see
+    its docstring; the former DECIMAL(38,scale)→DOUBLE route
+    double-rounded in DuckDB past 2^53 units)."""
+    return f"(CAST(SUM({expr}) AS DOUBLE) / {float(10**scale)!r})"
 
 
 def _scratch(sf_dir: str) -> str:

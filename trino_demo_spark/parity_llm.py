@@ -2681,8 +2681,10 @@ def llm_boilerplate_strip(spark, sf_dir):
     sql="""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
+             -- + 0.0 normalizes -0.0 (DuckDB ROUND keeps the sign of a
+             -- near-zero negative; Spark's BigDecimal round does not)
              ROUND(ln(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-                      / 281474976710656.0) / n_chars + 1e-9, 6) AS sample_key
+                      / 281474976710656.0) / n_chars + 1e-9, 6) + 0.0 AS sample_key
       FROM documents
       WHERE n_chars > 0
     )
