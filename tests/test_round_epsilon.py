@@ -77,3 +77,72 @@ def test_round_epsilon_matches_across_engines(spark, duck_con, cases):
             assert spark_r == duck_r, (
                 f"ROUND({x!r} + eps, {n}): spark={spark_r!r} duck={duck_r!r}"
             )
+
+
+def test_usum_surfacing_bit_identical_past_2p53(spark, duck_con):
+    """r9 sf1-sweep regression: group unit totals PAST 2^53 must
+    surface as the bit-identical double on both engines. The old
+    DECIMAL(38,s)->DOUBLE surfacing double-rounded in DuckDB (int128
+    times an inexact 10^-s) and diverged by one ulp at sf1 magnitudes
+    (tpch_q1 sum_charge, 2.8e16 units). The fixed double(S)/10^scale
+    takes one int->double rounding then an exact-power-of-ten IEEE
+    division. Compared as STRINGS (driver canonicalizer semantics —
+    float == hides ulp-level and signed-zero drift)."""
+    import pyspark.sql.functions as F
+
+    from trino_demo_spark.parity import USUM, usum
+
+    # per-group totals straddling 2^53 = 9007199254740992, including
+    # the exact sf1 repro total and an odd just-past-the-boundary sum
+    groups = {
+        "a": [27864155010941590 - 12345, 12345],            # sf1 repro
+        "b": [2**53 - 1, 2],                                # lands on 2^53+1
+        "c": [2**53 + 3, 0],
+        "d": [123456789012345675, 1],
+        "e": [-27864155010941591, -2],
+        "f": [999, 1],                                      # small control
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, units long")
+    got = {
+        r.g: str(r.s)
+        for r in df.groupBy("g")
+        .agg(usum(F.col("units"), 6).alias("s"))
+        .collect()
+    }
+    duck_con.execute("CREATE OR REPLACE TABLE _usum(g VARCHAR, units BIGINT)")
+    duck_con.executemany("INSERT INTO _usum VALUES (?, ?)", rows)
+    want = {
+        g: str(s)
+        for g, s in duck_con.execute(
+            f"SELECT g, {USUM('units', 6)} AS s FROM _usum GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_weighted_sample_key_never_renders_negative_zero(spark, duck_con):
+    """r9 sf1-sweep regression: a sample key that rounds to zero must
+    render '0.0' on both engines. DuckDB's ROUND keeps the sign of a
+    near-zero negative (-> '-0.0' under the driver's string
+    canonicalizer) while Spark's BigDecimal round does not; both sides
+    now normalize with + 0.0. Weights are huge so ln(u)/w rounds to
+    zero at 6 decimals — the sf1 top-of-sample regime."""
+    from trino_demo_spark.operators.relational import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, 10**9 + i) for i in range(20)], "doc_id long, w long"
+    )
+    out = weighted_sample_topk(df, "doc_id", "w", k=20)
+    skeys = {str(r.sample_key) for r in out.collect()}
+    assert "-0.0" not in skeys and "0.0" in skeys
+
+    duck = duck_con.execute(
+        """
+        SELECT DISTINCT CAST(ROUND(
+            ln(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               / 281474976710656.0) / w + 1e-9, 6) + 0.0 AS VARCHAR) AS k
+        FROM (SELECT UNNEST(range(20)) AS doc_id, 1000000000 + UNNEST(range(20)) AS w)
+        """
+    ).fetchall()
+    assert {"0.0"} == {k for (k,) in duck}
