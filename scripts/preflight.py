@@ -80,6 +80,12 @@ def main() -> None:
     # Parallel chunk runs share the host: bound DuckDB to the same core
     # budget as the Spark session instead of its all-cores default.
     con.sql(f"SET threads={args.cpus}")
+    # Bound oracle memory so a pathological plan (the r9 sweep hit a
+    # 103GB RSS on an all-pairs oracle at sf1 and took the whole
+    # process down with it) surfaces as a recorded ERROR, not an
+    # OOM-kill that loses the chunk's record.
+    con.sql("SET memory_limit='24GB'")
+    con.sql(f"SET temp_directory='{os.path.join(_ROOT, '.scratch', 'duck_tmp')}'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -135,6 +141,19 @@ def main() -> None:
                 "seconds": round(time.time() - t0, 1),
             }
             print(f"{name:38s} TIMEOUT        {time.time() - t0:6.1f}s", flush=True)
+            _flush_json(args.json_out, record)
+            if worker.is_alive():
+                # The worker survived cancel+interrupt: it still holds
+                # the shared DuckDB connection, so every later oracle
+                # would deadlock behind it (r9: chunk 0 hung exactly
+                # this way and lost its record). Write what we have
+                # and exit nonzero — the merge step treats missing
+                # names as "not yet swept".
+                record["__aborted__"] = {"status": "chunk_aborted_on", "name": name}
+                _flush_json(args.json_out, record)
+                print(f"PREFLIGHT ABORT: worker for {name} unkillable; "
+                      f"record flushed", flush=True)
+                os._exit(3)
             continue
         dt = time.time() - t0
         if "error" in out:
@@ -145,6 +164,7 @@ def main() -> None:
                 "err": out["error"][:200],
             }
             print(f"{name:38s} ERROR {out['error'][:160]}", flush=True)
+            _flush_json(args.json_out, record)
             continue
         ok, tag = out["ok"], out["tag"]
         if not ok:
@@ -155,16 +175,24 @@ def main() -> None:
             "spark_rows": out.get("spark_rows"),
         }
         print(f"{name:38s} {tag:14s} {dt:6.1f}s", flush=True)
+        _flush_json(args.json_out, record)
 
-    if args.json_out:
-        with open(args.json_out, "w") as f:
-            json.dump(record, f, indent=1, sort_keys=True)
+    _flush_json(args.json_out, record)
     n_run = len([n for n in names if n not in skip])
     print(
         f"PREFLIGHT SUMMARY: {n_run - len(bad)}/{n_run} green"
         f" ({len(names) - n_run} excluded); bad={bad}"
     )
     sys.exit(1 if bad else 0)
+
+
+def _flush_json(path, record) -> None:
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def _trap(fn, out: dict):
