@@ -615,3 +615,74 @@ def test_topk_before_dim_join_matches_join_first_model(
     exp = sorted((ck, rev, customers[ck]) for ck, rev in ranked)
 
     assert got == exp, (facts, customers, nations, k)
+
+
+# --- container-kernel roundtrip properties (r9: webm/ogg) -----------------
+
+_frames = st.lists(
+    st.binary(min_size=0, max_size=700), min_size=1, max_size=9
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=_frames,
+    gaps=st.lists(st.integers(min_value=0, max_value=500), min_size=9, max_size=9),
+    cluster_every=st.integers(min_value=1, max_value=4),
+    lace_from=st.integers(min_value=0, max_value=3),
+)
+def test_webm_roundtrip_property(frames, gaps, cluster_every, lace_from):
+    """ANY frame sizes (including empty and 255-boundary), pts spacings,
+    cluster groupings, and lacing splits must slice back byte-identical
+    through the EBML walk, with the documented lacing-pts rule."""
+    from trino_demo_spark.llm import webm
+
+    pts = []
+    t = 0
+    for g in gaps[: len(frames)]:
+        pts.append(t)
+        t += g
+    enc = webm.encode_webm_frames(
+        frames, pts, cluster_every=cluster_every, lace_from=lace_from
+    )
+    d = webm.webm_demux(enc)
+    assert [s["data"] for s in d["samples"]] == frames
+    # pts rule: within each cluster, frames [lace_from+1:] share the
+    # first laced frame's pts (single-frame "laces" are written solo)
+    expect = []
+    for c0 in range(0, len(frames), cluster_every):
+        group = list(range(c0, min(c0 + cluster_every, len(frames))))
+        solo, laced = group[:lace_from], group[lace_from:]
+        expect.extend(pts[j] for j in solo)
+        if len(laced) == 1:
+            expect.append(pts[laced[0]])
+        elif laced:
+            expect.extend(pts[laced[0]] for _ in laced)
+    assert [s["pts"] for s in d["samples"]] == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pkts=st.lists(st.binary(min_size=0, max_size=900), min_size=1, max_size=8),
+    max_seg=st.integers(min_value=1, max_value=8),
+    channels=st.integers(min_value=1, max_value=8),
+)
+def test_ogg_roundtrip_property(pkts, max_seg, channels):
+    """ANY packet sizes (empty, 255-multiples, page-spanning) under ANY
+    page cap must reassemble byte-identical with every page CRC valid
+    and granules monotone over completed audio packets."""
+    from trino_demo_spark.llm import ogg
+
+    grans = [960 * (j + 1) for j in range(len(pkts))]
+    enc = ogg.encode_ogg_opus(
+        pkts, grans, channels=channels, max_segments_per_page=max_seg
+    )
+    d = ogg.ogg_demux(enc)
+    assert d["channels"] == channels
+    audio = d["packets"][2:]
+    assert [p["data"] for p in audio] == pkts
+    # every audio packet's completion granule is one of the declared
+    # granules and non-decreasing in packet order
+    gs = [p["granule"] for p in audio]
+    assert all(g in grans for g in gs)
+    assert gs == sorted(gs)
