@@ -2454,3 +2454,70 @@ def test_ogg_mux_demux_spanning_crc():
         )
     with _pytest.raises(ValueError):
         ogg.encode_ogg_opus([], [])
+
+
+def test_warc_roundtrip_and_contracts():
+    """WARC: the Common-Crawl gzip layout (one member per record)
+    round-trips byte-identically, bodies are sliced by Content-Length
+    (a body containing 'WARC/1.0' must not confuse the reader), the
+    inner HTTP message parses, and framing violations surface."""
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import warc
+
+    # a body that CONTAINS a WARC version line: slicing by length must
+    # carry it through untouched
+    hostile_body = b"prefix\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\nsuffix"
+    recs = [
+        {
+            "type": "warcinfo",
+            "record_id": "<urn:uuid:1>",
+            "date": "2024-01-01T00:00:00Z",
+            "content_type": "application/warc-fields",
+            "body": b"software: test\r\n",
+        },
+        {
+            "type": "response",
+            "record_id": "<urn:uuid:2>",
+            "date": "2024-01-01T00:00:00Z",
+            "uri": "https://a.example/x",
+            "content_type": "application/http; msgtype=response",
+            "body": warc.encode_http_response(
+                200, "OK", "text/plain", hostile_body
+            ),
+        },
+        {
+            "type": "response",
+            "record_id": "<urn:uuid:3>",
+            "date": "2024-01-01T00:00:00Z",
+            "uri": "https://b.example/y",
+            "content_type": "application/http; msgtype=response",
+            "body": warc.encode_http_response(404, "Not Found", "text/plain", b""),
+        },
+    ]
+    gz = warc.encode_warc_gz(recs)
+    d = warc.warc_records(gz)
+    assert d["gzip_members"] == 3
+    assert [r["type"] for r in d["records"]] == ["warcinfo", "response", "response"]
+    http = warc.parse_http_response(d["records"][1]["body"])
+    assert http["status"] == 200 and http["body"] == hostile_body
+    assert warc.parse_http_response(d["records"][2]["body"])["status"] == 404
+    # plain (uncompressed) form parses identically
+    d2 = warc.warc_records(warc.encode_warc_records(recs))
+    assert [r["body"] for r in d2["records"]] == [r["body"] for r in d["records"]]
+    assert d2["gzip_members"] == 0
+    # determinism: gzip members carry mtime=0
+    assert gz == warc.encode_warc_gz(recs)
+
+    plain = warc.encode_warc_records(recs)
+    for cut in (3, 25, len(plain) - 2):
+        with _pytest.raises(NotImplementedError):
+            warc.warc_records(plain[:cut])
+    with _pytest.raises(NotImplementedError, match="version"):
+        warc.warc_records(b"HTTP/1.0\r\n\r\n")
+    with _pytest.raises(NotImplementedError, match="gzip"):
+        warc.warc_records(gz[: len(gz) // 2])
+    # record without Content-Length
+    bad = plain.replace(b"Content-Length", b"X-Content-Length", 1)
+    with _pytest.raises(NotImplementedError, match="Content-Length"):
+        warc.warc_records(bad)

@@ -117,3 +117,47 @@ def epoch_shuffle(
             W.partitionBy("shard").orderBy("shuffle_key", id_col)
         ),
     )
+
+
+def cap_per_stratum(
+    docs: DataFrame,
+    cap: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source document cap — the standard crawl-cleaning step that
+    stops one domain/dump from dominating the mix (C4 keeps ≤ N pages
+    per host; every production corpus card lists a per-source cap):
+    keep the `cap` best documents per stratum, best-first by
+    (quality desc, id asc) so the kept set is deterministic on any
+    engine, partitioning, or row order. Emits kept rows with their
+    per-stratum rank and the stratum's pre-cap size (the audit columns
+    a dataset card needs).
+
+    Scale shape: ONE shuffle keyed by the stratum — thousands of
+    parallel partitions at 100 TB, never a global sort. A pathological
+    single stratum larger than one task is the AQE skew-split case
+    (plan-gated for the join shape in tests/test_scale_plans.py); the
+    rank-then-filter also admits the classic two-phase top-N (partial
+    per-partition heads, then final) if a host ever outgrows that."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy(
+        F.col(quality_col + "_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.col(quality_col).cast("long").alias(quality_col + "_q"),
+        )
+        .withColumn("stratum_rank", F.row_number().over(w))
+        .withColumn(
+            "stratum_size",
+            F.count(F.lit(1)).over(W.partitionBy(stratum_col)),
+        )
+        .filter(F.col("stratum_rank") <= cap)
+    )

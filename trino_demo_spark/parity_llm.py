@@ -1044,6 +1044,81 @@ def llm_multimodal_ogg_demux(spark, sf_dir):
 
 
 @parity(
+    "scan_warc_gz",
+    sql="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    r AS (SELECT doc_id, j FROM d, UNNEST(range(0, 2)) u(j))
+    SELECT r.doc_id,
+           CAST(j AS BIGINT) AS record_idx,
+           CAST(3 AS BIGINT) AS gzip_members,
+           concat('https://site', CAST(r.doc_id % 7 AS VARCHAR),
+                  '.example/d', CAST(r.doc_id AS VARCHAR),
+                  '/p', CAST(j AS VARCHAR)) AS uri,
+           CAST(200 + 4 * (j % 2) AS BIGINT) AS http_status,
+           CAST(120 + 10 * j AS BIGINT) AS body_len,
+           CAST((SELECT SUM((r.doc_id * 7 + r.j * 13 + 3 * i) % 256) % 997
+                 FROM UNNEST(range(0, 16)) t(i)) AS BIGINT) AS body_sig,
+           true AS body_exact
+    FROM r
+    """,
+    doc="WARC/1.0 (ISO 28500) crawl-shard ingestion through the engine "
+    "(llm/warc.py): per doc, a deterministic shard in the COMMON-CRAWL "
+    "gzip layout — one gzip member per record (warcinfo + two HTTP "
+    "response captures), concatenated, mtime=0 — is written and read "
+    "back engine-side: raw-zlib member walk (unused_data IS the next "
+    "member — the layout that buys byte-offset random access into a "
+    "100 TB shard), WARC header parse, Content-Length body slicing "
+    "(never scanning — bodies may contain 'WARC/1.0'), record-"
+    "terminator verification, and inner HTTP/1.1 message parse. "
+    "`body_exact` asserts the sliced entity equals the synthesized "
+    "body byte-for-byte; uri/status/length/checksum/member-count are "
+    "recomputed independently by the oracle. This is the container "
+    "a real crawl corpus arrives in — the ingestion step upstream of "
+    "every documents-table op in this registry.",
+)
+def scan_warc_gz(spark, sf_dir):
+    from .llm import warc
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return warc.warc_scan_features(docs)
+
+
+@parity(
+    "llm_source_cap",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars AS n_chars_q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+                 AS stratum_rank,
+             COUNT(*) OVER (PARTITION BY source) AS stratum_size
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars_q,
+           CAST(stratum_rank AS BIGINT) AS stratum_rank,
+           CAST(stratum_size AS BIGINT) AS stratum_size
+    FROM ranked WHERE stratum_rank <= 10
+    """,
+    doc="Per-source document cap (llm/mixing.py cap_per_stratum) — the "
+    "crawl-cleaning step that stops one domain/dump from dominating "
+    "the mix (C4 keeps ≤ N pages per host; corpus cards list the "
+    "cap): keep the 10 best docs per source, best-first by "
+    "(n_chars desc, doc_id asc) — fully deterministic on any engine, "
+    "partitioning, or row order — with per-stratum rank and pre-cap "
+    "size as the dataset-card audit columns. ONE shuffle keyed by "
+    "source (thousands of parallel partitions at 100 TB, never a "
+    "global sort); a host outgrowing one task is the documented "
+    "two-phase top-N / AQE skew escape.",
+)
+def llm_source_cap(spark, sf_dir):
+    from .llm import mixing
+
+    return mixing.cap_per_stratum(
+        _t(spark, sf_dir, "documents"), cap=10
+    )
+
+
+@parity(
     "llm_multimodal_png_16bit",
     sql="""
     WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
