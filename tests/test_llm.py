@@ -2521,3 +2521,39 @@ def test_warc_roundtrip_and_contracts():
     bad = plain.replace(b"Content-Length", b"X-Content-Length", 1)
     with _pytest.raises(NotImplementedError, match="Content-Length"):
         warc.warc_records(bad)
+
+
+def test_webdataset_tar_contracts():
+    """ustar: checksum verified, 512-block padding exact, dot-key
+    regrouping ordered, and framing violations surface."""
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import webdataset as wds
+
+    members = [
+        ("000_0.ppm", b"P6\n2 1\n255\n" + bytes(6)),
+        ("000_0.json", b'{"label": 3}'),
+        ("000_0.txt", b"caption"),
+        ("000_1.txt", bytes(512)),   # exactly one block: zero padding
+        ("000_1.json", b"{}"),
+    ]
+    enc = wds.encode_tar(members)
+    assert len(enc) % 512 == 0
+    out = wds.tar_members(enc)
+    assert [(m["name"], m["data"]) for m in out] == members
+    samples = wds.webdataset_samples(enc)
+    assert [s["__key__"] for s in samples] == ["000_0", "000_1"]
+    assert samples[0]["txt"] == b"caption"
+    assert set(samples[1]) == {"__key__", "txt", "json"}
+
+    # corrupt one header byte -> checksum mismatch
+    bad = bytearray(enc)
+    bad[0] ^= 0xFF
+    with _pytest.raises(NotImplementedError, match="checksum"):
+        wds.tar_members(bytes(bad))
+    # truncations: mid-header, mid-body, missing terminator blocks
+    for cut in (100, 600, len(enc) - 700, len(enc) - 512):
+        with _pytest.raises(NotImplementedError):
+            wds.tar_members(enc[:cut])
+    with _pytest.raises(ValueError):
+        wds.encode_tar([("x" * 101, b"")])

@@ -1119,6 +1119,48 @@ def llm_source_cap(spark, sf_dir):
 
 
 @parity(
+    "scan_webdataset_tar",
+    sql="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    s AS (SELECT doc_id, j, 4 + j AS w, 3 + j AS h
+          FROM d, UNNEST(range(0, 2)) u(j))
+    SELECT s.doc_id,
+           CAST(j AS BIGINT) AS sample_idx,
+           concat(lpad(CAST(s.doc_id AS VARCHAR), 9, '0'), '_',
+                  CAST(j AS VARCHAR)) AS key,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST((SELECT SUM((s.doc_id * 5 + s.j * 17 + i) % 256)
+                 FROM UNNEST(range(0, 60)) t(i)
+                 WHERE i < 3 * s.w * s.h) AS BIGINT) AS pix_sum,
+           CAST(20 + 7 * j + s.doc_id % 5 AS BIGINT) AS caption_len,
+           CAST((s.doc_id * 3 + j) % 10 AS BIGINT) AS meta_label,
+           true AS image_exact
+    FROM s
+    """,
+    doc="WebDataset shard ingestion through the engine "
+    "(llm/webdataset.py): per doc, a 2-sample POSIX-ustar shard "
+    "(key.ppm raster + key.json metadata + key.txt caption per "
+    "sample — the tar-of-grouped-samples layout PyTorch loaders "
+    "stream) is written with hand-rolled 512-byte headers and read "
+    "back engine-side: offset header walk with CHECKSUM verification, "
+    "octal size parse, 512-block padding arithmetic, dot-key sample "
+    "regrouping, PPM decode and JSON parse of the members. "
+    "`image_exact` asserts the decoded raster is byte-identical to "
+    "the packed one; dims/pixel-sum/caption-length/label/key are "
+    "recomputed independently by the oracle. Together with "
+    "scan_warc_gz this closes the two shard formats a multimodal "
+    "training corpus actually ships in.",
+)
+def scan_webdataset_tar(spark, sf_dir):
+    from .llm import webdataset
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return webdataset.webdataset_scan_features(docs)
+
+
+@parity(
     "llm_multimodal_png_16bit",
     sql="""
     WITH d AS (SELECT doc_id, (doc_id % 5) + 2 AS w, (doc_id % 3) + 2 AS h
