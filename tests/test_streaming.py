@@ -739,3 +739,84 @@ def test_stream_stream_loj_state_bounded(spark, tmp_path, provider):
         f"FROM state_gate_loj_{provider}"
     ).first()
     assert emitted.d == HOURS * N  # every purchase surfaced
+
+
+def test_warc_shard_stream_matches_batch(spark, tmp_path):
+    """Streaming shard ingestion (streaming/shards.py): WARC.gz files
+    landing in a directory, tailed via the binaryFile source with the
+    SAME mapInPandas parse as the batch twin — an availableNow run
+    must produce exactly the batch result, and a SECOND run over the
+    same checkpoint must emit nothing (exactly-once per file)."""
+    from trino_demo_spark.llm import warc
+    from trino_demo_spark.streaming import shards
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s in range(4):
+        recs = []
+        for j in range(2 + s % 2):
+            body = bytes((s * 11 + j * 7 + i) % 256 for i in range(50 + 10 * j))
+            recs.append(
+                {
+                    "type": "response",
+                    "record_id": f"<urn:uuid:{s:04x}{j:04x}>",
+                    "date": "2024-01-01T00:00:00Z",
+                    "uri": f"https://h{s}.example/p{j}",
+                    "content_type": "application/http; msgtype=response",
+                    "body": warc.encode_http_response(
+                        200, "OK", "application/octet-stream", body
+                    ),
+                }
+            )
+        (d / f"shard-{s:05d}.warc.gz").write_bytes(warc.encode_warc_gz(recs))
+    # distractor file the glob must skip
+    (d / "README.txt").write_bytes(b"not a shard")
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            shards.warc_shard_stream(spark, str(d))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.read.parquet(sink).collect()}
+
+    got = run_once()
+    want = {tuple(r) for r in shards.warc_shard_batch(spark, str(d)).collect()}
+    assert got == want
+    assert len(got) == 2 + 3 + 2 + 3  # response records per shard
+
+    # exactly-once per file: a second run over the same checkpoint
+    # with no new shards appends nothing
+    assert run_once() == got
+
+    # incremental arrival: one more shard lands; only ITS records
+    # appear in the delta
+    from trino_demo_spark.llm import warc as _warc
+
+    (d / "shard-99999.warc.gz").write_bytes(
+        _warc.encode_warc_gz(
+            [
+                {
+                    "type": "response",
+                    "record_id": "<urn:uuid:late>",
+                    "date": "2024-01-01T00:00:00Z",
+                    "uri": "https://late.example/only",
+                    "content_type": "application/http; msgtype=response",
+                    "body": _warc.encode_http_response(
+                        200, "OK", "application/octet-stream", b"late-body"
+                    ),
+                }
+            ]
+        )
+    )
+    got3 = run_once()
+    delta = got3 - got
+    assert len(delta) == 1 and next(iter(delta))[2] == "https://late.example/only"
