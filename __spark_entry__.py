@@ -270,6 +270,17 @@ _RECHECK = {
     "llm_sample_weighted": 9,
 }
 
+# NO-RECHECK rationale for the r9 repo-wide oracle rewrite
+# (ROUND(x + 1e-9, n) → (ROUND(x + 1e-9, n) + 0.0), 187 sites): the
+# wrap is provably value-identity wherever a compare is currently
+# green — IEEE r + 0.0 == r for every r except -0.0, and an oracle
+# emitting -0.0 against Spark's +0.0 would already be a RED hash row
+# (the driver compares strings), so no green row's oracle value can
+# change. Verified empirically by a full 307-entry sf0.01 preflight
+# after the rewrite (green; .scratch record committed to PERF.md r9)
+# plus the string-level hypothesis pin in tests/test_round_epsilon.py.
+# The rotation's stalest-first refresh re-proves the block organically.
+
 # Never-driver-tested entries most valuable to a reference user, verified
 # first when the driver caps its per-round sample (VERDICT r3 §next-round-2).
 _PRIORITY = [

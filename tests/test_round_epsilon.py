@@ -26,7 +26,11 @@ from trino_demo_spark.parity import EPS
 
 
 def _duck_round(con, x: float, n: int) -> float:
-    return con.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE) + 1e-9, {n})").fetchone()[0]
+    # the repo-wide oracle convention: (ROUND(x + 1e-9, n) + 0.0) — the
+    # + 0.0 normalizes DuckDB's signed zero (r9; see parity.r_)
+    return con.sql(
+        f"SELECT (ROUND(CAST({x!r} AS DOUBLE) + 1e-9, {n}) + 0.0)"
+    ).fetchone()[0]
 
 
 @pytest.fixture(scope="module")
@@ -74,7 +78,11 @@ def test_round_epsilon_matches_across_engines(spark, duck_con, cases):
         }
         for x, spark_r in got.items():
             duck_r = _duck_round(duck_con, x, n)
-            assert spark_r == duck_r, (
+            # STRING comparison (driver canonicalizer semantics): float
+            # == treats -0.0 == 0.0 as equal and hides exactly the
+            # signed-zero render divergence the r9 sf1 sweep caught on
+            # llm_sample_weighted.
+            assert str(spark_r) == str(duck_r), (
                 f"ROUND({x!r} + eps, {n}): spark={spark_r!r} duck={duck_r!r}"
             )
 

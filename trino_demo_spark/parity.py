@@ -61,8 +61,17 @@ EPS = 1e-9
 
 
 def r_(col, n: int):
-    """Tie-safe round for ratio-like doubles (mirrored in oracle SQL as
-    ROUND(x + 1e-9, n))."""
+    """Tie-safe round for ratio-like doubles. Oracle mirror:
+    (ROUND(x + 1e-9, n) + 0.0) — the + 0.0 normalizes IEEE -0.0,
+    which DuckDB's ROUND emits for near-zero negatives while Spark's
+    BigDecimal-backed round never does (BigDecimal has no signed
+    zero), so a measure in (-5e-7-1e-9, -1e-9) would otherwise render
+    '-0.0' vs '0.0' under the driver's string canonicalizer. Found at
+    sf1 on llm_sample_weighted, then proven reachable for the bare
+    helper contract by hypothesis (tests/test_round_epsilon.py:
+    ROUND(-0.005 + 1e-9, 2)); the engine side needs no normalization
+    (the same string-level test pins that Spark's round yields +0.0
+    there)."""
     return F.round(col + F.lit(EPS), n)
 
 
@@ -1117,10 +1126,10 @@ def join_ci_keys(spark, sf_dir):
     "align_row_concat",
     sql="""
     SELECT a.day, a.click_avg, b.view_avg FROM
-      (SELECT CAST(ts AS DATE) AS day, ROUND(AVG(value) + 1e-9, 2) AS click_avg
+      (SELECT CAST(ts AS DATE) AS day, (ROUND(AVG(value) + 1e-9, 2) + 0.0) AS click_avg
        FROM events WHERE event_type = 'click' GROUP BY 1) a
     JOIN
-      (SELECT CAST(ts AS DATE) AS day, ROUND(AVG(value) + 1e-9, 2) AS view_avg
+      (SELECT CAST(ts AS DATE) AS day, (ROUND(AVG(value) + 1e-9, 2) + 0.0) AS view_avg
        FROM events WHERE event_type = 'view' GROUP BY 1) b
     ON a.day = b.day
     """,
@@ -1270,10 +1279,10 @@ def agg_minmax(spark, sf_dir):
     -- finite-measure band (see agg_regression): Spark's percentile
     -- sorts NaN GREATEST while DuckDB's quantile skips it — a single
     -- NaN silently shifts every cross-engine quantile otherwise
-    SELECT ROUND(quantile_cont(l_quantity, 0.25) + 1e-9, 4) AS qty_q25,
-           ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS qty_q50,
-           ROUND(quantile_cont(l_quantity, 0.75) + 1e-9, 4) AS qty_q75,
-           ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS price_q50
+    SELECT (ROUND(quantile_cont(l_quantity, 0.25) + 1e-9, 4) + 0.0) AS qty_q25,
+           (ROUND(quantile_cont(l_quantity, 0.5) + 1e-9, 4) + 0.0) AS qty_q50,
+           (ROUND(quantile_cont(l_quantity, 0.75) + 1e-9, 4) + 0.0) AS qty_q75,
+           (ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) + 0.0) AS price_q50
     FROM lineitem
     WHERE (TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) < 2147483648)
       AND (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
@@ -1300,9 +1309,9 @@ def agg_quantiles(spark, sf_dir):
     -- second-moment band (see agg_regression): a 1e308 measure RAISES
     -- in DuckDB's corr and silently Inf-poisons Spark's — rows enter
     -- the stats pass only with all four measures finite and unit-bounded
-    SELECT ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr_l_quantity_l_extendedprice,
-           ROUND(corr(l_extendedprice, l_discount) + 1e-9, 6) AS corr_l_extendedprice_l_discount,
-           ROUND(corr(l_quantity, l_tax) + 1e-9, 6) AS corr_l_quantity_l_tax
+    SELECT (ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) + 0.0) AS corr_l_quantity_l_extendedprice,
+           (ROUND(corr(l_extendedprice, l_discount) + 1e-9, 6) + 0.0) AS corr_l_extendedprice_l_discount,
+           (ROUND(corr(l_quantity, l_tax) + 1e-9, 6) + 0.0) AS corr_l_quantity_l_tax
     FROM lineitem
     WHERE (TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) < 2147483648)
       AND (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
@@ -1352,9 +1361,9 @@ def agg_count(spark, sf_dir):
 @parity(
     "agg_error_metrics",
     sql="""
-    SELECT ROUND(AVG(ABS(l_extendedprice - l_extendedprice * (1 - l_discount))) + 1e-9, 4) AS mae,
-           ROUND(AVG(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice)) * 100 + 1e-9, 4) AS mape,
-           ROUND(quantile_cont(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice), 0.5) * 100 + 1e-9, 4) AS mdape
+    SELECT (ROUND(AVG(ABS(l_extendedprice - l_extendedprice * (1 - l_discount))) + 1e-9, 4) + 0.0) AS mae,
+           (ROUND(AVG(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice)) * 100 + 1e-9, 4) + 0.0) AS mape,
+           (ROUND(quantile_cont(ABS((l_extendedprice - l_extendedprice * (1 - l_discount)) / l_extendedprice), 0.5) * 100 + 1e-9, 4) + 0.0) AS mdape
     FROM lineitem
     WHERE (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
       AND (TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_discount) * 100) AS BIGINT) < 2147483648)
@@ -1394,9 +1403,9 @@ def agg_last_scalar(spark, sf_dir):
            {USUM(U2('l_extendedprice'), 2)} AS sum_base_price,
            {USUM(UREV(), 4)} AS sum_disc_price,
            {USUM(f"{UREV()} * (100 + {U2('l_tax')})", 6)} AS sum_charge,
-           ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
-           ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc,
+           (ROUND(AVG(l_quantity) + 1e-9, 4) + 0.0) AS avg_qty,
+           (ROUND(AVG(l_extendedprice) + 1e-9, 4) + 0.0) AS avg_price,
+           (ROUND(AVG(l_discount) + 1e-9, 6) + 0.0) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2001-09-02'
@@ -1883,7 +1892,7 @@ def stream_ts_upper_bound(spark, sf_dir):
     sql="""
     WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
     SELECT event_type, COUNT(*) AS cnt,
-           ROUND(SUM(value) + 1e-9, 2) AS sum_value
+           (ROUND(SUM(value) + 1e-9, 2) + 0.0) AS sum_value
     FROM events, mx
     WHERE ts > mx.max_ts - INTERVAL 7 DAY
     GROUP BY event_type
@@ -2420,10 +2429,10 @@ def join_range_bucketed(spark, sf_dir):
 @parity(
     "f_agg_stats",
     sql="""
-    SELECT ROUND(stddev_pop(l_quantity) + 1e-9, 6) AS qty_stddev,
-           ROUND(stddev_samp(l_quantity) + 1e-9, 6) AS qty_stddev_samp,
-           ROUND(var_pop(l_quantity) + 1e-9, 6) AS qty_var,
-           ROUND(covar_pop(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_cov
+    SELECT (ROUND(stddev_pop(l_quantity) + 1e-9, 6) + 0.0) AS qty_stddev,
+           (ROUND(stddev_samp(l_quantity) + 1e-9, 6) + 0.0) AS qty_stddev_samp,
+           (ROUND(var_pop(l_quantity) + 1e-9, 6) + 0.0) AS qty_var,
+           (ROUND(covar_pop(l_quantity, l_extendedprice) + 1e-9, 4) + 0.0) AS qty_price_cov
     FROM lineitem
     WHERE (TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_quantity) * 100) AS BIGINT) < 2147483648)
       AND (TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) IS NOT NULL AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) > -2147483648 AND TRY_CAST(ROUND((l_extendedprice) * 100) AS BIGINT) < 2147483648)
@@ -2496,7 +2505,7 @@ def f_argminmax(spark, sf_dir):
     SELECT o_orderpriority,
            CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
            COUNT(*) AS n_total,
-           ROUND(count_if(o_totalprice > 150000) * 1.0 / COUNT(*) + 1e-9, 4) AS big_frac,
+           (ROUND(count_if(o_totalprice > 150000) * 1.0 / COUNT(*) + 1e-9, 4) + 0.0) AS big_frac,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
     FROM orders
     GROUP BY o_orderpriority
@@ -2526,9 +2535,9 @@ def agg_count_if(spark, sf_dir):
     -- element into a NULL sum, while DuckDB's list_sum silently SKIPS
     -- NULL elements — the oracle must state the fold semantics
     SELECT vec_id, len(embedding) AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE) + 1e-9, 6) AS first_component,
-           ROUND(CAST(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
-                      ELSE list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) END AS DOUBLE) + 1e-9, 4) AS component_sum
+           (ROUND(CAST(embedding[1] AS DOUBLE) + 1e-9, 6) + 0.0) AS first_component,
+           (ROUND(CAST(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+                      ELSE list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) END AS DOUBLE) + 1e-9, 4) + 0.0) AS component_sum
     FROM embeddings
     """,
     doc="Array function surface over the embedding column: size, element "
@@ -2766,8 +2775,8 @@ def tpch_q12(spark, sf_dir):
 @parity(
     "tpch_q14",
     sql=f"""
-    SELECT ROUND(100.0 * ({USUM(f"CASE WHEN p.p_type = 'PROMO' THEN {UREV('l')} ELSE 0 END", 4)}::DOUBLE
-                          / {USUM(UREV('l'), 4)}::DOUBLE) + 1e-9, 4) AS promo_revenue_pct
+    SELECT (ROUND(100.0 * ({USUM(f"CASE WHEN p.p_type = 'PROMO' THEN {UREV('l')} ELSE 0 END", 4)}::DOUBLE
+                          / {USUM(UREV('l'), 4)}::DOUBLE) + 1e-9, 4) + 0.0) AS promo_revenue_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1997-07-01'
     """,
@@ -2797,7 +2806,7 @@ def tpch_q14(spark, sf_dir):
 @parity(
     "tpch_q17",
     sql=f"""
-    SELECT ROUND({USUM(U2('l.l_extendedprice'), 2)}::DOUBLE / 7.0 + 1e-9, 2) AS avg_yearly
+    SELECT (ROUND({USUM(U2('l.l_extendedprice'), 2)}::DOUBLE / 7.0 + 1e-9, 2) + 0.0) AS avg_yearly
     FROM lineitem l
     JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
           FROM lineitem GROUP BY l_partkey) t
@@ -2900,8 +2909,8 @@ def tpch_q22(spark, sf_dir):
         AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
     )
     SELECT o_year,
-           ROUND({USUM("CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END", 4)}::DOUBLE
-                 / {USUM('volume', 4)}::DOUBLE + 1e-9, 6) AS mkt_share
+           (ROUND({USUM("CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END", 4)}::DOUBLE
+                 / {USUM('volume', 4)}::DOUBLE + 1e-9, 6) + 0.0) AS mkt_share
     FROM flat GROUP BY o_year
     """,
     doc="TPC-H Q8 shape: a nation's market share inside a region by year "
@@ -3092,9 +3101,9 @@ def tpch_q16(spark, sf_dir):
            {USUM(U2('l_extendedprice'), 2)} AS sum_base_price,
            {USUM(UREV(), 4)} AS sum_disc_price,
            {USUM(UREV() + ' * (100 + ' + U2('l_tax') + ')', 6)} AS sum_charge,
-           ROUND({USUM(U2('l_quantity'), 2)} / COUNT(*) + 1e-9, 4) AS avg_qty,
-           ROUND({USUM(U2('l_extendedprice'), 2)} / COUNT(*) + 1e-9, 4) AS avg_price,
-           ROUND({USUM(U2('l_discount'), 2)} / COUNT(*) + 1e-9, 4) AS avg_disc,
+           (ROUND({USUM(U2('l_quantity'), 2)} / COUNT(*) + 1e-9, 4) + 0.0) AS avg_qty,
+           (ROUND({USUM(U2('l_extendedprice'), 2)} / COUNT(*) + 1e-9, 4) + 0.0) AS avg_price,
+           (ROUND({USUM(U2('l_discount'), 2)} / COUNT(*) + 1e-9, 4) + 0.0) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -3837,8 +3846,8 @@ def analytics_funnel(spark, sf_dir):
     )
     SELECT CAST(SUM(week0) AS BIGINT) AS cohort_size,
            CAST(SUM(CASE WHEN week0 = 1 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
-           ROUND(SUM(CASE WHEN week0 = 1 AND late = 1 THEN 1 ELSE 0 END) * 100.0
-                 / SUM(week0) + 1e-9, 4) AS retention_pct
+           (ROUND(SUM(CASE WHEN week0 = 1 AND late = 1 THEN 1 ELSE 0 END) * 100.0
+                 / SUM(week0) + 1e-9, 4) + 0.0) AS retention_pct
     FROM per_user
     """,
     doc="Cohort retention: users active in week 0 who return in week 3+ — "
@@ -4115,10 +4124,10 @@ def setop_except_all(spark, sf_dir):
     "f_math_funcs",
     sql="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(sqrt(l_quantity) + 1e-9, 6) AS q_sqrt,
-           ROUND(exp(l_discount) + 1e-9, 6) AS d_exp,
-           ROUND(ln(l_extendedprice) + 1e-9, 6) AS p_ln,
-           ROUND(pow(l_tax + 1.0, 2) + 1e-9, 6) AS t_sq,
+           (ROUND(sqrt(l_quantity) + 1e-9, 6) + 0.0) AS q_sqrt,
+           (ROUND(exp(l_discount) + 1e-9, 6) + 0.0) AS d_exp,
+           (ROUND(ln(l_extendedprice) + 1e-9, 6) + 0.0) AS p_ln,
+           (ROUND(pow(l_tax + 1.0, 2) + 1e-9, 6) + 0.0) AS t_sq,
            abs(l_quantity - 25.0) AS q_absdev,
            CAST(sign(l_discount - 0.05) AS BIGINT) AS d_sign,
            CAST(mod(l_orderkey, 7) AS BIGINT) AS k_mod7
@@ -4190,8 +4199,8 @@ def f_hash_funcs(spark, sf_dir):
     "win_running_total",
     sql=f"""
     SELECT day, order_value,
-           ROUND(SUM(order_value) OVER (ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 2) AS running_total
+           (ROUND(SUM(order_value) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 2) + 0.0) AS running_total
     FROM ({_DAILY_ORD_SQL.replace("COUNT(*) AS n_orders,", "")})
     """,
     doc="Running total over time order (cumulative window frame). The "
@@ -4214,8 +4223,8 @@ def win_running_total(spark, sf_dir):
     "win_moving_avg",
     sql=f"""
     SELECT day, n_orders,
-           ROUND(AVG(n_orders) OVER (ORDER BY day
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS ma7
+           (ROUND(AVG(n_orders) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 4) + 0.0) AS ma7
     FROM ({_DAILY_ORD_SQL})
     """,
     doc="7-row moving average over the daily series (bounded sliding "
@@ -4305,10 +4314,10 @@ def profile_table(spark, sf_dir):
     )
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rnk,
            user_id, cnt,
-           ROUND(cnt * 1.0 / g.n_rows + 1e-9, 4) AS share,
+           (ROUND(cnt * 1.0 / g.n_rows + 1e-9, 4) + 0.0) AS share,
            g.n_rows, g.n_keys,
-           ROUND(g.n_rows * 1.0 / g.n_keys + 1e-9, 4) AS avg_cnt,
-           ROUND(g.max_cnt * 1.0 * g.n_keys / g.n_rows + 1e-9, 4) AS skew_ratio
+           (ROUND(g.n_rows * 1.0 / g.n_keys + 1e-9, 4) + 0.0) AS avg_cnt,
+           (ROUND(g.max_cnt * 1.0 * g.n_keys / g.n_rows + 1e-9, 4) + 0.0) AS skew_ratio
     FROM top5 CROSS JOIN gstats g
     """,
     doc="Join/agg-key skew diagnostics: per-key cardinality profile of "
@@ -4413,7 +4422,7 @@ def win_resample_ffill(spark, sf_dir):
            lag(n, 1) OVER w AS n_lag1,
            lag(n, 7) OVER w AS n_lag7,
            n - lag(n, 1) OVER w AS n_diff1,
-           ROUND((n - lag(n, 1) OVER w) * 1.0 / lag(n, 1) OVER w + 1e-9, 4) AS n_pct_change
+           (ROUND((n - lag(n, 1) OVER w) * 1.0 / lag(n, 1) OVER w + 1e-9, 4) + 0.0) AS n_pct_change
     FROM daily
     WINDOW w AS (PARTITION BY k ORDER BY d)
     """,
@@ -4471,7 +4480,7 @@ def win_lag_features(spark, sf_dir):
                                     ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM m)
     SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
-           COUNT(*) AS n_events, ROUND(SUM(value) + 1e-9, 2) AS sum_value
+           COUNT(*) AS n_events, (ROUND(SUM(value) + 1e-9, 2) + 0.0) AS sum_value
     FROM s GROUP BY user_id, sess_id
     """,
     doc="Sessionization via Spark's NATIVE session_window operator "
@@ -4530,7 +4539,7 @@ def win_session_native(spark, sf_dir):
       FROM m)
     SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
            MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
-           ROUND(SUM(value) + 1e-9, 2) AS sum_value
+           (ROUND(SUM(value) + 1e-9, 2) + 0.0) AS sum_value
     FROM s GROUP BY user_id, sess_id
     """,
     doc="Batch sessionization (30-min inactivity gap): lag → new-session "
@@ -4583,8 +4592,8 @@ def win_sessionize(spark, sf_dir):
       FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id, COUNT(gap_us) AS n_gaps,
-           ROUND(AVG(gap_us) / 1e6 + 1e-9, 4) AS avg_gap_sec,
-           ROUND(MAX(gap_us) / 1e6 + 1e-9, 4) AS max_gap_sec
+           (ROUND(AVG(gap_us) / 1e6 + 1e-9, 4) + 0.0) AS avg_gap_sec,
+           (ROUND(MAX(gap_us) / 1e6 + 1e-9, 4) + 0.0) AS max_gap_sec
     FROM g GROUP BY user_id
     """,
     doc="Grouped-map applyInPandas: per-entity inter-event-gap statistics "
@@ -4641,8 +4650,8 @@ def grouped_map_gaps(spark, sf_dir):
     -- same exact-unit band contract as agg_regression: the weighted sum
     -- multiplies price units by integer quantities inside int64
     SELECT l_returnflag,
-           ROUND((CAST(SUM({U2('l_extendedprice')} * TRY_CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
-                  / CAST(SUM(TRY_CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)) / 100.0 + 1e-9, 4) AS wavg_price
+           (ROUND((CAST(SUM({U2('l_extendedprice')} * TRY_CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+                  / CAST(SUM(TRY_CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)) / 100.0 + 1e-9, 4) + 0.0) AS wavg_price
     FROM lineitem
     WHERE {U2('l_extendedprice')} IS NOT NULL
       AND {U2('l_extendedprice')} > -2147483648
@@ -5264,8 +5273,8 @@ def analytics_funnel_strict(spark, sf_dir):
     "win_distribution",
     sql="""
     SELECT o_orderkey, o_orderpriority,
-           ROUND(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w + 1e-9, 6) AS cume,
+           (ROUND(percent_rank() OVER w + 1e-9, 6) + 0.0) AS pct_rank,
+           (ROUND(cume_dist() OVER w + 1e-9, 6) + 0.0) AS cume,
            NTILE(10) OVER w AS decile
     -- a NULL measure has no percentile position (Spark sorts it NULLS
     -- FIRST, DuckDB NULLS LAST) — excluded on both engines; NaN/±Inf
@@ -5376,9 +5385,9 @@ def f_encoding_funcs(spark, sf_dir):
       SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1
     ),
     n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
-    SELECT ROUND(-SUM((c.cnt * 1.0 / n.total) * ln(c.cnt * 1.0 / n.total)) + 1e-9, 6) AS entropy_nats,
+    SELECT (ROUND(-SUM((c.cnt * 1.0 / n.total) * ln(c.cnt * 1.0 / n.total)) + 1e-9, 6) + 0.0) AS entropy_nats,
            COUNT(*) AS n_classes,
-           ROUND(ln(COUNT(*)) + 1e-9, 6) AS max_entropy
+           (ROUND(ln(COUNT(*)) + 1e-9, 6) + 0.0) AS max_entropy
     FROM c CROSS JOIN n
     """,
     doc="Shannon entropy of the event-type distribution — the "
@@ -5487,10 +5496,10 @@ def agg_string_concat(spark, sf_dir):
       FROM uf
     )
     SELECT n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) AS slope,
-           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 100.0 + 1e-9, 4) AS intercept,
-           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6) AS r2
+           (ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) + 0.0) AS slope,
+           (ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 100.0 + 1e-9, 4) + 0.0) AS intercept,
+           (ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6) + 0.0) AS r2
     FROM s
     """,
     doc="OLS regression aggregates (slope / intercept / R²) of price on "
@@ -6093,9 +6102,9 @@ def agg_cms_heavy_hitters(spark, sf_dir):
                       quantile_cont(value, 0.99) FILTER (WHERE isfinite(value)) AS hi
                FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
-           ROUND(CASE WHEN e.value IS NOT NULL AND isfinite(e.value)
+           (ROUND(CASE WHEN e.value IS NOT NULL AND isfinite(e.value)
                       THEN LEAST(GREATEST(e.value, q.lo), q.hi) END + 1e-9,
-                 4) AS value_clipped
+                 4) + 0.0) AS value_clipped
     FROM events e JOIN q USING (event_type)
     """,
     doc="Per-group winsorization: clamp events.value to its "
@@ -6141,10 +6150,10 @@ def agg_winsorize(spark, sf_dir):
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT k AS o_orderpriority, d AS o_orderdate,
-           ROUND(CASE WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+           (ROUND(CASE WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
                       WHEN nv IS NULL OR nd = pd THEN CAST(pv AS DOUBLE)
                       ELSE pv + (nv - pv) * (d - pd) * 1.0 / (nd - pd) END
-                 + 1e-9, 4) AS rev_units,
+                 + 1e-9, 4) + 0.0) AS rev_units,
            v IS NULL AS filled
     FROM m
     """,
@@ -6199,9 +6208,9 @@ def win_interp_linear(spark, sf_dir):
       FROM c CROSS JOIN t
     )
     SELECT bucket, n_ref, n_cur,
-           ROUND(p_ref + 1e-9, 6) AS p_ref,
-           ROUND(p_cur + 1e-9, 6) AS p_cur,
-           ROUND((p_ref - p_cur) * ln(p_ref / p_cur) + 1e-9, 6) AS psi_contrib
+           (ROUND(p_ref + 1e-9, 6) + 0.0) AS p_ref,
+           (ROUND(p_cur + 1e-9, 6) + 0.0) AS p_cur,
+           (ROUND((p_ref - p_cur) * ln(p_ref / p_cur) + 1e-9, 6) + 0.0) AS psi_contrib
     FROM p
     """,
     doc="Distribution-drift profiling via PSI (population stability "
@@ -6345,10 +6354,10 @@ def sink_jsonl_roundtrip(spark, sf_dir):
       FROM daily
     )
     SELECT k AS o_orderpriority, d AS o_orderdate, n,
-           ROUND(pow(0.8, i) * SUM(
+           (ROUND(pow(0.8, i) * SUM(
              CASE WHEN i = 0 THEN 1.0 ELSE 0.2 * pow(1.0 / 0.8, i) END * n
            ) OVER (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)
-           + 1e-9, 4) AS ewma
+           + 1e-9, 4) + 0.0) AS ewma
     FROM m
     """,
     doc="Per-key EWMA (pandas ewm(alpha=0.2, adjust=False)) over the "
@@ -6396,9 +6405,9 @@ def win_ewma(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT k AS o_orderpriority, d AS o_orderdate, n,
-           ROUND(CAST(median(n) OVER (
+           (ROUND(CAST(median(n) OVER (
              PARTITION BY k ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) + 1e-9, 2) AS med7
+           ) AS DOUBLE) + 1e-9, 2) + 0.0) AS med7
     FROM daily
     """,
     doc="Trailing 7-row rolling MEDIAN of the daily order-count series "
@@ -6462,7 +6471,7 @@ def win_rolling_median(spark, sf_dir):
       FROM u
     )
     SELECT col_a, col_b,
-           ROUND((n * sab - sa * sb) / (CAST(n AS DOUBLE) * n) / 10000.0 + 1e-9, 4) AS cov
+           (ROUND((n * sab - sa * sb) / (CAST(n AS DOUBLE) * n) / 10000.0 + 1e-9, 4) + 0.0) AS cov
     FROM (
       SELECT n, 'quantity' AS col_a, 'quantity' AS col_b, sqq AS sab, sq AS sa, sq AS sb FROM s
       UNION ALL SELECT n, 'quantity', 'extendedprice', sqp, sq, sp FROM s
@@ -6608,10 +6617,10 @@ def f_variant_semistructured(spark, sf_dir):
       FROM daily
     )
     SELECT k AS o_orderpriority, d AS o_orderdate, n,
-           ROUND(pow(0.8, i) * SUM(
+           (ROUND(pow(0.8, i) * SUM(
              CASE WHEN i = 0 THEN 1.0 ELSE 0.2 * pow(1.0 / 0.8, i) END * n
            ) OVER (PARTITION BY k ORDER BY di ROWS UNBOUNDED PRECEDING)
-           + 1e-9, 4) AS ewma
+           + 1e-9, 4) + 0.0) AS ewma
     FROM m
     """,
     doc="Same EWMA series as win_ewma but through the TWO-PHASE "
@@ -6740,12 +6749,12 @@ def join_asof_nearest(spark, sf_dir):
       FROM events WHERE value IS NOT NULL
     )
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           ROUND(ma + 1e-9, 4) AS mean_a, ROUND(mb + 1e-9, 4) AS mean_b,
-           ROUND(ma - mb + 1e-9, 4) AS mean_diff,
-           ROUND((ma - mb) / sqrt(va / na + vb / nb) + 1e-9, 4) AS t_stat,
-           ROUND(pow(va / na + vb / nb, 2)
+           (ROUND(ma + 1e-9, 4) + 0.0) AS mean_a, (ROUND(mb + 1e-9, 4) + 0.0) AS mean_b,
+           (ROUND(ma - mb + 1e-9, 4) + 0.0) AS mean_diff,
+           (ROUND((ma - mb) / sqrt(va / na + vb / nb) + 1e-9, 4) + 0.0) AS t_stat,
+           (ROUND(pow(va / na + vb / nb, 2)
                  / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1))
-                 + 1e-9, 2) AS welch_df
+                 + 1e-9, 2) + 0.0) AS welch_df
     FROM s
     """,
     doc="Two-sample Welch t-test between the 'click' and 'view' event "
@@ -6804,8 +6813,8 @@ def agg_ab_test(spark, sf_dir):
       WINDOW w AS (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
     )
     SELECT d AS o_orderdate, n,
-           ROUND(mu + 1e-9, 4) AS mu,
-           ROUND(CASE WHEN sd > 0 THEN (n - mu) / sd END + 1e-9, 4) AS zscore,
+           (ROUND(mu + 1e-9, 4) + 0.0) AS mu,
+           (ROUND(CASE WHEN sd > 0 THEN (n - mu) / sd END + 1e-9, 4) + 0.0) AS zscore,
            (frame_n >= 7 AND sd > 0 AND abs((n - mu) / sd) > 3.0) AS is_anomaly
     FROM m WHERE frame_n >= 7
     """,
@@ -6869,7 +6878,7 @@ def win_zscore_anomaly(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT from_type, to_type, n,
-           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type) + 1e-9, 4) AS p
+           (ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type) + 1e-9, 4) + 0.0) AS p
     FROM t
     """,
     doc="Behavioral Markov chain: first-order transition matrix between "
@@ -7001,7 +7010,7 @@ def sink_scd2_history(spark, sf_dir):
       FROM cust WHERE rev IS NOT NULL
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-           ROUND(SUM((2.0 * i - n - 1) * rev) / (MAX(n) * 1.0 * MAX(tot)) + 1e-9, 4) AS gini
+           (ROUND(SUM((2.0 * i - n - 1) * rev) / (MAX(n) * 1.0 * MAX(tot)) + 1e-9, 4) + 0.0) AS gini
     FROM ranked
     """,
     doc="Revenue-concentration Gini coefficient across customers "
@@ -7064,8 +7073,8 @@ def agg_gini(spark, sf_dir):
       FROM cums
     )
     SELECT user_id,
-           ROUND(MAX(run_peak - cum) + 1e-9, 2) AS max_drawdown,
-           ROUND(MAX(cum) + 1e-9, 2) AS peak_cum,
+           (ROUND(MAX(run_peak - cum) + 1e-9, 2) + 0.0) AS max_drawdown,
+           (ROUND(MAX(cum) + 1e-9, 2) + 0.0) AS peak_cum,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM c GROUP BY user_id
     """,
@@ -7238,7 +7247,7 @@ def join_interval_overlap(spark, sf_dir):
       JOIN rec ON d.k IS NOT DISTINCT FROM rec.k AND d.rn = rec.rn + 1
     )
     SELECT k AS event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
-           ROUND(MAX(s) + 1e-9, 4) AS max_cusum,
+           (ROUND(MAX(s) + 1e-9, 4) + 0.0) AS max_cusum,
            MAX(s) > 15.0 AS alarm
     FROM rec GROUP BY k
     """,
@@ -7305,8 +7314,8 @@ def win_cusum_alarm(spark, sf_dir):
       FROM c
     )
     SELECT CAST(COUNT(*) - COUNT(DISTINCT event_type) - COUNT(DISTINCT cohort) + 1 AS BIGINT) AS dof,
-           ROUND(SUM(pow(n - row_tot * 1.0 * col_tot / tot, 2)
-                     / (row_tot * 1.0 * col_tot / tot)) + 1e-9, 4) AS chi2
+           (ROUND(SUM(pow(n - row_tot * 1.0 * col_tot / tot, 2)
+                     / (row_tot * 1.0 * col_tot / tot)) + 1e-9, 4) + 0.0) AS chi2
     FROM m
     """,
     doc="Chi-square independence test of event_type vs a user cohort "
@@ -7371,7 +7380,7 @@ def agg_chi_square(spark, sf_dir):
       FROM e GROUP BY value
     )
     SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
-           ROUND(MAX(ABS(ca * 1.0 / tot.na - cb * 1.0 / tot.nb)) + 1e-9, 4) AS ks_d
+           (ROUND(MAX(ABS(ca * 1.0 / tot.na - cb * 1.0 / tot.nb)) + 1e-9, 4) + 0.0) AS ks_d
     FROM m CROSS JOIN tot
     GROUP BY tot.na, tot.nb
     """,
@@ -7447,10 +7456,10 @@ def agg_ks_test(spark, sf_dir):
     ),
     full_m AS (SELECT AVG(value) AS theta, COUNT(*) AS n FROM s)
     SELECT CAST(full_m.n AS BIGINT) AS n,
-           ROUND(full_m.theta + 1e-9, 4) AS mean_value,
-           ROUND(sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) AS se_brr,
-           ROUND(full_m.theta - 1.96 * sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) AS ci_lo,
-           ROUND(full_m.theta + 1.96 * sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) AS ci_hi
+           (ROUND(full_m.theta + 1e-9, 4) + 0.0) AS mean_value,
+           (ROUND(sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) + 0.0) AS se_brr,
+           (ROUND(full_m.theta - 1.96 * sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) + 0.0) AS ci_lo,
+           (ROUND(full_m.theta + 1.96 * sqrt(AVG(pow(reps.m - full_m.theta, 2))) + 1e-9, 4) + 0.0) AS ci_hi
     FROM reps CROSS JOIN full_m
     GROUP BY full_m.theta, full_m.n
     """,
@@ -7618,9 +7627,9 @@ def sink_manifest_integrity(spark, sf_dir):
       FROM det WHERE detr IS NOT NULL GROUP BY phase
     )
     SELECT det.d AS o_orderdate, CAST(det.n AS BIGINT) AS n,
-           ROUND(det.trend + 1e-9, 4) AS trend,
-           ROUND(seas.seasonal + 1e-9, 4) AS seasonal,
-           ROUND(det.detr - seas.seasonal + 1e-9, 4) AS residual
+           (ROUND(det.trend + 1e-9, 4) + 0.0) AS trend,
+           (ROUND(seas.seasonal + 1e-9, 4) + 0.0) AS seasonal,
+           (ROUND(det.detr - seas.seasonal + 1e-9, 4) + 0.0) AS residual
     FROM det JOIN seas ON seas.phase = det.phase
     WHERE det.trend IS NOT NULL
     """,
@@ -7704,10 +7713,10 @@ def win_seasonal_decompose(spark, sf_dir):
         ON m.k IS NOT DISTINCT FROM r.k AND m.mx = r.rn
     )
     SELECT k AS event_type, CAST(rn AS BIGINT) AS n_days,
-           ROUND(l + 1e-9, 4) AS level,
-           ROUND(b + 1e-9, 4) AS trend,
-           ROUND(l + b + 1e-9, 4) AS forecast_1,
-           ROUND(l + 7 * b + 1e-9, 4) AS forecast_7
+           (ROUND(l + 1e-9, 4) + 0.0) AS level,
+           (ROUND(b + 1e-9, 4) + 0.0) AS trend,
+           (ROUND(l + b + 1e-9, 4) + 0.0) AS forecast_1,
+           (ROUND(l + 7 * b + 1e-9, 4) + 0.0) AS forecast_7
     FROM last
     """,
     doc="Holt's linear-trend smoothing (double exponential, "
@@ -7781,8 +7790,8 @@ def win_holt_linear(spark, sf_dir):
           WHERE k = 'click' ORDER BY d DESC LIMIT 1),
     scored AS (
       SELECT z.k, z.d,
-             ROUND(list_sum(list_transform(list_zip(z.z, q.qz),
-                   p -> (p[1] - p[2]) * (p[1] - p[2]))) + 1e-9, 4) AS dist
+             (ROUND(list_sum(list_transform(list_zip(z.z, q.qz),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) + 1e-9, 4) + 0.0) AS dist
       FROM z CROSS JOIN q
       WHERE NOT (z.k = q.qk AND z.d = q.qd)
     )
@@ -7873,7 +7882,7 @@ def ts_subseq_search(spark, sf_dir):
       FROM e, (SELECT 0 AS off UNION ALL SELECT 1) o
     )
     SELECT win_start, event_type, COUNT(*) AS cnt,
-           ROUND(SUM(value) + 1e-9, 2) AS sum_value
+           (ROUND(SUM(value) + 1e-9, 2) + 0.0) AS sum_value
     FROM assigned GROUP BY 1, 2
     """,
     doc="SLIDING event-time windows (2-hour length, 1-hour slide — "
@@ -7925,9 +7934,9 @@ def stream_sliding_window(spark, sf_dir):
       FROM a JOIN b ON b.o_custkey = a.o_custkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
-           ROUND(1.0 - 6.0 * SUM(CAST((ra - rb) * (ra - rb) AS DOUBLE))
+           (ROUND(1.0 - 6.0 * SUM(CAST((ra - rb) * (ra - rb) AS DOUBLE))
                  / (COUNT(*) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1))
-                 + 1e-9, 4) AS spearman_rho
+                 + 1e-9, 4) + 0.0) AS spearman_rho
     FROM j
     """,
     doc="Rank-stability analytics: Spearman's rho between customer "

@@ -79,11 +79,11 @@ def llm_dedup_exact(spark, sf_dir):
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
               FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
-    SELECT id_a, id_b, ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard
+    SELECT id_a, id_b, (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.1
+    WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.1
     """,
     doc="Exact word-3-gram Jaccard near-dup pairs (inverted-index "
     "self-join on the shingle; integer counts → bit-identical ratios).",
@@ -115,11 +115,11 @@ def llm_dedup_ngram(spark, sf_dir):
               FROM cold a JOIN cold b ON a.g = b.g AND a.rep < b.rep
               GROUP BY 1, 2),
     cp AS (SELECT rep_a, rep_b,
-                  ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard
+                  (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) AS jaccard
            FROM inter
            JOIN grp sa ON sa.rep = rep_a
            JOIN grp sb ON sb.rep = rep_b
-           WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.1),
+           WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.1),
     crossx AS (SELECT LEAST(x.m, y.m) AS id_a, GREATEST(x.m, y.m) AS id_b, jaccard
                FROM cp JOIN mem x ON x.rep = rep_a
                        JOIN mem y ON y.rep = rep_b)
@@ -161,7 +161,7 @@ def llm_dedup_ngram_capped(spark, sf_dir):
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.5
+    WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.5
     """,
     doc="MinHash(32)+LSH(8 bands) near-dup candidates. Shuffle-bounded "
     "(groupBy band hash) — the 100 TB dedup path. Candidate pairs are "
@@ -219,7 +219,7 @@ def llm_dedup_minhash(spark, sf_dir):
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.5
+    WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.5
     """,
     doc="MinHash-LSH precision/recall report vs exact n-gram Jaccard "
     "truth (VERDICT r6 §next-round-6b — the measured operating point "
@@ -285,7 +285,7 @@ def llm_dedup_minhash_pr(spark, sf_dir):
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.9
+    WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.9
     """,
     doc="64-bit SimHash fingerprints + banded Hamming-distance near-pairs "
     "(≤ 8 bits). Fingerprints are engine-hash-specific, so the driver "
@@ -325,8 +325,8 @@ def llm_dedup_simhash(spark, sf_dir):
     sql=_COS_SQL
     + """
     SELECT q_id, n_id, sim, rank FROM (
-      SELECT q_id, n_id, ROUND(cos + 1e-9, 4) AS sim,
-             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos + 1e-9, 4) DESC, n_id) AS rank
+      SELECT q_id, n_id, (ROUND(cos + 1e-9, 4) + 0.0) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY (ROUND(cos + 1e-9, 4) + 0.0) DESC, n_id) AS rank
       FROM pairs
     ) WHERE rank <= 3
     """,
@@ -345,8 +345,8 @@ def llm_similarity_topk(spark, sf_dir):
     sql=_COS_SQL
     + """
     SELECT q_id, n_id, sim, rank FROM (
-      SELECT q_id, n_id, ROUND(cos + 1e-9, 4) AS sim,
-             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos + 1e-9, 4) DESC, n_id) AS rank
+      SELECT q_id, n_id, (ROUND(cos + 1e-9, 4) + 0.0) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY (ROUND(cos + 1e-9, 4) + 0.0) DESC, n_id) AS rank
       FROM pairs
     ) WHERE rank <= 3
     """,
@@ -423,8 +423,8 @@ def llm_similarity_lsh(spark, sf_dir):
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     )
-    SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
-    WHERE ROUND(cos + 1e-9, 4) >= 0.4
+    SELECT id_a, id_b, (ROUND(cos + 1e-9, 4) + 0.0) AS sim FROM pairs
+    WHERE (ROUND(cos + 1e-9, 4) + 0.0) >= 0.4
     """,
     doc="Embedding-cosine near-duplicate pairs (sim ≥ 0.4). All-pairs "
     "baseline; LSH bucket join is the scale path with the same contract.",
@@ -447,8 +447,8 @@ def llm_embed_neardup(spark, sf_dir):
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     )
-    SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
-    WHERE ROUND(cos + 1e-9, 4) >= 0.4
+    SELECT id_a, id_b, (ROUND(cos + 1e-9, 4) + 0.0) AS sim FROM pairs
+    WHERE (ROUND(cos + 1e-9, 4) + 0.0) >= 0.4
     """,
     doc="Embedding-cosine near-duplicate pairs via blocked numpy matmul "
     "(mapInPandas, corpus broadcast once per executor) — row-identical "
@@ -496,8 +496,8 @@ _PLANT_DUCK = (
               sqrt((SELECT SUM(b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i)))) AS cos
       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, ROUND(cos + 1e-9, 4) AS sim FROM pairs
-    WHERE ROUND(cos + 1e-9, 4) >= 0.95
+    SELECT id_a, id_b, (ROUND(cos + 1e-9, 4) + 0.0) AS sim FROM pairs
+    WHERE (ROUND(cos + 1e-9, 4) + 0.0) >= 0.95
     """,
     doc="Banded sign-LSH near-duplicate pairs (sim ≥ 0.95; 16 planes × 4 "
     "bands) — the 100 TB path for llm_embed_neardup: candidates join only "
@@ -548,11 +548,11 @@ def _planted_embeddings(spark, sf_dir):
     pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-      WHERE ROUND(
+      WHERE (ROUND(
         (SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i)) /
         (sqrt((SELECT SUM(a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)]) FROM range(1, 65) r(i))) *
          sqrt((SELECT SUM(b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i))))
-        + 1e-9, 4) >= 0.95
+        + 1e-9, 4) + 0.0) >= 0.95
     ),
     ed AS (SELECT id_a AS a, id_b AS b FROM pr
            UNION ALL SELECT id_b, id_a FROM pr),
@@ -593,7 +593,7 @@ def llm_dedup_semantic_lsh(spark, sf_dir):
     SELECT doc_id,
            len({_TOK}) AS n_tokens,
            length(text) AS n_chars_txt,
-           ROUND(COALESCE(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) AS avg_token_len,
+           (ROUND(COALESCE(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) + 0.0) AS avg_token_len,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
     FROM documents
     """,
@@ -610,13 +610,13 @@ def llm_text_tokens(spark, sf_dir):
       SELECT doc_id,
              len({_TOK}) AS n_tokens,
              length(text) AS n_chars,
-             ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) AS punct_ratio,
-             ROUND(COALESCE((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) AS digit_ratio,
-             ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) AS stop_ratio
+             (ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) + 0.0) AS punct_ratio,
+             (ROUND(COALESCE((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) + 0.0) AS digit_ratio,
+             (ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) + 0.0) AS stop_ratio
       FROM documents
     )
     SELECT doc_id, punct_ratio, digit_ratio, stop_ratio,
-           ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) AS quality
+           (ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) + 0.0) AS quality
     FROM base
     """,
     doc="Heuristic quality scoring: punctuation/digit density + stopword "
@@ -715,7 +715,7 @@ def llm_multimodal_features(spark, sf_dir):
            CAST(8000 + (doc_id % 5) * 1000 AS BIGINT) AS sample_rate,
            COUNT(*) AS n_samples,
            CAST(SUM(smp) AS BIGINT) AS sum_samples,
-           ROUND(sqrt(SUM(smp * smp) * 1.0 / COUNT(*)) + 1e-9, 4) AS rms
+           (ROUND(sqrt(SUM(smp * smp) * 1.0 / COUNT(*)) + 1e-9, 4) + 0.0) AS rms
     FROM v GROUP BY doc_id
     """,
     doc="REAL audio decode through the engine: a deterministic PCM16 "
@@ -745,7 +745,7 @@ def llm_multimodal_wav(spark, sf_dir):
            CAST(h AS BIGINT) AS height,
            COUNT(*) AS n_pixel_bytes,
            CAST(SUM(px) AS BIGINT) AS pix_sum,
-           ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
+           (ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) + 0.0) AS mean_pixel
     FROM v GROUP BY doc_id, w, h
     """,
     doc="REAL image decode through the engine: a deterministic RGB raster "
@@ -775,7 +775,7 @@ def llm_multimodal_ppm(spark, sf_dir):
            CAST(3 AS BIGINT) AS channels,
            COUNT(*) AS n_pixel_bytes,
            CAST(SUM(px) AS BIGINT) AS pix_sum,
-           ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
+           (ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) + 0.0) AS mean_pixel
     FROM v GROUP BY doc_id, w, h
     """,
     doc="REAL PNG decode through the engine (VERDICT r6 §next-round-3): "
@@ -1174,7 +1174,7 @@ def scan_webdataset_tar(spark, sf_dir):
            CAST(16 AS BIGINT) AS depth,
            CAST(6 * w * h AS BIGINT) AS n_pixel_bytes,
            CAST(SUM(v) AS BIGINT) AS sample_sum,
-           ROUND(SUM(v) * 1.0 / (3 * w * h) + 1e-9, 4) AS mean_sample
+           (ROUND(SUM(v) * 1.0 / (3 * w * h) + 1e-9, 4) + 0.0) AS mean_sample
     FROM s GROUP BY doc_id, w, h
     """,
     doc="16-BIT PNG decode through the engine: big-endian u16 RGB "
@@ -1209,7 +1209,7 @@ def llm_multimodal_png_16bit(spark, sf_dir):
            CAST(4 AS BIGINT) AS channels,
            CAST(4 * w * h AS BIGINT) AS n_pixel_bytes,
            CAST(SUM(r + g + b + a) AS BIGINT) AS pix_sum,
-           ROUND(SUM(r + g + b + a) * 1.0 / (4 * w * h) + 1e-9, 4) AS mean_pixel
+           (ROUND(SUM(r + g + b + a) * 1.0 / (4 * w * h) + 1e-9, 4) + 0.0) AS mean_pixel
     FROM v GROUP BY doc_id, w, h
     """,
     doc="Palette-TRANSPARENCY (tRNS) PNG decode through the engine: "
@@ -1240,7 +1240,7 @@ def llm_multimodal_png_trns(spark, sf_dir):
            CAST(3 AS BIGINT) AS channels,
            COUNT(*) AS n_pixel_bytes,
            CAST(SUM(px) AS BIGINT) AS pix_sum,
-           ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
+           (ROUND(SUM(px) * 1.0 / COUNT(*) + 1e-9, 4) + 0.0) AS mean_pixel
     FROM v GROUP BY doc_id, w, h
     """,
     doc="Adam7-INTERLACED PNG decode through the engine: the same "
@@ -1277,7 +1277,7 @@ def llm_multimodal_png_adam7(spark, sf_dir):
            CAST(LEAST(16, w * h) AS BIGINT) AS n_colors,
            CAST(3 * w * h AS BIGINT) AS n_pixel_bytes,
            CAST(SUM(r + g + b) AS BIGINT) AS pix_sum,
-           ROUND(SUM(r + g + b) * 1.0 / (3 * w * h) + 1e-9, 4) AS mean_pixel
+           (ROUND(SUM(r + g + b) * 1.0 / (3 * w * h) + 1e-9, 4) + 0.0) AS mean_pixel
     FROM v GROUP BY doc_id, w, h
     """,
     doc="REAL indexed-color (PLTE) PNG decode through the engine — the "
@@ -1394,13 +1394,13 @@ def llm_multimodal_jpeg_progressive(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, text, lang,
              len({_TOK}) AS n_tokens,
-             ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) AS punct_ratio,
-             ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) AS stop_ratio
+             (ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) + 0.0) AS punct_ratio,
+             (ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) + 0.0) AS stop_ratio
       FROM documents
     ),
     scored AS (
       SELECT doc_id, text, lang,
-             ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) AS quality
+             (ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) + 0.0) AS quality
       FROM base
     ),
     kept AS (SELECT * FROM scored WHERE quality >= 0.5),
@@ -1442,8 +1442,8 @@ def llm_corpus_clean(spark, sf_dir):
     WITH counts AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
     tot AS (SELECT SUM(n_s) AS n, SUM(POW(CAST(n_s AS DOUBLE), 0.5)) AS z FROM counts),
     w AS (SELECT lang,
-                 ROUND(CAST(n AS DOUBLE) * POW(CAST(n_s AS DOUBLE), 0.5) / z
-                       / CAST(n_s AS DOUBLE) + 1e-9, 6) AS wgt
+                 (ROUND(CAST(n AS DOUBLE) * POW(CAST(n_s AS DOUBLE), 0.5) / z
+                       / CAST(n_s AS DOUBLE) + 1e-9, 6) + 0.0) AS wgt
           FROM counts, tot),
     r AS (SELECT d.doc_id, d.lang,
                  CAST(FLOOR(w.wgt) AS BIGINT)
@@ -1686,7 +1686,7 @@ def llm_similarity_ivfpq(spark, sf_dir):
     prs AS (SELECT id_a, id_b FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) >= 0.5),
+            WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.5),
     ed AS (SELECT id_a AS a, id_b AS b FROM prs
            UNION ALL SELECT id_b, id_a FROM prs),
     reach(src, dst) AS (
@@ -1817,7 +1817,7 @@ def llm_embed_normalize(spark, sf_dir):
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
       FROM embeddings WHERE vec_id < 50
     )
-    SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, ROUND(scale + 1e-9, 6) AS scale_r,
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, (ROUND(scale + 1e-9, 6) + 0.0) AS scale_r,
            -- TRY_CAST: a NaN/Inf component (failed upstream embedding
            -- math) quantizes to a NULL code, not a CAST_OVERFLOW crash
            TRY_CAST(round(COALESCE(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / NULLIF(scale, 0), 0)) AS BIGINT) AS q8
@@ -1890,7 +1890,7 @@ def llm_chunk_documents(spark, sf_dir):
     WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents)
     SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
            CAST(len(list_distinct(t)) AS BIGINT) AS n_unique_words,
-           ROUND(1.0 - len(list_distinct(t)) * 1.0 / len(t) + 1e-9, 4) AS dup_word_ratio
+           (ROUND(1.0 - len(list_distinct(t)) * 1.0 / len(t) + 1e-9, 4) + 0.0) AS dup_word_ratio
     FROM tok
     """,
     doc="Within-document repetition (Gopher-style duplicate-word "
@@ -1909,11 +1909,11 @@ def llm_text_repetition(spark, sf_dir):
     d5 AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 5 THEN
-               ROUND((CAST(len(t) - 4 AS DOUBLE)
+               (ROUND((CAST(len(t) - 4 AS DOUBLE)
                       - len(list_distinct(list_transform(range(1, CAST(len(t) AS BIGINT) - 3),
                           i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' || t[CAST(i AS INT)+2]
                                || ' ' || t[CAST(i AS INT)+3] || ' ' || t[CAST(i AS INT)+4]))))
-                     / (len(t) - 4) + 1e-9, 4)
+                     / (len(t) - 4) + 1e-9, 4) + 0.0)
              ELSE 0.0 END AS dup_5gram_frac
       FROM base),
     grams AS (
@@ -1936,13 +1936,13 @@ def llm_text_repetition(spark, sf_dir):
                    MAX(CASE WHEN n = 4 THEN cnt * length(g) END) AS c4
             FROM top1 WHERE rn = 1 GROUP BY doc_id)
     SELECT b.doc_id, CAST(b.n_chars AS BIGINT) AS n_chars,
-           ROUND(COALESCE(c2 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) AS top2_char_frac,
-           ROUND(COALESCE(c3 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) AS top3_char_frac,
-           ROUND(COALESCE(c4 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) AS top4_char_frac,
+           (ROUND(COALESCE(c2 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) + 0.0) AS top2_char_frac,
+           (ROUND(COALESCE(c3 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) + 0.0) AS top3_char_frac,
+           (ROUND(COALESCE(c4 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) + 0.0) AS top4_char_frac,
            d5.dup_5gram_frac,
-           (ROUND(COALESCE(c2 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) <= 0.20
-            AND ROUND(COALESCE(c3 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) <= 0.18
-            AND ROUND(COALESCE(c4 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) <= 0.16
+           ((ROUND(COALESCE(c2 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) + 0.0) <= 0.20
+            AND (ROUND(COALESCE(c3 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) + 0.0) <= 0.18
+            AND (ROUND(COALESCE(c4 * 1.0 / NULLIF(b.n_chars, 0), 0) + 1e-9, 4) + 0.0) <= 0.16
             AND d5.dup_5gram_frac <= 0.15) AS gopher_pass
     FROM base b
     JOIN d5 USING (doc_id)
@@ -1970,13 +1970,13 @@ def llm_gopher_repetition(spark, sf_dir):
     m AS (
       SELECT doc_id,
              CAST(len(t) AS BIGINT) AS n_words,
-             ROUND(length(array_to_string(t, '')) * 1.0 / len(t) + 1e-9, 4) AS mean_word_len,
-             ROUND(((length(text) - length(replace(text, '#', '')))
+             (ROUND(length(array_to_string(t, '')) * 1.0 / len(t) + 1e-9, 4) + 0.0) AS mean_word_len,
+             (ROUND(((length(text) - length(replace(text, '#', '')))
                     + (length(text) - length(replace(text, '...', ''))) / 3
                     + (length(text) - length(replace(text, '…', '')))) * 1.0
-                   / len(t) + 1e-9, 4) AS symbol_word_ratio,
-             ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
-                   / len(t) + 1e-9, 4) AS alpha_word_frac,
+                   / len(t) + 1e-9, 4) + 0.0) AS symbol_word_ratio,
+             (ROUND(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+                   / len(t) + 1e-9, 4) + 0.0) AS alpha_word_frac,
              CAST(len(list_intersect(list_distinct(t),
                   ['the','be','to','of','and','that','have','with'])) AS BIGINT)
                AS n_required_words
@@ -2032,7 +2032,7 @@ def llm_vocab_topk(spark, sf_dir):
              FROM ng JOIN bench USING (g) GROUP BY ng.doc_id)
     SELECT s.doc_id, CAST(s.n_shingles AS BIGINT) AS n_shingles,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           ROUND(COALESCE(h.n_hits, 0) * 1.0 / s.n_shingles + 1e-9, 4) AS contamination
+           (ROUND(COALESCE(h.n_hits, 0) * 1.0 / s.n_shingles + 1e-9, 4) + 0.0) AS contamination
     FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
     """,
     doc="Benchmark-contamination detection: fraction of each doc's "
@@ -2089,7 +2089,7 @@ def udtf_lateral_words(spark, sf_dir):
     SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
            CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CAST(SUM(v) AS BIGINT) AS pix_sum,
-           ROUND(SUM(v) * 1.0 / COUNT(*) + 1e-9, 4) AS mean_pixel
+           (ROUND(SUM(v) * 1.0 / COUNT(*) + 1e-9, 4) + 0.0) AS mean_pixel
     FROM px GROUP BY doc_id, j, w, h
     """,
     doc="REAL video frame sampling through the engine: a deterministic "
@@ -2168,7 +2168,7 @@ def llm_train_order(spark, sf_dir):
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.w AS term, tf.tf, dfreq.df,
-             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) + 1e-9, 4) AS tfidf
+             (ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) + 1e-9, 4) + 0.0) AS tfidf
       FROM tf JOIN dfreq USING (w) CROSS JOIN n
     )
     SELECT doc_id, term, tf, df, tfidf, rnk FROM (
@@ -2196,8 +2196,8 @@ def llm_text_tfidf(spark, sf_dir):
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.ts, b.ts)) AS n_common,
-           ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 / len(a.ts) + 1e-9, 4) AS r1_precision,
-           ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 / len(b.ts) + 1e-9, 4) AS r1_recall
+           (ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 / len(a.ts) + 1e-9, 4) + 0.0) AS r1_precision,
+           (ROUND(len(list_intersect(a.ts, b.ts)) * 1.0 / len(b.ts) + 1e-9, 4) + 0.0) AS r1_recall
     FROM tok a JOIN tok b ON a.doc_id < b.doc_id
     """,
     doc="ROUGE-1-style unigram-overlap metrics (precision/recall on "
@@ -2338,7 +2338,7 @@ def llm_select_dsir(spark, sf_dir):
                  FROM documents WHERE text IS NOT NULL),
     scored AS (
       SELECT doc_id, prompt_id,
-             ROUND(len(list_distinct(t)) * 1.0 / len(t) + 1e-9, 4) AS reward
+             (ROUND(len(list_distinct(t)) * 1.0 / len(t) + 1e-9, 4) + 0.0) AS reward
       FROM tok
     ),
     r AS (
@@ -2413,7 +2413,7 @@ def llm_best_of_n(spark, sf_dir):
              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.sum_dl / s.n_docs))) AS contrib
       FROM tf JOIN dfreq d USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
     ),
-    bmagg AS (SELECT doc_id, ROUND(SUM(contrib) + 1e-9, 4) AS score FROM bm GROUP BY doc_id),
+    bmagg AS (SELECT doc_id, (ROUND(SUM(contrib) + 1e-9, 4) + 0.0) AS score FROM bm GROUP BY doc_id),
     lex AS (SELECT doc_id,
                    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
             FROM bmagg ORDER BY score DESC, doc_id LIMIT 20),
@@ -2423,10 +2423,10 @@ def llm_best_of_n(spark, sf_dir):
                AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0),
     sims AS (
       SELECT c.vec_id AS doc_id,
-             ROUND((SELECT SUM(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))
+             (ROUND((SELECT SUM(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))
              / (sqrt((SELECT SUM(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))
               * sqrt((SELECT SUM(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))))
-             + 1e-9, 4) AS sim
+             + 1e-9, 4) + 0.0) AS sim
       FROM corp c CROSS JOIN q
     ),
     vecl AS (SELECT doc_id,
@@ -2436,8 +2436,8 @@ def llm_best_of_n(spark, sf_dir):
       SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
              COALESCE(l.lex_rank, 0) AS lex_rank,
              COALESCE(v.vec_rank, 0) AS vec_rank,
-             ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
-                 + COALESCE(1.0 / (60 + v.vec_rank), 0) + 1e-9, 6) AS rrf_score
+             (ROUND(COALESCE(1.0 / (60 + l.lex_rank), 0)
+                 + COALESCE(1.0 / (60 + v.vec_rank), 0) + 1e-9, 6) + 0.0) AS rrf_score
       FROM lex l FULL OUTER JOIN vecl v ON l.doc_id = v.doc_id
     )
     SELECT doc_id, lex_rank, vec_rank, rrf_score,
@@ -2596,7 +2596,7 @@ def llm_dedup_url_canon(spark, sf_dir):
       LEFT JOIN wc ON wc.lang = c.lang AND wc.w = d.w
       GROUP BY d.doc_id, c.lang, c.n_docs, n.n_total
     )
-    SELECT doc_id, lang, ROUND(s + 1e-9, 4) AS nb_score FROM scored
+    SELECT doc_id, lang, (ROUND(s + 1e-9, 4) + 0.0) AS nb_score FROM scored
     """,
     doc="Multinomial naive Bayes trained ENTIRELY as aggregates "
     "(add-1-smoothed per-(class, token) counts, class priors, vocab "
@@ -2976,7 +2976,7 @@ def llm_tokenizer_apply(spark, sf_dir):
       SELECT c12.w1, c12.w2, -ln((c12.c12 + 0.1) / (c1.c1 + 0.1 * v.v)) AS nlp
       FROM c12 JOIN c1 USING (w1) CROSS JOIN v
     )
-    SELECT bg.doc_id, ROUND(exp(AVG(lm.nlp)) + 1e-9, 4) AS ppl,
+    SELECT bg.doc_id, (ROUND(exp(AVG(lm.nlp)) + 1e-9, 4) + 0.0) AS ppl,
            COUNT(*) AS n_bigrams
     FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
     GROUP BY bg.doc_id
@@ -3012,7 +3012,7 @@ def llm_perplexity(spark, sf_dir):
       FROM tf JOIN dfreq d USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
     ),
     agg AS (
-      SELECT doc_id, ROUND(SUM(contrib) + 1e-9, 4) AS score,
+      SELECT doc_id, (ROUND(SUM(contrib) + 1e-9, 4) + 0.0) AS score,
              COUNT(*) AS n_terms_matched
       FROM scored GROUP BY doc_id
     )
@@ -3042,13 +3042,13 @@ def llm_search_bm25(spark, sf_dir):
     WITH base AS (
       SELECT doc_id, lang,
              len({_TOK}) AS n_tokens,
-             ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) AS punct_ratio,
-             ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) AS stop_ratio
+             (ROUND(COALESCE((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / NULLIF(length(text), 0), 0) + 1e-9, 4) + 0.0) AS punct_ratio,
+             (ROUND(COALESCE(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / NULLIF(len({_TOK}), 0), 0) + 1e-9, 4) + 0.0) AS stop_ratio
       FROM documents
     ),
     scored AS (
       SELECT doc_id, lang,
-             ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) AS quality
+             (ROUND(0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4) + 0.0) AS quality
       FROM base
     ),
     ranked AS (
@@ -3276,10 +3276,10 @@ def llm_length_buckets(spark, sf_dir):
     sql=f"""
     WITH q AS (
       SELECT doc_id,
-             ROUND(0.4 * least(len({_TOK}) / 50.0, 1.0)
+             (ROUND(0.4 * least(len({_TOK}) / 50.0, 1.0)
                    + 0.3 * (1.0 - ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4))
                    + 0.3 * ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4)
-                   + 1e-9, 4) AS quality
+                   + 1e-9, 4) + 0.0) AS quality
       FROM documents WHERE text IS NOT NULL
     ),
     lid AS (
@@ -3379,11 +3379,11 @@ def e2e_llm_data_pipeline(spark, sf_dir):
     WITH RECURSIVE pr AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE ROUND(
+      WHERE (ROUND(
         (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)) /
         (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
          sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))))
-        + 1e-9, 4) >= 0.4
+        + 1e-9, 4) + 0.0) >= 0.4
         AND a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
     ),
     ed AS (SELECT id_a AS a, id_b AS b FROM pr
@@ -3552,7 +3552,7 @@ def llm_format_dpo(spark, sf_dir):
       FROM documents),
     tot AS (SELECT source, COUNT(*) AS n_docs FROM h GROUP BY source)
     SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared,
-           ROUND(COUNT(*) * 1.0 / LEAST(ta.n_docs, tb.n_docs) + 1e-9, 4) AS overlap
+           (ROUND(COUNT(*) * 1.0 / LEAST(ta.n_docs, tb.n_docs) + 1e-9, 4) + 0.0) AS overlap
     FROM h a
     JOIN h b ON a.hash = b.hash AND a.source < b.source
     JOIN tot ta ON ta.source = a.source
@@ -3629,7 +3629,7 @@ def llm_source_overlap(spark, sf_dir):
       ) tok JOIN freq ON freq.w = tok.w
     )
     SELECT doc_id, pos, w, CAST(cnt AS BIGINT) AS corpus_count,
-           ROUND(p_keep + 1e-9, 4) AS p_keep
+           (ROUND(p_keep + 1e-9, 4) + 0.0) AS p_keep
     FROM scored
     WHERE u < p_keep
     """,
@@ -3824,10 +3824,10 @@ def llm_augment_spanmask(spark, sf_dir):
       FROM cm
     )
     SELECT true_lang, pred_lang, n,
-           ROUND(CASE WHEN true_lang = pred_lang THEN n * 1.0 / n_pred END + 1e-9, 4) AS precision,
-           ROUND(CASE WHEN true_lang = pred_lang THEN n * 1.0 / n_true END + 1e-9, 4) AS recall,
-           ROUND(CASE WHEN true_lang = pred_lang
-                      THEN 2.0 * n / (n_true + n_pred) END + 1e-9, 4) AS f1
+           (ROUND(CASE WHEN true_lang = pred_lang THEN n * 1.0 / n_pred END + 1e-9, 4) + 0.0) AS precision,
+           (ROUND(CASE WHEN true_lang = pred_lang THEN n * 1.0 / n_true END + 1e-9, 4) + 0.0) AS recall,
+           (ROUND(CASE WHEN true_lang = pred_lang
+                      THEN 2.0 * n / (n_true + n_pred) END + 1e-9, 4) + 0.0) AS f1
     FROM stats
     """,
     doc="Classifier evaluation as an operator: confusion matrix of the "
@@ -3886,7 +3886,7 @@ def ml_eval_confusion(spark, sf_dir):
       FROM tok
     )
     SELECT n_docs, total_tokens, total_chars, n_langs, n_sources,
-           ROUND((n_docs - n_unique_texts) * 1.0 / n_docs + 1e-9, 4) AS dup_rate,
+           (ROUND((n_docs - n_unique_texts) * 1.0 / n_docs + 1e-9, 4) + 0.0) AS dup_rate,
            median_tokens, CAST(min_tokens AS BIGINT) AS min_tokens,
            CAST(max_tokens AS BIGINT) AS max_tokens
     FROM stats
@@ -3961,7 +3961,7 @@ def llm_dataset_card(spark, sf_dir):
     SELECT doc_id, CAST(w AS BIGINT) AS src_width, CAST(h AS BIGINT) AS src_height,
            CAST(4 AS BIGINT) AS out_width, CAST(4 AS BIGINT) AS out_height,
            CAST(SUM(px) AS BIGINT) AS resized_sum,
-           ROUND(SUM(px) / 48.0 + 1e-9, 4) AS resized_mean
+           (ROUND(SUM(px) / 48.0 + 1e-9, 4) + 0.0) AS resized_mean
     FROM m GROUP BY doc_id, w, h
     """,
     doc="Image RESIZE through the engine (the pre-batching geometric "
@@ -3992,7 +3992,7 @@ def llm_multimodal_resize(spark, sf_dir):
            CAST((doc_id % 50) + 10 AS BIGINT) AS n_src,
            COUNT(*) AS n_out,
            CAST(SUM(smp) AS BIGINT) AS sum_out,
-           ROUND(sqrt(SUM(smp * smp) * 1.0 / COUNT(*)) + 1e-9, 4) AS rms_out
+           (ROUND(sqrt(SUM(smp * smp) * 1.0 / COUNT(*)) + 1e-9, 4) + 0.0) AS rms_out
     FROM v GROUP BY doc_id
     """,
     doc="Audio RESAMPLE through the engine (rate normalization before "
@@ -4014,10 +4014,10 @@ def llm_multimodal_resample(spark, sf_dir):
     sql=f"""
     WITH q AS (
       SELECT doc_id, text,
-             ROUND(0.4 * least(len({_TOK}) / 50.0, 1.0)
+             (ROUND(0.4 * least(len({_TOK}) / 50.0, 1.0)
                    + 0.3 * (1.0 - ROUND((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) * 1.0 / length(text) + 1e-9, 4))
                    + 0.3 * ROUND(len(list_filter({_TOK}, x -> x IN ('the', 'a', 'and', 'of', 'to'))) * 1.0 / len({_TOK}) + 1e-9, 4)
-                   + 1e-9, 4) AS quality,
+                   + 1e-9, 4) + 0.0) AS quality,
              CASE WHEN length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) > 0 THEN 'zh'
                   WHEN greatest(hits_en, hits_es, hits_de, hits_fr) <= 0 THEN 'und'
                   WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
@@ -4045,8 +4045,8 @@ def llm_multimodal_resample(spark, sf_dir):
            CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
            CAST(SUM(CASE WHEN pass_quality AND pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
            CAST(SUM(CASE WHEN pass_quality AND pass_lang AND pass_dedup THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
-           ROUND(SUM(CASE WHEN pass_quality AND pass_lang AND pass_dedup THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*) + 1e-9, 4) AS retention
+           (ROUND(SUM(CASE WHEN pass_quality AND pass_lang AND pass_dedup THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) + 1e-9, 4) + 0.0) AS retention
     FROM flags
     """,
     doc="Filter-cascade attrition report (pipeline observability): how "
@@ -4108,7 +4108,7 @@ def llm_filter_funnel(spark, sf_dir):
     )
     SELECT doc_id, lang, CAST(pos_hits AS BIGINT) AS pos_hits,
            CAST(neg_hits AS BIGINT) AS neg_hits,
-           ROUND((pos_hits - neg_hits) * 1.0 / n_tokens + 1e-9, 4) AS polarity,
+           (ROUND((pos_hits - neg_hits) * 1.0 / n_tokens + 1e-9, 4) + 0.0) AS polarity,
            CASE WHEN pos_hits > neg_hits THEN 'pos'
                 WHEN neg_hits > pos_hits THEN 'neg' ELSE 'neu' END AS label
     FROM h
@@ -4157,8 +4157,8 @@ def llm_sentiment_lexicon(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(SUM(CASE WHEN first_seen.first_doc = ng.doc_id
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-           ROUND(SUM(CASE WHEN first_seen.first_doc = ng.doc_id
-                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*) + 1e-9, 4) AS novelty
+           (ROUND(SUM(CASE WHEN first_seen.first_doc = ng.doc_id
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*) + 1e-9, 4) + 0.0) AS novelty
     FROM ng JOIN first_seen ON first_seen.g = ng.g
     GROUP BY ng.doc_id
     """,

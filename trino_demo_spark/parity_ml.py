@@ -59,8 +59,8 @@ def _order_series(spark, sf_dir):
 @parity(
     "ml_linreg_fit",
     sql=f"""
-    SELECT ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) AS slope,
-           ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) AS intercept
+    SELECT (ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 4) + 0.0) AS slope,
+           (ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 4) + 0.0) AS intercept
     FROM ({_OLS_LI_SQL})
     """,
     doc="Model fit as aggregation: closed-form OLS (covar_pop/var_pop) in "
@@ -77,7 +77,7 @@ def ml_linreg_fit(spark, sf_dir):
     "ml_linreg_predict",
     sql=f"""
     SELECT l_orderkey, l_linenumber,
-           ROUND(c.i + c.s * l_quantity + 1e-9, 2) AS pred
+           (ROUND(c.i + c.s * l_quantity + 1e-9, 2) + 0.0) AS pred
     FROM lineitem,
          (SELECT regr_slope(l_extendedprice, l_quantity) AS s,
                  regr_intercept(l_extendedprice, l_quantity) AS i
@@ -102,10 +102,10 @@ def ml_linreg_predict(spark, sf_dir):
     "ml_pandas_udf_infer",
     sql=f"""
     SELECT l_orderkey, l_linenumber,
-           ROUND(c.i + c.s * l_quantity + 1e-9, 2) AS pred
+           (ROUND(c.i + c.s * l_quantity + 1e-9, 2) + 0.0) AS pred
     FROM lineitem,
-         (SELECT ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) AS s,
-                 ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6) AS i
+         (SELECT (ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-9, 6) + 0.0) AS s,
+                 (ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-9, 6) + 0.0) AS i
           FROM ({_OLS_LI_SQL})) c
     """,
     doc="Vectorized pandas_udf inference over Arrow batches — the plug-in "
@@ -135,8 +135,8 @@ def ml_pandas_udf_infer(spark, sf_dir):
     WITH RECURSIVE
     d AS ({_SERIES_SQL}),
     p AS (SELECT order_value AS v, lead(order_value) OVER (ORDER BY day) AS vn FROM d),
-    c AS (SELECT ROUND(regr_slope(vn, v) + 1e-9, 6) AS s,
-                 ROUND(regr_intercept(vn, v) + 1e-9, 6) AS i
+    c AS (SELECT (ROUND(regr_slope(vn, v) + 1e-9, 6) + 0.0) AS s,
+                 (ROUND(regr_intercept(vn, v) + 1e-9, 6) + 0.0) AS i
           FROM p WHERE vn IS NOT NULL),
     lastv AS (SELECT order_value AS v FROM d ORDER BY day DESC LIMIT 1),
     f(step, y) AS (
@@ -144,7 +144,7 @@ def ml_pandas_udf_infer(spark, sf_dir):
       UNION ALL
       SELECT step + 1, c.i + c.s * y FROM f, c WHERE step < 16
     )
-    SELECT step, ROUND(y + 1e-9, 2) AS forecast FROM f WHERE step >= 1
+    SELECT step, (ROUND(y + 1e-9, 2) + 0.0) AS forecast FROM f WHERE step >= 1
     """,
     doc="Autoregressive rollout (y_{{t+1}} = a + b*y_t, 16 steps) — the "
     "reference's iterative forecast (localTrinoTest.ipynb:1890-1910) with "
@@ -223,8 +223,8 @@ def sink_parquet_partitioned(spark, sf_dir):
       FROM scaled WHERE pr < 0.85
     ),
     coef AS (
-      SELECT ROUND(regr_slope(s, prev_s) + 1e-9, 6) AS sl,
-             ROUND(regr_intercept(s, prev_s) + 1e-9, 6) AS ic
+      SELECT (ROUND(regr_slope(s, prev_s) + 1e-9, 6) + 0.0) AS sl,
+             (ROUND(regr_intercept(s, prev_s) + 1e-9, 6) + 0.0) AS ic
       FROM train_pairs WHERE prev_s IS NOT NULL
     ),
     walk AS (
@@ -238,9 +238,9 @@ def sink_parquet_partitioned(spark, sf_dir):
       WHERE w.pr >= 0.85 AND w.prev_s IS NOT NULL
     )
     SELECT COUNT(*) AS n_test,
-           ROUND(AVG(ABS(v - pred)) + 1e-9, 4) AS mae,
-           ROUND(AVG(ABS((v - pred) / v)) * 100 + 1e-9, 4) AS mape,
-           ROUND(quantile_cont(ABS((v - pred) / v), 0.5) * 100 + 1e-9, 4) AS mdape
+           (ROUND(AVG(ABS(v - pred)) + 1e-9, 4) + 0.0) AS mae,
+           (ROUND(AVG(ABS((v - pred) / v)) * 100 + 1e-9, 4) + 0.0) AS mape,
+           (ROUND(quantile_cont(ABS((v - pred) / v), 0.5) * 100 + 1e-9, 4) + 0.0) AS mdape
     FROM preds
     """,
     doc="END-TO-END pipeline as ONE engine-side plan — the reference's "
@@ -378,7 +378,7 @@ def _pagerank_oracle_sql(iters: int = 4) -> str:
     r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
            FROM nodes),
     {its}
-    SELECT node, ROUND(rank + 1e-9, 6) AS rank FROM r{iters}
+    SELECT node, (ROUND(rank + 1e-9, 6) + 0.0) AS rank FROM r{iters}
     """
 
 
@@ -461,7 +461,7 @@ def ml_feature_hashing(spark, sf_dir):
     )
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
            CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items,
-           ROUND(stddev_pop(rating) + 1e-9, 4) AS baseline_rmse,
+           (ROUND(stddev_pop(rating) + 1e-9, 4) + 0.0) AS baseline_rmse,
            TRUE AS als_beats_baseline
     FROM r
     """,
@@ -543,8 +543,8 @@ def ml_als_recommend(spark, sf_dir):
       FROM li CROSS JOIN fit
     )
     SELECT qty_bin, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(resid) + 1e-9, 2) AS mean_resid,
-           ROUND(stddev_samp(resid) + 1e-9, 2) AS sd_resid
+           (ROUND(AVG(resid) + 1e-9, 2) + 0.0) AS mean_resid,
+           (ROUND(stddev_samp(resid) + 1e-9, 2) + 0.0) AS sd_resid
     FROM scored GROUP BY qty_bin
     """,
     doc="Regression residual analysis (the model-diagnostic step after "
@@ -592,8 +592,8 @@ def ml_residual_bins(spark, sf_dir):
       FROM ranked
     )
     SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-           ROUND((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
-                 / (n_pos * 1.0 * n_neg) + 1e-9, 4) AS auc
+           (ROUND((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * 1.0 * n_neg) + 1e-9, 4) + 0.0) AS auc
     FROM s
     """,
     doc="AUC-ROC as a rank statistic (Mann-Whitney U identity — no "
@@ -651,8 +651,8 @@ def ml_eval_auc(spark, sf_dir):
     )
     SELECT score AS threshold,
            CAST(tp AS BIGINT) AS tp, CAST(n_at AS BIGINT) AS n_predicted_pos,
-           ROUND(tp * 1.0 / n_at + 1e-9, 4) AS precision,
-           ROUND(tp * 1.0 / tot.p + 1e-9, 4) AS recall
+           (ROUND(tp * 1.0 / n_at + 1e-9, 4) + 0.0) AS precision,
+           (ROUND(tp * 1.0 / tot.p + 1e-9, 4) + 0.0) AS recall
     FROM c CROSS JOIN tot
     """,
     doc="Precision-recall curve points (the threshold-sweep companion "
