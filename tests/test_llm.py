@@ -2557,3 +2557,37 @@ def test_webdataset_tar_contracts():
             wds.tar_members(enc[:cut])
     with _pytest.raises(ValueError):
         wds.encode_tar([("x" * 101, b"")])
+
+
+def test_ogg_flac_mapping():
+    """Ogg-FLAC (RFC 5334): BOS mapping packet parsed, frames
+    packetized with frame-last-sample granules, PCM bit-exact through
+    both layers, and a corrupted page surfaces via the Ogg CRC before
+    FLAC ever sees the frame."""
+    import math
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import ogg
+
+    ch0 = [int(900 * math.sin(i / 7.0)) + (i * 3) % 101 for i in range(600)]
+    ch1 = [c - 50 for c in ch0]
+    enc = ogg.encode_ogg_flac([ch0, ch1], 8000, block_size=256, use_lpc=True)
+    d = ogg.decode_ogg_flac(enc)
+    assert d["samples"] == [ch0, ch1] and d["md5_ok"]
+    assert d["n_frame_packets"] == 3  # ceil(600/256)
+    assert d["last_granule"] == 600
+
+    meta = ogg.ogg_demux(enc)
+    assert meta["codec"] == "flac"
+    assert meta["mapping_version"] == (1, 0)
+    assert meta["header_packets"] == 0
+
+    bad = bytearray(enc)
+    bad[-3] ^= 0xFF
+    with _pytest.raises(NotImplementedError, match="CRC"):
+        ogg.decode_ogg_flac(bytes(bad))
+    # an Opus stream routed to the FLAC decode path is rejected
+    opus = ogg.encode_ogg_opus([bytes(10)], [960])
+    with _pytest.raises(NotImplementedError, match="Ogg-FLAC"):
+        ogg.decode_ogg_flac(opus)

@@ -361,11 +361,15 @@ def encode_flac(
     block_size: int = 256,
     stereo_mode: str = "auto",
     use_lpc: bool = False,
+    _parts: "dict | None" = None,
 ) -> bytes:
     """Encode PCM channels to a real FLAC stream. `stereo_mode`:
     'indep' forces independent channels; 'auto' cycles
     mid-side / left-side / right-side / independent per block for
-    2-channel input (exercises every decorrelation decode path)."""
+    2-channel input (exercises every decorrelation decode path).
+    `_parts`, when a dict, receives the STREAMINFO metadata block and
+    the per-frame byte strings + last-sample positions — the pieces
+    the Ogg-FLAC mapping (llm.ogg.encode_ogg_flac) packetizes."""
     nch = len(channels)
     if nch not in (1, 2):
         raise NotImplementedError("only mono/stereo FLAC encode supported")
@@ -381,6 +385,8 @@ def encode_flac(
             md5.update(struct.pack("<h", ch[i]))
 
     frames = bytearray()
+    frame_list: "list[bytes]" = []
+    frame_last_sample: "list[int]" = []
     n_frames = 0
     for start in range(0, n_total, block_size):
         block = [ch[start : start + block_size] for ch in channels]
@@ -425,7 +431,10 @@ def encode_flac(
                 _encode_subframe(body, ch, 16, use_lpc)
         body.align()
         frame = bytes(header) + body.getvalue()
-        frames += frame + struct.pack(">H", _crc16(frame))
+        framed = frame + struct.pack(">H", _crc16(frame))
+        frames += framed
+        frame_list.append(framed)
+        frame_last_sample.append(min(start + block_size, n_total))
         n_frames += 1
 
     si = _BitWriter()
@@ -439,6 +448,10 @@ def encode_flac(
     si.write(n_total, 36)
     streaminfo = si.getvalue() + md5.digest()
     meta = bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
+    if _parts is not None:
+        _parts["meta"] = meta
+        _parts["frames"] = frame_list
+        _parts["frame_last_sample"] = frame_last_sample
     return b"fLaC" + meta + bytes(frames)
 
 

@@ -2337,3 +2337,79 @@ def ogg_packet_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(run, schema=OGG_FEATURE_SCHEMA)
+
+
+OGG_FLAC_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("first_sample", T.LongType()),
+        T.StructField("n_frame_packets", T.LongType()),
+        T.StructField("last_granule", T.LongType()),
+        T.StructField("bit_exact_ok", T.BooleanType()),
+        T.StructField("md5_ok", T.BooleanType()),
+    ]
+)
+
+
+def ogg_flac_roundtrip_features(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """FLAC-in-Ogg (RFC 5334 mapping) through the engine: the same
+    deterministic PCM as flac_roundtrip_features is encoded, its
+    frames packetized into CRC'd Ogg pages (one frame per packet,
+    frame-last-sample granules, STREAMINFO riding the BOS mapping
+    packet), then demuxed and decoded back inside one Arrow
+    mapInPandas pass. `bit_exact_ok` asserts PCM identity through BOTH
+    layers — any paging/lacing bug corrupts a frame and the FLAC CRCs
+    or MD5 catch it; `last_granule` must equal the sample count and
+    `n_frame_packets` the block arithmetic, both oracle-recomputed."""
+    import math
+
+    from . import ogg as _ogg
+
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 400 + (doc_id % 5) * 80
+                s0 = (doc_id % 9) * 100 - 400
+                k = doc_id % 5 + 3
+                ch0 = [
+                    s0 + (i * k) % 801 + int(1500 * math.sin(i / 8.0))
+                    for i in range(n)
+                ]
+                nch = 1 + doc_id % 2
+                channels = [ch0]
+                if nch == 2:
+                    channels.append(
+                        [ch0[i] - 200 + (i * 3) % 7 for i in range(n)]
+                    )
+                enc = _ogg.encode_ogg_flac(
+                    channels,
+                    sample_rate=8000,
+                    block_size=256,
+                    use_lpc=doc_id % 3 == 0,
+                )
+                dec = _ogg.decode_ogg_flac(enc)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "codec": "ogg-flac",
+                        "channels": nch,
+                        "n_samples": dec["n_samples"],
+                        "first_sample": dec["samples"][0][0],
+                        "n_frame_packets": dec["n_frame_packets"],
+                        "last_granule": dec["last_granule"],
+                        "bit_exact_ok": dec["samples"] == channels,
+                        "md5_ok": dec["md5_ok"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=OGG_FLAC_FEATURE_SCHEMA)

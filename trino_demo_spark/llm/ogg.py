@@ -233,16 +233,112 @@ def ogg_demux(payload: bytes) -> dict:
         pos = page_end
     if partial_open:
         raise NotImplementedError("stream ends mid-packet")
-    if not packets or packets[0]["data"][:8] != b"OpusHead":
-        raise NotImplementedError("not an Ogg-Opus stream (no OpusHead)")
+    if not packets:
+        raise NotImplementedError("empty Ogg stream")
     hd = packets[0]["data"]
-    if len(hd) < 19:
-        raise NotImplementedError("truncated OpusHead")
-    return {
-        "serial": serial,
-        "n_pages": n_pages,
-        "channels": hd[9],
-        "pre_skip": struct.unpack("<H", hd[10:12])[0],
-        "input_sample_rate": struct.unpack("<I", hd[12:16])[0],
-        "packets": packets,
-    }
+    out = {"serial": serial, "n_pages": n_pages, "packets": packets}
+    if hd[:8] == b"OpusHead":
+        if len(hd) < 19:
+            raise NotImplementedError("truncated OpusHead")
+        out["codec"] = "opus"
+        out["channels"] = hd[9]
+        out["pre_skip"] = struct.unpack("<H", hd[10:12])[0]
+        out["input_sample_rate"] = struct.unpack("<I", hd[12:16])[0]
+    elif hd[:5] == b"\x7fFLAC":
+        # RFC 5334 FLAC mapping: 0x7F 'FLAC' major minor u16be
+        # header-count, then the native 'fLaC' signature + STREAMINFO
+        if len(hd) < 13 or hd[9:13] != b"fLaC":
+            raise NotImplementedError("malformed Ogg-FLAC BOS packet")
+        out["codec"] = "flac"
+        out["mapping_version"] = (hd[5], hd[6])
+        out["header_packets"] = struct.unpack(">H", hd[7:9])[0]
+        out["flac_headers"] = hd[9:]  # 'fLaC' + metadata blocks
+    else:
+        raise NotImplementedError(
+            "unsupported Ogg codec (no OpusHead / FLAC mapping header)"
+        )
+    return out
+
+
+def encode_ogg_flac(
+    channels: "list[list[int]]",
+    sample_rate: int = 8000,
+    block_size: int = 256,
+    use_lpc: bool = False,
+    serial: int = 0x0F1AC,
+    max_segments_per_page: int = 16,
+) -> bytes:
+    """FLAC-in-Ogg per the RFC 5334 mapping: the BOS page carries ONE
+    packet — 0x7F 'FLAC', mapping version 1.0, a big-endian count of
+    following header packets (0 here: STREAMINFO rides the BOS
+    packet), then the native 'fLaC' signature + STREAMINFO — and each
+    FLAC FRAME is one packet whose completing page's granule position
+    is the frame's last sample number. Composes the two real kernels
+    (llm.flac bitstream, RFC 3533 paging) into the distribution form
+    FLAC actually streams in."""
+    from . import flac as _flac
+
+    parts: dict = {}
+    _flac.encode_flac(
+        channels,
+        sample_rate=sample_rate,
+        block_size=block_size,
+        use_lpc=use_lpc,
+        _parts=parts,
+    )
+    bos = (
+        b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 0)
+        + b"fLaC" + parts["meta"]
+    )
+    out = _page(_F_BOS, 0, serial, 0, bytes(_lacing(bos)), bos)
+
+    pending: "list[tuple[int, bytes, int | None]]" = []
+    for pkt, last in zip(parts["frames"], parts["frame_last_sample"]):
+        lac = _lacing(pkt)
+        for i, lv in enumerate(lac):
+            lo = sum(lac[:i])
+            pending.append(
+                (lv, pkt[lo : lo + lv], last if i == len(lac) - 1 else None)
+            )
+    seq = 1
+    pos = 0
+    continued = False
+    while pos < len(pending):
+        chunk = pending[pos : pos + max_segments_per_page]
+        pos += len(chunk)
+        done = [c[2] for c in chunk if c[2] is not None]
+        flags = (_F_CONTINUED if continued else 0) | (
+            _F_EOS if pos >= len(pending) else 0
+        )
+        out += _page(
+            flags,
+            done[-1] if done else -1,
+            serial,
+            seq,
+            bytes(c[0] for c in chunk),
+            b"".join(c[1] for c in chunk),
+        )
+        seq += 1
+        continued = chunk[-1][0] == 255
+    return out
+
+
+def decode_ogg_flac(payload: bytes) -> dict:
+    """Demux an Ogg-FLAC stream and decode the audio: packets are
+    reassembled (CRC-verified pages), the native FLAC stream is
+    reconstituted as flac_headers + frame packets, and llm.flac
+    decodes it — STREAMINFO MD5 and frame CRCs verify the PCM
+    bit-exactly. Returns the decode_flac dict plus paging facts."""
+    from . import flac as _flac
+
+    d = ogg_demux(payload)
+    if d.get("codec") != "flac":
+        raise NotImplementedError("not an Ogg-FLAC stream")
+    native = d["flac_headers"] + b"".join(
+        p["data"] for p in d["packets"][1 + d["header_packets"] :]
+    )
+    dec = _flac.decode_flac(native)
+    dec["n_pages"] = d["n_pages"]
+    dec["n_frame_packets"] = len(d["packets"]) - 1 - d["header_packets"]
+    dec["last_granule"] = d["packets"][-1]["granule"]
+    return dec

@@ -1044,6 +1044,40 @@ def llm_multimodal_ogg_demux(spark, sf_dir):
 
 
 @parity(
+    "llm_multimodal_ogg_flac",
+    sql="""
+    SELECT doc_id,
+           'ogg-flac' AS codec,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(400 + (doc_id % 5) * 80 AS BIGINT) AS n_samples,
+           CAST((doc_id % 9) * 100 - 400 AS BIGINT) AS first_sample,
+           CAST(CEIL((400 + (doc_id % 5) * 80) / 256.0) AS BIGINT)
+               AS n_frame_packets,
+           CAST(400 + (doc_id % 5) * 80 AS BIGINT) AS last_granule,
+           true AS bit_exact_ok,
+           true AS md5_ok
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="FLAC-in-Ogg (RFC 5334 mapping) through the engine — the two "
+    "real kernels COMPOSED into the distribution form FLAC actually "
+    "streams in: llm.flac frames packetized one-per-packet into "
+    "CRC'd RFC 3533 pages (0x7F'FLAC' mapping packet carrying "
+    "STREAMINFO on the BOS page, frame-last-sample granule "
+    "positions), demuxed and decoded back. `bit_exact_ok` asserts "
+    "PCM identity through BOTH layers (a paging/lacing bug corrupts "
+    "a frame and the FLAC frame CRCs / STREAMINFO MD5 catch it); "
+    "`last_granule` must equal the sample count and "
+    "`n_frame_packets` the block-size arithmetic, both "
+    "oracle-recomputed. ogg_demux now dispatches on the BOS packet "
+    "(OpusHead vs FLAC mapping), so the Opus path is regression-"
+    "covered by the same demuxer.",
+)
+def llm_multimodal_ogg_flac(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return multimodal.ogg_flac_roundtrip_features(docs)
+
+
+@parity(
     "scan_warc_gz",
     sql="""
     WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
