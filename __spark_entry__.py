@@ -268,6 +268,9 @@ _RECHECK = {
     # zero rendered '-0.0' (DuckDB) vs '0.0' (Spark); both sides now
     # normalize with + 0.0.
     "llm_sample_weighted": 9,
+    # r9 sf10 sweep: Spark's 1M cteRecursionRowLimit safety valve trips
+    # at 100k suppliers; the entry now sizes it from the data (65·N).
+    "sql_recursive_cte": 9,
 }
 
 # NO-RECHECK rationale for the r9 repo-wide oracle rewrite

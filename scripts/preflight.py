@@ -61,6 +61,7 @@ def main() -> None:
     ap.add_argument("--timeout-sec", type=float, default=None)
     ap.add_argument("--skip-file", default=None)
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--duck-mem", default="24GB")
     ap.add_argument("--driver-mem", default=None)
     args = ap.parse_args()
 
@@ -76,21 +77,28 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = E.queries(), E.oracle_sql()
-    con = duckdb.connect()
-    # Parallel chunk runs share the host: bound DuckDB to the same core
-    # budget as the Spark session instead of its all-cores default.
-    con.sql(f"SET threads={args.cpus}")
-    # Bound oracle memory so a pathological plan (the r9 sweep hit a
-    # 103GB RSS on an all-pairs oracle at sf1 and took the whole
-    # process down with it) surfaces as a recorded ERROR, not an
-    # OOM-kill that loses the chunk's record.
-    con.sql("SET memory_limit='24GB'")
-    con.sql(f"SET temp_directory='{os.path.join(_ROOT, '.scratch', 'duck_tmp')}'")
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf}/{t}.parquet')"
+    def fresh_con():
+        # Parallel chunk runs share the host: bound DuckDB to the same
+        # core budget as the Spark session instead of its all-cores
+        # default, and bound memory so a pathological plan (the r9
+        # sweep hit a 103GB RSS on an all-pairs oracle at sf1 and took
+        # the whole process down) surfaces as a recorded ERROR, not an
+        # OOM-kill that loses the chunk's record.
+        c = duckdb.connect()
+        c.sql(f"SET threads={args.cpus}")
+        c.sql(f"SET memory_limit='{args.duck_mem}'")
+        c.sql(
+            "SET temp_directory="
+            f"'{os.path.join(_ROOT, '.scratch', 'duck_tmp')}'"
         )
+        for t in TABLES:
+            c.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{args.sf}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
 
     skip: dict[str, str] = {}
     if args.skip_file:
@@ -165,6 +173,39 @@ def main() -> None:
             }
             print(f"{name:38s} ERROR {out['error'][:160]}", flush=True)
             _flush_json(args.json_out, record)
+            # A DuckDB failure (e.g. hitting the memory cap) can leave
+            # the shared connection exhausted — the r9 sf10 sweep saw
+            # two collateral '8 bytes' allocation errors right after a
+            # real one. Rebuild it so later oracles get a clean slate.
+            # An OOM'd instance may not release memory immediately, so
+            # the rebuild itself can fail once (observed r9: the fresh
+            # connection's own SET raised OutOfMemory and killed the
+            # chunk) — gc, wait, retry, and if it still fails, abort
+            # WITH the record instead of dying recordless.
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            import gc as _gc
+
+            con = None
+            for attempt in range(3):
+                _gc.collect()
+                time.sleep(5 * attempt)
+                try:
+                    con = fresh_con()
+                    break
+                except Exception as ex2:  # noqa: BLE001
+                    print(f"reconnect attempt {attempt} failed: {ex2}", flush=True)
+            if con is None:
+                record["__aborted__"] = {
+                    "status": "chunk_aborted_on",
+                    "name": name,
+                    "why": "duckdb reconnect failed after error",
+                }
+                _flush_json(args.json_out, record)
+                print("PREFLIGHT ABORT: duckdb reconnect failed; record flushed", flush=True)
+                os._exit(4)
             continue
         ok, tag = out["ok"], out["tag"]
         if not ok:

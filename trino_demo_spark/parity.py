@@ -5100,10 +5100,17 @@ def agg_bitmap_distinct(spark, sf_dir):
     "the root — the org-chart/BOM traversal shape. Iterative union "
     "under the hood; depth is data-bounded (log2 of the key space). "
     "Identical ANSI text runs on DuckDB (// vs DIV is the only "
-    "dialect difference).",
+    "dialect difference). Spark's cteRecursionRowLimit safety valve "
+    "defaults to 1M total recursion rows — the r9 sf10 sweep hit it "
+    "at 100k suppliers (output is N·log2(maxkey) ≈ 2M there), so the "
+    "entry sizes the valve from the data: rows ≤ N·64 + N for any "
+    "int64 key space, a one-count bound exactly like a cluster run "
+    "would set.",
 )
 def sql_recursive_cte(spark, sf_dir):
     register_views(spark, sf_dir, names=("supplier",))
+    n = _t(spark, sf_dir, "supplier").count()
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(65 * n))
     return spark.sql(
         """
         WITH RECURSIVE walk(node, cur, depth) AS (
