@@ -922,3 +922,58 @@ def test_hot_shingle_cap_bounds_candidate_fanout(spark):
         df, n=3, threshold=0.2, df_max=10
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime Bloom-filter join pruning (r9): when a shuffle join's
+    build side is selectively filtered, Spark can inject
+    might_contain(bloom, xxhash64(key)) into the FACT side's scan
+    filter — at 100 TB that drops most of the fact's shuffle volume
+    before the exchange, the single biggest runtime win on a
+    selective star probe after broadcasting. Thresholds are scaled to
+    the toy SF exactly like the skew/AQE gates (the
+    application-side-scan threshold exists to skip the bloom on small
+    scans — the opposite of cluster conditions). The filter is
+    conservative (false positives only), so the rollup must be exact."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", SF_SMOKE)
+        orders = load_table(spark, "orders", SF_SMOKE).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            )
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # the bloom probe must sit on the FACT (lineitem) side
+        fact_line = next(
+            line for line in plan.splitlines() if "might_contain" in line
+        )
+        assert "l_orderkey" in fact_line, fact_line
+        got = {tuple(r) for r in j.collect()}
+        # exactness vs the bloom-free plan
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        want = {tuple(r) for r in j.collect()}
+        assert got == want and len(got) == 1
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
