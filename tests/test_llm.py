@@ -2591,3 +2591,64 @@ def test_ogg_flac_mapping():
     opus = ogg.encode_ogg_opus([bytes(10)], [960])
     with _pytest.raises(NotImplementedError, match="Ogg-FLAC"):
         ogg.decode_ogg_flac(opus)
+
+
+def test_zip_shard_cross_verified_with_stdlib():
+    """ZIP: the central-directory walk is cross-verified BOTH
+    directions against stdlib zipfile — our writer's archives read
+    under zipfile, zipfile-written archives read under our walker —
+    and framing violations (CRC, signatures, truncation, name
+    mismatch, unknown method) surface as the declared contract."""
+    import io
+    import struct
+    import zipfile
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import zipshard as z
+
+    members = [
+        ("a.bin", bytes(range(80)), False),
+        ("b.bin", bytes((7 * i) % 256 for i in range(513)), True),
+        ("c.bin", b"", True),  # empty member
+    ]
+    enc = z.encode_zip(members)
+    out = z.zip_members(enc)
+    assert [(m["name"], m["data"]) for m in out] == [
+        (n, d) for n, d, _ in members
+    ]
+    # our writer -> stdlib reader
+    zf = zipfile.ZipFile(io.BytesIO(enc))
+    assert [(i.filename, zf.read(i.filename)) for i in zf.infolist()] == [
+        (n, d) for n, d, _ in members
+    ]
+    # stdlib writer -> our reader
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zw:
+        zw.writestr("x.txt", b"hello world" * 30)
+        zw.writestr("y.bin", bytes(500))
+    got = z.zip_members(buf.getvalue())
+    assert [(m["name"], m["data"]) for m in got] == [
+        ("x.txt", b"hello world" * 30),
+        ("y.bin", bytes(500)),
+    ]
+
+    # contracts
+    bad = bytearray(enc)
+    bad[40] ^= 0xFF
+    with _pytest.raises(NotImplementedError, match="CRC|deflate"):
+        z.zip_members(bytes(bad))
+    with _pytest.raises(NotImplementedError, match="end-of-central"):
+        z.zip_members(enc[: enc.rfind(b"PK\x05\x06")])
+    # rename in the central dir only -> local/central mismatch
+    bad2 = bytearray(enc)
+    cd = bad2.find(b"PK\x01\x02")
+    na = bytes(bad2).find(b"a.bin", cd)
+    bad2[na : na + 5] = b"z.bin"
+    with _pytest.raises(NotImplementedError, match="mismatch"):
+        z.zip_members(bytes(bad2))
+    # unsupported method in central dir
+    bad3 = bytearray(enc)
+    bad3[cd + 10 : cd + 12] = struct.pack("<H", 12)  # bzip2
+    with _pytest.raises(NotImplementedError, match="method|mismatch|CRC"):
+        z.zip_members(bytes(bad3))

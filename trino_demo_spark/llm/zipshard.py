@@ -1,0 +1,227 @@
+"""Pure-stdlib ZIP (APPNOTE) shard writer + reader — the third shard
+container public datasets commonly ship in (after WARC.gz and
+WebDataset tar; Kaggle/HF dumps are routinely .zip). What matters at
+100 TB is the CENTRAL DIRECTORY: unlike tar's sequential headers, zip
+carries an index at the END of the archive (end-of-central-directory →
+central headers → per-member local offsets), so a reader slices any
+member without scanning the archive — the same random-access economics
+as mp4's sample tables and Common Crawl's per-record gzip members.
+
+The writer emits real zip: local file headers (PK\\x03\\x04) with
+STORED and raw-DEFLATE (zlib wbits=-15) members, zlib.crc32 checksums,
+central directory headers (PK\\x01\\x02) pointing back at the local
+offsets, and the end-of-central-directory record (PK\\x05\\x06). The
+reader locates the EOCD from the tail, walks the central directory,
+verifies each member's local header against its central entry (offset,
+name), inflates/slices the data, and verifies CRC and sizes.
+Truncations, signature mismatches, CRC failures, and unsupported
+compression methods raise NotImplementedError per this package's
+declared error contract. (stdlib `zipfile` exists; the hand walk keeps
+framing errors OURS to surface as data-quality signals, mirrors
+llm.webdataset's rationale, and is ~80 lines.)
+
+Runs engine-side under Arrow mapInPandas (zip_scan_features).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOCAL = b"PK\x03\x04"
+_CENTRAL = b"PK\x01\x02"
+_EOCD = b"PK\x05\x06"
+
+
+def encode_zip(members: "list[tuple[str, bytes, bool]]") -> bytes:
+    """Serialize (name, data, deflate?) members into a real zip."""
+    out = bytearray()
+    central = bytearray()
+    for name, data, deflate in members:
+        nb = name.encode()
+        method = 8 if deflate else 0
+        if deflate:
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            blob = co.compress(data) + co.flush()
+        else:
+            blob = data
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        offset = len(out)
+        common = struct.pack(
+            "<HHHHHIII",
+            20,  # version needed
+            0,  # flags
+            method,
+            0,  # mod time (0 → deterministic)
+            0x21,  # mod date (a valid constant: 1980-01-01)
+            crc,
+            len(blob),
+            len(data),
+        )
+        out += _LOCAL + common + struct.pack("<HH", len(nb), 0) + nb + blob
+        central += (
+            _CENTRAL
+            + struct.pack("<H", 20)  # version made by
+            + common
+            + struct.pack("<HHHHHII", len(nb), 0, 0, 0, 0, 0, offset)
+            + nb
+        )
+    cd_offset = len(out)
+    out += central
+    out += _EOCD + struct.pack(
+        "<HHHHIIH",
+        0,
+        0,
+        len(members),
+        len(members),
+        len(central),
+        cd_offset,
+        0,
+    )
+    return bytes(out)
+
+
+def zip_members(payload: bytes) -> "list[dict]":
+    """Walk the CENTRAL DIRECTORY (located via the tail EOCD), slice
+    each member by its recorded local-header offset, inflate, and
+    verify CRC-32 + sizes + local/central consistency. Returns
+    [{name, method, size, data}] in central-directory order."""
+    eocd_at = payload.rfind(_EOCD)
+    if eocd_at < 0:
+        raise NotImplementedError("zip without end-of-central-directory")
+    if eocd_at + 22 > len(payload):
+        raise NotImplementedError("truncated EOCD record")
+    (_, _, n_here, n_total, cd_size, cd_offset, _) = struct.unpack(
+        "<HHHHIIH", payload[eocd_at + 4 : eocd_at + 22]
+    )
+    if n_here != n_total:
+        raise NotImplementedError("multi-disk zip unsupported")
+    pos = cd_offset
+    if cd_offset + cd_size > eocd_at:
+        raise NotImplementedError("central directory overruns EOCD")
+    out = []
+    for _ in range(n_total):
+        if payload[pos : pos + 4] != _CENTRAL:
+            raise NotImplementedError("bad central-directory signature")
+        (
+            _vmade,
+            _vneed,
+            _flags,
+            method,
+            _t,
+            _d,
+            crc,
+            csize,
+            usize,
+            nlen,
+            xlen,
+            clen,
+            _disk,
+            _iattr,
+            _eattr,
+            offset,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
+        name = payload[pos + 46 : pos + 46 + nlen].decode()
+        pos += 46 + nlen + xlen + clen
+        # validate the local header this central entry points at
+        if payload[offset : offset + 4] != _LOCAL:
+            raise NotImplementedError("central offset points past local header")
+        lnlen, lxlen = struct.unpack(
+            "<HH", payload[offset + 26 : offset + 30]
+        )
+        lname = payload[offset + 30 : offset + 30 + lnlen].decode()
+        if lname != name:
+            raise NotImplementedError("local/central name mismatch")
+        dstart = offset + 30 + lnlen + lxlen
+        if dstart + csize > len(payload):
+            raise NotImplementedError("truncated zip member data")
+        blob = payload[dstart : dstart + csize]
+        if method == 0:
+            data = blob
+        elif method == 8:
+            try:
+                data = zlib.decompressobj(-15).decompress(blob)
+            except zlib.error as ex:
+                raise NotImplementedError(f"bad deflate member: {ex}") from None
+        else:
+            raise NotImplementedError(f"zip compression method {method}")
+        if len(data) != usize:
+            raise NotImplementedError("zip member size mismatch")
+        if (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise NotImplementedError("zip member CRC mismatch")
+        out.append(
+            {"name": name, "method": method, "size": usize, "data": data}
+        )
+    return out
+
+
+ZIP_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("member_idx", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("method", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("body_sig", T.LongType()),
+        T.StructField("body_exact", T.BooleanType()),
+        T.StructField("compressed_smaller", T.BooleanType()),
+    ]
+)
+
+
+def zip_scan_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """ZIP ingestion exercised for real: per doc, a 3-member shard
+    (one STORED member + two DEFLATE members, one of them highly
+    compressible) is written and read back through the central-
+    directory walk inside one Arrow mapInPandas pass. `body_exact`
+    asserts byte-identical recovery through inflate+CRC (any
+    offset/length bug in the directory arithmetic breaks it);
+    name/method/size/checksum are recomputed independently by the
+    oracle, and `compressed_smaller` pins that deflate actually
+    engaged on the compressible member."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bodies = [
+                    bytes((doc_id * 3 + i) % 256 for i in range(80)),
+                    bytes(
+                        (doc_id * 7 + (i * i) % 97) % 256
+                        for i in range(200)
+                    ),
+                    bytes([doc_id % 256]) * 300,  # compressible
+                ]
+                members = [
+                    (f"m{doc_id}_0.bin", bodies[0], False),
+                    (f"m{doc_id}_1.bin", bodies[1], True),
+                    (f"m{doc_id}_2.bin", bodies[2], True),
+                ]
+                shard = encode_zip(members)
+                parsed = zip_members(shard)
+                comp_len = len(shard)
+                for i, m in enumerate(parsed):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "member_idx": i,
+                            "name": m["name"],
+                            "method": m["method"],
+                            "size": m["size"],
+                            "body_sig": sum(m["data"][:16]) % 997,
+                            "body_exact": m["data"] == bodies[i],
+                            "compressed_smaller": comp_len
+                            < sum(len(b) for b in bodies) + 3 * 80,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(run, schema=ZIP_FEATURE_SCHEMA)

@@ -1118,6 +1118,50 @@ def scan_warc_gz(spark, sf_dir):
 
 
 @parity(
+    "scan_zip_shard",
+    sql="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    m AS (SELECT doc_id, i FROM d, UNNEST(range(0, 3)) u(i))
+    SELECT m.doc_id,
+           CAST(i AS BIGINT) AS member_idx,
+           concat('m', CAST(m.doc_id AS VARCHAR), '_',
+                  CAST(i AS VARCHAR), '.bin') AS name,
+           CAST(CASE WHEN i = 0 THEN 0 ELSE 8 END AS BIGINT) AS method,
+           CAST(CASE i WHEN 0 THEN 80 WHEN 1 THEN 200 ELSE 300 END
+               AS BIGINT) AS size,
+           CAST(CASE i
+                WHEN 0 THEN (SELECT SUM((m.doc_id * 3 + k) % 256)
+                             FROM UNNEST(range(0, 16)) t(k))
+                WHEN 1 THEN (SELECT SUM((m.doc_id * 7 + (k * k) % 97) % 256)
+                             FROM UNNEST(range(0, 16)) t(k))
+                ELSE 16 * (m.doc_id % 256) END % 997 AS BIGINT) AS body_sig,
+           true AS body_exact,
+           true AS compressed_smaller
+    FROM m
+    """,
+    doc="ZIP shard ingestion through the engine (llm/zipshard.py): per "
+    "doc, a 3-member archive (STORED + two raw-DEFLATE members) is "
+    "written and read back via the CENTRAL-DIRECTORY walk — EOCD "
+    "located from the tail, central headers validated against the "
+    "local headers they point at, members sliced by recorded offset, "
+    "inflated, CRC-32- and size-verified. The directory-at-the-end "
+    "layout is the random-access story (slice any member of a 100 TB "
+    "shard without scanning it — mp4-sample-table economics for the "
+    "container Kaggle/HF dumps ship in). `body_exact` asserts "
+    "byte-identical recovery; name/method/size/checksum recomputed "
+    "independently by the oracle. The kernel is cross-verified BOTH "
+    "directions against stdlib zipfile in tests (our writer's output "
+    "reads under zipfile; zipfile's output reads under our walker) — "
+    "a genuine external verifier, not a self-consistent roundtrip.",
+)
+def scan_zip_shard(spark, sf_dir):
+    from .llm import zipshard
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return zipshard.zip_scan_features(docs)
+
+
+@parity(
     "llm_source_cap",
     sql="""
     WITH ranked AS (
