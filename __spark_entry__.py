@@ -270,8 +270,22 @@ _RECHECK = {
     "llm_sample_weighted": 9,
     # r9 sf10 sweep: Spark's 1M cteRecursionRowLimit safety valve trips
     # at 100k suppliers; the entry now sizes it from the data (65·N).
-    "sql_recursive_cte": 9,
+    # r10 (ADVICE r9): the valve is now clamped to [default, int32 max],
+    # restored after an eager localCheckpoint materialization (the
+    # session is shared), so the r9 green row proves the old dataflow.
+    "sql_recursive_cte": 10,
 }
+
+# Round-10 no-recheck rationale (deliberate, documented): the ADVICE r9
+# hardening of llm/warc.py (Content-Length now rejects negative/
+# non-numeric values as NotImplementedError) and llm/zipshard.py (zip64
+# sentinel/locator detection fails fast) are exception-path-only
+# changes — on any input that previously parsed, the byte-for-byte
+# dataflow is unchanged (the new branches raise or are skipped), so the
+# r9 green rows for scan_warc_gz / scan_zip_shard / the multimodal
+# shard entries still prove the shipped parse. Both paths are
+# pytest-gated (tests/test_llm.py::test_warc_hostile_content_length,
+# ::test_zipshard_zip64_fails_fast) instead of burning driver slots.
 
 # NO-RECHECK rationale for the r9 repo-wide oracle rewrite
 # (ROUND(x + 1e-9, n) → (ROUND(x + 1e-9, n) + 0.0), 187 sites): the

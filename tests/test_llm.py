@@ -2652,3 +2652,88 @@ def test_zip_shard_cross_verified_with_stdlib():
     bad3[cd + 10 : cd + 12] = struct.pack("<H", 12)  # bzip2
     with _pytest.raises(NotImplementedError, match="method|mismatch|CRC"):
         z.zip_members(bytes(bad3))
+
+
+def test_warc_hostile_content_length():
+    """ADVICE r9: a crafted Content-Length (negative -> parse position
+    moves backwards and the loop revisits the same offset forever;
+    non-numeric -> bare ValueError) must fail the declared
+    NotImplementedError contract instead. The parser runs on untrusted
+    crawl shards inside executor tasks, so a hang is a task hang."""
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import warc
+
+    recs = [
+        {
+            "type": "response",
+            "record_id": "<urn:uuid:1>",
+            "date": "2024-01-01T00:00:00Z",
+            "uri": "http://x/",
+            "content_type": "application/http; msgtype=response",
+            "body": warc.encode_http_response(200, "OK", "text/plain", b"hi"),
+        }
+    ]
+    plain = warc.encode_warc_records(recs)
+    # sanity: the well-formed record parses
+    assert len(warc.warc_records(plain)["records"]) == 1
+
+    def _with_clen(value: bytes) -> bytes:
+        at = plain.find(b"Content-Length: ")
+        end = plain.find(b"\r\n", at)
+        return plain[: at + 16] + value + plain[end:]
+
+    with _pytest.raises(NotImplementedError, match="negative"):
+        warc.warc_records(_with_clen(b"-5"))
+    with _pytest.raises(NotImplementedError, match="non-numeric"):
+        warc.warc_records(_with_clen(b"xyz"))
+    # the ~70-byte hostile shard from the advice shape: tiny record,
+    # negative length -- must raise, not hang
+    with _pytest.raises(NotImplementedError):
+        warc.warc_records(
+            b"WARC/1.0\r\nContent-Length: -4\r\n\r\n\r\n\r\n" * 2
+        )
+
+
+def test_zipshard_zip64_fails_fast():
+    """ADVICE r9: zip64 archives carry 0xFFFF/0xFFFFFFFF sentinels in
+    the classic EOCD (real values live in the PK\\x06\\x06 record); the
+    walker must name the limitation instead of looping 65535 times over
+    garbage central-directory bytes."""
+    import io
+    import struct
+    import zipfile
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import zipshard as z
+
+    # stdlib force_zip64 on a small member only adds a local-header
+    # zip64 extra; the EOCD stays classic (no sentinels, no PK\x06\x06)
+    # so the walker still reads it correctly -- pin that boundary.
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zw:
+        with zw.open("big.bin", "w", force_zip64=True) as f:
+            f.write(b"payload")
+    got = z.zip_members(buf.getvalue())
+    assert [(m["name"], m["data"]) for m in got] == [("big.bin", b"payload")]
+
+    # sentinel-only variants: patch each classic-EOCD field in turn
+    enc = z.encode_zip([("a.bin", b"data", True)])
+    eocd = enc.rfind(b"PK\x05\x06")
+    for off, fmt, val in (
+        (eocd + 8, "<HH", (0xFFFF, 0xFFFF)),  # n_here + n_total
+        (eocd + 12, "<I", (0xFFFFFFFF,)),  # cd_size
+        (eocd + 16, "<I", (0xFFFFFFFF,)),  # cd_offset
+    ):
+        bad = bytearray(enc)
+        bad[off : off + struct.calcsize(fmt)] = struct.pack(fmt, *val)
+        with _pytest.raises(NotImplementedError, match="zip64"):
+            z.zip_members(bytes(bad))
+
+    # a zip64 EOCD locator (PK\x06\x07, fixed 20 bytes) immediately
+    # before the classic EOCD also names the limitation
+    loc = b"PK\x06\x07" + bytes(16)
+    with_loc = enc[:eocd] + loc + enc[eocd:]
+    with _pytest.raises(NotImplementedError, match="zip64"):
+        z.zip_members(with_loc)

@@ -98,3 +98,28 @@ def test_rows_only_runs(name, spark):
     assert n >= 0
     # deterministic across two runs
     assert sdf.count() == n
+
+
+def test_recursive_cte_restores_session_conf(spark):
+    """ADVICE r9: the entry raises spark.sql.cteRecursionRowLimit on the
+    shared session; it must restore the prior value (the session is
+    shared by preflight/bench across all entries) and still return a
+    fully materialized, correct result. Also pins the empty-table clamp:
+    the valve never drops below the engine default."""
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "123456")
+        p = PARITY["sql_recursive_cte"]
+        sdf = p.fn(spark, SF_PARITY)
+        assert spark.conf.get(key) == "123456"
+        rows = {r["s_suppkey"]: r["chain_len"] for r in sdf.collect()}
+        assert rows and all(
+            depth == max(0, v.bit_length() - 1)
+            for v, depth in rows.items()
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

@@ -88,9 +88,9 @@ def encode_http_response(
     )
 
 
-def _gunzip_members(payload: bytes) -> bytes:
-    """Inflate a concatenated-member gzip stream, returning the joined
-    plaintext. Also counts members (warc_records exposes it)."""
+def _gunzip_members(payload: bytes) -> "tuple[bytes, int]":
+    """Inflate a concatenated-member gzip stream. Returns (joined
+    plaintext, member count); warc_records exposes the count."""
     out = bytearray()
     rest = payload
     members = 0
@@ -158,7 +158,20 @@ def warc_records(payload: bytes) -> dict:
             headers[k.strip().decode().lower()] = v.strip().decode()
         if "content-length" not in headers:
             raise NotImplementedError("WARC record without Content-Length")
-        clen = int(headers["content-length"])
+        # Untrusted crawl input: a non-numeric or negative Content-Length
+        # must fail the declared contract, not raise ValueError or move
+        # the parse position backwards (which loops forever).
+        try:
+            clen = int(headers["content-length"])
+        except ValueError:
+            raise NotImplementedError(
+                f"non-numeric WARC Content-Length "
+                f"{headers['content-length']!r}"
+            ) from None
+        if clen < 0:
+            raise NotImplementedError(
+                f"negative WARC Content-Length {clen}"
+            )
         if pos + clen + 4 > n:
             raise NotImplementedError("truncated WARC record body")
         body = payload[pos : pos + clen]

@@ -102,6 +102,17 @@ def zip_members(payload: bytes) -> "list[dict]":
     )
     if n_here != n_total:
         raise NotImplementedError("multi-disk zip unsupported")
+    # zip64 archives mark the classic EOCD fields with sentinels and
+    # carry the real values in a PK\x06\x06 record; without this check
+    # the walker would loop 65535 times over garbage central-directory
+    # bytes before failing. Fail fast with the real reason instead.
+    if (
+        n_total == 0xFFFF
+        or cd_offset == 0xFFFFFFFF
+        or cd_size == 0xFFFFFFFF
+        or payload[eocd_at - 20 : eocd_at - 16] == b"PK\x06\x07"
+    ):
+        raise NotImplementedError("zip64 unsupported")
     pos = cd_offset
     if cd_offset + cd_size > eocd_at:
         raise NotImplementedError("central directory overruns EOCD")

@@ -5110,17 +5110,35 @@ def agg_bitmap_distinct(spark, sf_dir):
 def sql_recursive_cte(spark, sf_dir):
     register_views(spark, sf_dir, names=("supplier",))
     n = _t(spark, sf_dir, "supplier").count()
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(65 * n))
-    return spark.sql(
-        """
-        WITH RECURSIVE walk(node, cur, depth) AS (
-          SELECT s_suppkey, s_suppkey, 0 FROM supplier
-          UNION ALL
-          SELECT node, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
-        )
-        SELECT node AS s_suppkey, MAX(depth) AS chain_len FROM walk GROUP BY node
-        """
-    )
+    # Size the recursion valve from the data (N suppliers × ≤64 halving
+    # steps + the N seed rows), clamped to [engine default, int32 max]
+    # so an empty table keeps the default and a >33M-supplier count
+    # cannot overflow the int conf. The session is shared across
+    # entries, so the raised valve is restored in `finally`; the result
+    # is eagerly materialized first (localCheckpoint) because the
+    # returned DataFrame would otherwise re-run the recursion lazily
+    # under the restored limit.
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    limit = max(1_000_000, min(65 * n + 65, 2**31 - 1))
+    spark.conf.set(key, str(limit))
+    try:
+        return spark.sql(
+            """
+            WITH RECURSIVE walk(node, cur, depth) AS (
+              SELECT s_suppkey, s_suppkey, 0 FROM supplier
+              UNION ALL
+              SELECT node, cur DIV 2, depth + 1 FROM walk WHERE cur > 1
+            )
+            SELECT node AS s_suppkey, MAX(depth) AS chain_len
+            FROM walk GROUP BY node
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 @parity(
