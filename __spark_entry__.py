@@ -274,6 +274,19 @@ _RECHECK = {
     # restored after an eager localCheckpoint materialization (the
     # session is shared), so the r9 green row proves the old dataflow.
     "sql_recursive_cte": 10,
+    # r10 (VERDICT r9 §next-round-1): the five all-pairs-oracle entries
+    # were rewritten — oracles now collapse identical vectors (exact,
+    # exhaustive, distinct²-bounded → sf1/sf10-tractable), the planted
+    # id offset became data-derived (the fixed +10000 collided with
+    # real vec_ids past 10k rows), and cosine_near_dup_pairs gained the
+    # same engine-side collapse the LSH path already had. All five are
+    # re-proven locally (sf0.01 preflight + sf1 sweep) but the driver
+    # artifact must agree.
+    "llm_embed_neardup": 10,
+    "llm_embed_neardup_arrow": 10,
+    "llm_embed_neardup_lsh": 10,
+    "llm_dedup_semantic": 10,
+    "llm_dedup_semantic_lsh": 10,
 }
 
 # Round-10 no-recheck rationale (deliberate, documented): the ADVICE r9

@@ -306,25 +306,56 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
     Brute-force all-pairs — correctness baseline; the LSH bucket join above
-    is the scale path (same output contract)."""
-    df = finite_vectors(df, vec_col, dim)
-    a = with_norm(
-        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a")),
-        "emb_a",
-        "norm_a",
+    is the scale path (same output contract).
+
+    Identical-vector collapse (r10, exact): all-pairs cosine runs over
+    DISTINCT vectors only; identical vectors have bit-identical dot
+    products, so within-group pairs are emitted directly at sim 1.0
+    (round(cos±ulp + EPS, 4) of a self-cosine is exactly 1.0 — the same
+    argument the LSH path's within_group_pairs relies on) and
+    cross-group rep pairs expand to member pairs after the threshold
+    filter. Output is row-identical to the naive n² form; compute drops
+    from corpus² to distinct² (the r9 scaled corpora replicate vectors
+    bit-identically, so this is the difference between 4·10⁸ and 2·10⁶
+    pair evaluations at sf1). Zero-norm vectors have no cosine (the
+    naive form's guarded divide yields 0.0 < any positive threshold),
+    so they are excluded from pair generation before the collapse —
+    identical zero vectors must not masquerade as sim-1.0 duplicates."""
+    from .dedup import collapse_identical, expand_cross_pairs, within_group_pairs
+
+    rows = with_norm(
+        finite_vectors(df, vec_col, dim).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
+        ),
+        "emb",
+        "norm",
+    ).filter(F.col("emb").isNotNull() & (F.col("norm") > 0))
+    groups, mem = collapse_identical(rows.select("id", "emb"), "emb", "id")
+    within = within_group_pairs(mem, "sim", 1.0).filter(
+        F.lit(1.0) >= F.lit(threshold)
     )
-    b = with_norm(
-        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b")),
-        "emb_b",
-        "norm_b",
+
+    reps = with_norm(groups.select(F.col("rep"), "emb"), "emb", "norm")
+    a = reps.select(
+        F.col("rep").alias("rep_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
     )
-    sim = F.round(cosine_expr("emb_a", "emb_b", "norm_a", "norm_b") + F.lit(EPS), round_to).alias("sim")
-    return (
+    b = reps.select(
+        F.col("rep").alias("rep_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    sim = F.round(
+        cosine_expr("emb_a", "emb_b", "norm_a", "norm_b") + F.lit(EPS), round_to
+    ).alias("sim")
+    rep_pairs = (
         a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim)
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", sim)
         .filter(F.col("sim") >= threshold)
     )
+    return within.unionByName(expand_cross_pairs(rep_pairs, mem, "sim"))
 
 
 def cosine_near_dup_pairs_arrow(

@@ -411,23 +411,70 @@ def llm_similarity_lsh(spark, sf_dir):
     )
 
 
+# Shared collapse-oracle fragments (r10, VERDICT r9 §next-round-1): the
+# all-pairs cosine truth is computed over DISTINCT vectors only —
+# identical vectors have bit-identical dot products, so within-group
+# pairs are exactly sim 1.0 and cross-group rep pairs expand to member
+# pairs. This keeps the oracle EXHAUSTIVE (full exact truth, not a
+# sample) while making it tractable at the scaled SFs, whose key-offset
+# replication grows the corpus but not the distinct-vector set (sf1:
+# 20k rows, 2k distinct → 2·10⁶ rep pairs instead of 2·10⁸). Zero-norm
+# vectors have no cosine (the naive guarded divide yields 0.0) and are
+# excluded from pair generation — identical zero vectors must not
+# masquerade as sim-1.0 duplicates.
+_EMB_GUARD = (
+    "embedding IS NOT NULL AND len(embedding) = 64 AND "
+    "len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
+)
+_VALID_CORPUS = f"""
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE {_EMB_GUARD}
+"""
+_COLLAPSE_PAIR_SQL = """
+    valid AS (
+      SELECT vec_id, v,
+             sqrt((SELECT SUM(v[CAST(i AS INT)] * v[CAST(i AS INT)])
+                   FROM range(1, 65) r(i))) AS nrm
+      FROM corpus
+    ),
+    grp AS (
+      SELECT v, MIN(vec_id) AS rep, list(vec_id) AS members, MIN(nrm) AS nrm
+      FROM valid WHERE nrm > 0 GROUP BY v
+    ),
+    within AS (
+      SELECT la.m AS id_a, lb.m AS id_b, CAST(1.0 AS DOUBLE) AS sim
+      FROM grp, unnest(members) la(m), unnest(members) lb(m)
+      WHERE la.m < lb.m
+    ),
+    rp AS (
+      SELECT a.members AS am, b.members AS bm,
+             (ROUND((SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])
+                     FROM range(1, 65) r(i)) / (a.nrm * b.nrm)
+                    + 1e-9, 4) + 0.0) AS sim
+      FROM grp a JOIN grp b ON a.rep < b.rep
+    ),
+    cx AS (
+      SELECT LEAST(x.m, y.m) AS id_a, GREATEST(x.m, y.m) AS id_b, sim
+      FROM rp, unnest(am) x(m), unnest(bm) y(m)
+      WHERE sim >= {thr}
+    )
+    SELECT id_a, id_b, sim FROM within WHERE 1.0 >= {thr}
+    UNION ALL SELECT id_a, id_b, sim FROM cx
+"""
+
+
 @parity(
     "llm_embed_neardup",
-    sql="""
-    WITH pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
-              FROM range(1, 65) r(i)) /
-             (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
-              sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
-    )
-    SELECT id_a, id_b, (ROUND(cos + 1e-9, 4) + 0.0) AS sim FROM pairs
-    WHERE (ROUND(cos + 1e-9, 4) + 0.0) >= 0.4
+    sql=f"""
+    WITH corpus AS ({_VALID_CORPUS}),
+    {_COLLAPSE_PAIR_SQL.format(thr=0.4)}
     """,
     doc="Embedding-cosine near-duplicate pairs (sim ≥ 0.4). All-pairs "
-    "baseline; LSH bucket join is the scale path with the same contract.",
+    "baseline; LSH bucket join is the scale path with the same contract. "
+    "Both sides collapse identical vectors before the pair join (exact — "
+    "identical vectors have bit-identical cosines), so the oracle stays "
+    "full exhaustive truth yet is distinct²-bounded, tractable at the "
+    "replicated sf1/sf10 sweeps (VERDICT r9 §next-round-1).",
 )
 def llm_embed_neardup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(
@@ -437,25 +484,19 @@ def llm_embed_neardup(spark, sf_dir):
 
 @parity(
     "llm_embed_neardup_arrow",
-    sql="""
-    WITH pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
-              FROM range(1, 65) r(i)) /
-             (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
-              sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)))) AS cos
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
-    )
-    SELECT id_a, id_b, (ROUND(cos + 1e-9, 4) + 0.0) AS sim FROM pairs
-    WHERE (ROUND(cos + 1e-9, 4) + 0.0) >= 0.4
+    sql=f"""
+    WITH corpus AS ({_VALID_CORPUS}),
+    {_COLLAPSE_PAIR_SQL.format(thr=0.4)}
     """,
     doc="Embedding-cosine near-duplicate pairs via blocked numpy matmul "
     "(mapInPandas, corpus broadcast once per executor) — row-identical "
-    "to llm_embed_neardup (same oracle, same EPS-round-then-threshold). "
-    "Same quadratic exact-baseline contract, ~100× the throughput of "
-    "the interpreted fold; cosine_near_dup_pairs_lsh remains the "
-    "sub-quadratic scale path.",
+    "to llm_embed_neardup (same oracle, same EPS-round-then-threshold): "
+    "the matmul computes every member pair directly and identical "
+    "vectors yield bit-identical rows, so the collapse oracle's "
+    "within/expanded pairs state the same set. Same quadratic "
+    "exact-baseline contract, ~100× the throughput of the interpreted "
+    "fold; cosine_near_dup_pairs_lsh remains the sub-quadratic scale "
+    "path.",
 )
 def llm_embed_neardup_arrow(spark, sf_dir):
     return similarity.cosine_near_dup_pairs_arrow(
@@ -464,9 +505,12 @@ def llm_embed_neardup_arrow(spark, sf_dir):
 
 
 # Deterministic index-dependent perturbation used to plant near-duplicate
-# vectors (the testdata has no natural pairs above cosine ~0.51): copy of
-# vec_id v gets id v+10000 and embedding[i] *= (1 + 0.001·(i mod 7)).
-# Identical arithmetic on both engines → identical planted pairs.
+# vectors (the testdata has no natural pairs above cosine ~0.61): copy of
+# vec_id v gets id v + (max(vec_id)+1) and embedding[i] *= (1 +
+# 0.001·(i mod 7)). The offset is data-derived (r10 fix): the old fixed
+# +10000 collided with real vec_ids once the corpus passed 10k rows
+# (sf1's max id is 19999), silently aliasing planted nodes onto corpus
+# nodes. Identical arithmetic on both engines → identical planted pairs.
 _PLANT_SPARK = (
     "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
     "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * CAST(i % 7 AS DOUBLE)))"
@@ -476,39 +520,73 @@ _PLANT_DUCK = (
     "CAST(embedding[CAST(i AS INT)] AS DOUBLE) * "
     "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * CAST((i - 1) % 7 AS DOUBLE)))"
 )
+_AUG_CORPUS = f"""
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE {_EMB_GUARD}
+      UNION ALL
+      SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings),
+             {_PLANT_DUCK} AS v
+      FROM embeddings WHERE vec_id < 25 AND {_EMB_GUARD}
+"""
+# Cluster twin of _COLLAPSE_PAIR_SQL: the transitive closure runs over
+# the DISTINCT-vector rep graph (constant-sized under key-offset
+# replication), members inherit their rep's cluster, and the component
+# minimum is exactly the min rep (each rep is its group's min member).
+# Zero-norm vectors have no cosine geometry → singleton clusters, same
+# as the engine's edge-free nodes.
+_COLLAPSE_CLUSTER_SQL = """
+    valid AS (
+      SELECT vec_id, v,
+             sqrt((SELECT SUM(v[CAST(i AS INT)] * v[CAST(i AS INT)])
+                   FROM range(1, 65) r(i))) AS nrm
+      FROM corpus
+    ),
+    grp AS (
+      SELECT v, MIN(vec_id) AS rep, list(vec_id) AS members, MIN(nrm) AS nrm
+      FROM valid WHERE nrm > 0 GROUP BY v
+    ),
+    pr AS (
+      SELECT a.rep AS ra, b.rep AS rb
+      FROM grp a JOIN grp b ON a.rep < b.rep
+      WHERE (ROUND((SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])
+                    FROM range(1, 65) r(i)) / (a.nrm * b.nrm)
+                   + 1e-9, 4) + 0.0) >= {thr}
+    ),
+    ed AS (SELECT ra AS a, rb AS b FROM pr UNION ALL SELECT rb, ra FROM pr),
+    reach(src, dst) AS (
+      SELECT rep, rep FROM grp
+      UNION
+      SELECT r.src, ed.b FROM reach r JOIN ed ON ed.a = r.dst
+    ),
+    rcl AS (SELECT src AS rep, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    mems AS (SELECT rep, m.m AS vec_id FROM grp, unnest(members) m(m))
+    SELECT mems.vec_id, rcl.cluster_id,
+           (mems.vec_id = rcl.cluster_id) AS is_canonical
+    FROM mems JOIN rcl USING (rep)
+    UNION ALL
+    SELECT vec_id, vec_id AS cluster_id, TRUE AS is_canonical
+    FROM valid WHERE nrm = 0
+"""
 
 
 @parity(
     "llm_embed_neardup_lsh",
     sql=f"""
-    WITH aug AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
-      UNION ALL
-      SELECT vec_id + 10000, {_PLANT_DUCK} AS v
-      FROM embeddings WHERE vec_id < 25 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
-    ),
-    pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             (SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i)) /
-             (sqrt((SELECT SUM(a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)]) FROM range(1, 65) r(i))) *
-              sqrt((SELECT SUM(b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i)))) AS cos
-      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, (ROUND(cos + 1e-9, 4) + 0.0) AS sim FROM pairs
-    WHERE (ROUND(cos + 1e-9, 4) + 0.0) >= 0.95
+    WITH corpus AS ({_AUG_CORPUS}),
+    {_COLLAPSE_PAIR_SQL.format(thr=0.95)}
     """,
     doc="Banded sign-LSH near-duplicate pairs (sim ≥ 0.95; 16 planes × 4 "
     "bands) — the 100 TB path for llm_embed_neardup: candidates join only "
     "within a (band, bit-pattern) bucket, never all-pairs; exact cosine "
     "re-check keeps false positives out, banding drives recall → 1 as "
-    "sim → 1. The testdata has no natural pairs above ~0.51, so 25 "
-    "near-dups are planted deterministically (identical construction in "
-    "the oracle); at these similarities banded recall is exact, so the "
-    "all-pairs oracle matches bit-for-bit. Brute-force twin "
-    "(llm_embed_neardup) remains the correctness baseline; recall vs "
-    "brute force is also asserted in tests/test_llm.py.",
+    "sim → 1. The testdata has no natural pairs above ~0.61, so 25 "
+    "near-dups are planted deterministically at collision-free ids "
+    "(identical construction in the oracle); at these similarities "
+    "banded recall is exact, so the exhaustive collapse oracle (full "
+    "distinct²-bounded all-pairs truth, sf1/sf10-tractable) matches "
+    "bit-for-bit. Brute-force twin (llm_embed_neardup) remains the "
+    "correctness baseline; recall vs brute force is also asserted in "
+    "tests/test_llm.py.",
 )
 def llm_embed_neardup_lsh(spark, sf_dir):
     return similarity.cosine_near_dup_pairs_lsh(
@@ -518,18 +596,26 @@ def llm_embed_neardup_lsh(spark, sf_dir):
 
 def _planted_embeddings(spark, sf_dir):
     """Embeddings augmented with 25 deterministic near-duplicates
-    (vec_id + 10000, per-dimension ×(1 + 0.001·(i mod 7))) — the
-    testdata has no natural pairs above ~0.51, so the near-dup planting
+    (vec_id + max(vec_id)+1, per-dimension ×(1 + 0.001·(i mod 7))) — the
+    testdata has no natural pairs above ~0.61, so the near-dup planting
     is shared by every ≥0.95-threshold embedding surface (identical
-    construction in the oracles via _PLANT_DUCK)."""
+    construction in the oracles via _AUG_CORPUS). The id offset is
+    data-derived so planted ids never collide with corpus ids at any SF
+    (the old fixed +10000 aliased onto real ids once the corpus passed
+    10k rows); the 1-row max frame is broadcast, never collected."""
     emb = _t(spark, sf_dir, "embeddings")
+    off = F.broadcast(emb.agg((F.max("vec_id") + 1).alias("__off")))
     orig = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
     )
-    planted = emb.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.expr(_PLANT_SPARK).alias("embedding"),
+    planted = (
+        emb.filter(F.col("vec_id") < 25)
+        .crossJoin(off)
+        .select(
+            (F.col("vec_id") + F.col("__off")).alias("vec_id"),
+            F.expr(_PLANT_SPARK).alias("embedding"),
+        )
     )
     return orig.unionByName(planted)
 
@@ -537,33 +623,8 @@ def _planted_embeddings(spark, sf_dir):
 @parity(
     "llm_dedup_semantic_lsh",
     sql=f"""
-    WITH RECURSIVE aug AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
-      UNION ALL
-      SELECT vec_id + 10000, {_PLANT_DUCK} AS v
-      FROM embeddings WHERE vec_id < 25 AND embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
-    ),
-    pr AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-      WHERE (ROUND(
-        (SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i)) /
-        (sqrt((SELECT SUM(a.v[CAST(i AS INT)] * a.v[CAST(i AS INT)]) FROM range(1, 65) r(i))) *
-         sqrt((SELECT SUM(b.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]) FROM range(1, 65) r(i))))
-        + 1e-9, 4) + 0.0) >= 0.95
-    ),
-    ed AS (SELECT id_a AS a, id_b AS b FROM pr
-           UNION ALL SELECT id_b, id_a FROM pr),
-    reach(src, dst) AS (
-      SELECT vec_id, vec_id FROM aug
-      UNION
-      SELECT r.src, ed.b FROM reach r JOIN ed ON ed.a = r.dst
-    )
-    SELECT src AS vec_id, MIN(dst) AS cluster_id,
-           MIN(dst) = src AS is_canonical
-    FROM reach GROUP BY src
+    WITH RECURSIVE corpus AS ({_AUG_CORPUS}),
+    {_COLLAPSE_CLUSTER_SQL.format(thr=0.95)}
     """,
     doc="END-TO-END 100 TB semantic dedup: banded sign-LSH candidate "
     "pairs (never all-pairs — candidates only within (band, "
@@ -3453,35 +3514,19 @@ def e2e_llm_data_pipeline(spark, sf_dir):
 
 @parity(
     "llm_dedup_semantic",
-    sql="""
-    WITH RECURSIVE pr AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE (ROUND(
-        (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i)) /
-        (sqrt((SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))) *
-         sqrt((SELECT SUM(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) FROM range(1, 65) r(i))))
-        + 1e-9, 4) + 0.0) >= 0.4
-        AND a.embedding IS NOT NULL AND len(a.embedding) = 64 AND len(list_filter(a.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0 AND b.embedding IS NOT NULL AND len(b.embedding) = 64 AND len(list_filter(b.embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
-    ),
-    ed AS (SELECT id_a AS a, id_b AS b FROM pr
-           UNION ALL SELECT id_b, id_a FROM pr),
-    reach(src, dst) AS (
-      SELECT vec_id, vec_id FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
-      UNION
-      SELECT r.src, ed.b FROM reach r JOIN ed ON ed.a = r.dst
-    )
-    SELECT src AS vec_id, MIN(dst) AS cluster_id,
-           MIN(dst) = src AS is_canonical
-    FROM reach GROUP BY src
+    sql=f"""
+    WITH RECURSIVE corpus AS ({_VALID_CORPUS}),
+    {_COLLAPSE_CLUSTER_SQL.format(thr=0.4)}
     """,
     doc="Semantic (embedding-cosine) deduplication, SemDeDup-style "
     "(Abbas et al. 2023, public): near-dup pairs at cosine ≥ 0.4 → "
     "connected components → canonical keep/drop per cluster. The "
     "parity surface uses the exact all-pairs cosine graph so the "
-    "oracle can replay it (pair SQL + transitive-closure recursive "
-    "CTE), generated by the blocked-matmul Arrow path — row-identical "
+    "oracle can replay it (the oracle collapses identical vectors and "
+    "runs the transitive-closure recursive CTE over the distinct-rep "
+    "graph — exact, exhaustive, and sf1/sf10-tractable since key-offset "
+    "replication grows members but not distinct vectors), generated by "
+    "the blocked-matmul Arrow path — row-identical "
     "to the expression fold (same EPS-round-then-threshold) and ~15× "
     "faster (sf0.1: 29.5s → the matmul is seconds); the 100 TB path "
     "swaps in the sign-LSH bucketed pair generator "
