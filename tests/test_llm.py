@@ -2737,3 +2737,35 @@ def test_zipshard_zip64_fails_fast():
     with_loc = enc[:eocd] + loc + enc[eocd:]
     with _pytest.raises(NotImplementedError, match="zip64"):
         z.zip_members(with_loc)
+
+
+def test_cosine_near_dup_collapse_duplicates_and_zeros(spark):
+    """r10 collapse rewrite of the brute baseline: bit-identical vectors
+    must pair at exactly sim 1.0 (within-group emission), cross-group
+    expansion must carry the rep-pair sim to every member combination,
+    and identical ZERO vectors must emit no pairs at all (no cosine
+    geometry — the naive guarded divide yields 0.0, not 1.0)."""
+    from pyspark.sql import functions as F
+
+    base = [float(i % 7 + 1) for i in range(64)]
+    other = [float((i * 3) % 5 + 1) for i in range(64)]
+    rows = [
+        (1, base),
+        (2, base),          # duplicate of 1
+        (3, base),          # duplicate of 1
+        (4, other),
+        (5, [x * 2.0 for x in other]),  # same direction as 4 -> cos 1.0
+        (6, [0.0] * 64),
+        (7, [0.0] * 64),    # identical zero vectors: NO pair
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_near_dup_pairs(
+            df, threshold=0.95, dim=64
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0, (4, 5): 1.0}
+    # a scaled copy is a distinct vector: the (4,5) pair must come from
+    # the cross-group rep join, not the within-group branch
+    assert (6, 7) not in got

@@ -441,22 +441,27 @@ _COLLAPSE_PAIR_SQL = """
       SELECT v, MIN(vec_id) AS rep, list(vec_id) AS members, MIN(nrm) AS nrm
       FROM valid WHERE nrm > 0 GROUP BY v
     ),
+    mem AS (SELECT rep, m.m AS mid FROM grp, unnest(members) m(m)),
     within AS (
-      SELECT la.m AS id_a, lb.m AS id_b, CAST(1.0 AS DOUBLE) AS sim
-      FROM grp, unnest(members) la(m), unnest(members) lb(m)
-      WHERE la.m < lb.m
+      SELECT la.mid AS id_a, lb.mid AS id_b, CAST(1.0 AS DOUBLE) AS sim
+      FROM mem la JOIN mem lb ON la.rep = lb.rep AND la.mid < lb.mid
     ),
-    rp AS (
-      SELECT a.members AS am, b.members AS bm,
-             (ROUND((SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])
-                     FROM range(1, 65) r(i)) / (a.nrm * b.nrm)
-                    + 1e-9, 4) + 0.0) AS sim
-      FROM grp a JOIN grp b ON a.rep < b.rep
+    rpt AS (
+      -- threshold the rep pairs BEFORE any member expansion: lateral
+      -- unnest does not get the sim filter pushed below it, and an
+      -- unfiltered expansion is rep_pairs x |A| x |B| rows (observed:
+      -- a 70GB DuckDB temp spill at sf10 members=100)
+      SELECT ra, rb, sim FROM (
+        SELECT a.rep AS ra, b.rep AS rb,
+               (ROUND((SELECT SUM(a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)])
+                       FROM range(1, 65) r(i)) / (a.nrm * b.nrm)
+                      + 1e-9, 4) + 0.0) AS sim
+        FROM grp a JOIN grp b ON a.rep < b.rep
+      ) WHERE sim >= {thr}
     ),
     cx AS (
-      SELECT LEAST(x.m, y.m) AS id_a, GREATEST(x.m, y.m) AS id_b, sim
-      FROM rp, unnest(am) x(m), unnest(bm) y(m)
-      WHERE sim >= {thr}
+      SELECT LEAST(x.mid, y.mid) AS id_a, GREATEST(x.mid, y.mid) AS id_b, sim
+      FROM rpt JOIN mem x ON x.rep = rpt.ra JOIN mem y ON y.rep = rpt.rb
     )
     SELECT id_a, id_b, sim FROM within WHERE 1.0 >= {thr}
     UNION ALL SELECT id_a, id_b, sim FROM cx
