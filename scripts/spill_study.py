@@ -102,7 +102,9 @@ def main() -> None:
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             hx.alias("hx"),
-            F.sum(h).alias("hs"),
+            # decimal(38,0) sum: ~10M rows x 2^63 fits in 38 digits,
+            # where a long sum overflows under ANSI mode
+            F.sum(h.cast("decimal(38,0)")).alias("hs"),
         ).collect()[0]
         wall = round(time.perf_counter() - t0, 2)
         after = _stage_totals(ui)
