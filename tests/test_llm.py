@@ -2769,3 +2769,47 @@ def test_cosine_near_dup_collapse_duplicates_and_zeros(spark):
     # a scaled copy is a distinct vector: the (4,5) pair must come from
     # the cross-group rep join, not the within-group branch
     assert (6, 7) not in got
+
+
+def test_lsh_edges_cluster_equivalent_to_pairs(spark, emb):
+    """r10: cosine_near_dup_edges_lsh (rep-member stars + rep threshold
+    edges) must produce EXACTLY the clusters the full pair contract
+    produces — connectivity equivalence — on a corpus with planted
+    near-dups AND duplicated vectors (multiplicity 3)."""
+    from pyspark.sql import functions as F
+
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    ).filter(F.col("vec_id") < 60)
+    # multiplicity-3 replicas (ids +1000, +2000) and 5 planted near-dups
+    aug = base
+    for off in (1000, 2000):
+        aug = aug.unionByName(
+            base.select((F.col("vec_id") + off).alias("vec_id"), "embedding")
+        )
+    aug = aug.unionByName(
+        base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 5000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x * (1.0 + 0.001 * (i % 7)))"
+            ).alias("embedding"),
+        )
+    )
+    ids = aug.select(F.col("vec_id").alias("doc_id"))
+    pairs = similarity.cosine_near_dup_pairs_lsh(aug, threshold=0.95).select(
+        "id_a", "id_b"
+    )
+    edges = similarity.cosine_near_dup_edges_lsh(aug, threshold=0.95)
+    via_pairs = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(ids, pairs).collect()
+    }
+    via_edges = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(ids, edges).collect()
+    }
+    assert via_edges == via_pairs and len(via_edges) == 185
+    # the edge frame is the linear one: stars (2 per group of 3) + rep
+    # pairs; the pair contract's within-group C(3,2)=3 per group
+    assert edges.count() < pairs.count()

@@ -481,7 +481,32 @@ def cosine_near_dup_pairs_lsh(
     is linear in corpus size, and only the pair OUTPUT stays quadratic
     in cluster size (inherent to the pair contract —
     `dedup_clusters` is the linear-output representation)."""
-    from .dedup import collapse_identical, expand_cross_pairs, within_group_pairs
+    from .dedup import expand_cross_pairs, within_group_pairs
+
+    mem, rep_pairs = _lsh_collapse_rep_pairs(
+        df, threshold, id_col, vec_col, dim, num_planes, bands, round_to
+    )
+    # Identical vectors: cos is 1.0 to the ulp, and round(1±ulp+EPS, 4)
+    # is exactly 1.0 — always ≥ any meaningful threshold, no LSH needed.
+    within = within_group_pairs(mem, "sim", 1.0)
+    return within.unionByName(expand_cross_pairs(rep_pairs, mem, "sim"))
+
+
+def _lsh_collapse_rep_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    bands: int,
+    round_to: int,
+):
+    """Shared sign-LSH core: identical-vector collapse, banded bucket
+    self-join over the DISTINCT reps, exact-cosine re-check. Returns
+    (mem, rep_pairs) where mem is the narrow (rep, mid) member frame
+    and rep_pairs is (rep_a, rep_b, sim) above the threshold."""
+    from .dedup import collapse_identical
 
     planes = _hyperplanes(dim, num_planes)
     planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
@@ -500,9 +525,6 @@ def cosine_near_dup_pairs_lsh(
     # can't group together and masquerade as sim-1.0 duplicates.
     rows = rows.filter(F.col("emb").isNotNull() & (F.col("norm") > 0))
     groups, mem = collapse_identical(rows.select("id", "emb"), "emb", "id")
-    # Identical vectors: cos is 1.0 to the ulp, and round(1±ulp+EPS, 4)
-    # is exactly 1.0 — always ≥ any meaningful threshold, no LSH needed.
-    within = within_group_pairs(mem, "sim", 1.0)
 
     keyed = with_norm(
         groups.select(F.col("rep").alias("id"), "emb"),
@@ -536,7 +558,45 @@ def cosine_near_dup_pairs_lsh(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
-    return within.unionByName(expand_cross_pairs(rep_pairs, mem, "sim"))
+    return mem, rep_pairs
+
+
+def cosine_near_dup_edges_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Connectivity-equivalent edge frame for CLUSTERING (id_a, id_b) —
+    the input to dedup_clusters when only components matter, not the
+    pair contract.
+
+    cosine_near_dup_pairs_lsh must emit every member pair: C(m,2) rows
+    per identical-vector group and |A|·|B| per surviving rep pair —
+    inherently quadratic in duplicate multiplicity (at a 1000-replica
+    corpus that is 10⁹ rows for 2k groups). Connected components only
+    need CONNECTIVITY, and a rep–member star (m-1 edges per group) plus
+    the rep-level threshold edges spans exactly the same components:
+    within a group every member reaches its rep directly, and any
+    cross-group member pair routes through the two reps. This keeps the
+    semantic-dedup composition linear in corpus size + distinct² in
+    pair generation — the 100 TB shape."""
+    mem, rep_pairs = _lsh_collapse_rep_pairs(
+        df, threshold, id_col, vec_col, dim, num_planes, bands, round_to
+    )
+    stars = (
+        mem.filter(F.col("mid") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("mid").alias("id_b"))
+    )
+    return stars.unionByName(
+        rep_pairs.select(
+            F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b")
+        )
+    )
 
 
 def centroid_assign_udf(centroids):

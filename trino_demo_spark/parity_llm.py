@@ -644,11 +644,15 @@ def _planted_embeddings(spark, sf_dir):
 )
 def llm_dedup_semantic_lsh(spark, sf_dir):
     aug = _planted_embeddings(spark, sf_dir)
-    pairs = similarity.cosine_near_dup_pairs_lsh(
+    # connectivity-equivalent edges (rep-member stars + rep threshold
+    # pairs), NOT the full pair contract: clusters are identical, and
+    # the edge frame stays linear in corpus size instead of quadratic
+    # in duplicate multiplicity (r10; see cosine_near_dup_edges_lsh)
+    edges = similarity.cosine_near_dup_edges_lsh(
         aug, threshold=0.95, num_planes=16, bands=4
-    ).select("id_a", "id_b")
+    )
     ids = similarity.finite_vectors(aug, dim=64).select(F.col("vec_id").alias("doc_id"))
-    return dedup.dedup_clusters(ids, pairs).select(
+    return dedup.dedup_clusters(ids, edges).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
     )
 
