@@ -2695,11 +2695,12 @@ def test_warc_hostile_content_length():
         )
 
 
-def test_zipshard_zip64_fails_fast():
-    """ADVICE r9: zip64 archives carry 0xFFFF/0xFFFFFFFF sentinels in
-    the classic EOCD (real values live in the PK\\x06\\x06 record); the
-    walker must name the limitation instead of looping 65535 times over
-    garbage central-directory bytes."""
+def test_zipshard_zip64():
+    """ADVICE r9 → r10: zip64 is read for REAL (100 TB crawl shards
+    routinely exceed the classic 65535-member / 4 GiB bounds), and
+    malformed zip64 (sentinels with no locator, a locator pointing at
+    garbage, a sentinel entry with no zip64 extra) fails with the named
+    contract instead of looping over garbage central-directory bytes."""
     import io
     import struct
     import zipfile
@@ -2707,6 +2708,17 @@ def test_zipshard_zip64_fails_fast():
     import pytest as _pytest
 
     from trino_demo_spark.llm import zipshard as z
+
+    # a REAL zip64 archive: >65535 members forces the zip64 EOCD +
+    # locator in the stdlib writer; our walker must read all of it
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zw:
+        for i in range(65540):
+            zw.writestr(f"m{i}", b"x")
+    got = z.zip_members(buf.getvalue())
+    assert len(got) == 65540
+    assert got[0]["name"] == "m0" and got[65539]["name"] == "m65539"
+    assert all(m["data"] == b"x" for m in (got[0], got[12345], got[65539]))
 
     # stdlib force_zip64 on a small member only adds a local-header
     # zip64 extra; the EOCD stays classic (no sentinels, no PK\x06\x06)
@@ -2718,7 +2730,26 @@ def test_zipshard_zip64_fails_fast():
     got = z.zip_members(buf.getvalue())
     assert [(m["name"], m["data"]) for m in got] == [("big.bin", b"payload")]
 
-    # sentinel-only variants: patch each classic-EOCD field in turn
+    # a central entry with a sentinel offset resolved via the zip64
+    # extra block (hand-crafted: APPNOTE 4.5.3 order, only overflowed
+    # fields present)
+    enc = z.encode_zip([("a.bin", b"data-zip64", False)])
+    cd = enc.find(b"PK\x01\x02")
+    eocd = enc.rfind(b"PK\x05\x06")
+    (real_off,) = struct.unpack("<I", enc[cd + 42 : cd + 46])
+    patched = bytearray(enc[:eocd])
+    patched[cd + 42 : cd + 46] = struct.pack("<I", 0xFFFFFFFF)  # offset sentinel
+    patched[cd + 30 : cd + 32] = struct.pack("<H", 12)  # xlen
+    # append the zip64 extra after the name (end of this central entry)
+    patched += struct.pack("<HHQ", 0x0001, 8, real_off)
+    cd_size = len(patched) - cd
+    eocd_rec = bytearray(enc[eocd:])
+    eocd_rec[12:16] = struct.pack("<I", cd_size)
+    patched += eocd_rec
+    got = z.zip_members(bytes(patched))
+    assert [(m["name"], m["data"]) for m in got] == [("a.bin", b"data-zip64")]
+
+    # malformed: sentinel-only EOCD fields with NO locator
     enc = z.encode_zip([("a.bin", b"data", True)])
     eocd = enc.rfind(b"PK\x05\x06")
     for off, fmt, val in (
@@ -2731,12 +2762,18 @@ def test_zipshard_zip64_fails_fast():
         with _pytest.raises(NotImplementedError, match="zip64"):
             z.zip_members(bytes(bad))
 
-    # a zip64 EOCD locator (PK\x06\x07, fixed 20 bytes) immediately
-    # before the classic EOCD also names the limitation
+    # malformed: a locator whose zip64-EOCD offset points at garbage
     loc = b"PK\x06\x07" + bytes(16)
     with_loc = enc[:eocd] + loc + enc[eocd:]
     with _pytest.raises(NotImplementedError, match="zip64"):
         z.zip_members(with_loc)
+
+    # malformed: sentinel central field with no zip64 extra block
+    bad2 = bytearray(enc)
+    cd = bad2.find(b"PK\x01\x02")
+    bad2[cd + 42 : cd + 46] = struct.pack("<I", 0xFFFFFFFF)
+    with _pytest.raises(NotImplementedError, match="zip64"):
+        z.zip_members(bytes(bad2))
 
 
 def test_cosine_near_dup_collapse_duplicates_and_zeros(spark):

@@ -11,7 +11,10 @@ The writer emits real zip: local file headers (PK\\x03\\x04) with
 STORED and raw-DEFLATE (zlib wbits=-15) members, zlib.crc32 checksums,
 central directory headers (PK\\x01\\x02) pointing back at the local
 offsets, and the end-of-central-directory record (PK\\x05\\x06). The
-reader locates the EOCD from the tail, walks the central directory,
+reader locates the EOCD from the tail (following the zip64 locator/
+EOCD64 record and per-entry zip64 extras when the classic fields carry
+0xFFFF/0xFFFFFFFF sentinels — 100 TB crawl shards routinely exceed the
+classic 65535-member / 4 GiB bounds), walks the central directory,
 verifies each member's local header against its central entry (offset,
 name), inflates/slices the data, and verifies CRC and sizes.
 Truncations, signature mismatches, CRC failures, and unsupported
@@ -37,6 +40,42 @@ from pyspark.sql import types as T
 _LOCAL = b"PK\x03\x04"
 _CENTRAL = b"PK\x01\x02"
 _EOCD = b"PK\x05\x06"
+_EOCD64 = b"PK\x06\x06"
+_EOCD64_LOC = b"PK\x06\x07"
+
+
+def _zip64_extra(extra: bytes, usize: int, csize: int, offset: int):
+    """Resolve 0xFFFFFFFF sentinel fields from the zip64 extra block
+    (header id 0x0001). Per APPNOTE 4.5.3 the 8-byte values appear in
+    fixed order (usize, csize, offset, disk) but ONLY for the fields
+    whose classic value is the sentinel."""
+    p = 0
+    while p + 4 <= len(extra):
+        hid, hlen = struct.unpack("<HH", extra[p : p + 4])
+        body = extra[p + 4 : p + 4 + hlen]
+        p += 4 + hlen
+        if hid != 0x0001:
+            continue
+        q = 0
+        for field in ("usize", "csize", "offset"):
+            cur = {"usize": usize, "csize": csize, "offset": offset}[field]
+            if cur == 0xFFFFFFFF:
+                if q + 8 > len(body):
+                    raise NotImplementedError("truncated zip64 extra field")
+                (val,) = struct.unpack("<Q", body[q : q + 8])
+                q += 8
+                if field == "usize":
+                    usize = val
+                elif field == "csize":
+                    csize = val
+                else:
+                    offset = val
+        return usize, csize, offset
+    if 0xFFFFFFFF in (usize, csize, offset):
+        raise NotImplementedError(
+            "zip64 sentinel fields without a zip64 extra block"
+        )
+    return usize, csize, offset
 
 
 def encode_zip(members: "list[tuple[str, bytes, bool]]") -> bytes:
@@ -102,17 +141,35 @@ def zip_members(payload: bytes) -> "list[dict]":
     )
     if n_here != n_total:
         raise NotImplementedError("multi-disk zip unsupported")
-    # zip64 archives mark the classic EOCD fields with sentinels and
-    # carry the real values in a PK\x06\x06 record; without this check
-    # the walker would loop 65535 times over garbage central-directory
-    # bytes before failing. Fail fast with the real reason instead.
-    if (
-        n_total == 0xFFFF
-        or cd_offset == 0xFFFFFFFF
-        or cd_size == 0xFFFFFFFF
-        or payload[eocd_at - 20 : eocd_at - 16] == b"PK\x06\x07"
-    ):
-        raise NotImplementedError("zip64 unsupported")
+    # zip64: the classic EOCD marks overflowed fields with sentinels and
+    # a fixed 20-byte locator (PK\x06\x07) directly before the EOCD
+    # points at the zip64 EOCD record (PK\x06\x06) carrying the 64-bit
+    # values. 100 TB crawl shards routinely exceed the classic 65535-
+    # member / 4 GiB bounds, so this path is read for real, not gated.
+    has_sentinel = (
+        n_total == 0xFFFF or cd_offset == 0xFFFFFFFF or cd_size == 0xFFFFFFFF
+    )
+    loc_at = eocd_at - 20
+    has_locator = loc_at >= 0 and payload[loc_at : loc_at + 4] == _EOCD64_LOC
+    if has_locator:
+        (_disk64, e64_at, n_disks) = struct.unpack(
+            "<IQI", payload[loc_at + 4 : loc_at + 20]
+        )
+        if n_disks > 1:
+            raise NotImplementedError("multi-disk zip64 unsupported")
+        if payload[e64_at : e64_at + 4] != _EOCD64:
+            raise NotImplementedError("zip64 EOCD signature missing")
+        (_sz, _vm, _vn, _d0, _d1, n_here64, n_total64, cd_size64, cd_offset64) = (
+            struct.unpack("<QHHIIQQQQ", payload[e64_at + 4 : e64_at + 56])
+        )
+        if n_here64 != n_total64:
+            raise NotImplementedError("multi-disk zip64 unsupported")
+        n_total, cd_size, cd_offset = n_total64, cd_size64, cd_offset64
+        eocd_at = loc_at  # the central directory must end before the locator
+    elif has_sentinel:
+        raise NotImplementedError(
+            "zip64 sentinel fields without a zip64 EOCD locator"
+        )
     pos = cd_offset
     if cd_offset + cd_size > eocd_at:
         raise NotImplementedError("central directory overruns EOCD")
@@ -139,6 +196,13 @@ def zip_members(payload: bytes) -> "list[dict]":
             offset,
         ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[pos + 4 : pos + 46])
         name = payload[pos + 46 : pos + 46 + nlen].decode()
+        if 0xFFFFFFFF in (usize, csize, offset):
+            usize, csize, offset = _zip64_extra(
+                payload[pos + 46 + nlen : pos + 46 + nlen + xlen],
+                usize,
+                csize,
+                offset,
+            )
         pos += 46 + nlen + xlen + clen
         # validate the local header this central entry points at
         if payload[offset : offset + 4] != _LOCAL:
