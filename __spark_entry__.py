@@ -287,6 +287,14 @@ _RECHECK = {
     "llm_embed_neardup_lsh": 10,
     "llm_dedup_semantic": 10,
     "llm_dedup_semantic_lsh": 10,
+    # r10: retiring the LAST sf1 exclusion (oracle made tractable with
+    # MATERIALIZED CTEs) immediately caught a real engine bug — Spark
+    # 4.1's iterator grouped-map streams one group as multiple Arrow
+    # batches and the greedy fill reset its bin state per batch, wrong
+    # for any group > 10k rows. Fold now spans the whole group
+    # (llm/packing.py); green at sf0.01 AND sf1, but the driver
+    # artifact must agree.
+    "llm_pack_sequences": 10,
 }
 
 # Round-10 no-recheck rationale (deliberate, documented): the ADVICE r9

@@ -2850,3 +2850,46 @@ def test_lsh_edges_cluster_equivalent_to_pairs(spark, emb):
     # the edge frame is the linear one: stars (2 per group of 3) + rep
     # pairs; the pair contract's within-group C(3,2)=3 per group
     assert edges.count() < pairs.count()
+
+
+def test_pack_sequences_group_larger_than_arrow_batch(spark):
+    """r10 (found by the sf1 oracle sweep the day its exclusion was
+    retired): Spark 4.1's iterator grouped-map form streams ONE group
+    as multiple Arrow batches (default 10k rows); the greedy fill must
+    fold across ALL of them — the old per-batch fold silently reset
+    bin_id/fill at every batch boundary, wrong for any group > 10k
+    rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trino_demo_spark.llm import packing
+
+    df = spark.range(25000).select(
+        F.lit("en").alias("lang"),
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.col("id") % 100 + 1).cast("int"))
+        ).alias("text"),
+    )
+    out = (
+        packing.pack_sequences(df, budget=256, group_col="lang")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = [i % 100 + 1 for i in range(25000)]
+    bin_id, fill, bins, offs = 0, 0, [], []
+    for x in n:
+        if fill > 0 and fill + x > 256:
+            bin_id += 1
+            fill = 0
+        bins.append(bin_id)
+        offs.append(fill)
+        fill += x
+        if fill >= 256:
+            bin_id += 1
+            fill = 0
+    assert (out["bin_id"] == pd.Series(bins)).all()
+    assert (out["offset"] == pd.Series(offs)).all()
+    # the group genuinely spanned multiple bins past one Arrow batch
+    assert out["bin_id"].max() == max(bins) > 5000

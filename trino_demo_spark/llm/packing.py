@@ -72,32 +72,52 @@ def pack_sequences(
     ).filter(F.col("n_tokens").isNotNull())
 
     def pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-            bin_id, fill = 0, 0
-            bins, offsets, oversized = [], [], []
-            for n in pdf["n_tokens"]:
-                n = int(n)
-                if fill > 0 and fill + n > budget:
-                    bin_id += 1
-                    fill = 0
-                bins.append(bin_id)
-                offsets.append(fill)
-                oversized.append(n > budget)
-                fill += n
-                if fill >= budget:  # full (or oversized) bin: close it
-                    bin_id += 1
-                    fill = 0
-            yield pd.DataFrame(
-                {
-                    "group_key": pdf["group_key"],
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_tokens": pdf["n_tokens"].astype("int64"),
-                    "bin_id": pd.Series(bins, dtype="int64"),
-                    "offset": pd.Series(offsets, dtype="int64"),
-                    "oversized": pd.Series(oversized, dtype="bool"),
-                }
-            )
+        # Spark 4.1's iterator grouped-map form delivers ONE group as a
+        # stream of Arrow batches (default 10k rows each) in arbitrary
+        # row order. The greedy fill is a sequential fold over the WHOLE
+        # group in doc_id order, so the group must be assembled and
+        # sorted once before folding — a per-batch fold silently resets
+        # the bin state at every batch boundary (found by the r10 sf1
+        # oracle sweep: bin_id restarted mid-group at >10k-row groups).
+        # Whole-group memory is this operator's documented contract (the
+        # group is the parallelism unit); a corpus whose single group
+        # exceeds task memory needs the two-phase prefix-sum shape
+        # (operators/windows.py::partitioned_prefix_sum) instead.
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        bin_id, fill = 0, 0
+        bins, offsets, oversized = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            bins.append(bin_id)
+            offsets.append(fill)
+            oversized.append(n > budget)
+            fill += n
+            if fill >= budget:  # full (or oversized) bin: close it
+                bin_id += 1
+                fill = 0
+        out = pd.DataFrame(
+            {
+                "group_key": pdf["group_key"],
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_tokens": pdf["n_tokens"].astype("int64"),
+                "bin_id": pd.Series(bins, dtype="int64"),
+                "offset": pd.Series(offsets, dtype="int64"),
+                "oversized": pd.Series(oversized, dtype="bool"),
+            }
+        )
+        # stream the result back out in bounded slices
+        for lo in range(0, len(out), 65536):
+            yield out.iloc[lo : lo + 65536]
 
     return keyed.groupBy("group_key").applyInPandas(pack, schema=PACK_SCHEMA)
 

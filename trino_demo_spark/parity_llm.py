@@ -1650,11 +1650,11 @@ _PACK_BUDGET = 256
 @parity(
     "llm_pack_sequences",
     sql=f"""
-    WITH RECURSIVE tok AS (
+    WITH RECURSIVE tok AS MATERIALIZED (
       SELECT CAST(lang AS VARCHAR) AS group_key, doc_id,
              CAST(len({_TOK}) AS BIGINT) AS n_tokens
       FROM documents WHERE text IS NOT NULL),
-    ordered AS (
+    ordered AS MATERIALIZED (
       SELECT group_key, doc_id, n_tokens,
              row_number() OVER (PARTITION BY group_key ORDER BY doc_id) AS rn
       FROM tok),
