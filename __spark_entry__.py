@@ -359,6 +359,9 @@ _PRIORITY = [
     # kernels — pull them inside the driver's ~50-slot window
     "llm_multimodal_resize",
     "llm_multimodal_resample",
+    # r10 addition: the catalog-scale distributed ALS twin — verify at
+    # first opportunity
+    "ml_als_recommend_dist",
 ]
 
 

@@ -2893,3 +2893,48 @@ def test_pack_sequences_group_larger_than_arrow_batch(spark):
     assert (out["offset"] == pd.Series(offs)).all()
     # the group genuinely spanned multiple bins past one Arrow batch
     assert out["bin_id"].max() == max(bins) > 5000
+
+
+def test_als_fit_distributed_recovers_low_rank(spark):
+    """r10: the fully distributed ALS (both factor frames DataFrames,
+    closed-form 2x2 solves both half-steps, no driver state) must
+    recover the same planted rank-2 matrix the driver-map teaching op
+    does, and its final user factors must be the exact ridge solution
+    against its returned item factors (mutual consistency contract)."""
+    import numpy as np
+
+    from trino_demo_spark.ml import als_fit_distributed, als_rmse_distributed
+
+    rng = np.random.RandomState(3)
+    U = rng.rand(12, 2) + 0.5
+    Q = rng.rand(2, 4) + 0.5
+    R = U @ Q
+    rows = [
+        (u, f"item{i}", float(R[u, i]))
+        for u in range(12)
+        for i in range(4)
+        if (u + i) % 5 != 0
+    ]
+    ratings = spark.createDataFrame(
+        rows, "user_id int, item string, rating double"
+    )
+    item_f, users = als_fit_distributed(ratings, iters=8, lamb=0.01)
+    rmse = als_rmse_distributed(ratings, item_f, users)
+    vals = np.array([r[2] for r in rows])
+    assert rmse < 0.15 * float(vals.std())  # rank-2 data: near-exact
+    # mutual consistency: user row == numpy ridge solve vs item frame
+    q = {r["item"]: (r["q1"], r["q2"]) for r in item_f.collect()}
+    uid = 3
+    A = np.eye(2) * 0.01
+    b = np.zeros(2)
+    for it, r in ((it, r) for (u, it, r) in rows if u == uid):
+        qv = np.array(q[it])
+        A += np.outer(qv, qv)
+        b += qv * r
+    want = np.linalg.solve(A, b)
+    got = users.filter(F.col("user_id") == uid).collect()[0]
+    assert [got["u1"], got["u2"]] == pytest.approx(want.tolist(), rel=1e-9)
+    # no-ratings boundary: empty factor frames, not a crash
+    empty = ratings.filter("user_id < 0")
+    ef, eu = als_fit_distributed(empty, iters=2)
+    assert ef.count() == 0 and eu.count() == 0
