@@ -369,24 +369,44 @@ def cosine_near_dup_pairs_arrow(
     """Brute-force near-dup pairs via blocked numpy matmul — row-identical
     to cosine_near_dup_pairs (same EPS-round-then-threshold, id_a < id_b)
     and sharing its oracle, but each task multiplies its Arrow batch
-    against the full corpus matrix instead of running 64 interpreted fold
-    ops per pair. Same QUADRATIC compute contract as the expression
+    against the broadcast rep matrix instead of running 64 interpreted
+    fold ops per pair. Same QUADRATIC compute contract as the expression
     version (this is the exact baseline the LSH path is recall-checked
-    against — at true 100 TB scale use cosine_near_dup_pairs_lsh); the
-    corpus is shipped once per executor as a broadcast (n × dim float64),
-    so it applies to bounded corpora only. The batch-side matmul is
-    chunked to a fixed memory budget so a task never materializes more
-    than ~64 MB of similarity scores at once.
-    """
+    against — at true 100 TB scale use cosine_near_dup_pairs_lsh).
+
+    Identical-vector collapse (r10, exact — same argument as the fold
+    version): the matmul runs over DISTINCT vectors only; within-group
+    pairs are emitted directly at sim 1.0 and surviving rep pairs expand
+    to member pairs through the narrow member frame. The broadcast
+    shrinks from corpus×dim to distinct×dim and the matmul from corpus²
+    to distinct² (sf10 replicated corpus: 854s → seconds). Zero-norm
+    vectors have no cosine (the unconstrained matmul's guarded divide
+    yielded 0.0 < any positive threshold) and are excluded before the
+    collapse. Bounded-DISTINCT-corpus contract: the rep matrix is
+    collected to the driver and broadcast, so the distinct-vector count
+    must fit in memory — the declared exact-baseline boundary."""
     import numpy as np
 
-    df = finite_vectors(df, vec_col, dim)
+    from .dedup import collapse_identical, expand_cross_pairs, within_group_pairs
+
+    rows_df = with_norm(
+        finite_vectors(df, vec_col, dim).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
+        ),
+        "emb",
+        "norm",
+    ).filter(F.col("emb").isNotNull() & (F.col("norm") > 0))
+    groups, mem = collapse_identical(rows_df.select("id", "emb"), "emb", "id")
+    within = within_group_pairs(mem, "sim", 1.0).filter(
+        F.lit(1.0) >= F.lit(threshold)
+    )
+
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    if not rows:
+    reps = groups.select(F.col("rep"), "emb").collect()
+    if not reps:
         return spark.createDataFrame([], "id_a long, id_b long, sim double")
-    all_ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    all_ids = np.asarray([r[0] for r in reps], dtype=np.int64)
+    mat = np.asarray([list(r[1]) for r in reps], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     b_ids = spark.sparkContext.broadcast(all_ids)
     b_mat = spark.sparkContext.broadcast(mat)
@@ -402,14 +422,13 @@ def cosine_near_dup_pairs_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf["rep"].to_numpy(dtype=np.int64)
             m = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
             )
             nn = np.sqrt((m * m).sum(axis=1))
             for lo in range(0, len(ids), chunk):
                 hi = lo + chunk
-                # zero-norm rows → cosine 0.0 (matches cosine_expr)
                 den = nn[lo:hi, None] * n_all[None, :]
                 sims = np.round(
                     np.divide(
@@ -426,15 +445,16 @@ def cosine_near_dup_pairs_arrow(
                 if len(ai):
                     yield pd.DataFrame(
                         {
-                            "id_a": ids[lo:hi][ai],
-                            "id_b": ids_all[bj],
+                            "rep_a": ids[lo:hi][ai],
+                            "rep_b": ids_all[bj],
                             "sim": sims[ai, bj],
                         }
                     )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        pairs_gen, "id_a long, id_b long, sim double"
+    rep_pairs = groups.select("rep", "emb").mapInPandas(
+        pairs_gen, "rep_a long, rep_b long, sim double"
     )
+    return within.unionByName(expand_cross_pairs(rep_pairs, mem, "sim"))
 
 
 def cosine_near_dup_pairs_lsh(
