@@ -103,7 +103,7 @@ def _driver_status() -> dict[str, str]:
 # freeing its driver-cap slot) once green_round >= that value, so a
 # forgotten manual cleanup can't burn cap slots forever.
 _RECHECK = {
-    "llm_dedup_clusters": 4,
+    "llm_dedup_clusters": 10,  # r10: oracle gained the identical-text collapse
     "llm_dedup_semantic": 4,
     "llm_dedup_ngram": 4,
     "llm_dedup_ngram_capped": 4,

@@ -1823,28 +1823,47 @@ def llm_similarity_ivfpq(spark, sf_dir):
 @parity(
     "llm_dedup_clusters",
     sql=f"""
-    WITH RECURSIVE tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
-    ng AS (SELECT DISTINCT doc_id,
+    WITH RECURSIVE grp AS MATERIALIZED (
+      -- identical-TEXT collapse (r10, exact): identical texts share
+      -- identical n-gram sets ⇒ Jaccard exactly 1.0 ≥ 0.5, always the
+      -- same component. The posting-list join runs over DISTINCT texts
+      -- only, so the key-offset-replicated sweeps scale the corpus but
+      -- not the quadratic part (sf10's 100× multiplicity spilled the
+      -- naive posting join past temp disk). Sub-3-token texts have no
+      -- n-grams, hence never pair on either engine — they stay out of
+      -- the collapse (singleton clusters below).
+      SELECT text, MIN(doc_id) AS rep, list(doc_id) AS members
+      FROM documents
+      WHERE text IS NOT NULL AND len({_TOK}) >= 3
+      GROUP BY text
+    ),
+    tok AS MATERIALIZED (SELECT rep, {_TOK} AS t FROM grp),
+    ng AS (SELECT DISTINCT rep,
                   t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
-           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-              FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+           FROM tok, UNNEST(range(1, len(t) - 1)) u(i)),
+    sizes AS (SELECT rep, COUNT(*) AS n FROM ng GROUP BY rep),
+    inter AS (SELECT a.rep AS id_a, b.rep AS id_b, COUNT(*) AS common
+              FROM ng a JOIN ng b ON a.g = b.g AND a.rep < b.rep
               GROUP BY 1, 2),
     prs AS (SELECT id_a, id_b FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
+            JOIN sizes sa ON sa.rep = id_a
+            JOIN sizes sb ON sb.rep = id_b
             WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.5),
     ed AS (SELECT id_a AS a, id_b AS b FROM prs
            UNION ALL SELECT id_b, id_a FROM prs),
     reach(src, dst) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT rep, rep FROM grp
       UNION
       SELECT r.src, ed.b FROM reach r JOIN ed ON ed.a = r.dst
-    )
-    SELECT src AS doc_id, MIN(dst) AS cluster_id,
-           MIN(dst) = src AS is_canonical
-    FROM reach GROUP BY src
+    ),
+    rcl AS (SELECT src AS rep, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    mems AS (SELECT rep, m.m AS doc_id FROM grp, unnest(members) m(m))
+    SELECT mems.doc_id, rcl.cluster_id,
+           (mems.doc_id = rcl.cluster_id) AS is_canonical
+    FROM mems JOIN rcl USING (rep)
+    UNION ALL
+    SELECT doc_id, doc_id AS cluster_id, TRUE AS is_canonical
+    FROM documents WHERE text IS NULL OR len({_TOK}) < 3
     """,
     doc="Near-dup clustering: connected components (alternating "
     "large-star/small-star, Kiveris et al. 2014 — O(log² n) rounds "
@@ -1853,7 +1872,11 @@ def llm_similarity_ivfpq(spark, sf_dir):
     "groupBy+join edge rewrites; the driver loop holds only a scalar "
     "edge-set fingerprint. The oracle reproduces the components as a "
     "transitive-closure recursive CTE over the same exact-Jaccard "
-    "≥ 0.5 edges (min reachable id = cluster id). Transitivity + "
+    "≥ 0.5 edges (min reachable id = cluster id), with identical texts "
+    "collapsed to their min-id rep first — exact (identical texts are "
+    "Jaccard-1.0 members of the same component by construction) and "
+    "distinct-text-bounded, so the sweep corpora's duplicate "
+    "multiplicity never reaches the posting-list join. Transitivity + "
     "planted-cluster + union-find property tests in tests/.",
 )
 def llm_dedup_clusters(spark, sf_dir):
