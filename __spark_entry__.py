@@ -104,12 +104,10 @@ def _driver_status() -> dict[str, str]:
 # forgotten manual cleanup can't burn cap slots forever.
 _RECHECK = {
     "llm_dedup_clusters": 10,  # r10: oracle gained the identical-text collapse
-    "llm_dedup_semantic": 4,
     "llm_dedup_ngram": 4,
     "llm_dedup_ngram_capped": 4,
     "llm_dedup_minhash": 4,
     "llm_dedup_simhash": 4,
-    "llm_embed_neardup_lsh": 4,
     "llm_tokenizer_apply": 4,
     "llm_tokenizer_bpe": 4,
     "ml_pagerank": 4,
@@ -121,12 +119,12 @@ _RECHECK = {
     # NULL-text drop-at-ingest hardening (commit 0a6dbc0) touched these
     # green-row engines/oracles
     "llm_multimodal_features": 4,
-    "llm_pack_sequences": 4,
     "llm_eval_overlap": 4,
     # hostile-embeddings hardening: finite/dim ingest guards + the
     # normalize oracle's own-length norm + quantize TRY_CAST oracle
+    # (llm_embed_neardup's stale 4-entry removed r11 — the r10 block
+    # below carries its current value)
     "llm_similarity_topk": 4,
-    "llm_embed_neardup": 4,
     "llm_embed_normalize": 4,
     "llm_embed_quantize": 4,
     # hostile-events hardening (tests/test_hostile_events.py): NULL-ts
@@ -296,6 +294,23 @@ _RECHECK = {
     # artifact must agree.
     "llm_pack_sequences": 10,
 }
+
+# Round-11 no-recheck rationale (deliberate, documented — all four
+# ADVICE r10 fixes are unreachable-branch-only on driver corpora):
+# (a) cosine_near_dup_pairs/_arrow now REJECT threshold <= 0 — every
+# registry entry calls them at 0.4/0.95, so the constructed plan is
+# byte-identical (pytest-gated:
+# tests/test_llm.py::test_cosine_near_dup_rejects_nonpositive_threshold);
+# (b) zipshard._zip64_extra gained a full-block positional fallback —
+# on any archive that previously PARSED (spec-strict layout, incl.
+# every encode_zip output the green rows exercise) the read bytes are
+# identical; only previously-REJECTED Java/Info-ZIP-style archives now
+# parse (pytest-gated: ::test_zipshard_zip64_full_block_layout);
+# (c) ml_als_recommend/_dist treat base <= 1e-9 as degenerate — the
+# driver corpora have stddev_pop(rating) ≈ 13.6 at sf0.001/0.01/0.1
+# (verified r11), so the branch is unreachable there (pytest-gated:
+# ::test_als_zero_variance_baseline_degenerate);
+# (d) the _RECHECK stale-duplicate-key cleanup is harness-only.
 
 # Round-10 no-recheck rationale (deliberate, documented): the ADVICE r9
 # hardening of llm/warc.py (Content-Length now rejects negative/

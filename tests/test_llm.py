@@ -2776,6 +2776,86 @@ def test_zipshard_zip64():
         z.zip_members(bytes(bad2))
 
 
+def test_zipshard_zip64_full_block_layout():
+    """ADVICE r10: some real-world writers (Java/Info-ZIP variants) emit
+    the FULL zip64 extra block (usize, csize, offset unconditionally)
+    even when only one classic field is the sentinel. The spec-strict
+    sequential read would pull usize's bytes as the offset and fail the
+    local-header check; the positional fallback must read offset@16.
+    A block length matching NEITHER layout still fails fast."""
+    import struct
+
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import zipshard as z
+
+    def patch_central(enc, xlen, extra):
+        cd = enc.find(b"PK\x01\x02")
+        eocd = enc.rfind(b"PK\x05\x06")
+        (real_off,) = struct.unpack("<I", enc[cd + 42 : cd + 46])
+        (real_csize,) = struct.unpack("<I", enc[cd + 24 : cd + 28])
+        (real_usize,) = struct.unpack("<I", enc[cd + 28 : cd + 32])
+        patched = bytearray(enc[:eocd])
+        patched[cd + 42 : cd + 46] = struct.pack("<I", 0xFFFFFFFF)  # offset
+        patched[cd + 30 : cd + 32] = struct.pack("<H", xlen + 4)
+        patched += struct.pack("<HH", 0x0001, xlen) + extra(
+            real_usize, real_csize, real_off
+        )
+        cd_size = len(patched) - cd
+        eocd_rec = bytearray(enc[eocd:])
+        eocd_rec[12:16] = struct.pack("<I", cd_size)
+        return bytes(patched + eocd_rec)
+
+    enc = z.encode_zip([("full.bin", b"full-block-layout", False)])
+
+    # full 24-byte block (usize, csize, offset) — offset is positional
+    got = z.zip_members(
+        patch_central(enc, 24, lambda u, c, o: struct.pack("<QQQ", u, c, o))
+    )
+    assert [(m["name"], m["data"]) for m in got] == [
+        ("full.bin", b"full-block-layout")
+    ]
+
+    # full 28-byte block (+ 4-byte disk number)
+    got = z.zip_members(
+        patch_central(
+            enc, 28, lambda u, c, o: struct.pack("<QQQI", u, c, o, 0)
+        )
+    )
+    assert [(m["name"], m["data"]) for m in got] == [
+        ("full.bin", b"full-block-layout")
+    ]
+
+    # a 16-byte block cannot positionally contain the offset (needs @16)
+    # and doesn't match the 8-byte spec-strict layout either — fail fast
+    with _pytest.raises(NotImplementedError, match="zip64 extra block"):
+        z.zip_members(
+            patch_central(enc, 16, lambda u, c, o: struct.pack("<QQ", u, c))
+        )
+
+
+def test_cosine_near_dup_rejects_nonpositive_threshold(spark):
+    """ADVICE r10: the collapse rewrite excludes zero-norm vectors from
+    pair generation, so threshold <= 0 can no longer reproduce the old
+    guarded-divide behavior (zero-norm pairs at sim 0.0) — both brute
+    baselines must reject it loudly instead of silently under-returning."""
+    import pytest as _pytest
+
+    from trino_demo_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    for fn in (
+        similarity.cosine_near_dup_pairs,
+        similarity.cosine_near_dup_pairs_arrow,
+    ):
+        with _pytest.raises(ValueError, match="threshold > 0"):
+            fn(emb, threshold=0.0)
+        with _pytest.raises(ValueError, match="threshold > 0"):
+            fn(emb, threshold=-0.5)
+
+
 def test_cosine_near_dup_collapse_duplicates_and_zeros(spark):
     """r10 collapse rewrite of the brute baseline: bit-identical vectors
     must pair at exactly sim 1.0 (within-group emission), cross-group
@@ -2938,3 +3018,29 @@ def test_als_fit_distributed_recovers_low_rank(spark):
     empty = ratings.filter("user_id < 0")
     ef, eu = als_fit_distributed(empty, iters=2)
     assert ef.count() == 0 and eu.count() == 0
+
+
+def test_als_zero_variance_baseline_degenerate(spark, tmp_path):
+    """ADVICE r10: when every per-(user,item) mean rating is identical,
+    stddev_pop == 0.0 and ridge-regularized ALS cannot reach
+    rmse < 1e-9 — the oracle's hardcoded TRUE must be mirrored by
+    treating base <= 1e-9 as degenerate (beats=True) in BOTH ALS
+    entries, not failed by construction."""
+    from trino_demo_spark import parity_ml  # noqa: F401  (registers entries)
+    from trino_demo_spark.parity import PARITY
+
+    ev = spark.createDataFrame(
+        [
+            (i, None, i % 4, f"t{i % 3}", 7.5, None)
+            for i in range(24)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    for name in ("ml_als_recommend", "ml_als_recommend_dist"):
+        row = PARITY[name].fn(spark, str(tmp_path)).collect()[0]
+        assert row["baseline_rmse"] == 0.0, name
+        assert row["als_beats_baseline"] is True, name

@@ -320,7 +320,17 @@ def cosine_near_dup_pairs(
     pair evaluations at sf1). Zero-norm vectors have no cosine (the
     naive form's guarded divide yields 0.0 < any positive threshold),
     so they are excluded from pair generation before the collapse —
-    identical zero vectors must not masquerade as sim-1.0 duplicates."""
+    identical zero vectors must not masquerade as sim-1.0 duplicates.
+    That exclusion makes threshold <= 0 ill-defined (the pre-r10 guarded
+    divide emitted zero-norm pairs at sim 0.0; this form cannot), so
+    non-positive thresholds are rejected (ADVICE r10)."""
+    if threshold <= 0.0:
+        raise ValueError(
+            "cosine_near_dup_pairs requires threshold > 0: zero-norm "
+            "vectors are excluded from pair generation, so a non-positive "
+            "threshold would silently return fewer pairs than the naive "
+            "guarded-divide form"
+        )
     from .dedup import collapse_identical, expand_cross_pairs, within_group_pairs
 
     rows = with_norm(
@@ -384,7 +394,16 @@ def cosine_near_dup_pairs_arrow(
     yielded 0.0 < any positive threshold) and are excluded before the
     collapse. Bounded-DISTINCT-corpus contract: the rep matrix is
     collected to the driver and broadcast, so the distinct-vector count
-    must fit in memory — the declared exact-baseline boundary."""
+    must fit in memory — the declared exact-baseline boundary.
+    threshold <= 0 is rejected for the same reason as the fold version
+    (zero-norm vectors excluded → sim-0.0 pairs unreachable)."""
+    if threshold <= 0.0:
+        raise ValueError(
+            "cosine_near_dup_pairs_arrow requires threshold > 0: zero-norm "
+            "vectors are excluded from pair generation, so a non-positive "
+            "threshold would silently return fewer pairs than the naive "
+            "guarded-divide form"
+        )
     import numpy as np
 
     from .dedup import collapse_identical, expand_cross_pairs, within_group_pairs

@@ -48,7 +48,19 @@ def _zip64_extra(extra: bytes, usize: int, csize: int, offset: int):
     """Resolve 0xFFFFFFFF sentinel fields from the zip64 extra block
     (header id 0x0001). Per APPNOTE 4.5.3 the 8-byte values appear in
     fixed order (usize, csize, offset, disk) but ONLY for the fields
-    whose classic value is the sentinel."""
+    whose classic value is the sentinel. Real-world writers (some
+    Java/Info-ZIP variants) instead emit the FULL fixed block
+    unconditionally (hlen 16/24/28), so when hlen exceeds what the
+    sentinels require we fall back to positional reads at the
+    full-block offsets (usize@0, csize@8, offset@16) — ADVICE r10:
+    the spec-strict-only read rejected those archives (a non-sentinel
+    usize/csize alongside a sentinel offset made the sequential read
+    pull the wrong 8 bytes, failing the local-header check)."""
+    sentinel = [
+        f
+        for f, cur in (("usize", usize), ("csize", csize), ("offset", offset))
+        if cur == 0xFFFFFFFF
+    ]
     p = 0
     while p + 4 <= len(extra):
         hid, hlen = struct.unpack("<HH", extra[p : p + 4])
@@ -56,22 +68,36 @@ def _zip64_extra(extra: bytes, usize: int, csize: int, offset: int):
         p += 4 + hlen
         if hid != 0x0001:
             continue
-        q = 0
-        for field in ("usize", "csize", "offset"):
-            cur = {"usize": usize, "csize": csize, "offset": offset}[field]
-            if cur == 0xFFFFFFFF:
-                if q + 8 > len(body):
-                    raise NotImplementedError("truncated zip64 extra field")
-                (val,) = struct.unpack("<Q", body[q : q + 8])
+        if len(body) < hlen:
+            raise NotImplementedError("truncated zip64 extra field")
+        full_pos = {"usize": 0, "csize": 8, "offset": 16}
+        if hlen == 8 * len(sentinel):
+            # spec-strict: only sentinel-marked fields present, in order
+            q = 0
+            vals = {}
+            for field in sentinel:
+                (vals[field],) = struct.unpack("<Q", body[q : q + 8])
                 q += 8
-                if field == "usize":
-                    usize = val
-                elif field == "csize":
-                    csize = val
-                else:
-                    offset = val
-        return usize, csize, offset
-    if 0xFFFFFFFF in (usize, csize, offset):
+        elif hlen in (16, 24, 28) and all(
+            full_pos[f] + 8 <= hlen for f in sentinel
+        ):
+            # full-block writers: every field present positionally
+            vals = {
+                f: struct.unpack("<Q", body[full_pos[f] : full_pos[f] + 8])[0]
+                for f in sentinel
+            }
+        else:
+            raise NotImplementedError(
+                f"zip64 extra block length {hlen} matches neither the "
+                f"spec-strict sentinel layout ({8 * len(sentinel)}) nor a "
+                "full fixed block covering the sentinel fields"
+            )
+        return (
+            vals.get("usize", usize),
+            vals.get("csize", csize),
+            vals.get("offset", offset),
+        )
+    if sentinel:
         raise NotImplementedError(
             "zip64 sentinel fields without a zip64 extra block"
         )

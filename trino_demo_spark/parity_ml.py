@@ -500,9 +500,12 @@ def ml_als_recommend(spark, sf_dir):
     finally:
         ratings.unpersist()
     base = row["baseline_rmse"]
-    # Empty rating matrix (no baseline) or a non-finite baseline (rating
-    # magnitudes whose variance overflows DOUBLE): no meaningful bar to
-    # beat — mirror the oracle's vacuous TRUE verdict.
+    # Empty rating matrix (no baseline), a non-finite baseline (rating
+    # magnitudes whose variance overflows DOUBLE), or a legitimately
+    # ZERO baseline (all per-pair mean ratings equal — ridge-regularized
+    # ALS cannot reach rmse < 1e-9, so "beat stddev 0" is unreachable by
+    # construction, not an engine defect; ADVICE r10): no meaningful bar
+    # to beat — mirror the oracle's vacuous TRUE verdict.
     import math
 
     degenerate = (
@@ -510,6 +513,7 @@ def ml_als_recommend(spark, sf_dir):
         or base is None
         or not math.isfinite(float(base))
         or not math.isfinite(float(rmse))
+        or float(base) <= 1e-9
     )
     beats = True if degenerate else bool(rmse < base + 1e-9)
     return spark.createDataFrame(
@@ -578,11 +582,14 @@ def ml_als_recommend_dist(spark, sf_dir):
     base = row["baseline_rmse"]
     import math
 
+    # same degenerate set as ml_als_recommend, incl. the base <= 1e-9
+    # zero-variance case (ADVICE r10)
     degenerate = (
         rmse is None
         or base is None
         or not math.isfinite(float(base))
         or not math.isfinite(float(rmse))
+        or float(base) <= 1e-9
     )
     beats = True if degenerate else bool(rmse < base + 1e-9)
     return spark.createDataFrame(
