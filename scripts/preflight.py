@@ -25,6 +25,25 @@ Round 9 extends it into the big-SF differential sweep driver
   in local mode because driver + all executor threads share one JVM).
   The sf0.01 driver-parity run keeps the plain default.
 
+Round 11 adds the FINGERPRINT compare mode (VERDICT r10 item 1): for
+full-table-projection entries (60M output rows at sf10) the plain
+compare's cost is the HARNESS — toPandas + stringify + sort on both
+sides — not engine work, which is why 24 entries were never attempted
+at sf10. `--fingerprint-file F` ({name: reason} JSON) routes named
+entries through an exact order-independent compare instead: the Spark
+result is written to parquet (distributed write, zero driver collect),
+then BOTH relations are fingerprinted INSIDE DuckDB — per row
+`hash(...)` over the name-sorted columns cast to VARCHAR (the oracle's
+columns first cast to the parquet side's types, so HUGEINT-vs-DOUBLE
+render differences the pandas canon absorbed can't false-positive) and
+reduced to one row per side: COUNT(*) + BIT_XOR(h) + SUM(h::HUGEINT).
+Because both renders run in the same DuckDB process, the string form
+is identical by construction; equality of the (count, xor, sum) triple
+is exact multiset equality up to 64-bit hash collisions (~n²/2⁶⁴ ≈
+10⁻⁴ at 60M rows, and a collision must ALSO cancel in the 128-bit
+sum). Same trick as sink_manifest_integrity / scripts/spill_study.py,
+now cross-engine. The record carries compare_mode + the named reason.
+
 Usage:
     python scripts/preflight.py [--sf /root/testdata/sf0.01] [--only a,b]
     python scripts/preflight.py --start 56 --count 60   # queue slice
@@ -60,6 +79,7 @@ def main() -> None:
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--timeout-sec", type=float, default=None)
     ap.add_argument("--skip-file", default=None)
+    ap.add_argument("--fingerprint-file", default=None)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--duck-mem", default="24GB")
     ap.add_argument("--driver-mem", default=None)
@@ -103,6 +123,9 @@ def main() -> None:
     skip: dict[str, str] = {}
     if args.skip_file:
         skip = json.load(open(args.skip_file))
+    fingerprint: dict[str, str] = {}
+    if args.fingerprint_file:
+        fingerprint = json.load(open(args.fingerprint_file))
 
     names = list(qs)
     if args.only:
@@ -114,7 +137,64 @@ def main() -> None:
     record: dict[str, dict] = {}
     bad: list[str] = []
 
+    _FP = (
+        "SELECT COUNT(*)::HUGEINT AS c, COALESCE(BIT_XOR(h), 0)::HUGEINT AS x,"
+        " COALESCE(SUM(h::HUGEINT), 0) AS s"
+        " FROM (SELECT hash({exprs}) AS h FROM {src})"
+    )
+
+    def run_fingerprint(name: str, out: dict) -> None:
+        """Exact order-independent compare with zero driver collect:
+        Spark result → parquet; both relations fingerprinted inside
+        DuckDB (same renderer both sides) and compared as one row."""
+        import shutil
+
+        tmp = os.path.join(_ROOT, ".scratch", "fp_tmp", name)
+        qs[name](spark, args.sf).write.mode("overwrite").parquet(tmp)
+        try:
+            src = f"read_parquet('{tmp}/*.parquet')"
+            sp_types = {
+                r[0]: r[1]
+                for r in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()
+            }
+            or_names = [
+                r[0] for r in con.sql(f"DESCRIBE ({osql[name]})").fetchall()
+            ]
+            out["compare_mode"] = "fingerprint_oracle_disk"
+            out["fingerprint_rule"] = fingerprint[name]
+            if sorted(sp_types) != sorted(or_names):
+                out["spark_rows"] = int(
+                    con.sql(f"SELECT COUNT(*) FROM {src}").fetchone()[0]
+                )
+                out["ok"], out["tag"] = False, "COLS"
+                return
+            cols = sorted(sp_types)
+            sp_exprs = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols)
+            # align the oracle's types to the parquet side's before the
+            # shared render (e.g. DuckDB integer-SUM HUGEINT vs Spark's
+            # DOUBLE — value-preserving, render-normalizing)
+            or_exprs = ", ".join(
+                f'CAST(CAST("{c}" AS {sp_types[c]}) AS VARCHAR)' for c in cols
+            )
+            s_row = con.sql(_FP.format(exprs=sp_exprs, src=src)).fetchone()
+            o_row = con.sql(
+                f"WITH __oracle_result AS ({osql[name]}) "
+                + _FP.format(exprs=or_exprs, src="__oracle_result")
+            ).fetchone()
+            out["spark_rows"] = int(s_row[0])
+            out["fingerprint"] = {
+                "spark": [str(v) for v in s_row],
+                "oracle": [str(v) for v in o_row],
+            }
+            out["ok"] = s_row == o_row
+            out["tag"] = "OK(fp)" if out["ok"] else "VALUES"
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def run_one(name: str, out: dict) -> None:
+        if name in fingerprint and name in osql:
+            run_fingerprint(name, out)
+            return
         spdf = qs[name](spark, args.sf).toPandas()
         out["spark_rows"] = len(spdf)
         if name in osql:
@@ -211,10 +291,13 @@ def main() -> None:
         if not ok:
             bad.append(name)
         record[name] = {
-            "status": "green" if ok else tag.lower(),
+            "status": "green" if ok else tag.lower().replace("(fp)", ""),
             "seconds": round(dt, 1),
             "spark_rows": out.get("spark_rows"),
         }
+        for extra in ("compare_mode", "fingerprint_rule", "fingerprint"):
+            if extra in out:
+                record[name][extra] = out[extra]
         print(f"{name:38s} {tag:14s} {dt:6.1f}s", flush=True)
         _flush_json(args.json_out, record)
 
