@@ -110,7 +110,11 @@ _RECHECK = {
     "llm_dedup_simhash": 4,
     "llm_tokenizer_apply": 4,
     "llm_tokenizer_bpe": 4,
-    "ml_pagerank": 4,
+    # r11: the pagerank oracle's CTEs are now MATERIALIZED (DuckDB was
+    # re-evaluating the 60M-row DISTINCT per unrolled iteration — the
+    # r10 sf10 oracle-disk exclusion). Semantics-free by DuckDB
+    # contract, but it IS an oracle change to a green-row query.
+    "ml_pagerank": 11,
     # Arrow argmin assignment replaced the expression fold (round-4 cont.)
     "llm_similarity_ivf": 4,
     "llm_similarity_pq": 4,
@@ -311,6 +315,14 @@ _RECHECK = {
 # (verified r11), so the branch is unreachable there (pytest-gated:
 # ::test_als_zero_variance_baseline_degenerate);
 # (d) the _RECHECK stale-duplicate-key cleanup is harness-only.
+# (e) the r11 anti-hang pass (VERDICT r10 item 4) hardened
+# webdataset.tar_members (negative/non-octal size fields — a crafted
+# -0o1000 size was a REAL infinite loop) and multimodal._parse_netpbm
+# (unterminated comment, negative/garbage header tokens): all are
+# reject-paths on inputs that previously hung or raised the wrong
+# type; any input that previously PARSED takes a byte-identical path
+# (pytest-gated: tests/test_hostile_parsers.py, 34 cases incl. one
+# deliberate stall mutant per parser family).
 
 # Round-10 no-recheck rationale (deliberate, documented): the ADVICE r9
 # hardening of llm/warc.py (Content-Length now rejects negative/

@@ -403,14 +403,28 @@ def _parse_netpbm(payload: bytes, pos: int = 0) -> "tuple[dict, int]":
             raise NotImplementedError("truncated netpbm header")
         c = payload[pos : pos + 1]
         if c == b"#":
-            pos = payload.index(b"\n", pos) + 1
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise NotImplementedError("unterminated netpbm comment")
+            pos = nl + 1
         elif c.isspace():
             pos += 1
         else:
             end = pos
             while end < len(payload) and not payload[end : end + 1].isspace():
                 end += 1
-            tokens.append(int(payload[pos:end]))
+            # untrusted header: a non-numeric or negative token is the
+            # declared contract, never a raw ValueError or a negative
+            # raster size (r11 anti-hang/contract pass)
+            try:
+                tok = int(payload[pos:end])
+            except ValueError:
+                raise NotImplementedError(
+                    f"non-numeric netpbm header token {payload[pos:end]!r}"
+                ) from None
+            if tok < 0:
+                raise NotImplementedError(f"negative netpbm header token {tok}")
+            tokens.append(tok)
             pos = end
     width, height, maxval = tokens
     if maxval > 255:

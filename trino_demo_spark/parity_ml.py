@@ -347,10 +347,19 @@ def _pagerank_oracle_sql(iters: int = 4) -> str:
     literal is computed as (1.0 - 0.85) in DOUBLE (matching the Python
     `(1.0 - damping) / n`, which is NOT the double nearest 0.15), the
     graph is symmetric so dangling mass is identically zero on both
-    sides, and intermediate ranks are never rounded."""
+    sides, and intermediate ranks are never rounded.
+
+    Every CTE is MATERIALIZED (r11, VERDICT r10 item 2): DuckDB inlines
+    single-reference CTEs, so the unrolled chain r4→r3→…→r0 multiplied
+    the `edges`/`deg`/`nodes` references and re-evaluated the 60M-row
+    lineitem⋈orders DISTINCT once per iteration — ~50GB of temp spill
+    at sf10, the round-10 sweep's one oracle-infrastructure exclusion.
+    Pinning one-time evaluation (same trick as the r10 pack oracle) is
+    semantics-free and makes the full sf10 truth complete in ~110s
+    under a 24GB budget."""
     its = ",\n".join(
         f"""
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT nd.node,
              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
              + CAST(0.85 AS DOUBLE) * COALESCE(c.in_sum, CAST(0 AS DOUBLE)) AS rank
@@ -364,18 +373,18 @@ def _pagerank_oracle_sql(iters: int = 4) -> str:
         for i in range(1, iters + 1)
     )
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
     ),
-    edges AS (SELECT src, dst FROM pairs
+    edges AS MATERIALIZED (SELECT src, dst FROM pairs
               UNION ALL SELECT dst AS src, src AS dst FROM pairs),
-    nodes AS (SELECT DISTINCT src AS node FROM edges
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
-    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
            FROM nodes),
     {its}
     SELECT node, (ROUND(rank + 1e-9, 6) + 0.0) AS rank FROM r{iters}
