@@ -52,6 +52,17 @@ BENCH_QUERIES = [
     "llm_dedup_clusters",    # exact pairs → large-star/small-star CC
     "llm_dedup_semantic_lsh",  # sign-LSH pairs → star CC (100 TB shape)
     "e2e_llm_data_pipeline", # fused quality→langid→dedup→buckets→shards
+    # r11 (VERDICT r10 item 5): the r8–r10 heavy families had no bench
+    # presence, so a perf regression there was invisible round-over-
+    # round. One representative per family:
+    "llm_tokenizer_apply",   # BPE merges applied corpus-wide (tokenizer family)
+    "llm_pack_sequences",    # per-group greedy packing fold (grouped-map family)
+    "ml_als_recommend_dist", # fully distributed ALS (iterative-ML family)
+    "llm_multimodal_flac",   # FLAC encode+decode kernels (audio codec family)
+    "llm_multimodal_mp4_demux",  # ISO-BMFF box-walk demux (video demux family)
+    "llm_multimodal_webm_demux",  # EBML/Matroska walk (video demux family)
+    "scan_warc_gz",          # WARC.gz member walk (crawl-shard ingest family)
+    "scan_zip_shard",        # ZIP central-directory walk (crawl-shard ingest family)
 ]
 
 # Pinned per-query baselines: the round-1 driver bench (BENCH_r01.json,

@@ -2932,6 +2932,53 @@ def test_lsh_edges_cluster_equivalent_to_pairs(spark, emb):
     assert edges.count() < pairs.count()
 
 
+def test_ngram_edges_cluster_equivalent_to_pairs(spark, sf_dir):
+    """r11: ngram_jaccard_edges (rep-member stars + rep-level threshold
+    Jaccard pairs) must produce EXACTLY the clusters the full pair
+    contract produces — the text twin of the r10 LSH edge-frame pin —
+    on a corpus with duplicated texts (multiplicity 3) AND planted
+    cross-text near-dups, and with a stats hook confirming both CC runs
+    report their round count."""
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 80)
+    )
+    aug = base
+    for off in (100000, 200000):  # identical-text replicas
+        aug = aug.unionByName(
+            base.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    # planted near-dups: same text with one token appended (high Jaccard)
+    aug = aug.unionByName(
+        base.filter(F.col("doc_id") < 8).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+        )
+    )
+    pairs = dedup.ngram_jaccard_pairs(aug, threshold=0.5).select("id_a", "id_b")
+    edges = dedup.ngram_jaccard_edges(aug, threshold=0.5)
+    st_p, st_e = {}, {}
+    via_pairs = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(aug, pairs, stats=st_p).collect()
+    }
+    via_edges = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(aug, edges, stats=st_e).collect()
+    }
+    assert via_edges == via_pairs
+    assert len(via_edges) == aug.count()
+    # multiplicity-3 groups exist, so some cluster must be non-trivial
+    assert sum(1 for (_, _, canon) in via_edges if not canon) > 0
+    # the edge frame is the linear representation
+    assert edges.count() < pairs.count()
+    # the r11 stats hook reports the O(log² n) round count
+    assert st_p["rounds"] >= 1 and st_e["rounds"] >= 1
+
+
 def test_pack_sequences_group_larger_than_arrow_batch(spark):
     """r10 (found by the sf1 oracle sweep the day its exclusion was
     retired): Spark 4.1's iterator grouped-map form streams ONE group

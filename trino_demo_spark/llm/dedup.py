@@ -561,21 +561,19 @@ def jaccard_candidate_pair_count(
     )
 
 
-def _set_jaccard_pairs(
+def _set_jaccard_rep_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int,
     threshold: float,
     df_max: int | None,
-) -> DataFrame:
-    """Shared body of the exact and df-capped n-gram Jaccard ops: the
-    only difference is the optional hot-shingle filter on the distinct-
-    set posting lists."""
+):
+    """Identical-set collapse + rep-level threshold Jaccard pairs —
+    the shared core of the pair-contract ops (_set_jaccard_pairs) and
+    the connectivity-equivalent edge frame (ngram_jaccard_edges).
+    Returns (mem, cpairs)."""
     groups, mem, rsh = _jaccard_posting_lists(df, id_col, text_col, n, df_max)
-    # Identical sets: common = |A| = |A∪B| → Jaccard exactly 1.0 after
-    # the +EPS round; always ≥ any threshold ≤ 1.0.
-    within = within_group_pairs(mem, "jaccard", 1.0)
     a, b = rsh.alias("a"), rsh.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.rep") < F.col("b.rep")))
@@ -594,7 +592,63 @@ def _set_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return mem, cpairs
+
+
+def _set_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    df_max: int | None,
+) -> DataFrame:
+    """Shared body of the exact and df-capped n-gram Jaccard ops: the
+    only difference is the optional hot-shingle filter on the distinct-
+    set posting lists."""
+    mem, cpairs = _set_jaccard_rep_pairs(
+        df, id_col, text_col, n, threshold, df_max
+    )
+    # Identical sets: common = |A| = |A∪B| → Jaccard exactly 1.0 after
+    # the +EPS round; always ≥ any threshold ≤ 1.0.
+    within = within_group_pairs(mem, "jaccard", 1.0)
     return within.unionByName(expand_cross_pairs(cpairs, mem, "jaccard"))
+
+
+def ngram_jaccard_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    df_max: int | None = None,
+) -> DataFrame:
+    """Connectivity-equivalent (id_a, id_b) edge frame for CLUSTERING —
+    the TEXT twin of similarity.cosine_near_dup_edges_lsh (r10) and the
+    input to dedup_clusters when only components matter, not the pair
+    contract.
+
+    ngram_jaccard_pairs must emit every member pair: C(m,2) rows per
+    identical-text group and |A|·|B| per surviving rep pair —
+    inherently quadratic in duplicate multiplicity (a 1000-replica
+    corpus makes that ~2.5e9 rows for 5k distinct texts). Connected
+    components only need CONNECTIVITY: a rep–member star (m−1 edges per
+    group) plus the rep-level threshold pairs spans exactly the same
+    components — within a group every member reaches its rep directly,
+    and any cross-group member pair routes through the two reps. Edge
+    volume stays linear in corpus size + distinct² in pair generation —
+    the 100 TB shape for exact-Jaccard text clustering (pinned
+    equivalent to the pair path in
+    tests/test_llm.py::test_ngram_edges_cluster_equivalent_to_pairs)."""
+    mem, cpairs = _set_jaccard_rep_pairs(
+        df, id_col, text_col, n, threshold, df_max
+    )
+    stars = mem.filter(F.col("mid") != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col("mid").alias("id_b")
+    )
+    return stars.unionByName(
+        cpairs.select(F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"))
+    )
 
 
 def _edge_fingerprint(df: DataFrame) -> tuple:
@@ -615,6 +669,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → canonical doc
     per cluster (cluster id = min doc id in the component). Completes the
@@ -658,7 +713,9 @@ def dedup_clusters(
     e = materialize(e)
     converged = False
     fp_prev = None
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # large-star: for every node u (symmetric view), connect each
         # STRICTLY LARGER neighbor v to m(u) = min(Γ(u) ∪ {u}).
         sym = e.unionByName(
@@ -723,6 +780,11 @@ def dedup_clusters(
             converged = True
             break
         fp_prev = fp_new
+    # observability only (r11, sf100 span evidence): expose the round
+    # count so scale studies can report the O(log² n) claim with the
+    # measured number — no dataflow depends on it
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge within max_iters={max_iters} "

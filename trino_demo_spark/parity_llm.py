@@ -1820,9 +1820,12 @@ def llm_similarity_ivfpq(spark, sf_dir):
     )
 
 
-@parity(
-    "llm_dedup_clusters",
-    sql=f"""
+# Shared truth for the exact-Jaccard clustering surface: identical
+# output contract for the pair-contract path (llm_dedup_clusters) and
+# the connectivity-equivalent edge-frame path (llm_dedup_clusters_edges)
+# — the edge frame spans the same components by construction, so ONE
+# oracle proves both.
+_CLUSTERS_ORACLE_SQL = f"""
     WITH RECURSIVE grp AS MATERIALIZED (
       -- identical-TEXT collapse (r10, exact): identical texts share
       -- identical n-gram sets ⇒ Jaccard exactly 1.0 ≥ 0.5, always the
@@ -1864,7 +1867,12 @@ def llm_similarity_ivfpq(spark, sf_dir):
     UNION ALL
     SELECT doc_id, doc_id AS cluster_id, TRUE AS is_canonical
     FROM documents WHERE text IS NULL OR len({_TOK}) < 3
-    """,
+    """
+
+
+@parity(
+    "llm_dedup_clusters",
+    sql=_CLUSTERS_ORACLE_SQL,
     doc="Near-dup clustering: connected components (alternating "
     "large-star/small-star, Kiveris et al. 2014 — O(log² n) rounds "
     "guaranteed, O(log n) observed) over the exact-Jaccard pair graph "
@@ -1883,6 +1891,27 @@ def llm_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     return dedup.dedup_clusters(docs, pairs)
+
+
+@parity(
+    "llm_dedup_clusters_edges",
+    sql=_CLUSTERS_ORACLE_SQL,
+    doc="The 100 TB shape of llm_dedup_clusters (r11): CC over the "
+    "connectivity-equivalent edge frame (dedup.ngram_jaccard_edges — "
+    "rep–member stars + rep-level threshold pairs) instead of the full "
+    "pair contract, whose C(m,2)-per-dup-group output is quadratic in "
+    "duplicate multiplicity (~2.5e9 rows at a 1000-replica corpus). "
+    "The star spans exactly the same components, so the output — and "
+    "the oracle — is identical to llm_dedup_clusters; edge volume "
+    "stays linear in corpus + distinct² in pair generation. Text twin "
+    "of the r10 semantic-dedup edge frame "
+    "(similarity.cosine_near_dup_edges_lsh); equivalence pinned in "
+    "tests/test_llm.py::test_ngram_edges_cluster_equivalent_to_pairs.",
+)
+def llm_dedup_clusters_edges(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_edges(docs, threshold=0.5)
+    return dedup.dedup_clusters(docs, edges)
 
 
 @parity(
