@@ -104,10 +104,9 @@ def _driver_status() -> dict[str, str]:
 # forgotten manual cleanup can't burn cap slots forever.
 _RECHECK = {
     "llm_dedup_clusters": 10,  # r10: oracle gained the identical-text collapse
-    "llm_dedup_ngram": 4,
+    # (ngram/minhash/simhash stale 4-entries removed r11 — the r11
+    # block below carries their current values)
     "llm_dedup_ngram_capped": 4,
-    "llm_dedup_minhash": 4,
-    "llm_dedup_simhash": 4,
     "llm_tokenizer_apply": 4,
     "llm_tokenizer_bpe": 4,
     # r11: the pagerank oracle's CTEs are now MATERIALIZED (DuckDB was
@@ -115,6 +114,16 @@ _RECHECK = {
     # r10 sf10 oracle-disk exclusion). Semantics-free by DuckDB
     # contract, but it IS an oracle change to a green-row query.
     "ml_pagerank": 11,
+    # r11: the exact-Jaccard truth oracles behind these four entries
+    # were rewritten with the identical-text collapse (the per-doc
+    # posting join spilled 42GB of DuckDB temp at sf10's 100x
+    # multiplicity — caught live by the r11 sweep). Row-identical by
+    # the same argument the capped/clusters collapse oracles proved,
+    # but the driver artifact must agree.
+    "llm_dedup_ngram": 11,
+    "llm_dedup_minhash": 11,
+    "llm_dedup_minhash_pr": 11,
+    "llm_dedup_simhash": 11,
     # Arrow argmin assignment replaced the expression fold (round-4 cont.)
     "llm_similarity_ivf": 4,
     "llm_similarity_pq": 4,
@@ -173,12 +182,12 @@ _RECHECK = {
     "llm_select_dsir": 4,
     # round-5 broadcast-side audit (VERDICT r4 §next-round-6): q18 now
     # broadcasts the HAVING-bounded side (never customer); q10 aggregates
-    # by custkey first and broadcasts only the 20-row top-k into customer
-    "tpch_q18": 5,
+    # by custkey first and broadcasts only the 20-row top-k into customer.
     # round-6 ADVICE fix: q10's pre-top-k guard now also requires
     # c_nationkey IN nation (dataflow change — the semi join gained a
     # nation probe), so the r5 green row proves the old guard only.
-    "tpch_q10": 6,
+    # (q18/q10 values live in the r9 usum block below — the r5/r6
+    # entries were stale duplicates, removed r11.)
     # Round-6 no-recheck rationale (deliberate, documented): (a) tpch_q18
     # only gated its broadcast(big) HINT behind SPARK_GRAFT_LOCAL_HINTS —
     # join-strategy hints are semantics-free by Spark contract, the

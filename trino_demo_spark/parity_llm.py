@@ -68,25 +68,74 @@ def llm_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+# Shared prelude for the exact-Jaccard truth oracles (r11): identical-
+# TEXT collapse — identical texts have identical distinct-shingle sets,
+# so the posting self-join runs over DISTINCT texts only; within-group
+# pairs are Jaccard exactly 1.0 (round(n/n + 1e-9, 4) = 1.0, the same
+# argument the capped oracle proved green since r4) and cross-group
+# pairs carry the rep-level value to every member combination. The
+# per-doc join these oracles used before is quadratic in duplicate
+# multiplicity: at sf10's 100-copy corpus it spilled 42GB of DuckDB
+# temp before dying (r11 sweep) — the same failure the clusters oracle
+# retired in r10. Row-identical output by construction.
+_JACCARD_COLLAPSE_PRELUDE = f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+    grp AS MATERIALIZED (
+      SELECT text, MIN(doc_id) AS rep, list_sort(list(doc_id)) AS members,
+             COUNT(*) AS m
+      FROM tok WHERE text IS NOT NULL AND len(t) >= 3
+      GROUP BY text),
+    rtok AS (SELECT rep, {_TOK} AS t FROM grp),
+    rng AS MATERIALIZED (SELECT DISTINCT rep,
+                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+           FROM rtok, UNNEST(range(1, len(t) - 1)) u(i)),
+    sizes AS MATERIALIZED (SELECT rep, COUNT(*) AS n FROM rng GROUP BY rep),
+    inter AS MATERIALIZED (SELECT a.rep AS rep_a, b.rep AS rep_b, COUNT(*) AS common
+              FROM rng a JOIN rng b ON a.g = b.g AND a.rep < b.rep
+              GROUP BY 1, 2)"""
+
+
+def _jaccard_truth_count_sql(threshold: float, select: str) -> str:
+    """Collapsed exact-Jaccard ≥ threshold PAIR COUNT: within-group
+    pairs contribute C(m,2) per identical-text group (Jaccard exactly
+    1.0 ≥ any threshold ≤ 1.0), surviving rep pairs contribute
+    |A|·|B| — counted directly from group sizes, no expansion at all."""
+    return f"""{_JACCARD_COLLAPSE_PRELUDE},
+    cp AS MATERIALIZED (SELECT rep_a, rep_b FROM inter
+           JOIN sizes sa ON sa.rep = rep_a
+           JOIN sizes sb ON sb.rep = rep_b
+           WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= {threshold}),
+    wcount AS (SELECT COALESCE(SUM(m * (m - 1) // 2), 0) AS c FROM grp),
+    xcount AS (SELECT COALESCE(SUM(ga.m * gb.m), 0) AS c
+               FROM cp JOIN grp ga ON ga.rep = rep_a
+                       JOIN grp gb ON gb.rep = rep_b)
+    SELECT CAST((SELECT c FROM wcount) + (SELECT c FROM xcount) AS BIGINT)
+             AS {select}
+    """
+
+
 @parity(
     "llm_dedup_ngram",
-    sql=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
-    ng AS (SELECT DISTINCT doc_id,
-                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
-           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-              FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT id_a, id_b, (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.1
+    sql=f"""{_JACCARD_COLLAPSE_PRELUDE},
+    mem AS MATERIALIZED (SELECT rep, UNNEST(members) AS mm FROM grp),
+    within AS (SELECT a.mm AS id_a, b.mm AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+               FROM mem a JOIN mem b ON a.rep = b.rep AND a.mm < b.mm),
+    cp AS MATERIALIZED (SELECT rep_a, rep_b,
+                  (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.rep = rep_a
+           JOIN sizes sb ON sb.rep = rep_b
+           WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.1),
+    crossx AS (SELECT LEAST(x.mm, y.mm) AS id_a, GREATEST(x.mm, y.mm) AS id_b, jaccard
+               FROM cp JOIN mem x ON x.rep = rep_a
+                       JOIN mem y ON y.rep = rep_b)
+    SELECT * FROM within UNION ALL SELECT * FROM crossx
     """,
     doc="Exact word-3-gram Jaccard near-dup pairs (inverted-index "
-    "self-join on the shingle; integer counts → bit-identical ratios).",
+    "self-join on the shingle; integer counts → bit-identical ratios). "
+    "Oracle collapsed by identical text since r11 (threshold applied "
+    "to rep pairs in their OWN CTE before member expansion — DuckDB "
+    "does not push filters below unnest).",
 )
 def llm_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
@@ -148,21 +197,9 @@ def llm_dedup_ngram_capped(spark, sf_dir):
 
 @parity(
     "llm_dedup_minhash",
-    sql=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
-    ng AS (SELECT DISTINCT doc_id,
-                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
-           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-              FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.5
-    """,
+    sql=_jaccard_truth_count_sql(
+        0.5, "n_exact_pairs, true AS recall_ok"
+    ),
     doc="MinHash(32)+LSH(8 bands) near-dup candidates. Shuffle-bounded "
     "(groupBy band hash) — the 100 TB dedup path. Candidate pairs are "
     "engine-hash-specific, so the driver surface is a verdict: the "
@@ -203,24 +240,12 @@ def llm_dedup_minhash(spark, sf_dir):
 
 @parity(
     "llm_dedup_minhash_pr",
-    sql=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
-    ng AS (SELECT DISTINCT doc_id,
-                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
-           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-              FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
-           true AS recall_ok,
-           true AS precision_exact,
-           true AS verified_nonempty
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.5
-    """,
+    sql=_jaccard_truth_count_sql(
+        0.5,
+        "n_true_pairs,\n           true AS recall_ok,\n"
+        "           true AS precision_exact,\n"
+        "           true AS verified_nonempty",
+    ),
     doc="MinHash-LSH precision/recall report vs exact n-gram Jaccard "
     "truth (VERDICT r6 §next-round-6b — the measured operating point "
     "behind the LSH S-curve claim). Truth = exact Jaccard ≥ 0.5 pairs; "
@@ -272,21 +297,9 @@ def llm_dedup_minhash_pr(spark, sf_dir):
 
 @parity(
     "llm_dedup_simhash",
-    sql=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
-    ng AS (SELECT DISTINCT doc_id,
-                  t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
-           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ng GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-              FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.9
-    """,
+    sql=_jaccard_truth_count_sql(
+        0.9, "n_exact_pairs, true AS recall_ok"
+    ),
     doc="64-bit SimHash fingerprints + banded Hamming-distance near-pairs "
     "(≤ 8 bits). Fingerprints are engine-hash-specific, so the driver "
     "surface is a verdict: the oracle-checkable exact-Jaccard ≥ 0.9 "
