@@ -107,9 +107,15 @@ def main() -> None:
         c = duckdb.connect()
         c.sql(f"SET threads={args.cpus}")
         c.sql(f"SET memory_limit='{args.duck_mem}'")
+        # PER-PROCESS temp dir (r11): DuckDB names its offload files
+        # duckdb_temp_storage-N.tmp, so two concurrent preflight chunks
+        # sharing one temp_directory silently clobber each other's
+        # spill — the r11 sf1 sweep lost llm_dedup_semantic to an
+        # "IO Error: could not read enough bytes" reading a temp block
+        # another chunk's DuckDB had truncated.
         c.sql(
             "SET temp_directory="
-            f"'{os.path.join(_ROOT, '.scratch', 'duck_tmp')}'"
+            f"'{os.path.join(_ROOT, '.scratch', 'duck_tmp', str(os.getpid()))}'"
         )
         for t in TABLES:
             c.sql(
