@@ -106,7 +106,10 @@ _RECHECK = {
     "llm_dedup_clusters": 10,  # r10: oracle gained the identical-text collapse
     # (ngram/minhash/simhash stale 4-entries removed r11 — the r11
     # block below carries their current values)
-    "llm_dedup_ngram_capped": 4,
+    # r11: capped oracle got the same collapse (text, then distinct-
+    # shingle-set regroup over the ~distinct texts) — its per-doc
+    # list-keyed GROUP BY spilled >50GB DuckDB temp at sf10.
+    "llm_dedup_ngram_capped": 11,
     "llm_tokenizer_apply": 4,
     "llm_tokenizer_bpe": 4,
     # r11: the pagerank oracle's CTEs are now MATERIALIZED (DuckDB was

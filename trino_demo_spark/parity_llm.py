@@ -146,28 +146,37 @@ def llm_dedup_ngram(spark, sf_dir):
 @parity(
     "llm_dedup_ngram_capped",
     sql=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
-    ng AS (SELECT DISTINCT doc_id,
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+    tgrp AS MATERIALIZED (
+      SELECT text, MIN(doc_id) AS trep, list_sort(list(doc_id)) AS members
+      FROM tok WHERE text IS NOT NULL AND len(t) >= 3
+      GROUP BY text),
+    rtok AS (SELECT trep, {_TOK} AS t FROM tgrp),
+    rng AS MATERIALIZED (SELECT DISTINCT trep,
                   t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
-           FROM tok, UNNEST(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
-    ds AS (SELECT doc_id, list_sort(list(g)) AS gs FROM ng GROUP BY doc_id),
-    grp AS (SELECT gs, list_sort(list(doc_id)) AS members,
-                   min(doc_id) AS rep, len(gs) AS n
-            FROM ds GROUP BY gs),
-    mem AS (SELECT rep, UNNEST(members) AS m FROM grp),
+           FROM rtok, UNNEST(range(1, len(t) - 1)) u(i)),
+    dss AS (SELECT trep, list_sort(list(g)) AS gs FROM rng GROUP BY trep),
+    sgrp AS MATERIALIZED (SELECT gs, MIN(trep) AS rep, list(trep) AS treps,
+                                 len(gs) AS n
+            FROM dss GROUP BY gs),
+    mem AS MATERIALIZED (
+      SELECT sg.rep, tm.mm AS m
+      FROM (SELECT rep, UNNEST(treps) AS trep FROM sgrp) sg
+      JOIN (SELECT trep, UNNEST(members) AS mm FROM tgrp) tm USING (trep)),
     within AS (SELECT a.m AS id_a, b.m AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
                FROM mem a JOIN mem b ON a.rep = b.rep AND a.m < b.m),
-    rg AS (SELECT rep, UNNEST(gs) AS g FROM grp),
+    rg AS (SELECT rep, UNNEST(gs) AS g FROM sgrp),
     freq AS (SELECT g, COUNT(*) AS df FROM rg GROUP BY g),
     cold AS (SELECT rg.rep, rg.g FROM rg JOIN freq USING (g) WHERE df <= 5),
-    inter AS (SELECT a.rep AS rep_a, b.rep AS rep_b, COUNT(*) AS common
+    inter AS MATERIALIZED (
+              SELECT a.rep AS rep_a, b.rep AS rep_b, COUNT(*) AS common
               FROM cold a JOIN cold b ON a.g = b.g AND a.rep < b.rep
               GROUP BY 1, 2),
-    cp AS (SELECT rep_a, rep_b,
+    cp AS MATERIALIZED (SELECT rep_a, rep_b,
                   (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) AS jaccard
            FROM inter
-           JOIN grp sa ON sa.rep = rep_a
-           JOIN grp sb ON sb.rep = rep_b
+           JOIN sgrp sa ON sa.rep = rep_a
+           JOIN sgrp sb ON sb.rep = rep_b
            WHERE (ROUND(common * 1.0 / (sa.n + sb.n - common) + 1e-9, 4) + 0.0) >= 0.1),
     crossx AS (SELECT LEAST(x.m, y.m) AS id_a, GREATEST(x.m, y.m) AS id_b, jaccard
                FROM cp JOIN mem x ON x.rep = rep_a
@@ -187,7 +196,12 @@ def llm_dedup_ngram(spark, sf_dir):
     "duplicates. The union size stays uncapped, so Jaccard only "
     "underestimates for pairs sharing nothing but boilerplate — "
     "exactly the non-near-dups. Uncapped twin (llm_dedup_ngram) "
-    "remains the exactness baseline.",
+    "remains the exactness baseline. Oracle collapsed since r11: "
+    "group by identical text first, then regroup the ~distinct texts "
+    "by identical distinct-shingle-set (the per-doc shingle expansion "
+    "+ list-keyed GROUP BY spilled >50 GB DuckDB temp at sf10); the "
+    "set-level groups preserve the identical-set 1.0 fast path and "
+    "the distinct-set df count exactly.",
 )
 def llm_dedup_ngram_capped(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_capped(
