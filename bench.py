@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from trino_demo_spark.parity import PARITY  # noqa: E402
 import trino_demo_spark.parity_llm  # noqa: E402,F401  (registers llm entries)
+import trino_demo_spark.parity_ml  # noqa: E402,F401  (registers ml entries)
 from trino_demo_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES = [
@@ -133,6 +134,18 @@ BASELINE_SEC = {
     # q21 with the real receipt>commit lateness (PERF.md r8 span rows)
     "tpch_q9_full": 2.768,
     "tpch_q21_full": 1.172,
+    # pinned round 11 (VERDICT r10 item 5): quiet-host best-of-3,
+    # canary 0.63 / scan 0.98 of their pins — fast host, conservative
+    # pins. One representative per r8–r10 heavy family so regressions
+    # there stop being invisible round-over-round.
+    "llm_tokenizer_apply": 10.956,
+    "llm_pack_sequences": 0.426,
+    "ml_als_recommend_dist": 6.19,
+    "llm_multimodal_flac": 0.785,
+    "llm_multimodal_mp4_demux": 0.475,
+    "llm_multimodal_webm_demux": 0.401,
+    "scan_warc_gz": 0.215,
+    "scan_zip_shard": 0.225,
 }
 
 # Canary pin: first clean-machine measurement (round 2, idle local[32],
