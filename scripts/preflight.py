@@ -69,6 +69,49 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+# Order-independent exact multiset fingerprint: COUNT + BIT_XOR +
+# 128-bit SUM of a per-row 64-bit hash over the name-sorted columns in
+# VARCHAR form. XOR alone is cancellable (any value appearing an even
+# number of times vanishes); the HUGEINT SUM breaks exactly that class,
+# and COUNT pins the multiset size. tests/test_fingerprint_compare.py
+# is the mutation battery proving each component is load-bearing.
+FP_SQL = (
+    "SELECT COUNT(*)::HUGEINT AS c, COALESCE(BIT_XOR(h), 0)::HUGEINT AS x,"
+    " COALESCE(SUM(h::HUGEINT), 0) AS s"
+    " FROM (SELECT hash({exprs}) AS h FROM {src})"
+)
+
+
+def fingerprint_compare(con, parquet_src: str, oracle_sql: str):
+    """Compare a parquet relation against an oracle query inside ONE
+    DuckDB connection via the exact order-independent fingerprint.
+
+    Returns (spark_triple, oracle_triple, tag) where tag is "OK(fp)" /
+    "COLS" / "VALUES". The oracle's columns are first CAST to the
+    parquet side's types (DESCRIBE-derived) so engine-specific numeric
+    widths (DuckDB HUGEINT sums vs Spark DOUBLE) render identically
+    before hashing — both renders run in the same DuckDB process, so
+    the string form is shared by construction.
+    """
+    sp_types = {
+        r[0]: r[1]
+        for r in con.sql(f"DESCRIBE SELECT * FROM {parquet_src}").fetchall()
+    }
+    or_names = [r[0] for r in con.sql(f"DESCRIBE ({oracle_sql})").fetchall()]
+    if sorted(sp_types) != sorted(or_names):
+        return None, None, "COLS"
+    cols = sorted(sp_types)
+    sp_exprs = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols)
+    or_exprs = ", ".join(
+        f'CAST(CAST("{c}" AS {sp_types[c]}) AS VARCHAR)' for c in cols
+    )
+    s_row = con.sql(FP_SQL.format(exprs=sp_exprs, src=parquet_src)).fetchone()
+    o_row = con.sql(
+        f"WITH __oracle_result AS ({oracle_sql}) "
+        + FP_SQL.format(exprs=or_exprs, src="__oracle_result")
+    ).fetchone()
+    return s_row, o_row, ("OK(fp)" if s_row == o_row else "VALUES")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -143,12 +186,6 @@ def main() -> None:
     record: dict[str, dict] = {}
     bad: list[str] = []
 
-    _FP = (
-        "SELECT COUNT(*)::HUGEINT AS c, COALESCE(BIT_XOR(h), 0)::HUGEINT AS x,"
-        " COALESCE(SUM(h::HUGEINT), 0) AS s"
-        " FROM (SELECT hash({exprs}) AS h FROM {src})"
-    )
-
     def run_fingerprint(name: str, out: dict) -> None:
         """Exact order-independent compare with zero driver collect:
         Spark result → parquet; both relations fingerprinted inside
@@ -159,41 +196,22 @@ def main() -> None:
         qs[name](spark, args.sf).write.mode("overwrite").parquet(tmp)
         try:
             src = f"read_parquet('{tmp}/*.parquet')"
-            sp_types = {
-                r[0]: r[1]
-                for r in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()
-            }
-            or_names = [
-                r[0] for r in con.sql(f"DESCRIBE ({osql[name]})").fetchall()
-            ]
             out["compare_mode"] = "fingerprint_oracle_disk"
             out["fingerprint_rule"] = fingerprint[name]
-            if sorted(sp_types) != sorted(or_names):
+            s_row, o_row, tag = fingerprint_compare(con, src, osql[name])
+            out["tag"] = tag
+            if tag == "COLS":
                 out["spark_rows"] = int(
                     con.sql(f"SELECT COUNT(*) FROM {src}").fetchone()[0]
                 )
-                out["ok"], out["tag"] = False, "COLS"
+                out["ok"] = False
                 return
-            cols = sorted(sp_types)
-            sp_exprs = ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols)
-            # align the oracle's types to the parquet side's before the
-            # shared render (e.g. DuckDB integer-SUM HUGEINT vs Spark's
-            # DOUBLE — value-preserving, render-normalizing)
-            or_exprs = ", ".join(
-                f'CAST(CAST("{c}" AS {sp_types[c]}) AS VARCHAR)' for c in cols
-            )
-            s_row = con.sql(_FP.format(exprs=sp_exprs, src=src)).fetchone()
-            o_row = con.sql(
-                f"WITH __oracle_result AS ({osql[name]}) "
-                + _FP.format(exprs=or_exprs, src="__oracle_result")
-            ).fetchone()
             out["spark_rows"] = int(s_row[0])
             out["fingerprint"] = {
                 "spark": [str(v) for v in s_row],
                 "oracle": [str(v) for v in o_row],
             }
             out["ok"] = s_row == o_row
-            out["tag"] = "OK(fp)" if out["ok"] else "VALUES"
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
