@@ -334,7 +334,13 @@ _RECHECK = {
 # reject-paths on inputs that previously hung or raised the wrong
 # type; any input that previously PARSED takes a byte-identical path
 # (pytest-gated: tests/test_hostile_parsers.py, 34 cases incl. one
-# deliberate stall mutant per parser family).
+# deliberate stall mutant per parser family). The follow-up review
+# pass tightened the numeral grammars (netpbm tokens must be ASCII
+# digits — Python int() also took '+12'/'1_2'; tar octal fields must
+# be strict octal digits — int(x, 8) also took '0o10'/'_'/'+'; netpbm
+# magic must be whitespace/comment-delimited, so 'P6123' no longer
+# parses as P6 + width 123): same reject-path-only class, every
+# well-formed input byte-identical, pinned in the same battery.
 
 # Round-10 no-recheck rationale (deliberate, documented): the ADVICE r9
 # hardening of llm/warc.py (Content-Length now rejects negative/

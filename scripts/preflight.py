@@ -156,10 +156,17 @@ def main() -> None:
         # spill — the r11 sf1 sweep lost llm_dedup_semantic to an
         # "IO Error: could not read enough bytes" reading a temp block
         # another chunk's DuckDB had truncated.
-        c.sql(
-            "SET temp_directory="
-            f"'{os.path.join(_ROOT, '.scratch', 'duck_tmp', str(os.getpid()))}'"
+        tmp_dir = os.path.join(
+            _ROOT, ".scratch", "duck_tmp", str(os.getpid())
         )
+        c.sql(f"SET temp_directory='{tmp_dir}'")
+        # DuckDB removes its temp FILES but not the per-PID dir; an
+        # OOM-killed chunk leaves even the files. Sweep both at exit
+        # (atexit also fires on sys.exit from the bad-query path).
+        import atexit
+        import shutil as _shutil
+
+        atexit.register(_shutil.rmtree, tmp_dir, ignore_errors=True)
         for t in TABLES:
             c.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM "
@@ -193,8 +200,11 @@ def main() -> None:
         import shutil
 
         tmp = os.path.join(_ROOT, ".scratch", "fp_tmp", name)
-        qs[name](spark, args.sf).write.mode("overwrite").parquet(tmp)
         try:
+            # inside the try: a failed/killed write must still sweep
+            # its partial output (it would otherwise sit on disk until
+            # a rerun overwrites it)
+            qs[name](spark, args.sf).write.mode("overwrite").parquet(tmp)
             src = f"read_parquet('{tmp}/*.parquet')"
             out["compare_mode"] = "fingerprint_oracle_disk"
             out["fingerprint_rule"] = fingerprint[name]
@@ -216,7 +226,17 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
     def run_one(name: str, out: dict) -> None:
-        if name in fingerprint and name in osql:
+        if name in fingerprint:
+            # A fingerprint-routed entry with no oracle is an operator
+            # error (typo, or a rows_only entry listed by mistake) —
+            # fail loudly rather than silently falling back to the
+            # full toPandas collect the fingerprint mode exists to
+            # avoid (at sf10 that fallback IS the 60M-row harness OOM).
+            if name not in osql:
+                raise ValueError(
+                    f"--fingerprint-file lists {name!r} but it has no "
+                    "oracle_sql() entry"
+                )
             run_fingerprint(name, out)
             return
         spdf = qs[name](spark, args.sf).toPandas()

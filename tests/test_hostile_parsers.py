@@ -305,6 +305,37 @@ def test_stall_mutant_tar_negative_size():
     assert isinstance(out.get("exc"), NotImplementedError)
 
 
+def test_stall_mutant_tar_python_int_leniencies():
+    """Python's int(x, 8) accepts '0o' prefixes, '+' signs, and '_'
+    separators, none of which is a tar numeral — a lenient parse reads
+    the WRONG size and walks the archive misaligned (r11 review pass:
+    strict octal-digit grammar)."""
+    for size_field, label in [
+        (b"0o000000010", "0o-prefix"),
+        (b"+0000000010", "plus-sign"),
+        (b"00000_00010", "underscore"),
+    ]:
+        payload = _tar_header(b"evil", size_field) + b"\x00" * 1024
+        out = _assert_terminates(_wds.tar_members, payload, f"tar {label}")
+        assert isinstance(out.get("exc"), NotImplementedError), label
+
+
+def test_netpbm_python_int_leniencies_and_run_on_magic():
+    """int() accepts '+12' and '1_2'; netpbm numerals are ASCII digits
+    only. And the magic token must be exactly two bytes ('P6123 ...'
+    is an invalid magic, not P6 with width 123)."""
+    for header, label in [
+        (b"P6\n+2 1\n255\n" + bytes(6), "plus-sign width"),
+        (b"P6\n1_2 1\n255\n" + bytes(36), "underscore width"),
+        (b"P6123 45 255 " + bytes(64), "run-on magic"),
+    ]:
+        out = _assert_terminates(_mm.decode_image, header, f"netpbm {label}")
+        assert isinstance(out.get("exc"), NotImplementedError), label
+    # the well-formed twin still parses (reject-path-only guarantee)
+    ok = _mm.decode_image(b"P6\n2 1\n255\n" + bytes(6))
+    assert ok["width"] == 2 and ok["height"] == 1
+
+
 def test_stall_mutant_warc_negative_content_length():
     """REGRESSION (r10 ADVICE): a negative Content-Length sliced a
     negative body and moved the parse position backwards — the

@@ -396,6 +396,13 @@ def _parse_netpbm(payload: bytes, pos: int = 0) -> "tuple[dict, int]":
         raise NotImplementedError(
             "only binary PPM/PGM decodable without imaging libraries"
         )
+    # the magic TOKEN must be exactly two bytes: 'P6123 ...' has magic
+    # token 'P6123' (invalid), not 'P6' + width '123'
+    nxt = payload[pos + 2 : pos + 3]
+    if nxt and not (nxt.isspace() or nxt == b"#"):
+        raise NotImplementedError(
+            f"invalid netpbm magic token starting {payload[pos:pos + 3]!r}"
+        )
     tokens: list[int] = []
     pos += 2
     while len(tokens) < 3:
@@ -413,18 +420,17 @@ def _parse_netpbm(payload: bytes, pos: int = 0) -> "tuple[dict, int]":
             end = pos
             while end < len(payload) and not payload[end : end + 1].isspace():
                 end += 1
-            # untrusted header: a non-numeric or negative token is the
-            # declared contract, never a raw ValueError or a negative
-            # raster size (r11 anti-hang/contract pass)
-            try:
-                tok = int(payload[pos:end])
-            except ValueError:
+            # untrusted header: a non-numeric token is the declared
+            # contract, never a raw ValueError or a mis-sized raster
+            # (r11 anti-hang/contract pass). Strict ASCII-digit check —
+            # Python's int() also accepts '+12' and '1_2', neither of
+            # which is a netpbm numeral.
+            raw = payload[pos:end]
+            if not raw.isdigit():
                 raise NotImplementedError(
-                    f"non-numeric netpbm header token {payload[pos:end]!r}"
-                ) from None
-            if tok < 0:
-                raise NotImplementedError(f"negative netpbm header token {tok}")
-            tokens.append(tok)
+                    f"non-numeric netpbm header token {raw!r}"
+                )
+            tokens.append(int(raw))
             pos = end
     width, height, maxval = tokens
     if maxval > 255:

@@ -85,29 +85,28 @@ def tar_members(payload: bytes) -> "list[dict]":
             if payload[pos + _BLOCK : pos + 2 * _BLOCK] != b"\x00" * _BLOCK:
                 raise NotImplementedError("tar missing second zero block")
             break
-        # Untrusted shard input: the octal fields must parse AND be
-        # non-negative. Python's int(x, 8) accepts a minus sign, and a
-        # crafted size of -0o1000 (= -512) makes `pos` advance by
-        # exactly zero — an infinite loop (found by the r11 anti-hang
-        # property pass; same class as the r10 WARC negative
-        # Content-Length hang). Non-octal bytes must surface as the
-        # declared contract, not a raw ValueError.
-        try:
-            stored = int(header[148:156].split(b"\x00")[0].strip() or b"0", 8)
-        except ValueError:
-            raise NotImplementedError("non-octal tar checksum field") from None
+        # Untrusted shard input: the octal fields must be STRICT octal
+        # digits. Python's int(x, 8) also accepts a minus sign (a
+        # crafted size of -0o1000 = -512 makes `pos` advance by exactly
+        # zero — an infinite loop, found by the r11 anti-hang property
+        # pass; same class as the r10 WARC negative Content-Length
+        # hang), plus '+', '0o' prefixes, and '_' separators — none of
+        # which is a tar numeral. Strict digits also make a negative
+        # value unrepresentable.
+        def _octal(raw: bytes, what: str) -> int:
+            tok = raw.split(b"\x00")[0].strip() or b"0"
+            if not all(0x30 <= b <= 0x37 for b in tok):
+                raise NotImplementedError(f"non-octal tar {what} field")
+            return int(tok, 8)
+
+        stored = _octal(header[148:156], "checksum")
         blanked = header[:148] + b" " * 8 + header[156:]
         if sum(blanked) != stored:
             raise NotImplementedError("tar header checksum mismatch")
         if header[257:262] != b"ustar":
             raise NotImplementedError("not a ustar header")
         name = header[0:100].split(b"\x00")[0].decode()
-        try:
-            size = int(header[124:136].split(b"\x00")[0].strip(), 8)
-        except ValueError:
-            raise NotImplementedError("non-octal tar size field") from None
-        if size < 0:
-            raise NotImplementedError(f"negative tar member size {size}")
+        size = _octal(header[124:136], "size")
         body_start = pos + _BLOCK
         if body_start + size > n:
             raise NotImplementedError("truncated tar: body past EOF")
