@@ -341,6 +341,12 @@ _RECHECK = {
 # magic must be whitespace/comment-delimited, so 'P6123' no longer
 # parses as P6 + width 123): same reject-path-only class, every
 # well-formed input byte-identical, pinned in the same battery.
+# (f) iterutil.materialize now takes RELIABLE checkpoint() when the
+# SparkContext has a checkpoint dir set (localCheckpoint blocks are
+# block-manager state; an evicted round-N block killed ml_pagerank at
+# sf100-equivalent twice). No driver/test/preflight session sets one,
+# so the shipped default path is byte-identical; the reliable branch
+# is pytest-gated (tests/test_iterutil.py) and sf100-proven.
 
 # Round-10 no-recheck rationale (deliberate, documented): the ADVICE r9
 # hardening of llm/warc.py (Content-Length now rejects negative/

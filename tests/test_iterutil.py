@@ -1,0 +1,58 @@
+"""materialize() contract: lineage truncation must survive BOTH
+checkpoint modes, and the reliable mode must engage exactly when a
+checkpoint directory is set on the context (the cluster-mode contract —
+localCheckpoint blocks are block-manager state, and an evicted round-N
+block kills round N+1 of any iterative operator; seen live with
+ml_pagerank at sf100-equivalent under a constrained JVM)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from trino_demo_spark.iterutil import materialize
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_materialize_local_mode_default(spark, tmp_path):
+    # precondition: suite session has no checkpoint dir
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    df = spark.range(1000).select("id", (F.col("id") * 3).alias("v"))
+    m = materialize(df)
+    assert m.count() == 1000
+    assert m.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    # lineage truncated: the optimized plan is a bare scan-of-RDD, no
+    # Range/Project ancestry
+    assert "LogicalRDD" in _plan(m) or "Scan ExistingRDD" in _plan(m)
+
+
+def test_materialize_reliable_when_checkpoint_dir_set(spark, tmp_path):
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = spark.range(500).select("id", (F.col("id") % 7).alias("k"))
+        m = materialize(df)
+        assert m.count() == 500
+        # reliable checkpoint writes files under the dir (localCheckpoint
+        # writes nothing there)
+        ckpt_root = tmp_path / "ckpt"
+        files = [p for p in ckpt_root.rglob("*") if p.is_file()]
+        assert files, "reliable checkpoint must persist files on disk"
+        # correctness preserved through the truncation
+        assert (
+            m.groupBy("k").count().orderBy("k").collect()
+            == df.groupBy("k").count().orderBy("k").collect()
+        )
+    finally:
+        # un-set for the rest of the shared session (Spark has no unset
+        # API; empty string is rejected, so re-pointing at a throwaway
+        # subdir keeps later tests on the reliable path harmless — but
+        # the suite contract is no checkpoint dir, so restore via the
+        # underlying conf knob)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+        assert not sc._jsc.sc().getCheckpointDir().isDefined()

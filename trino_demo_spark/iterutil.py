@@ -39,10 +39,23 @@ def materialize(df: DataFrame) -> DataFrame:
     """Materialize ``df`` with lineage truncated AND estimated stats
     reset to the actual cached size (see module docstring). Returns the
     checkpointed frame; the temporary cache is unpersisted before
-    returning, so no storage is pinned beyond the checkpoint blocks."""
+    returning, so no storage is pinned beyond the checkpoint blocks.
+
+    If the SparkContext has a checkpoint directory set, the truncation
+    uses RELIABLE ``checkpoint`` instead of ``localCheckpoint``:
+    localCheckpoint blocks live in the block manager, so under memory
+    pressure an evicted/cleaned block from round N kills round N+1 with
+    "Block rdd_X_Y does not exist" (observed live: ml_pagerank at
+    sf100-equivalent, 600M-row edges on a 40g local JVM). Reliable
+    checkpoint files survive eviction and executor loss — setting
+    ``sc.setCheckpointDir`` is the cluster-mode contract anyway; this
+    just makes every iterative operator honor it automatically."""
     df.persist()
     try:
         df.count()
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
     finally:
         df.unpersist()
