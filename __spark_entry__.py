@@ -115,8 +115,15 @@ _RECHECK = {
     # r11: the pagerank oracle's CTEs are now MATERIALIZED (DuckDB was
     # re-evaluating the 60M-row DISTINCT per unrolled iteration — the
     # r10 sf10 oracle-disk exclusion). Semantics-free by DuckDB
-    # contract, but it IS an oracle change to a green-row query.
+    # contract, but it IS an oracle change to a green-row query. Late
+    # r11: the ENGINE also changed (pre-partitioned edge frame for
+    # exchange-free iterations) — re-proven green at sf0.01/sf1/sf10
+    # in-session, but the driver artifact must agree.
     "ml_pagerank": 11,
+    # late r11: ALS ratings materialized as two co-partitioned copies
+    # (the MLlib in/out-block discipline) — engine change to a
+    # green-row entry; re-proven at sf0.01/sf1/sf10 in-session.
+    "ml_als_recommend_dist": 11,
     # r11: the exact-Jaccard truth oracles behind these four entries
     # were rewritten with the identical-text collapse (the per-doc
     # posting join spilled 42GB of DuckDB temp at sf10's 100x

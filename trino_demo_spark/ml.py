@@ -492,8 +492,22 @@ def als_fit_distributed(
     # parallel: q2 seeded from a per-item hash (no global row_number
     # funnel — a real catalog's item frame must not serialize through
     # one window task just to pick starting values)
+    # Materialize the ratings ONCE as two co-partitioned copies — the
+    # same discipline as pagerank's pre-partitioned edge list, doubled
+    # because ALS alternates join keys (this is what MLlib's ALS
+    # in/out-block structure does). Without it, every half-step (a) re-
+    # executes the caller's upstream ratings derivation and (b)
+    # reshuffles the full ratings frame on item or user; with it,
+    # checkpoint preserves each copy's outputPartitioning, so every
+    # half-step join exchanges only the node-sized FACTOR frame and the
+    # per-iteration shuffle cost is bounded by users+items, not
+    # ratings. Storage trade: 2× the ratings in checkpoint blocks —
+    # the standard ALS trade at any scale.
+    base = ratings.select(user_col, item_col, rating_col)
+    by_item = materialize(base.repartition(F.col(item_col)))
+    by_user = materialize(by_item.repartition(F.col(user_col)))
     items = (
-        ratings.select(item_col)
+        by_item.select(item_col)
         .distinct()
         .select(
             item_col,
@@ -509,13 +523,13 @@ def als_fit_distributed(
     item_f = materialize(items)
     users = None
     for _ in range(iters):
-        ju = ratings.join(item_f, item_col)
+        ju = by_item.join(item_f, item_col)
         users = materialize(
             solve(ju, user_col, "q1", "q2").select(
                 user_col, F.col("x1").alias("u1"), F.col("x2").alias("u2")
             )
         )
-        ji = ratings.join(users, user_col)
+        ji = by_user.join(users, user_col)
         item_f = materialize(
             solve(ji, item_col, "u1", "u2").select(
                 item_col, F.col("x1").alias("q1"), F.col("x2").alias("q2")
@@ -524,7 +538,7 @@ def als_fit_distributed(
     # final user half-step: returned user factors are the ridge solution
     # AGAINST the returned item factors (mutually consistent)
     users = materialize(
-        solve(ratings.join(item_f, item_col), user_col, "q1", "q2").select(
+        solve(by_item.join(item_f, item_col), user_col, "q1", "q2").select(
             user_col, F.col("x1").alias("u1"), F.col("x2").alias("u2")
         )
     )
