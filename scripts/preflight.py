@@ -156,17 +156,32 @@ def main() -> None:
         # spill — the r11 sf1 sweep lost llm_dedup_semantic to an
         # "IO Error: could not read enough bytes" reading a temp block
         # another chunk's DuckDB had truncated.
-        tmp_dir = os.path.join(
-            _ROOT, ".scratch", "duck_tmp", str(os.getpid())
-        )
+        duck_root = os.path.join(_ROOT, ".scratch", "duck_tmp")
+        tmp_dir = os.path.join(duck_root, str(os.getpid()))
         c.sql(f"SET temp_directory='{tmp_dir}'")
         # DuckDB removes its temp FILES but not the per-PID dir; an
-        # OOM-killed chunk leaves even the files. Sweep both at exit
-        # (atexit also fires on sys.exit from the bad-query path).
+        # OOM-killed or os._exit-aborted chunk leaves even the files
+        # (atexit never fires on SIGKILL or os._exit — exactly the
+        # exits with the largest spill). Two-layer cleanup: atexit for
+        # the clean-exit case, plus a STARTUP sweep of sibling dirs
+        # whose owning PID is no longer alive (covers every crash
+        # class, and concurrent live chunks are left untouched).
         import atexit
         import shutil as _shutil
 
         atexit.register(_shutil.rmtree, tmp_dir, ignore_errors=True)
+        if os.path.isdir(duck_root):
+            for entry in os.listdir(duck_root):
+                if not entry.isdigit() or entry == str(os.getpid()):
+                    continue
+                try:
+                    os.kill(int(entry), 0)
+                except ProcessLookupError:
+                    _shutil.rmtree(
+                        os.path.join(duck_root, entry), ignore_errors=True
+                    )
+                except PermissionError:
+                    pass  # alive, different user — leave it
         for t in TABLES:
             c.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM "

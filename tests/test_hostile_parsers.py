@@ -305,6 +305,20 @@ def test_stall_mutant_tar_negative_size():
     assert isinstance(out.get("exc"), NotImplementedError)
 
 
+def test_tar_blank_size_field_still_rejects():
+    """REGRESSION (r11 review pass): unifying the octal parsers briefly
+    gave the SIZE field the checksum's blank-means-zero tolerance, so a
+    blank/NUL size header parsed as a 0-byte member instead of the
+    declared reject — a silent reject→accept widening on hostile input.
+    Both blank forms must stay NotImplementedError."""
+    for size_field, label in [(b"", "NUL"), (b"        ", "spaces")]:
+        payload = _tar_header(b"evil", size_field) + b"\x00" * 1024
+        out = _assert_terminates(
+            _wds.tar_members, payload, f"tar blank size ({label})"
+        )
+        assert isinstance(out.get("exc"), NotImplementedError), label
+
+
 def test_stall_mutant_tar_python_int_leniencies():
     """Python's int(x, 8) accepts '0o' prefixes, '+' signs, and '_'
     separators, none of which is a tar numeral — a lenient parse reads

@@ -49,12 +49,21 @@ def materialize(df: DataFrame) -> DataFrame:
     sf100-equivalent, 600M-row edges on a 40g local JVM). Reliable
     checkpoint files survive eviction and executor loss — setting
     ``sc.setCheckpointDir`` is the cluster-mode contract anyway; this
-    just makes every iterative operator honor it automatically."""
+    just makes every iterative operator honor it automatically.
+
+    IMPORTANT companion conf: Spark never deletes reliable checkpoint
+    files unless ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is true (default FALSE), so a per-round materialize would otherwise
+    accumulate one frame-sized directory per iteration for the life of
+    the application — the same disk-exhaustion failure mode the
+    reliable branch exists to fix, moved into the checkpoint store.
+    ``session.get_spark`` sets it; any hand-built session that calls
+    ``setCheckpointDir`` must set it too (as must any cluster deploy
+    that doesn't snapshot checkpoints deliberately)."""
     df.persist()
     try:
         df.count()
-        sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isDefined():
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
     finally:

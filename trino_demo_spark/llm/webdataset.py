@@ -42,6 +42,25 @@ def _octal(v: int, width: int) -> bytes:
     return f"{v:0{width - 1}o}".encode() + b"\x00"
 
 
+def _parse_octal(raw: bytes, what: str, blank_is_zero: bool = False) -> int:
+    """STRICT tar numeral parse. Python's int(x, 8) also accepts a
+    minus sign (a crafted -0o1000 size advanced the walk by exactly
+    zero — an infinite loop, r11 anti-hang pass), '+', '0o' prefixes,
+    and '_' separators — none of which is a tar numeral; strict octal
+    digits also make negative values unrepresentable. A blank field is
+    only legal where historical tar writers emit one (checksum-style
+    fields, opt-in) — a blank SIZE field stays the declared reject, as
+    it always was."""
+    tok = raw.split(b"\x00")[0].strip()
+    if not tok:
+        if blank_is_zero:
+            return 0
+        raise NotImplementedError(f"blank tar {what} field")
+    if not all(0x30 <= b <= 0x37 for b in tok):
+        raise NotImplementedError(f"non-octal tar {what} field")
+    return int(tok, 8)
+
+
 def encode_tar(members: "list[tuple[str, bytes]]") -> bytes:
     """Serialize (name, body) members into a POSIX ustar archive."""
     out = bytearray()
@@ -85,28 +104,17 @@ def tar_members(payload: bytes) -> "list[dict]":
             if payload[pos + _BLOCK : pos + 2 * _BLOCK] != b"\x00" * _BLOCK:
                 raise NotImplementedError("tar missing second zero block")
             break
-        # Untrusted shard input: the octal fields must be STRICT octal
-        # digits. Python's int(x, 8) also accepts a minus sign (a
-        # crafted size of -0o1000 = -512 makes `pos` advance by exactly
-        # zero — an infinite loop, found by the r11 anti-hang property
-        # pass; same class as the r10 WARC negative Content-Length
-        # hang), plus '+', '0o' prefixes, and '_' separators — none of
-        # which is a tar numeral. Strict digits also make a negative
-        # value unrepresentable.
-        def _octal(raw: bytes, what: str) -> int:
-            tok = raw.split(b"\x00")[0].strip() or b"0"
-            if not all(0x30 <= b <= 0x37 for b in tok):
-                raise NotImplementedError(f"non-octal tar {what} field")
-            return int(tok, 8)
-
-        stored = _octal(header[148:156], "checksum")
+        # Untrusted shard input: strict octal grammar (see _parse_octal).
+        # checksum keeps its historical blank-means-zero tolerance; a
+        # blank SIZE field stays the declared reject it always was.
+        stored = _parse_octal(header[148:156], "checksum", blank_is_zero=True)
         blanked = header[:148] + b" " * 8 + header[156:]
         if sum(blanked) != stored:
             raise NotImplementedError("tar header checksum mismatch")
         if header[257:262] != b"ustar":
             raise NotImplementedError("not a ustar header")
         name = header[0:100].split(b"\x00")[0].decode()
-        size = _octal(header[124:136], "size")
+        size = _parse_octal(header[124:136], "size")
         body_start = pos + _BLOCK
         if body_start + size > n:
             raise NotImplementedError("truncated tar: body past EOF")

@@ -175,6 +175,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # iterutil.materialize takes reliable checkpoint() when a
+        # checkpoint dir is set; without this conf Spark NEVER deletes
+        # those files (default false), so per-round materialize would
+        # accumulate one frame-sized dir per iteration forever. No-op
+        # when no checkpoint dir is set. Static conf: applies when this
+        # call launches the JVM.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
