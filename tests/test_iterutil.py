@@ -28,6 +28,35 @@ def test_materialize_local_mode_default(spark, tmp_path):
     assert "LogicalRDD" in _plan(m) or "Scan ExistingRDD" in _plan(m)
 
 
+def test_materialize_stats_reset_iterated_self_join(spark):
+    """r11: materialize no longer runs a separate count() — the eager
+    checkpoint's pass populates the persisted cache before the stats
+    snapshot. This pins the property the count() existed for: iterated
+    self-joins through materialize must NOT compound estimated stats
+    (Catalyst's size-only join estimate is the BigInt product of its
+    children; un-reset, the digit count doubles per round and planning
+    time blows up by round ~20). Assert the actual snapshot is sane:
+    after many rounds the checkpointed frame's estimated size stays
+    within a constant factor of its true cached size instead of
+    growing as product^rounds."""
+    df = spark.range(500).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    for _ in range(8):
+        j = (
+            df.alias("a")
+            .join(df.alias("b"), F.col("a.v") == F.col("b.u"))
+            .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        )
+        df = materialize(j)
+    # py4j converts the scala BigInt's underlying value to a Python int
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # two longs x <=500 rows: true size is a few KB. The un-reset
+    # product after 8 rounds would exceed 2^(8 bits-per-round growth)
+    # ~ 1e40; one loose order-of-magnitude bound suffices.
+    assert 0 < size < 10_000_000, size
+
+
 def test_materialize_reliable_when_checkpoint_dir_set(spark, tmp_path):
     sc = spark.sparkContext
     assert sc.getCheckpointDir() is None

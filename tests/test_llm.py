@@ -1605,6 +1605,62 @@ def test_bpe_matches_reference(spark, docs):
     assert all(r.merged == r.left + r.right for r in tbl)
 
 
+def test_bpe_seg_replace_matches_fold(spark):
+    """r11 optimization round: the shipped segmentation is the
+    padded-string replace chain (bpe.seg_col); _merge_fold is kept as
+    the reference carry-fold. The two must agree symbol-for-symbol on
+    an adversarial vocabulary — overlapping merge sites ('aaaa' under
+    (a,a) then (aa,aa)), merges whose product feeds a later merge,
+    quote/backslash symbols (no SQL splicing in the replace path), and
+    single-symbol words."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from trino_demo_spark.llm import bpe
+
+    random.seed(11)
+    alphabet = ["a", "b", "c", "'", "\\", "%", "_"]
+    words = {"a", "aa", "aaa", "aaaa", "aaaaa", "ab", "ba", "\\'", "'\\"}
+    while len(words) < 400:
+        words.add(
+            "".join(
+                random.choice(alphabet)
+                for _ in range(random.randint(1, 12))
+            )
+        )
+    df = spark.createDataFrame([(w,) for w in sorted(words)], "w STRING")
+    merges = [
+        ("a", "a"),
+        ("b", "c"),
+        ("aa", "b"),
+        ("aa", "aa"),
+        ("\\", "'"),
+        ("bc", "c"),
+        ("aab", "a"),
+    ]
+    fold = df.withColumn("syms", F.expr("transform(split(w,''), c -> c)"))
+    for x, y in merges:
+        fold = fold.withColumn("syms", bpe._merge_fold(x, y))
+    rep = df.select(
+        "w", bpe.seg_syms(bpe.seg_col(F.col("w"), merges)).alias("syms2")
+    )
+    joined = fold.join(rep, "w").select("w", "syms", "syms2").collect()
+    assert len(joined) == len(words)
+    for r in joined:
+        assert list(r.syms) == list(r.syms2), (r.w, r.syms, r.syms2)
+        # and the count shortcut agrees with the array length
+    n = df.select(
+        F.sum(
+            (
+                bpe.seg_n_subtokens(bpe.seg_col(F.col("w"), merges))
+                != F.size(bpe.seg_syms(bpe.seg_col(F.col("w"), merges)))
+            ).cast("int")
+        )
+    ).first()[0]
+    assert n == 0
+
+
 def test_pagerank_matches_numpy(spark):
     """Distributed power iteration must match a dense numpy PageRank on
     the same graph (same damping, dangling redistribution) to float

@@ -18,11 +18,14 @@ Two separate traps hit any loop of the form ``df = f(df)``:
    reset below vs 14 s at round 22 / 219 s at round 24 without — pure
    driver CPU in ``SizeInBytesOnlyStatsPlanVisitor.visitJoin``).
 
-``materialize`` breaks both: persisting and counting first makes the
-optimized plan an ``InMemoryRelation`` whose stats are the ACTUAL
-cached byte size, so the subsequent ``localCheckpoint`` snapshots
-small, true stats instead of the compounded product; the checkpoint
-then truncates lineage as usual and the temporary cache is dropped.
+``materialize`` breaks both: persisting first makes the optimized
+plan an ``InMemoryRelation``, and the eager checkpoint's materializing
+pass populates that cache before ``LogicalRDD.fromDataset`` snapshots
+stats — so the snapshot sees the ACTUAL cached byte size, not the
+compounded product; the checkpoint then truncates lineage as usual
+and the temporary cache is dropped. (One action total — the explicit
+``count()`` this used to run first was a second full read of the
+frame; see the function docstring.)
 
 At real cluster scale the same discipline applies — swap
 ``localCheckpoint`` for reliable ``checkpoint`` (executor loss safety);
@@ -59,10 +62,22 @@ def materialize(df: DataFrame) -> DataFrame:
     reliable branch exists to fix, moved into the checkpoint store.
     ``session.get_spark`` sets it; any hand-built session that calls
     ``setCheckpointDir`` must set it too (as must any cluster deploy
-    that doesn't snapshot checkpoints deliberately)."""
+    that doesn't snapshot checkpoints deliberately).
+
+    r11 optimization round: no separate ``count()`` job. The eager
+    checkpoint's own materializing pass runs THROUGH the persisted
+    plan, populating the cache as a side effect, and
+    ``LogicalRDD.fromDataset`` snapshots statistics AFTER that pass —
+    at which point the InMemoryRelation reports its ACTUAL cached
+    size, which is all the count() ever existed to force. One action
+    per materialize instead of two, at every scale (the count was a
+    second full read of the cached frame). Pinned by
+    tests/test_iterutil.py::test_materialize_stats_reset_iterated_self_join —
+    the iterated-self-join stats blowup the count used to prevent
+    stays prevented (measured: 26 rounds flat; the no-persist control
+    exceeds the round budget by round ~20)."""
     df.persist()
     try:
-        df.count()
         if df.sparkSession.sparkContext.getCheckpointDir() is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)

@@ -53,7 +53,19 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _merge_fold(x: str, y: str):
     """Left-to-right non-overlapping merge of adjacent (x, y) in the
-    symbol array — a sequential fold with a one-symbol carry."""
+    symbol array — a sequential fold with a one-symbol carry.
+
+    REFERENCE implementation (r11 optimization round): the shipped
+    segmentation path is the padded-string replace form below
+    (seg_init/seg_merge) — byte-identical output, pinned by
+    tests/test_llm.py::test_bpe_seg_replace_matches_fold — because a
+    chain of n_merges interpreted ``aggregate()`` HOFs (each element
+    allocating a named_struct and copying the accumulator array)
+    dominated the tokenizer entries' wall clock: the analyzer/
+    optimizer walks a 6-deep nested fold tree per reference and the
+    interpreter pays per-element struct+copy costs, measured 13.9 s
+    for ONE vocabulary pass at sf0.1 vs ~0.1 s for the replace chain
+    (OPTIMIZATION_r11.md). Kept for the differential test only."""
     # Escape backslashes BEFORE quotes: a corpus symbol ending in '\'
     # would otherwise escape the closing quote of the SQL literal.
     xq = x.replace("\\", "\\\\").replace("'", "\\'")
@@ -69,6 +81,61 @@ def _merge_fold(x: str, y: str):
         "acc -> CASE WHEN acc.pend IS NULL THEN acc.out "
         "       ELSE concat(acc.out, array(acc.pend)) END)"
     )
+
+
+def seg_init(w_col) -> "F.Column":
+    """Padded-string form of a word's initial symbol array: every
+    symbol wrapped in single spaces, symbols separated by TWO spaces —
+    ``'abc'`` → ``' a  b  c '``. Words are ``\\s+``-split tokens, so no
+    symbol ever contains whitespace and the space framing is
+    collision-free. The two-space separation is what makes one merge
+    pass a plain ``replace``: consecutive merge sites never share a
+    separator character, so left-to-right non-overlapping string
+    replacement visits exactly the sites the reference carry-fold
+    visits (see _merge_fold docstring; equivalence pinned in
+    tests/test_llm.py::test_bpe_seg_replace_matches_fold)."""
+    return F.concat(
+        F.lit(" "), F.array_join(F.split(w_col, ""), "  "), F.lit(" ")
+    )
+
+
+def seg_merge(s_col, x: str, y: str) -> "F.Column":
+    """One BPE merge (x, y) on the padded-string form: Spark's
+    ``replace`` scans left-to-right and resumes AFTER each replacement
+    (UTF8String semantics, verified ``replace('aaa','aa','b') = 'ba'``),
+    which is exactly reference BPE's greedy non-overlapping merge.
+    Literal columns, not SQL splicing — symbols with quotes or
+    backslashes need no escaping."""
+    return F.replace(
+        s_col, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")
+    )
+
+
+def seg_col(w_col, merges: list[tuple[str, str]]) -> "F.Column":
+    """Full segmentation of a word column: seg_init then every merge in
+    rank order. Pure codegen string work, one shallow call per merge."""
+    s = seg_init(w_col)
+    for x, y in merges:
+        s = seg_merge(s, x, y)
+    return s
+
+
+def seg_n_subtokens(s_col) -> "F.Column":
+    """Symbol count of a padded-string segmentation: the framing puts
+    exactly 2·n spaces in a n-symbol string (one on each side of every
+    symbol), so n = (chars − non-space chars) / 2 — two length() calls,
+    no array materialization."""
+    spaces = F.length(s_col) - F.length(
+        F.replace(s_col, F.lit(" "), F.lit(""))
+    )
+    return (spaces / 2).cast("int")
+
+
+def seg_syms(s_col) -> "F.Column":
+    """Recover the symbol ARRAY from the padded-string form (for pair
+    counting in the train loop): trim the outer frame, split on the
+    two-space separator."""
+    return F.split(F.trim(s_col), "  ")
 
 
 def bpe_train(
@@ -87,42 +154,61 @@ def bpe_train_words(
     """Merge loop over an explicit (w, freq) vocabulary frame — the
     train step proper, split out so callers can train on a capped or
     re-weighted vocabulary (e.g. the parity surface's deterministic
-    top-N sub-vocabulary that an in-process reference BPE re-derives)."""
-    words = words.withColumn(
-        "syms", F.expr("transform(split(w, ''), c -> c)")
-    )
+    top-N sub-vocabulary that an in-process reference BPE re-derives).
+
+    r11 optimization-round shape: ONE Spark job per merge round. The
+    per-round argmax job both counts pairs and (via the cache manager)
+    materializes the current round's persisted segmentation as a side
+    effect, so the old explicit ``count()`` barrier per round is gone —
+    the previous round's cache is dropped one round LATE (after its
+    successor is known to be populated) instead of eagerly. Merge
+    application is the padded-string ``replace`` (seg_merge), not the
+    interpreted carry-fold: same output (pinned by the differential
+    test), codegen string work instead of per-element struct
+    allocation. Measured sf0.1: 6 rounds 5.8 s → see
+    OPTIMIZATION_r11.md."""
+    words = words.select("w", "freq", seg_init(F.col("w")).alias("s"))
     # distinct-word frame is vocabulary-sized: cache it and iterate on it
-    words = words.select("w", "freq", "syms").persist()
-    words.count()
+    cur = words.persist()
+    prev = None
     merges: list[tuple[str, str, int]] = []
-    cur = words
-    for _ in range(n_merges):
-        pairs = cur.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(syms, 1, size(syms) - 1), "
-                    "slice(syms, 2, size(syms) - 1), "
-                    "(a, b) -> named_struct('x', a, 'y', b))"
+    try:
+        for _ in range(n_merges):
+            pairs = cur.select(
+                "freq", seg_syms(F.col("s")).alias("syms")
+            ).select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1), "
+                        "slice(syms, 2, size(syms) - 1), "
+                        "(a, b) -> named_struct('x', a, 'y', b))"
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(
+                    F.col("cnt").desc(), F.col("p.x").asc(), F.col("p.y").asc()
                 )
-            ).alias("p"),
-        )
-        top = (
-            pairs.groupBy("p")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("p.x").asc(), F.col("p.y").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        x, y, cnt = top[0]["p"]["x"], top[0]["p"]["y"], int(top[0]["cnt"])
-        merges.append((x, y, cnt))
-        nxt = cur.withColumn("syms", _merge_fold(x, y)).persist()
-        nxt.count()
+                .limit(1)
+                .collect()
+            )
+            # that collect materialized cur's cache; the parent round's
+            # cache can go now
+            if prev is not None:
+                prev.unpersist()
+            prev = cur
+            if not top:
+                break
+            x, y, cnt = top[0]["p"]["x"], top[0]["p"]["y"], int(top[0]["cnt"])
+            merges.append((x, y, cnt))
+            cur = cur.withColumn("s", seg_merge(F.col("s"), x, y)).persist()
+    finally:
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
-        cur = nxt
-    cur.unpersist()
     return merges
 
 
@@ -177,23 +263,24 @@ def bpe_apply(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Apply a learned merge list to the corpus: every word becomes its
-    BPE segmentation (the same greedy left-to-right fold as training,
-    chained once per merge in rank order — pure codegen, no UDF), and
-    per-document token statistics come out of one aggregate. This is
-    the train→apply handoff of a real tokenizer: merges are a tiny
+    BPE segmentation (the same greedy left-to-right merge semantics as
+    training, one padded-string ``replace`` per merge in rank order —
+    pure codegen, no UDF; see seg_init/seg_merge), and per-document
+    token statistics come out of one aggregate. This is the
+    train→apply handoff of a real tokenizer: merges are a tiny
     driver-side list compiled INTO the expression tree, so application
     is embarrassingly parallel at any corpus size.
 
-    The fold chain runs over the DISTINCT-word frame, not per word
+    The segmentation runs over the DISTINCT-word frame, not per word
     instance — the same Heaps'-law collapse the training loop already
-    exploits: the chained merge folds are interpreted HOFs (the
-    dominant cost; n_merges sequential passes over each symbol array),
-    so segmenting each distinct word once and joining the subtoken
-    count back to the (doc, word, count) frame cuts the fold work from
-    corpus-sized to vocabulary-sized (sf1-equivalent: 97s → the join
-    plus a vocabulary-sized fold pass). The join key is the word; the
-    segmented vocabulary is small next to the corpus, so AQE broadcasts
-    it when it fits and shuffle-joins otherwise."""
+    exploits: segmenting each distinct word once and joining the
+    subtoken count back to the (doc, word, count) frame cuts the
+    per-word work from corpus-sized to vocabulary-sized
+    (sf1-equivalent: 97s → the join plus a vocabulary-sized pass,
+    measured on the pre-r11 fold form; the r11 replace form removes
+    the interpreted-HOF constant on top). The join key is the word;
+    the segmented vocabulary is small next to the corpus, so AQE
+    broadcasts it when it fits and shuffle-joins otherwise."""
     wc = (
         df.select(
             F.col(id_col),
@@ -205,14 +292,14 @@ def bpe_apply(
         .groupBy(id_col, "w")
         .agg(F.count("*").alias("cnt"))
     )
-    vocab = (
+    seg = (
         wc.select("w")
         .distinct()
-        .withColumn("syms", F.expr("transform(split(w, ''), c -> c)"))
+        .select(
+            "w",
+            seg_n_subtokens(seg_col(F.col("w"), merges)).alias("n_subtokens"),
+        )
     )
-    for x, y in merges:
-        vocab = vocab.withColumn("syms", _merge_fold(x, y))
-    seg = vocab.select("w", F.size("syms").alias("n_subtokens"))
     return (
         wc.join(seg, "w")
         .groupBy(id_col)

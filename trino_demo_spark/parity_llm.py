@@ -3081,18 +3081,24 @@ def llm_sample_weighted(spark, sf_dir):
     "itself stays cross-checked in tests/test_llm.py.",
 )
 def llm_tokenizer_bpe(spark, sf_dir):
+    from .iterutil import materialize
     from .llm import bpe
 
     docs = _t(spark, sf_dir, "documents")
     n_req = 8
-    merges = bpe.bpe_train(docs, n_merges=n_req)
+    # r11 optimization round: the corpus word-frequency aggregate is
+    # computed ONCE and shared between the full train and the top-200
+    # sub-vocabulary (it used to run twice — once inside bpe_train,
+    # once for the reference cross-check). Output identical: bpe_train
+    # IS bpe_train_words(word_freqs(docs)).
+    wf = materialize(bpe.word_freqs(docs))
+    merges = bpe.bpe_train_words(wf, n_merges=n_req)
     counts = [c for _, _, c in merges]
     nonincreasing = all(a >= b for a, b in zip(counts, counts[1:]))
     # Deterministic capped sub-vocabulary: distributed trainer vs the
     # pure-Python reference on the identical 200 (word, freq) pairs.
     top = (
-        bpe.word_freqs(docs)
-        .orderBy(F.col("freq").desc(), F.col("w").asc())
+        wf.orderBy(F.col("freq").desc(), F.col("w").asc())
         .limit(200)
     )
     top_rows = top.collect()
@@ -3140,35 +3146,68 @@ def llm_tokenizer_bpe(spark, sf_dir):
     "vs a pure-Python reference apply stays in tests/test_llm.py.",
 )
 def llm_tokenizer_apply(spark, sf_dir):
+    # r11 optimization-round restructure (output byte-identical; see
+    # OPTIMIZATION_r11.md): the entry used to make FOUR independent
+    # passes over the exploded corpus — word_freqs inside bpe_train,
+    # bpe_apply's (doc, word, count) aggregate, the roundtrip
+    # vocabulary, and the per-doc char bound — and segmented the
+    # vocabulary twice through the interpreted fold chain. Now ONE
+    # exploded-corpus aggregate is materialized (raw-cased so the char
+    # bound keeps its original length(raw w) semantics) and everything
+    # derives from it: train frequencies = sum(cnt) per lower(w)
+    # (identical to word_freqs by associativity of count), the
+    # segmentation+roundtrip share a single padded-string pass
+    # (bpe.seg_col — codegen replace chain, not the fold), and the
+    # char bound is sum(cnt·length(w)). materialize (not a leaked
+    # persist) keeps each bench sample recomputing from parquet.
+    from .iterutil import materialize
     from .llm import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = [(x, y) for x, y, _ in bpe.bpe_train(docs, n_merges=6)]
-    per_doc = bpe.bpe_apply(docs, merges)
-    # Lossless-roundtrip over the whole vocabulary: rebuild the symbol
-    # arrays through the same merge folds and demand concat == word.
-    vocab = (
-        docs.select(F.explode(bpe.tokens_col("text")).alias("w"))
+    wc_raw = materialize(
+        docs.select("doc_id", F.explode(bpe.tokens_col("text")).alias("w"))
+        # empty tokens are not words (see bpe.word_freqs)
         .filter(F.col("w") != "")
-        .select(F.lower("w").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wf = (
+        wc_raw.select(F.lower("w").alias("w"), "cnt")
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    merges = [(x, y) for x, y, _ in bpe.bpe_train_words(wf, n_merges=6)]
+    # One vocabulary pass serves BOTH the subtoken counts and the
+    # lossless-roundtrip invariant: stripping the padding spaces from
+    # the segmented string must give back the word (≡ concat(syms)).
+    seg = (
+        wc_raw.select(F.lower("w").alias("w"))
         .distinct()
-        .withColumn("syms", F.expr("transform(split(w, ''), c -> c)"))
-    )
-    for x, y in merges:
-        vocab = vocab.withColumn("syms", bpe._merge_fold(x, y))
-    rt = vocab.agg(
-        F.coalesce(
-            F.every(F.concat_ws("", F.col("syms")) == F.col("w")), F.lit(True)
-        ).alias("ok")
-    )
-    chars = (
-        docs.select(
-            "doc_id",
-            F.explode(bpe.tokens_col("text")).alias("w"),
+        .select("w", bpe.seg_col(F.col("w"), merges).alias("s"))
+        .select(
+            "w",
+            bpe.seg_n_subtokens(F.col("s")).alias("n_subtokens"),
+            (
+                F.replace(F.col("s"), F.lit(" "), F.lit("")) == F.col("w")
+            ).alias("rt_ok"),
         )
-        .filter(F.col("w") != "")
+    )
+    rt = seg.agg(
+        F.coalesce(F.every(F.col("rt_ok")), F.lit(True)).alias("ok")
+    )
+    per_doc = (
+        wc_raw.select("doc_id", F.lower("w").alias("w"), "cnt")
+        .join(seg.select("w", "n_subtokens"), "w")
         .groupBy("doc_id")
-        .agg(F.sum(F.length("w")).cast("long").alias("n_word_chars"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_subtokens"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+    chars = wc_raw.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_word_chars")
     )
     return (
         per_doc.join(chars, "doc_id")
