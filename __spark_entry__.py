@@ -110,8 +110,19 @@ _RECHECK = {
     # shingle-set regroup over the ~distinct texts) — its per-doc
     # list-keyed GROUP BY spilled >50GB DuckDB temp at sf10.
     "llm_dedup_ngram_capped": 11,
-    "llm_tokenizer_apply": 4,
-    "llm_tokenizer_bpe": 4,
+    # r11 OPTIMIZATION round: both tokenizer entries were restructured
+    # (BPE segmentation as padded-string replace chain, single
+    # exploded-corpus aggregate in _apply, shared word_freqs in _bpe) —
+    # result-identical by the fold↔replace differential test + sf0.01/
+    # sf1 preflight, but the driver artifact must agree (supersedes
+    # their round-4 Arrow-argmin recheck values).
+    "llm_tokenizer_apply": 11,
+    "llm_tokenizer_bpe": 11,
+    # r11 OPTIMIZATION round: the 50-doc FLAC corpus is now round-robin
+    # spread before the codec mapInPandas (one scan task serialized the
+    # pure-Python encode on one core) — plan change to a green-row
+    # entry; re-proven at sf0.01 in-session.
+    "llm_multimodal_flac": 11,
     # r11: the pagerank oracle's CTEs are now MATERIALIZED (DuckDB was
     # re-evaluating the 60M-row DISTINCT per unrolled iteration — the
     # r10 sf10 oracle-disk exclusion). Semantics-free by DuckDB
@@ -317,6 +328,19 @@ _RECHECK = {
     # artifact must agree.
     "llm_pack_sequences": 10,
 }
+
+# Round-11 OPTIMIZATION-round no-recheck rationale (deliberate,
+# documented): iterutil.materialize no longer runs a separate count()
+# before the eager checkpoint — action-scheduling only (the checkpoint
+# pass populates the persisted cache and the stats snapshot reads it
+# after), the constructed per-round dataflow of every caller (CC loop,
+# pagerank, ALS, pack/corpus materializations) is unchanged and the
+# stats-reset property is pytest-gated
+# (tests/test_iterutil.py::test_materialize_stats_reset_iterated_self_join);
+# all materialize-consuming entries re-proven green at sf0.01 (8/8) and
+# the touched family at sf1 (6/6) in-session. Entries whose PLAN did
+# change this round (tokenizer pair, flac spread, ALS round-boundary
+# fusion) are queued in _RECHECK above instead.
 
 # Round-11 no-recheck rationale (deliberate, documented — all four
 # ADVICE r10 fixes are unreachable-branch-only on driver corpora):

@@ -520,14 +520,27 @@ def als_fit_distributed(
             ).alias("q2"),
         )
     )
-    item_f = materialize(items)
+    # r11 optimization round: ONE materialization per iteration, at the
+    # item_f round boundary (the checkpointInterval discipline of
+    # MLlib's ALS). The user half-step frame has exactly ONE consumer —
+    # the item solve of the same iteration — so checkpointing it bought
+    # nothing: no branch to protect from re-execution, and its lineage
+    # (two joins + two aggregates against already-checkpointed frames
+    # with real stats) is depth-bounded, so the compounding-estimate
+    # trap (iterutil docstring) never engages. Same for the init item
+    # frame (single consumer: iteration 1). Dataflow and results are
+    # unchanged — both half-steps just execute inside one action.
+    # Measured sf0.1 interleaved A/B (the entry wall carries ±25%
+    # session noise, so single-sample comparisons mislead — see
+    # OPTIMIZATION_r11.md): fused 5.05/4.20s vs per-half-step
+    # 6.62/5.65s; at scale it deletes 6 cache-write+read cycles of the
+    # factor frames per fit.
+    item_f = items
     users = None
     for _ in range(iters):
         ju = by_item.join(item_f, item_col)
-        users = materialize(
-            solve(ju, user_col, "q1", "q2").select(
-                user_col, F.col("x1").alias("u1"), F.col("x2").alias("u2")
-            )
+        users = solve(ju, user_col, "q1", "q2").select(
+            user_col, F.col("x1").alias("u1"), F.col("x2").alias("u2")
         )
         ji = by_user.join(users, user_col)
         item_f = materialize(

@@ -1010,7 +1010,17 @@ def llm_multimodal_g711(spark, sf_dir):
 )
 def llm_multimodal_flac(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return multimodal.flac_roundtrip_features(docs)
+    # r11 optimization round: the 50-doc bounded corpus lands in ONE
+    # parquet scan task, serializing the pure-Python FLAC encode+decode
+    # on a single core while the rest idle (guide §2.6). Round-robin
+    # spread (<= 50 one-long rows after pruning — constant at any
+    # corpus scale) parallelizes the mapInPandas work; results
+    # unchanged. Interleaved A/B at sf0.1: plain 1.26/0.92s vs spread
+    # 0.85/0.90s. The same spread was tried and REJECTED for the
+    # mp4/webm demux twins — their box-walk kernels are cheap enough
+    # that the extra exchange costs more than it buys (0.52-0.59s
+    # plain vs 0.70-0.72s spread).
+    return multimodal.flac_roundtrip_features(docs.repartition(50))
 
 
 @parity(
