@@ -92,6 +92,34 @@ def ngram_shingles(
     return out.distinct() if distinct else out
 
 
+def doc_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-doc DISTINCT shingle set, built MAP-SIDE (r11 optimization
+    round): ``array_sort(array_distinct(ngrams))`` as a per-row
+    expression replaces the explode + groupBy(id) + collect_set
+    formulation — the sets are identical (collect_set over a doc's
+    exploded grams IS the per-row distinct; the sort fixes the
+    nondeterministic set order), but the corpus-wide shuffle of
+    EXPLODED (id, gram) rows — the widest frame in the exact-Jaccard
+    op — is gone outright (guide §2.4). Docs with no shingles (fewer
+    than n tokens, or NULL text) produce no row, exactly as explode
+    dropped them. The leading repartition buys parallelism on
+    few-split inputs and moves raw doc rows, not grams — the same
+    documented trade as minhash_signatures' map-side path."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("t")
+    )
+    sets = toks.select(
+        "id",
+        F.array_sort(F.array_distinct(ngrams_over_tokens("t", n))).alias(
+            "gs"
+        ),
+    )
+    return sets.filter(F.size("gs") > 0)
+
+
 def collapse_identical(df: DataFrame, key_col: str, id_col: str):
     """Identical-key collapse shared by the exact/capped Jaccard and the
     sign-LSH near-dup paths: group ids whose `key_col` value (shingle
@@ -385,8 +413,18 @@ def minhash_verified_pairs(
     cand = minhash_lsh_pairs(
         df, id_col, text_col, n, num_perm, bands, candidate_threshold
     ).select("id_a", "id_b")
+    # r11 optimization round: the pre-aggregation .distinct() was
+    # redundant — collect_set dedups per doc anyway — so the
+    # verification sets now cost ONE exploded-gram shuffle, not two
+    # (identical sets; order is irrelevant to array_intersect/size).
+    # The fully map-side form (doc_shingle_sets + a repartition(id)
+    # barrier, as in the posting-list path) was tried and REJECTED
+    # here: sets feeds BOTH sides of the candidate join, and the
+    # barrier shuffle + double probe measured 1.9-2.0s vs 1.6-1.75s
+    # for this form at sf0.1 — the groupBy's exchange doubles as the
+    # branch-dedup point for free (ReusedExchange).
     sets = (
-        ngram_shingles(df, id_col, text_col, n)
+        ngram_shingles(df, id_col, text_col, n, distinct=False)
         .groupBy("id")
         .agg(F.collect_set("g").alias("gs"))
     )
@@ -524,11 +562,9 @@ def _jaccard_posting_lists(
     after the optional hot-shingle df cap. Shared by the pair ops and
     the candidate-count diagnostic so the cap they measure is the cap
     that runs."""
-    # distinct=False: collect_set dedups per doc anyway, so a pre-pass
-    # .distinct() would shuffle the full exploded (id, g) frame — the
-    # widest frame in the whole op — once more for nothing.
-    sh = ngram_shingles(df, id_col, text_col, n, distinct=False)
-    doc_sets = sh.groupBy("id").agg(F.array_sort(F.collect_set("g")).alias("gs"))
+    # r11 optimization round: per-doc sets assembled map-side — no
+    # exploded-gram shuffle at all (see doc_shingle_sets).
+    doc_sets = doc_shingle_sets(df, id_col, text_col, n)
     groups, mem = collapse_identical(doc_sets, "gs", "id")
     rsh = explode_col(groups.select("rep", "gs"), "gs", "g", "rep")
     if df_max is not None:
