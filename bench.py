@@ -293,6 +293,15 @@ def main() -> None:
         fn = overrides.get(name) or PARITY[name].fn
 
         def sample() -> float:
+            # Measurement hygiene (r12, VERDICT r11 item 2): Spark's
+            # CacheManager matches analyzed plans, so a lazy .cache()
+            # leaked by sample 1 (collapse_identical's groups frame)
+            # could serve sample 2 of the same query warm — min(samples)
+            # then kept the warm reading. Clear it so EVERY sample
+            # computes from the parquet inputs. Outside the timed
+            # region; entries whose reading shifted >10% were re-pinned
+            # (see OPTIMIZATION_r12.md, old pins kept in the comments).
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
@@ -325,6 +334,50 @@ def main() -> None:
         print(f"bench: {name} {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+
+    # Opt-in core-scaling subset (r12, VERDICT r11 item 3): at sf0.1 the
+    # bench is latency/fixed-overhead-bound — the r11 driver measured
+    # 8-core total 45.45s vs 32-core 45.16s — so the driver's low-core
+    # ratio cannot distinguish a serial implementation from a small
+    # workload. When $SPARK_GRAFT_SCALE_DIR points at a larger
+    # (sf1-shaped) data directory, the heaviest entries run against it
+    # too and are reported as ADDITIONAL "scale1_<name>" queries:
+    # additions only (the primary pinned set above is untouched and
+    # `value` stays the primary-set total), no pins (excluded from the
+    # ratio), best-of-2 with the same spread hatch, and off by default
+    # so the one-line-JSON / $SPARK_GRAFT_CPUS / $SPARK_GRAFT_SF_DIR
+    # contract is byte-identical when the flag is absent. Demonstrated
+    # scaling ratios (32 vs 8 cores, sf1): see OPTIMIZATION_r12.md.
+    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR")
+    if scale_dir and os.path.isdir(scale_dir):
+        scaling_subset = [
+            "llm_dedup_semantic_lsh",
+            "llm_dedup_clusters",
+            "ml_als_recommend_dist",
+            "llm_tokenizer_apply",
+            "llm_gopher_repetition",
+        ]
+        for name in scaling_subset:
+            print(f"bench: scale1_{name} ...", file=sys.stderr, flush=True)
+            fn = overrides.get(name) or PARITY[name].fn
+
+            def scale_sample() -> float:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, scale_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                return time.perf_counter() - t0
+
+            s_samples = [scale_sample(), scale_sample()]
+            if max(s_samples) > 1.4 * min(s_samples):
+                s_samples.append(scale_sample())
+            timings[f"scale1_{name}"] = round(min(s_samples), 3)
+            print(
+                f"bench: scale1_{name} {timings[f'scale1_{name}']}s",
+                file=sys.stderr,
+                flush=True,
+            )
     # Fail-soft ratio vs the pinned baseline (only meaningful at the
     # pinned SF/config, sf0.1 on local[32]; reported regardless so any
     # config can eyeball drift). Ratio covers the pinned subset only.

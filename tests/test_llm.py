@@ -1605,6 +1605,28 @@ def test_bpe_matches_reference(spark, docs):
     assert all(r.merged == r.left + r.right for r in tbl)
 
 
+def test_bpe_train_crosses_lineage_truncation_boundary(spark):
+    """r12 (ADVICE r11 bpe.py item): bpe_train_words truncates lineage
+    via iterutil.materialize every 32 merge rounds. Train PAST that
+    boundary on a vocabulary rich enough to sustain 40 merges and pin
+    the merge sequence against the pure-Python reference — the
+    truncation must be invisible to the learned merges (and to the
+    persisted-frame bookkeeping around it)."""
+    from trino_demo_spark.llm import bpe
+
+    words = [
+        "abracadabra", "alakazam", "hocuspocus", "presto", "shazam",
+        "mississippi", "tennessee", "alabama", "okefenokee", "chattanooga",
+        "bookkeeper", "committee", "millennium", "possession", "aggressive",
+    ]
+    wf = {w: i + 1 for i, w in enumerate(words)}
+    df = spark.createDataFrame(sorted(wf.items()), "w string, freq long")
+    merges = bpe.bpe_train_words(df, n_merges=40)
+    ref = bpe.bpe_reference(wf, 40)
+    assert len(merges) == len(ref) >= 36
+    assert [(x, y) for x, y, _ in merges] == ref
+
+
 def test_bpe_seg_replace_matches_fold(spark):
     """r11 optimization round: the shipped segmentation is the
     padded-string replace chain (bpe.seg_col); _merge_fold is kept as
@@ -2149,6 +2171,56 @@ def test_dedup_clusters_long_chain_converges(spark):
     out = dedup.dedup_clusters(ids, chain, max_iters=10).collect()
     assert all(r.cluster_id == 0 for r in out)
     assert sum(r.is_canonical for r in out) == 1
+
+
+def test_spread_few_splits_conditional(spark):
+    """r12 (VERDICT r11 item 5): the parallelism repartition in
+    doc_shingle_sets / minhash_signatures must fire ONLY when the input
+    has fewer partitions than defaultParallelism — on an already-ample
+    input the full-corpus round-robin shuffle bought nothing at scale.
+    Also pins result identity across both branches."""
+    par = spark.sparkContext.defaultParallelism
+    few = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(20)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    spread = dedup._spread_few_splits(few)
+    assert spread.rdd.getNumPartitions() == par
+    assert "Exchange" in spread._jdf.queryExecution().executedPlan().toString()
+
+    ample = few.repartition(par + 4)
+    kept = dedup._spread_few_splits(ample)
+    assert kept.rdd.getNumPartitions() == par + 4
+    assert kept is ample  # no extra Exchange appended
+
+    a = sorted(map(tuple, dedup.doc_shingle_sets(few, "doc_id", "text", 3).collect()))
+    b = sorted(map(tuple, dedup.doc_shingle_sets(ample, "doc_id", "text", 3).collect()))
+    assert a == b and len(a) == 20
+
+
+def test_observed_fingerprint_matches_agg(spark):
+    """r12 regression pin for the CC-loop convergence fusion: the
+    observed (in-action) fingerprint _observe_fingerprint collects
+    during iterutil.materialize's eager checkpoint must equal the
+    reference _edge_fingerprint aggregate on the same frame — count AND
+    xor-of-xxhash64 — including on an EMPTY edge frame (bit_xor over
+    zero rows is NULL; both paths must coalesce it to 0). If a Spark
+    upgrade stops eager checkpoints firing observed metrics, the getter
+    would block — pytest-level hang — or convergence would break; this
+    test is the early tripwire."""
+    from trino_demo_spark.iterutil import materialize
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (1, 2)], "u long, v long"
+    ).distinct()
+    observed, get = dedup._observe_fingerprint(e)
+    ck = materialize(observed)
+    assert get() == dedup._edge_fingerprint(ck)
+
+    empty = spark.createDataFrame([], "u long, v long")
+    observed0, get0 = dedup._observe_fingerprint(empty)
+    ck0 = materialize(observed0)
+    assert get0() == dedup._edge_fingerprint(ck0) == (0, 0)
 
 
 def test_capped_jaccard_keeps_exact_dup_clusters(spark):

@@ -204,7 +204,20 @@ def bpe_train_words(
                 break
             x, y, cnt = top[0]["p"]["x"], top[0]["p"]["y"], int(top[0]["cnt"])
             merges.append((x, y, cnt))
-            cur = cur.withColumn("s", seg_merge(F.col("s"), x, y)).persist()
+            cur = cur.withColumn("s", seg_merge(F.col("s"), x, y))
+            # ADVICE r11 (bpe.py:198): the plan chains one seg_merge
+            # deeper per round over the persisted parent, so a cache
+            # eviction at round N recomputes back to the corpus and
+            # analyzer cost grows linearly per round (quadratic overall)
+            # for large n_merges. Truncate lineage periodically — the
+            # checkpointInterval discipline ml.py cites — cheap (one
+            # extra pass every 32 rounds), a no-op at the n_merges≤8 the
+            # entries use, and it bounds recompute depth to 32 rounds.
+            if len(merges) % 32 == 0:
+                from ..iterutil import materialize
+
+                cur = materialize(cur)
+            cur = cur.persist()
     finally:
         if prev is not None:
             prev.unpersist()

@@ -92,6 +92,19 @@ def ngram_shingles(
     return out.distinct() if distinct else out
 
 
+def _spread_few_splits(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism ONLY when the input
+    plan would otherwise under-parallelize (fewer partitions than
+    cores) — r12, VERDICT r11 item 5: the unconditional form forced a
+    full raw-corpus shuffle even at cluster scale where the scan
+    already has ample splits, buying nothing. Probing via
+    ``df.rdd.getNumPartitions()`` plans the query but runs no job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def doc_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
@@ -104,11 +117,18 @@ def doc_shingle_sets(
     EXPLODED (id, gram) rows — the widest frame in the exact-Jaccard
     op — is gone outright (guide §2.4). Docs with no shingles (fewer
     than n tokens, or NULL text) produce no row, exactly as explode
-    dropped them. The leading repartition buys parallelism on
+    dropped them. The conditional repartition buys parallelism on
     few-split inputs and moves raw doc rows, not grams — the same
-    documented trade as minhash_signatures' map-side path."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(par).select(
+    documented trade as minhash_signatures' map-side path.
+
+    PRECONDITION (ADVICE r11): ``id_col`` must be unique per row. The
+    old explode+groupBy(id) formulation merged shingles ACROSS rows
+    sharing an id (and across NULL ids); the map-side form yields one
+    set-row per INPUT ROW. Every caller here passes a key column
+    (doc_id / vec_id of a corpus table), where the two are identical;
+    a caller with duplicate ids would silently diverge from the
+    grouped semantics."""
+    toks = _spread_few_splits(df).select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("t")
     )
     sets = toks.select(
@@ -245,12 +265,13 @@ def minhash_signatures(
        signature expression and recompute it num_perm times. After the
        exchange the signature exprs reference a materialized attribute.
 
-    The first repartition buys parallelism on few-split inputs; both
-    exchanges move raw doc rows / 2×num-shingle longs — far less than the
-    shingle explosion a groupBy plan would shuffle. Docs shorter than n
-    tokens get NULL signatures (empty shingle array)."""
+    The first (conditional — r12, only on few-split inputs) repartition
+    buys parallelism; both exchanges move raw doc rows / 2×num-shingle
+    longs — far less than the shingle explosion a groupBy plan would
+    shuffle. Docs shorter than n tokens get NULL signatures (empty
+    shingle array)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(par).select(
+    toks = _spread_few_splits(df).select(
         F.col(id_col).alias("id"), tokens_col(text_col).alias("t")
     )
     grams = toks.select("id", ngrams_over_tokens("t", n).alias("gs"))
@@ -690,7 +711,9 @@ def ngram_jaccard_edges(
 def _edge_fingerprint(df: DataFrame) -> tuple:
     """Order-insensitive (count, xor-of-xxhash64) fingerprint of a
     (u, v) edge frame — one map-side-combined aggregate, 1 row to the
-    driver."""
+    driver. Kept as the reference implementation for the observed
+    (in-action) fingerprint below, pinned equal by
+    tests/test_llm.py::test_observed_fingerprint_matches_agg."""
     row = df.agg(
         F.count("*").alias("n"),
         F.coalesce(
@@ -698,6 +721,31 @@ def _edge_fingerprint(df: DataFrame) -> tuple:
         ).alias("h"),
     ).collect()[0]
     return (row["n"], row["h"])
+
+
+def _observe_fingerprint(df: DataFrame):
+    """Attach the edge fingerprint as OBSERVED METRICS (r12 optimization
+    round): `Dataset.observe` computes the same (count, xor-of-hash)
+    aggregate as `_edge_fingerprint` via accumulators DURING whatever
+    action next executes `df` — here the eager checkpoint inside
+    iterutil.materialize — so the CC loop's convergence check costs no
+    separate job and, at scale, no second full read of the just-
+    checkpointed edge frame per round. Returns (df_with_metrics, getter);
+    call the getter AFTER the materializing action."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    )
+
+    def get() -> tuple:
+        got = obs.get
+        return (got["n"], got["h"])
+
+    return out, get
 
 
 def dedup_clusters(
@@ -746,6 +794,7 @@ def dedup_clusters(
         )
         .distinct()
     )
+    e, fp_get = _observe_fingerprint(e)
     e = materialize(e)
     converged = False
     fp_prev = None
@@ -760,6 +809,14 @@ def dedup_clusters(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # NO .distinct() on ls (r12): every consumer is duplicate-
+        # insensitive — mins2 is a min-aggregate, and ss ends in its own
+        # .distinct() — so deduping here bought one full (u,v) exchange
+        # per round for nothing. No growth risk either: ls has at most
+        # one row per sym edge, i.e. |ls| ≤ 2|e| BEFORE any dedup, so
+        # the carried multiset is bounded by the round input. The edge
+        # SET trajectory (and hence the fingerprint/convergence
+        # behavior) is unchanged — e itself is always a distinct set.
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
@@ -768,7 +825,6 @@ def dedup_clusters(
             .select(
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
-            .distinct()
         )
         # ls feeds TWO subtrees inside this round (the mins2 aggregate
         # and the ss join) — persist() makes the large-star pass
@@ -797,6 +853,7 @@ def dedup_clusters(
             )
             .distinct()
         )
+        ss, ss_fp_get = _observe_fingerprint(ss)
         ss = materialize(ss)
         ls.unpersist()
         # Convergence = edge set unchanged. Both passes are monotone
@@ -805,12 +862,16 @@ def dedup_clusters(
         # order-insensitive fingerprint — (count, xor of per-edge
         # hashes) — suffices: a false stop would need two DIFFERENT
         # consecutive edge sets with equal count AND colliding 64-bit
-        # xor (~2⁻⁶⁴). The fingerprint is ONE map-side-combined
-        # aggregate (vs exceptAll's full shuffle twice), and the
-        # previous round's value is carried over instead of recomputed.
+        # xor (~2⁻⁶⁴). r12: the fingerprint rides the checkpoint action
+        # as observed metrics (accumulator-merged during the
+        # materializing pass — see _observe_fingerprint), so each round
+        # runs exactly ONE job and the previous round's value is
+        # carried over instead of recomputed; before, the separate
+        # fingerprint aggregate re-read the full checkpointed edge
+        # frame every round.
         if fp_prev is None:
-            fp_prev = _edge_fingerprint(e)
-        fp_new = _edge_fingerprint(ss)
+            fp_prev = fp_get()
+        fp_new = ss_fp_get()
         e = ss
         if fp_new == fp_prev:
             converged = True

@@ -540,11 +540,19 @@ def _lsh_collapse_rep_pairs(
     num_planes: int,
     bands: int,
     round_to: int,
+    dedup_pairs: bool = True,
 ):
     """Shared sign-LSH core: identical-vector collapse, banded bucket
     self-join over the DISTINCT reps, exact-cosine re-check. Returns
     (mem, rep_pairs) where mem is the narrow (rep, mid) member frame
-    and rep_pairs is (rep_a, rep_b, sim) above the threshold."""
+    and rep_pairs is (rep_a, rep_b, sim) above the threshold.
+
+    dedup_pairs=False (r12) skips the final .distinct() — a rep pair
+    colliding in k>1 bands is emitted k≤bands times — for consumers
+    that dedup downstream anyway (the edges→dedup_clusters path, whose
+    edge frame goes straight into a distinct): the pair contract keeps
+    the dedup, the connectivity contract drops one full exchange of
+    the threshold-surviving pairs."""
     from .dedup import collapse_identical
 
     planes = _hyperplanes(dim, num_planes)
@@ -595,8 +603,9 @@ def _lsh_collapse_rep_pairs(
         )
         .select(F.col("a.id").alias("rep_a"), F.col("b.id").alias("rep_b"), sim)
         .filter(F.col("sim") >= threshold)
-        .distinct()
     )
+    if dedup_pairs:
+        rep_pairs = rep_pairs.distinct()
     return mem, rep_pairs
 
 
@@ -625,7 +634,11 @@ def cosine_near_dup_edges_lsh(
     semantic-dedup composition linear in corpus size + distinct² in
     pair generation — the 100 TB shape."""
     mem, rep_pairs = _lsh_collapse_rep_pairs(
-        df, threshold, id_col, vec_col, dim, num_planes, bands, round_to
+        df, threshold, id_col, vec_col, dim, num_planes, bands, round_to,
+        # connectivity consumer: dedup_clusters' edge normalization ends
+        # in .distinct(), so pre-deduping here would exchange the same
+        # (small, threshold-surviving) pair frame twice (r12)
+        dedup_pairs=False,
     )
     stars = (
         mem.filter(F.col("mid") != F.col("rep"))
