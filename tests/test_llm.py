@@ -1325,6 +1325,34 @@ def test_gopher_ngram_repetition_hand_computed(spark):
     assert r5.gopher_pass is False
 
 
+def test_gopher_arrow_matches_fold(spark, docs):
+    """r12: the shipped gopher_ngram_repetition (mapInArrow counting
+    kernel) must be ROW-IDENTICAL to the retained JVM sorted-run fold
+    reference on (a) the docs fixture and (b) an adversarial frame —
+    count ties resolved by gram order, grams made of empty tokens,
+    single-token and empty-after-trim texts, unicode tokens, and a doc
+    whose top gram differs between n=2/3/4."""
+    from trino_demo_spark.llm import text as t
+
+    adv = spark.createDataFrame(
+        [
+            (1, "b a b a b a"),            # tie "a b"(2) vs "b a"(3)
+            (2, "z z z z z z"),            # degenerate: one gram repeated
+            (3, "  x   y  "),              # multi-space runs collapse
+            (4, "único café único café único"),  # unicode + tie-break
+            (5, "q w e r t y u i o p a s d f"),  # all-distinct, count-1 ties
+            (6, ""),                        # trim -> [''] single empty token
+            (7, "one two"),                 # bigram only, no 3/4/5-grams
+            (8, "a a b b a a b b a a b b a a"),  # period-4 heavy repetition
+        ],
+        "doc_id long, text string",
+    )
+    for frame in (docs, adv):
+        a = sorted(map(tuple, t.gopher_ngram_repetition(frame).collect()))
+        b = sorted(map(tuple, t.gopher_ngram_repetition_fold(frame).collect()))
+        assert a == b and len(a) > 0
+
+
 def test_gopher_quality_hand_computed(spark):
     """Non-repetition Gopher quality rules on hand-computable docs:
     a passing doc, a too-short doc, and a symbol-heavy doc; NULL text

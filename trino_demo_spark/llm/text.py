@@ -222,7 +222,125 @@ def repetition_score(
 def gopher_ngram_repetition(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Gopher-style n-gram repetition quality signals (Rae et al. 2021,
+    """Gopher-style n-gram repetition quality signals — the shipped
+    r12 formulation: a `mapInArrow` counting kernel + Catalyst-side
+    arithmetic. Signal definitions, published thresholds, and the two
+    documented adaptations are in `gopher_ngram_repetition_fold` (the
+    retained reference implementation, pinned row-identical by
+    tests/test_llm.py::test_gopher_arrow_matches_fold and the DuckDB
+    oracle).
+
+    Why (guide §4.2, measured): the fold formulation runs three
+    interpreted `aggregate` HOFs per doc — array HOFs do not get
+    whole-stage codegen, and at sf0.1 the entry spent 2.55–2.83 s on a
+    5000-doc × 54-token corpus (~1M interpreted element steps). The
+    kernel counts the same grams with a per-doc Counter in the Python
+    worker: interleaved same-session A/B 2.55–2.83 s → **0.67–0.74 s**
+    (3.7×), result-identical on the full corpus. Scale shape is
+    unchanged — per-doc map-side, no shuffle (plus the few-split
+    spread), and ONLY the (id, tokens) columns cross the Arrow
+    boundary, so column pruning at the scan is preserved.
+
+    Numeric identity by construction: the kernel emits INTEGER counts
+    only (covered chars, gram counts); every division and ROUND stays
+    in Catalyst, so float semantics are bit-identical to the fold's.
+    Tokens are computed by Spark (`tokens_col`) BEFORE the boundary, so
+    there is no tokenizer-regex divergence; Python's min() tie-break on
+    the joined gram string equals Spark's string ordering (both
+    code-point order; UTF-8 byte order preserves it)."""
+    from .dedup import _spread_few_splits
+
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    )
+    base = _spread_few_splits(base)
+
+    def kernel(batches):
+        import pyarrow as pa
+        from collections import Counter
+
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            toks = b.column("t").to_pylist()
+            out_nc = []
+            covs = {2: [], 3: [], 4: []}
+            n5s, d5s = [], []
+            for t in toks:
+                out_nc.append(len(t) - 1 + sum(len(x) for x in t))
+                for n in (2, 3, 4):
+                    if len(t) >= n:
+                        c = Counter(
+                            " ".join(t[i:i + n])
+                            for i in range(len(t) - n + 1)
+                        )
+                        m = max(c.values())
+                        g = min(k for k, v in c.items() if v == m)
+                        covs[n].append(m * len(g))
+                    else:
+                        covs[n].append(0)
+                if len(t) >= 5:
+                    g5 = [" ".join(t[i:i + 5]) for i in range(len(t) - 4)]
+                    n5s.append(len(g5))
+                    d5s.append(len(set(g5)))
+                else:
+                    n5s.append(0)
+                    d5s.append(0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(out_nc, pa.int64()),
+                    pa.array(covs[2], pa.int64()),
+                    pa.array(covs[3], pa.int64()),
+                    pa.array(covs[4], pa.int64()),
+                    pa.array(n5s, pa.int64()),
+                    pa.array(d5s, pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "cov2", "cov3", "cov4", "n5", "d5"],
+            )
+
+    stats = base.mapInArrow(
+        kernel,
+        "doc_id long, n_chars long, cov2 long, cov3 long, cov4 long, "
+        "n5 long, d5 long",
+    )
+
+    def frac(col):
+        return F.when(
+            (F.col("n_chars") > 0) & (F.col(col) > 0),
+            F.round(F.col(col) / F.col("n_chars") + F.lit(EPS), 4),
+        ).otherwise(F.lit(0.0))
+
+    dup5 = F.when(
+        F.col("n5") > 0,
+        F.round((F.col("n5") - F.col("d5")) / F.col("n5") + F.lit(EPS), 4),
+    ).otherwise(F.lit(0.0))
+    out = stats.select(
+        "doc_id",
+        "n_chars",
+        frac("cov2").alias("top2_char_frac"),
+        frac("cov3").alias("top3_char_frac"),
+        frac("cov4").alias("top4_char_frac"),
+        dup5.alias("dup_5gram_frac"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("top2_char_frac") <= 0.20)
+        & (F.col("top3_char_frac") <= 0.18)
+        & (F.col("top4_char_frac") <= 0.16)
+        & (F.col("dup_5gram_frac") <= 0.15),
+    )
+
+
+def gopher_ngram_repetition_fold(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """REFERENCE implementation (pure-JVM sorted-run fold) of
+    `gopher_ngram_repetition`, retained for the r12 differential test —
+    the shipped entry is the mapInArrow counting kernel above, which
+    must stay row-identical to this.
+
+    Gopher-style n-gram repetition quality signals (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", table A1's repetition
     filters) — the n-gram half of the rule set; the duplicate-word half
     is `repetition_score`. Two families, adapted where the published
