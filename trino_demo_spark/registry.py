@@ -200,13 +200,31 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     )
 
 
+# Physical parquet schema per absolute file path (r12): plain
+# spark.read.parquet runs footer schema inference as a 1-task Spark job
+# on EVERY call — measured 94 ms/call vs 19 ms with the schema provided
+# (local[32], warm) — and every query calls load_table once per table
+# per execution. This memoizes the INFERRED SCHEMA ONLY (metadata — the
+# role a metastore/catalog plays in production; reads still scan the
+# parquet in full), keyed by path so different sf_dirs never mix. The
+# first call per path still infers, so a regenerated file with a new
+# layout is picked up by any fresh process (the driver/bench contract —
+# one process per run — makes staleness impossible in practice).
+_PHYSICAL_SCHEMA_MEMO: dict[str, T.StructType] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load a registry table as a DataFrame with its declared schema."""
     apply_runtime_confs(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     name = resolve_name(name)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    phys = _PHYSICAL_SCHEMA_MEMO.get(path)
+    if phys is None:
+        df = spark.read.parquet(path)
+        _PHYSICAL_SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(phys).parquet(path)
     if name == "events":
         df = _normalize_events(df)
     # Conform column order/casing to the declared schema (schema-on-read).
