@@ -72,14 +72,27 @@ def test_bounded_side_broadcasts_never_customer(spark):
 
 
 def test_gopher_repetition_shuffle_free(spark):
-    """llm_gopher_repetition is ONE narrow projection: the top-n-gram
-    stats are per-doc sorted-run folds and the dup-5-gram stat is
-    size/array_distinct — no explode, no join, no Exchange anywhere
-    (the explode+groupBy+window draft it replaced cost 5.26 s vs 3.19 s
-    at sf0.1 and shuffled 18M (doc, n, gram) rows)."""
+    """llm_gopher_repetition is ONE per-doc map pass (r12: a MapInArrow
+    counting kernel over Spark-built token arrays; before that, sorted-
+    run folds): no explode, no join, no keyed Exchange anywhere — the
+    explode+groupBy+window draft this family replaced cost 5.26 s vs
+    3.19 s at sf0.1 and shuffled 18M (doc, n, gram) rows, and THAT
+    shape coming back is what this gate exists to catch. The only
+    Exchange permitted is the conditional few-split RoundRobin spread
+    of raw doc rows feeding the kernel (parallelism on 1-split inputs,
+    skipped on ample scans — see dedup._spread_few_splits)."""
     plan = _plan(PARITY["llm_gopher_repetition"].fn(spark, SF_SMOKE))
-    assert "Exchange" not in plan, plan
-    assert "Generate" not in plan, plan  # no explode either
+    assert "MapInArrow" in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "Join" not in plan, plan
+    assert "hashpartitioning" not in plan, plan  # no keyed shuffle
+    assert "rangepartitioning" not in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("+- Exchange")
+        or ln.strip().startswith("Exchange")
+    ]
+    assert all("RoundRobinPartitioning" in ln for ln in exchanges), plan
+    assert len(exchanges) <= 1, plan
 
 
 def test_q21_window_reuses_pair_agg_shuffle(spark):
