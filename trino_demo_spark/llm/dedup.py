@@ -809,14 +809,17 @@ def dedup_clusters(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
-        # NO .distinct() on ls (r12): every consumer is duplicate-
-        # insensitive — mins2 is a min-aggregate, and ss ends in its own
-        # .distinct() — so deduping here bought one full (u,v) exchange
-        # per round for nothing. No growth risk either: ls has at most
-        # one row per sym edge, i.e. |ls| ≤ 2|e| BEFORE any dedup, so
-        # the carried multiset is bounded by the round input. The edge
-        # SET trajectory (and hence the fingerprint/convergence
-        # behavior) is unchanged — e itself is always a distinct set.
+        # ls KEEPS its .distinct() (r12, measured both ways): every
+        # consumer is duplicate-insensitive (mins2 is a min-aggregate,
+        # ss ends in its own distinct) and |ls| ≤ 2|e| before dedup, so
+        # dropping it is SAFE — but an sf10 interleaved A/B read the
+        # no-dedup variant consistently 15-25% SLOWER on the dup-heavy
+        # clusters graph: large-star output there is dominated by
+        # duplicate (v, m) rows (many neighbors share one min), and
+        # carrying them through the small-star groupBy + join + final
+        # distinct costs more than this one exchange that removes them
+        # early. Local sf0.1 was a wash either way; the dedup stays for
+        # the scale case.
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
@@ -825,6 +828,7 @@ def dedup_clusters(
             .select(
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
+            .distinct()
         )
         # ls feeds TWO subtrees inside this round (the mins2 aggregate
         # and the ss join) — persist() makes the large-star pass
